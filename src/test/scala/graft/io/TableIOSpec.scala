@@ -1,0 +1,62 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.schemas.AdvisorySchemas
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class TableIOSpec extends SparkSpec {
+
+  lazy val tmp: String = Files.createTempDirectory("tableio").toString
+
+  test("missing path yields empty DataFrame with declared schema") {
+    val df = TableIO.readTable(spark, s"$tmp/definitely/not/here",
+      AdvisorySchemas.cveStateMachine)
+    assert(df.schema == AdvisorySchemas.cveStateMachine)
+    assert(df.count() == 0)
+  }
+
+  test("write + read round trip with cast-projection") {
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("pkg-a", "CVE-2024-1", "1.0.0"))
+    rows.add(Row("pkg-b", "CVE-2024-2", null))
+    // extra column + wrong type: cast-projection must fix both
+    val wide = spark.createDataFrame(rows, StructType(Seq(
+      StructField("package_name", StringType), StructField("cve_id", StringType),
+      StructField("fixed_version", StringType))))
+      .withColumn("extra", org.apache.spark.sql.functions.lit(42))
+    TableIO.writeTable(wide, s"$tmp/echo", AdvisorySchemas.echoAdvisory, partitions = 1)
+    val back = TableIO.readTable(spark, s"$tmp/echo", AdvisorySchemas.echoAdvisory)
+    assert(back.columns.toSeq == Seq("package_name", "cve_id", "fixed_version"))
+    assert(back.count() == 2)
+  }
+
+  test("multipath read unions partition dirs; missing paths skipped") {
+    val df = TableIO.readTableMultipath(spark,
+      Seq(s"$tmp/echo", s"$tmp/nope"), AdvisorySchemas.echoAdvisory)
+    assert(df.count() == 2)
+    val none = TableIO.readTableMultipath(spark, Seq(s"$tmp/no1", s"$tmp/no2"),
+      AdvisorySchemas.echoAdvisory)
+    assert(none.count() == 0)
+  }
+
+  test("csv read with header and schema") {
+    val p = s"$tmp/csv"
+    Files.createDirectories(java.nio.file.Paths.get(p))
+    Files.writeString(java.nio.file.Paths.get(s"$p/data.csv"),
+      "cve_id,package,status,fixed_version,internal_status\n" +
+        "CVE-2024-9,glibc,not_applicable,,code_not_in_use\n")
+    val df = TableIO.readTable(spark, p, AdvisorySchemas.notApplicableCves,
+      TableIO.Csv(header = true))
+    assert(df.count() == 1)
+    assert(df.head().getString(4) == "code_not_in_use")
+  }
+
+  test("jdbc read on unreachable url falls back to empty table") {
+    val df = TableIO.readJdbc(spark, "jdbc:postgresql://127.0.0.1:1/none",
+      "advisory.not_applicable_cves", AdvisorySchemas.notApplicableCves)
+    assert(df.schema.fieldNames.toSeq == AdvisorySchemas.notApplicableCves.fieldNames.toSeq)
+    assert(df.count() == 0)
+  }
+}
