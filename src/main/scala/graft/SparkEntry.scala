@@ -12,11 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val registry: Seq[QueryDef] =
-    CoreQueries.all ++ FsmQueries.all
+    CoreQueries.all ++ FsmQueries.all ++ AdvisoryQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_fsm_transitions")(spark, "/root/testdata/sf0.001")
+    queries("q_advisory_merge")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
