@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * All hashing is md5-prefix based (`md5` is available in every engine
+  * and deterministic across machines, unlike JVM `hashCode` or
+  * engine-specific hash functions) so results are reproducible and
+  * oracle-checkable. At 100 TB:
+  *
+  *   - exact dedup is one hash-shuffle on the fingerprint;
+  *   - MinHash-LSH shuffles (band, key) pairs — rows x bands — then
+  *     self-joins only within buckets, never all-pairs;
+  *   - SimHash emits one 16-bit signature per doc; the pair join is on
+  *     signature bands (here: window over signature order);
+  *   - candidate verification re-joins the shingle sets only for
+  *     candidate pairs (a tiny fraction of the corpus).
+  */
+object Dedup {
+
+  /** 2^31 - 1, the classic MinHash modulus prime. */
+  val MinHashPrime: Long = 2147483647L
+
+  /** Fixed (a, b) coefficient pairs for the K permutation hashes. */
+  val MinHashCoeffs: Seq[(Long, Long)] = Seq(
+    (1103L, 12289L), (1999L, 52361L), (3491L, 77377L), (4723L, 104729L),
+    (6101L, 130363L), (7919L, 155893L), (9533L, 181081L), (11087L, 207013L),
+  )
+
+  /** 32-bit integer hash of a string via md5 prefix — reproducible in
+    * any SQL engine as `('0x' || substr(md5(s),1,8))::BIGINT`. */
+  def md5Hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Word n-gram shingles (distinct), case-folded and
+    * whitespace-normalized (double spaces must not create empty
+    * tokens — they would silently split shingle sets of
+    * visually-identical texts). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(ws) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    array_distinct(grams)
+  }
+
+  /** Exact dedup: group identical normalized texts, keep the smallest
+    * id as canonical. One shuffle on the 32-hex fingerprint (never on
+    * the full text — at 100 TB the shuffle key must be small). */
+  def exactDedupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc exploded shingle hashes: (id, h). */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("id"), md5Hash32(col("s")).as("h"))
+
+  /** K-column MinHash signature per doc. */
+  def minHashSignature(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, n: Int = 3): DataFrame = {
+    val hashes = shingleHashes(df, textCol, idCol, n)
+    val aggs = MinHashCoeffs.take(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinHashPrime).as(s"m$i")
+    }
+    hashes.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band of the signature.
+    * bands x rowsPerBand must equal k. Pairs are distinct, id1 < id2. */
+  def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sig = minHashSignature(df, textCol, idCol, k, n)
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until rowsPerBand)
+          .map(r => col(s"m${b * rowsPerBand + r}")): _*).as("key"))
+    }
+    val buckets = sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (id1, id2). */
+  def jaccardForPairs(pairs: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("s"), size(shingles(col(textCol), n)).as("sz"))
+    pairs
+      .join(sets.select(col("id").as("id1"), col("s").as("s1"), col("sz").as("sz1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("s").as("s2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          (col("sz1") + col("sz2") - size(array_intersect(col("s1"), col("s2")))), 6)
+          .as("jaccard"))
+  }
+
+  /** MinHash LSH end to end: candidates + exact-Jaccard verification. */
+  def minHashDedup(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, k: Int = 8, bands: Int = 4, n: Int = 3): DataFrame =
+    jaccardForPairs(minHashCandidates(df, textCol, idCol, k, bands, n),
+      df, textCol, idCol, n)
+      .filter(col("jaccard") >= threshold)
+
+  /** 16-bit SimHash signature: per bit, the sign of the sum of +/-1
+    * votes from each shingle hash. Integer arithmetic end to end. */
+  def simHash(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16, n: Int = 3): DataFrame = {
+    val hashes = shingleHashes(df, textCol, idCol, n)
+    val bitSums = (0 until bits).map { j =>
+      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"b$j")
+    }
+    val summed = hashes.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    summed.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance <= maxDist. The pair
+    * source is a self-join on the signature's top byte (a band), so
+    * only docs agreeing on the high bits are compared. */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, bits: Int = 16, n: Int = 3): DataFrame = {
+    val sig = simHash(df, textCol, idCol, bits, n)
+    val banded = sig.withColumn("band", shiftright(col("simhash"), bits / 2))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        bit_count(expr("l.simhash ^ r.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per partition in bounded
+  * batches.
+  *
+  * The Spark-side mechanics are real and tested — schema contracts,
+  * partition-parallel batch iteration (the JVM analogue of
+  * `mapInPandas`: one bounded batch of rows at a time, never the whole
+  * partition materialized), metadata propagation. The actual media
+  * decoding is STUBBED (`decodeStub`) because no image/audio codec
+  * library ships in this environment: it derives deterministic fake
+  * dimensions/features from the bytes. Swapping in a real decoder
+  * changes only that one function.
+  *
+  * At 100 TB: media blobs dominate row size, so the batch size bounds
+  * executor memory (`batchSize` rows per decode batch), and
+  * decode-heavy stages should be repartitioned to cores x executors
+  * before this map — both are the caller's knobs here.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("byte_len", LongType),
+    StructField("content_hash", StringType),
+  ))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", ArrayType(FloatType)),
+  ))
+
+  /** Wrap a text table as a media table (binary payload + metadata) —
+    * the ingestion shape for real media directories
+    * (`spark.read.format("binaryFile")` in production). */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      encode(col(payloadCol), "UTF-8").as("content"),
+      struct(
+        lit("image/stub").as("media_type"),
+        length(encode(col(payloadCol), "UTF-8")).cast(LongType).as("byte_len"),
+        md5(col(payloadCol)).as("content_hash")).as("meta"))
+
+  /** ??? in spirit — a deterministic stand-in for the media decoder:
+    * width/height from byte-length, an 8-dim "feature" from the first
+    * bytes. Replace with a real codec call; the batching around it is
+    * the part that matters. */
+  def decodeStub(docId: Long, mediaType: String, bytes: Array[Byte]): Row = {
+    val w = 16 + (bytes.length % 64)
+    val h = 16 + ((bytes.length / 64) % 64)
+    val feature = (0 until 8).map { i =>
+      if (bytes.isEmpty) 0.0f
+      else (bytes(i % bytes.length).toInt & 0xff).toFloat / 255.0f
+    }.toArray
+    Row(docId, mediaType, bytes.length.toLong, w, h, feature)
+  }
+
+  /** Partition-parallel decode in bounded batches (the mapInPandas
+    * analogue): each executor thread pulls `batchSize` rows, decodes
+    * them, emits, and only then pulls the next batch. */
+  def decode(spark: SparkSession, media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val schema = decodedSchema
+    val rdd = media.select(col("doc_id"), col("meta.media_type"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val out = new ArrayBuffer[Row](batch.size)
+          batch.foreach { r =>
+            out += decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          }
+          out
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic frame sampling plumbing for video-like payloads:
+    * pick every `stride`-th chunk index of the payload. */
+  def frameSampleIndexes(byteLen: org.apache.spark.sql.Column, chunk: Int,
+      stride: Int): org.apache.spark.sql.Column =
+    filter(
+      sequence(lit(0), greatest((byteLen / chunk).cast("int") - 1, lit(0))),
+      i => i % stride === 0)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (`Array[Float]` columns).
+  *
+  * Shapes:
+  *   - [[bruteForceTopK]] — exact: broadcast the (small) query set
+  *     against the corpus; one pass, no shuffle of the corpus. The
+  *     baseline and the rerank step.
+  *   - [[lshBuckets]] / [[lshTopK]] — scale path: random-hyperplane LSH
+  *     buckets computed from a seeded deterministic projection; the
+  *     self/probe join happens per bucket, so the pair space is
+  *     corpus x (corpus/2^bits) instead of corpus^2. An IVF variant
+  *     would swap the hyperplanes for k-means centroids; the operator
+  *     shape (bucket -> join -> exact rerank) is identical.
+  *
+  * Dot products run on `Array[Double]` (cast from float once) via
+  * codegen'd higher-order functions — no UDF, no Python boundary.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k: for each query row, the k nearest corpus rows by
+    * cosine. `queries` is broadcast — keep it small (or chunk it). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i): a +/-1 derived from a Weyl-sequence-style integer mix. */
+  private def hyperplaneSign(j: Int, i: Column): Column =
+    when(((i * 2654435761L + j * 40503L) % 97L) % 2L === 0L, 1.0).otherwise(-1.0)
+
+  /** LSH bucket id from `bits` signed random projections. */
+  def lshBucket(vec: Column, bits: Int = 8): Column = {
+    val v = asDouble(vec)
+    val projections = (0 until bits).map { j =>
+      // projection_j = sum_i sign(j,i) * v[i]
+      val weighted = zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * hyperplaneSign(j, i))
+      val proj = aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(0L)
+    }
+    projections.reduce(_ + _)
+  }
+
+  def lshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 8): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), bits).as("bucket"))
+
+  /** Approximate top-k: exact rerank within the query's bucket only.
+    * Recall improves with multi-probe (not implemented) or fewer bits. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, bits: Int = 8): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, bits)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"),
+        col("bucket"))
+    val qb = lshBuckets(queries, idCol, vecCol, bits)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+        col("bucket"))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"))
+  }
+
+  /** Embedding near-dup pairs within a sliding id window — the exact
+    * verifier shape used after any blocking scheme; `window` bounds the
+    * pair space for the oracle-checked query. */
+  def embeddingWindowPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      window: Int = 5): DataFrame = {
+    val a = corpus.select(col(idCol).as("id1"), asDouble(col(vecCol)).as("v1"))
+    val b = corpus.select(col(idCol).as("id2"), asDouble(col(vecCol)).as("v2"))
+    a.join(b, col("id2") > col("id1") && col("id2") <= col("id1") + window)
+      .select(col("id1"), col("id2"), (round(cosine(col("v1"), col("v2")), 4) + lit(0.0)).as("cos"))
+  }
+}

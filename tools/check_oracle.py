@@ -20,7 +20,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return round(v, 9) + 0.0  # also folds -0.0 to 0.0
     return v
 
 
