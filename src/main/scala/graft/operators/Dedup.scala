@@ -35,17 +35,33 @@ object Dedup {
   def md5Hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** Word n-gram shingles (distinct), case-folded and
-    * whitespace-normalized (double spaces must not create empty
-    * tokens — they would silently split shingle sets of
-    * visually-identical texts). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
-    val grams = transform(
+  /** Case-folded, whitespace-normalized word array (double spaces must
+    * not create empty tokens — they would silently split shingle sets
+    * of visually-identical texts). */
+  def words(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+
+  /** n-gram shingles (distinct) from an ALREADY-MATERIALIZED words
+    * array column. `ws` must be a bound attribute, not the `words(...)`
+    * expression inline: expressions captured by a `transform` lambda
+    * are re-evaluated per element access, which turns the split+regex
+    * into O(words^2) work per document (measured 3 ms/doc -> 40x
+    * slowdown at sf0.1 before this split). */
+  def shinglesFromWords(ws: Column, n: Int = 3): Column =
+    array_distinct(transform(
       sequence(lit(0), greatest(size(ws) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
-    array_distinct(grams)
-  }
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+
+  /** Per-doc shingle sets: (id, s) with the words array materialized
+    * between projections. */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
+      .select(col("id"), shinglesFromWords(col("__ws"), n).as("s"))
+
+  /** Single-Column shingle expression — convenient, but O(words^2) per
+    * row (see [[shinglesFromWords]]); use [[shingleSets]] in pipelines. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(words(text), n)
 
   /** Exact dedup: group identical normalized texts, keep the smallest
     * id as canonical. One shuffle on the 32-hex fingerprint (never on
@@ -54,10 +70,16 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc exploded shingle hashes: (id, h). */
+  /** Per-doc exploded shingle hashes: (id, h). explode_outer, not
+    * explode: plain explode makes the optimizer infer a `size(s) > 0`
+    * filter and push it below the projections with the whole shingle
+    * expression re-inlined — the O(words^2) form this module exists to
+    * avoid. The arrays are never empty (greatest(...) keeps >= 1
+    * gram), so the outer variant is value-identical. */
   def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-      .select(col("id"), md5Hash32(col("s")).as("h"))
+    shingleSets(df, textCol, idCol, n)
+      .select(col("id"), explode_outer(col("s")).as("g"))
+      .select(col("id"), md5Hash32(col("g")).as("h"))
 
   /** K-column MinHash signature per doc. */
   def minHashSignature(df: DataFrame, textCol: String, idCol: String,
@@ -94,15 +116,15 @@ object Dedup {
   /** Exact n-gram Jaccard for given candidate pairs (id1, id2). */
   def jaccardForPairs(pairs: DataFrame, df: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("s"), size(shingles(col(textCol), n)).as("sz"))
+    val sets = shingleSets(df, textCol, idCol, n)
+      .select(col("id"), col("s"), size(col("s")).as("sz"))
     pairs
       .join(sets.select(col("id").as("id1"), col("s").as("s1"), col("sz").as("sz1")), "id1")
       .join(sets.select(col("id").as("id2"), col("s").as("s2"), col("sz").as("sz2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
       .select(col("id1"), col("id2"),
-        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          (col("sz1") + col("sz2") - size(array_intersect(col("s1"), col("s2")))), 6)
-          .as("jaccard"))
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
   }
 
   /** MinHash LSH end to end: candidates + exact-Jaccard verification. */

@@ -50,11 +50,15 @@ object AdvisoryMerge {
     * @param normalized normalized enrichment (normalizedEnrichment schema)
     * @param prod       prior prod state (cveStateMachine schema)
     */
+  /** @param sorted apply the reference's cosmetic global ORDER BY
+    *   (change-type rank, cve_id). It costs a full range-partition
+    *   shuffle and parquet does not preserve it — disable at scale. */
   def mapNewInfo(
       echo: DataFrame,
       normalized: DataFrame,
       prod: DataFrame,
       tiebreak: Seq[Column] = Nil,
+      sorted: Boolean = true,
   ): DataFrame = {
     val prodState = prod.select(
       col("cve_id"), col("package"),
@@ -103,7 +107,7 @@ object AdvisoryMerge {
       .withColumn("transition_reason",
         TransitionFunctions.transitionExplanation("previous_status", "proposed_status"))
 
-    withTransitions
+    val classified = withTransitions
       .withColumn("change_type",
         when(!col("exists_in_prod"), "new")
           .when(!col("transition_valid"), "blocked")
@@ -115,13 +119,14 @@ object AdvisoryMerge {
       .select("cve_id", "package", "status", "previous_status", "fixed_version",
         "internal_status", "data_source", "priority", "enrichment_timestamp",
         "transition_valid", "transition_reason", "change_type")
-      .orderBy(
-        when(col("change_type") === "new", 1)
-          .when(col("change_type") === "status_changed", 2)
-          .when(col("change_type") === "blocked", 3)
-          .when(col("change_type") === "enriched_unchanged", 4)
-          .otherwise(5),
-        col("cve_id"))
+    if (!sorted) classified
+    else classified.orderBy(
+      when(col("change_type") === "new", 1)
+        .when(col("change_type") === "status_changed", 2)
+        .when(col("change_type") === "blocked", 3)
+        .when(col("change_type") === "enriched_unchanged", 4)
+        .otherwise(5),
+      col("cve_id"))
   }
 
   /** Overwrite-as-upsert: processed rows win, prod-only rows survive via

@@ -191,7 +191,10 @@ object AdvisoryQueries {
     // Upsert: processed wins, prod-only rows survive via anti join.
     QueryDef(
       "q_advisory_upsert",
-      (s, d) => AdvisoryMerge.upsert(mergeDf(s, d), prodDf(s, d)),
+      // persist the merge: its DAG feeds both the union and the anti
+      // join; unpersisted it would execute twice (the pipeline proper
+      // breaks this with its staging write instead)
+      (s, d) => AdvisoryMerge.upsert(mergeDf(s, d).persist(), prodDf(s, d)),
       Some(s"""$mergeOracleCtes,
               |prod_only AS (SELECT p.* FROM prod_full p
               |  LEFT JOIN processed pr ON p.cve_id = pr.cve_id AND p.package = pr.package

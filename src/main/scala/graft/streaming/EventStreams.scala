@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators.
+  *
+  * The reference is batch-only (SURVEY §2.9) — its incremental concern
+  * is solved with the TTL cache. This module adds the streaming
+  * capabilities a continuously-fed advisory/training-data pipeline
+  * needs, on the engine's own tables:
+  *
+  *   - watermarked tumbling-window aggregation (the streaming form of
+  *     `q_events_hourly`);
+  *   - event sessionization with `flatMapGroupsWithState` (timeout-based
+  *     session close);
+  *   - a streaming advisory FSM with `mapGroupsWithState`: per
+  *     (cve, package) key, proposals stream in and fold through the
+  *     same [[graft.statemachine.StateMachine]] the batch path uses.
+  *
+  * All transforms accept either a streaming or a batch DataFrame (the
+  * plans are identical; tests drive them with MemoryStream).
+  */
+object EventStreams {
+
+  /** Watermarked hourly rollup per event type. Late rows beyond the
+    * watermark are dropped instead of growing state forever — the knob
+    * that makes this run indefinitely on an unbounded feed. */
+  def hourlyRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, n_events: Long, first_ts: java.sql.Timestamp,
+      last_ts: java.sql.Timestamp, closed: Boolean)
+
+  case class SessionState(n: Long, first: Long, last: Long)
+
+  /** Timeout-based sessionization: a user's events accumulate until
+    * `gapMs` of silence, then the closed session is emitted. State per
+    * key is O(1) — counts and bounds, never the events themselves. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    // event-time timeouts require a watermark; it also bounds state for
+    // late data on an unbounded feed
+    events.withWatermark("ts", watermark).groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.n,
+              new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last),
+              closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val prev = state.getOption
+            var out = List.empty[Session]
+            var cur = prev
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.first, t))
+                case Some(s) =>
+                  out ::= Session(userId, s.n, new java.sql.Timestamp(s.first),
+                    new java.sql.Timestamp(s.last), closed = true)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  final case class Proposal(cve_id: String, package_name: String, proposed: String)
+  final case class KeyedState(cve_id: String, package_name: String, status: String,
+      transitions: Long, blocked: Long)
+
+  /** Streaming advisory FSM: proposals fold through the batch FSM's
+    * exact transition semantics, keyed by (cve, package). Invalid or
+    * terminal-blocked proposals leave the state and bump `blocked`. */
+  def streamingFsm(proposals: Dataset[Proposal]): Dataset[KeyedState] = {
+    import proposals.sparkSession.implicits._
+    proposals.groupByKey(p => (p.cve_id, p.package_name))
+      .mapGroupsWithState[KeyedState, KeyedState](
+        GroupStateTimeout.NoTimeout()) {
+        case ((cve, pkg), rows, state) =>
+          var s = state.getOption.getOrElse(KeyedState(cve, pkg, "unknown", 0L, 0L))
+          rows.foreach { p =>
+            val r = graft.statemachine.StateMachine.applyTransition(s.status, p.proposed)
+            s =
+              if (r.success && r.newState != s.status)
+                s.copy(status = r.newState, transitions = s.transitions + 1)
+              else if (!r.success) s.copy(blocked = s.blocked + 1)
+              else s
+          }
+          state.update(s)
+          s
+      }
+  }
+}

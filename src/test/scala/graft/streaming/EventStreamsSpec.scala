@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("hourly rollup over a memory stream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = hourlyRollup(input.toDF()).writeStream
+      .format("memory").queryName("rollup").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("rollup").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((0L, "click", 2L, 3.0), (60L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions after the gap, emits on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 10 * 60000L).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // two bursts for user 1, separated by > gap in the SAME batch
+      // start past epoch 0: the initial watermark is 0 and rows at or
+      // before it are dropped as late
+      input.addData(
+        Event(1, ts(10), 1, "click", 0), Event(2, ts(15), 1, "click", 0),
+        Event(3, ts(40), 1, "click", 0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+      assert(closed.length == 1) // first burst closed by the second
+      assert(closed.head.getAs[Long]("n_events") == 2)
+      assert(closed.head.getAs[Boolean]("closed"))
+    } finally q.stop()
+  }
+
+  test("streaming FSM folds proposals with batch-identical semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Proposal]
+    val q = streamingFsm(input.toDS()).writeStream
+      .format("memory").queryName("fsm").outputMode("update").start()
+    try {
+      input.addData(
+        Proposal("CVE-1", "glibc", "pending_upstream"),
+        Proposal("CVE-2", "zlib", "not_applicable")) // invalid from unknown
+      q.processAllAvailable()
+      input.addData(
+        Proposal("CVE-1", "glibc", "fixed"),
+        Proposal("CVE-1", "glibc", "pending_upstream")) // blocked: terminal
+      q.processAllAvailable()
+      val m = spark.table("fsm").collect()
+        .map(r => r.getString(0) -> r).groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+      assert(m("CVE-1").getAs[String]("status") == "fixed")
+      assert(m("CVE-1").getAs[Long]("transitions") == 2)
+      assert(m("CVE-1").getAs[Long]("blocked") == 1)
+      assert(m("CVE-2").getAs[String]("status") == "unknown")
+      assert(m("CVE-2").getAs[Long]("blocked") == 1)
+    } finally q.stop()
+  }
+}
