@@ -143,6 +143,25 @@ object TableIO {
     sized.write.mode(mode).partitionBy(partitionKeys: _*).parquet(path)
   }
 
+  /** Bucketed managed-table write: co-locates rows by `bucketCols` so
+    * equi-joins/aggregations between tables bucketed the same way need
+    * NO shuffle at read time — the per-query Exchange is paid once at
+    * write. The scale replacement for repeated repartition-joins on
+    * the same key (e.g. `(cve_id, package)` across merge runs). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Seq.empty,
+      mode: SaveMode = SaveMode.Overwrite,
+  ): Unit = {
+    var w = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** Execute SQL then write — the state-machine stage's primary path
     * (spark_utils.py:46-47). */
   def writeSql(

@@ -22,13 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two array columns. */
+  /** Left-to-right double dot product — higher-order-function form,
+    * kept as the portable reference implementation (the native
+    * expression is verified bit-identical against it). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the fused-loop native expression
+    * ([[graft.functions.VectorExpressions]]) — same accumulation order
+    * as the HOF form, so results are bit-identical, but one codegen'd
+    * loop instead of per-element lambda dispatch + an intermediate
+    * array. This is the inner loop of every similarity scan. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineNative(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
