@@ -103,6 +103,58 @@ object Similarity {
         (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate search: k-means centroids
+    * partition the corpus into cells; a query is compared only against
+    * the cells of its `nProbe` nearest centroids, then exactly
+    * reranked. The centroid set is tiny and broadcast twice (assign +
+    * probe); the corpus is scanned once to assign and once per search —
+    * at 100 TB the assignment is materialized alongside the vectors
+    * (write once, probe many). Same operator shape as [[lshTopK]] with
+    * learned instead of random partitions. */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val train = corpus.select(col(idCol),
+      array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val assigned = model.transform(train)
+      .select(col(idCol), col("prediction").as("cell"))
+      .join(corpus, idCol)
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+      .toDF("cell", "centroid")
+    (assigned, centroids)
+  }
+
+  /** Approximate top-k over an IVF index: probe the `nProbe` cells
+    * whose centroids are nearest each query, exact-rerank inside. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val c = assigned.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("nv"), col("cell"))
+    val scored = c.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"))
+  }
+
   /** Embedding near-dup pairs within a sliding id window — the exact
     * verifier shape used after any blocking scheme; `window` bounds the
     * pair space for the oracle-checked query. */

@@ -67,6 +67,25 @@ class DataOpsSpec extends SparkSpec {
     lsh.foreach { case (q, n) => assert(buckets(q) == buckets(n)) }
   }
 
+  test("IVF top-k: recall beats LSH at same probe budget, subset of exact") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (assigned, centroids) = Similarity.ivfIndex(e, "vec_id", "embedding", nCells = 8)
+    val ivf = Similarity.ivfTopK(assigned, centroids, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"IVF recall $recall too low for 4/8 probed cells")
+    // deterministic: same seed -> same index -> same answers
+    val (assigned2, centroids2) = Similarity.ivfIndex(e, "vec_id", "embedding", nCells = 8)
+    val ivf2 = Similarity.ivfTopK(assigned2, centroids2, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf2 == ivf)
+  }
+
   test("multimodal decode: schema, batch shape, deterministic stub") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text").repartition(2)
     val decoded = Multimodal.decode(spark, media, batchSize = 2)
