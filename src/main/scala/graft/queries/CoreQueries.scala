@@ -256,6 +256,78 @@ object CoreQueries {
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
     ),
 
+    // Left semi join (EXISTS).
+    QueryDef(
+      "q_join_semi",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        val big = load(s, d, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"))
+        o.join(broadcast(big), o("o_custkey") === big("c_custkey"), "left_semi")
+          .select("o_orderkey", "o_custkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM customer c
+             |  WHERE c.c_acctbal > 5000 AND c.c_custkey = o.o_custkey)"""
+        .stripMargin),
+    ),
+
+    // INTERSECT / EXCEPT set semantics (the reference used anti joins;
+    // the engine also exposes the set operators proper).
+    QueryDef(
+      "q_set_ops",
+      (s, d) => {
+        val l = load(s, d, "lineitem")
+        val withR = l.filter(col("l_returnflag") === "R").select("l_orderkey").distinct()
+        val withA = l.filter(col("l_returnflag") === "A").select("l_orderkey").distinct()
+        withR.intersect(withA)
+          .withColumn("tag", lit("both"))
+          .union(withR.except(withA).withColumn("tag", lit("r_only")))
+      },
+      Some("""SELECT l_orderkey, 'both' AS tag FROM (
+             |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+             |  INTERSECT
+             |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+             |UNION ALL
+             |SELECT l_orderkey, 'r_only' AS tag FROM (
+             |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+             |  EXCEPT
+             |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A')"""
+        .stripMargin),
+    ),
+
+    // ROLLUP: subtotal + grand-total rows (engine superset; GROUPING()
+    // disambiguates real NULL keys from rollup NULLs).
+    QueryDef(
+      "q_agg_rollup",
+      (s, d) => load(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2))).as("total"),
+          grouping_id().as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             | sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total,
+             | GROUPING(o_orderstatus, o_orderpriority) AS gid
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+        .stripMargin),
+    ),
+
+    // Pivot-style conditional aggregation (wide status columns).
+    QueryDef(
+      "q_pivot_status",
+      (s, d) => load(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p")),
+      Some("""SELECT o_orderpriority,
+             | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+             | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+             | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+    ),
+
     // Event-time tumbling-window aggregation (batch form; the streaming
     // module runs the same shape incrementally).
     QueryDef(

@@ -158,6 +158,17 @@ object DataOpsQueries {
       },
     ),
 
+    // BPE-ish regex pre-tokenization (words | numbers | single symbols).
+    QueryDef(
+      "q_text_tokens_bpe",
+      (s, d) => QueryDef.load(s, d, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.tokensRegex(col("text"))).as("n_bpe_tokens")),
+      Some("""SELECT doc_id,
+             | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+             |FROM documents""".stripMargin),
+    ),
+
     QueryDef(
       "q_text_fingerprint",
       (s, d) => QueryDef.load(s, d, "documents").select(
