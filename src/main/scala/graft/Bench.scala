@@ -33,13 +33,17 @@ object Bench {
       }
 
     // Steady-state methodology: one untimed warm pass (JIT + codegen
-    // compilation + file-footer caches), then the timed pass. Cold
-    // single-run numbers vary 3x run-to-run on the same plan.
+    // compilation + file-footer caches), then best of two timed passes
+    // (the box carries background load; min-of-n is the standard
+    // defense). Cold single-run numbers vary 3x on the same plan.
     def execute(name: String): Double = {
       runOnce(name)
-      val t0 = System.nanoTime()
-      runOnce(name)
-      (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        runOnce(name)
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
     }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n))

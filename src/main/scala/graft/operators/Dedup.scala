@@ -149,6 +149,24 @@ object Dedup {
     summed.select(col("id"), sig.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    * buckets block the pair space, exact cosine filters within each
+    * bucket. True near-dups (cosine ~1) agree on almost every
+    * projection sign, so they land in the same bucket with high
+    * probability; lower `bits` for higher recall. */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+    val b = Similarity.lshBuckets(df, idCol, vecCol, bits)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"), col("bucket"))
+    val l = b.as("l")
+    val r = b.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist. The pair
     * source is a self-join on the signature's top byte (a band), so
     * only docs agreeing on the high bits are compared. */

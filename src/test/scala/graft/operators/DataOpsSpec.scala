@@ -103,6 +103,24 @@ class DataOpsSpec extends SparkSpec {
     rows.foreach(r => assert(again(r.getLong(0)) == r.getAs[scala.collection.Seq[Float]]("feature")))
   }
 
+  test("embedding dedup finds planted near-identical vectors") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = Array.tabulate(16)(i => math.sin(i.toDouble).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 1e-4f
+    val other = Array.tabulate(16)(i => math.cos(i * 2.0).toFloat)
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, base.toSeq)); rows.add(Row(2L, nearDup.toSeq))
+    rows.add(Row(3L, other.toSeq))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val pairs = Dedup.embeddingDedup(df, "vec_id", "embedding",
+      threshold = 0.999, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("langId picks marker-matching language; und when no markers") {
     val df = Seq(
       (1L, "the cat and the dog of a house"),
