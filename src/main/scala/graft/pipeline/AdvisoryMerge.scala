@@ -132,12 +132,13 @@ object AdvisoryMerge {
   /** Overwrite-as-upsert: processed rows win, prod-only rows survive via
     * anti join (upsert_data.py:18-86). Not a MERGE — the whole table is
     * rewritten; change detection lives in the change_type column. */
-  def upsert(processed: DataFrame, prod: DataFrame): DataFrame = {
+  def upsert(processed: DataFrame, prod: DataFrame,
+      sorted: Boolean = true): DataFrame = {
     val cols = processed.columns.map(col).toSeq
     val prodOnly = prod.join(
       processed.select("cve_id", "package"), Seq("cve_id", "package"), "left_anti")
-    processed.union(prodOnly.select(cols: _*))
-      .orderBy(col("cve_id"), col("package"))
+    val combined = processed.union(prodOnly.select(cols: _*))
+    if (sorted) combined.orderBy(col("cve_id"), col("package")) else combined
   }
 
   /** CVEs needing upstream enrichment: case-insensitive left join of the

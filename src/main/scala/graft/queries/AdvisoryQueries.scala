@@ -115,9 +115,13 @@ object AdvisoryQueries {
       .selectExpr(prodCols("date_format(o_orderdate, 'yyyy-MM-dd')"): _*)
 
   private def mergeDf(s: SparkSession, d: String): DataFrame =
+    // sorted=false: the reference's global ORDER BY is cosmetic (parquet
+    // does not preserve it, the compare sorts rows) and costs a full
+    // range-partition pass
     AdvisoryMerge.mapNewInfo(echoDf(s, d), normalizedDf(s, d), prodDf(s, d),
       tiebreak = Seq(col("l_linenumber").desc, col("l_returnflag").desc,
-        col("l_partkey").desc, col("l_suppkey").desc))
+        col("l_partkey").desc, col("l_suppkey").desc),
+      sorted = false)
 
   // ---- oracle CTE text (DuckDB date functions) ----
 
@@ -194,7 +198,8 @@ object AdvisoryQueries {
       // persist the merge: its DAG feeds both the union and the anti
       // join; unpersisted it would execute twice (the pipeline proper
       // breaks this with its staging write instead)
-      (s, d) => AdvisoryMerge.upsert(mergeDf(s, d).persist(), prodDf(s, d)),
+      (s, d) => AdvisoryMerge.upsert(mergeDf(s, d).persist(), prodDf(s, d),
+        sorted = false),
       Some(s"""$mergeOracleCtes,
               |prod_only AS (SELECT p.* FROM prod_full p
               |  LEFT JOIN processed pr ON p.cve_id = pr.cve_id AND p.package = pr.package
