@@ -30,6 +30,7 @@ object TableIO {
 
   sealed trait Format
   case object Parquet extends Format
+  case object Orc extends Format
   case object Json extends Format
   final case class Csv(header: Boolean) extends Format
 
@@ -54,6 +55,7 @@ object TableIO {
       basePath.foreach(bp => reader = reader.option("basePath", bp))
       val df = format match {
         case Parquet => reader.parquet(path)
+        case Orc => reader.orc(path)
         case Json => reader.json(path)
         case Csv(header) => reader.option("header", header.toString).csv(path)
       }

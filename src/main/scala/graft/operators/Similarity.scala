@@ -81,16 +81,29 @@ object Similarity {
     corpus.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), bits).as("bucket"))
 
-  /** Approximate top-k: exact rerank within the query's bucket only.
-    * Recall improves with multi-probe (not implemented) or fewer bits. */
+  /** Approximate top-k: exact rerank within the buckets each query
+    * probes. `probes = 0` searches only the query's own bucket;
+    * `probes = n` additionally probes the n single-bit-flip neighbor
+    * buckets nearest in Hamming space — the standard multi-probe trick
+    * that lifts recall without re-bucketing the corpus. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int = 5, bits: Int = 8): DataFrame = {
+      vecCol: String, k: Int = 5, bits: Int = 8, probes: Int = 0): DataFrame = {
     val cb = lshBuckets(corpus, idCol, vecCol, bits)
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"),
         col("bucket"))
-    val qb = lshBuckets(queries, idCol, vecCol, bits)
+    val own = lshBuckets(queries, idCol, vecCol, bits)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
         col("bucket"))
+    val qb =
+      if (probes <= 0) own
+      else {
+        val flips = (0 until math.min(probes, bits)).map { j =>
+          expr(s"bucket ^ ${1L << j}")
+        }
+        own.select(col("query_id"), col("qv"),
+            explode(array((col("bucket") +: flips): _*)).as("bucket"))
+          .dropDuplicates("query_id", "bucket")
+      }
     val scored = cb.join(broadcast(qb), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

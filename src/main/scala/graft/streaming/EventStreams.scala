@@ -88,6 +88,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup for a continuously-fed document/event
+    * stream: drop rows whose key was already seen within the watermark
+    * horizon. State stores only keys and ages out with the watermark —
+    * the streaming form of [[graft.operators.Dedup.exactDedupGroups]]
+    * (an unbounded-state global dedup cannot run forever). */
+  def streamingDedup(rows: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Proposal(cve_id: String, package_name: String, proposed: String)
   final case class KeyedState(cve_id: String, package_name: String, status: String,
       transitions: Long, blocked: Long)

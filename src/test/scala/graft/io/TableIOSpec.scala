@@ -53,6 +53,15 @@ class TableIOSpec extends SparkSpec {
     assert(df.head().getString(4) == "code_not_in_use")
   }
 
+  test("orc write + schema-applied read round trip") {
+    val df = TableIO.readTable(spark, s"$tmp/echo", AdvisorySchemas.echoAdvisory)
+    df.write.mode("overwrite").orc(s"$tmp/echo_orc")
+    val back = TableIO.readTable(spark, s"$tmp/echo_orc",
+      AdvisorySchemas.echoAdvisory, TableIO.Orc)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("package_name", "cve_id", "fixed_version"))
+  }
+
   test("jdbc read on unreachable url falls back to empty table") {
     val df = TableIO.readJdbc(spark, "jdbc:postgresql://127.0.0.1:1/none",
       "advisory.not_applicable_cves", AdvisorySchemas.notApplicableCves)

@@ -65,6 +65,12 @@ class DataOpsSpec extends SparkSpec {
     val buckets = Similarity.lshBuckets(e, "vec_id", "embedding", bits = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     lsh.foreach { case (q, n) => assert(buckets(q) == buckets(n)) }
+    // multi-probe strictly widens the candidate set -> recall never drops
+    val multi = Similarity.lshTopK(e, queries, "vec_id", "embedding",
+      k = 5, bits = 4, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallMulti = brute.intersect(multi).size.toDouble / brute.size
+    assert(recallMulti >= recall, s"multi-probe recall $recallMulti < single $recall")
   }
 
   test("IVF top-k: recall beats LSH at same probe budget, subset of exact") {

@@ -51,6 +51,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingDedup(input.toDF(), Seq("user_id"), "ts")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(10), 1, "click", 0), Event(2, ts(11), 1, "click", 0),
+        Event(3, ts(12), 2, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(13), 1, "click", 0)) // still duplicate
+      q.processAllAvailable()
+      val rows = spark.table("dedup").collect()
+      assert(rows.length == 2) // one per distinct user
+      assert(rows.map(_.getAs[Long]("user_id")).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming FSM folds proposals with batch-identical semantics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
