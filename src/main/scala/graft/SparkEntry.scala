@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val registry: Seq[QueryDef] =
-    CoreQueries.all ++ FsmQueries.all ++ AdvisoryQueries.all ++ DataOpsQueries.all
+    CoreQueries.all ++ FsmQueries.all ++ AdvisoryQueries.all ++
+      DataOpsQueries.all ++ AnnQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -123,8 +123,26 @@ object TableIO {
       }
       castToSchema(reader.load(), schema)
     } catch {
-      case _: Exception => emptyTable(spark, schema)
+      // Only TABLE-missing errors become an empty table (the first-run
+      // bootstrap case, spark_utils.py:266-271). Auth, network, and
+      // driver failures RETHROW — silently returning empty here would
+      // classify every prod row as `new` downstream.
+      case e: Exception if isMissingJdbcTable(e) => emptyTable(spark, schema)
     }
+
+  /** Table/relation-not-found detection across common JDBC dialects
+    * (Spark analysis, Postgres, Derby, SQLite/MySQL), checked down the
+    * cause chain. Matches the reference's narrow catch. */
+  private def isMissingJdbcTable(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+    chain.exists { t =>
+      val m = Option(t.getMessage).getOrElse("").toLowerCase
+      m.contains("table or view not found") ||
+      m.contains("no such table") ||
+      (m.contains("does not exist") &&
+        (m.contains("relation") || m.contains("table") || m.contains("view")))
+    }
+  }
 
   /** Schema-enforced parquet writer.
     *

@@ -167,18 +167,36 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
-  /** Near-dup pairs by SimHash hamming distance <= maxDist. The pair
-    * source is a self-join on the signature's top byte (a band), so
-    * only docs agreeing on the high bits are compared. */
+  /** Near-dup pairs by SimHash hamming distance <= maxDist, via banded
+    * LSH over the signature: the `bits` are cut into `bands` contiguous
+    * windows and docs become candidates when ANY window matches
+    * exactly. Pigeonhole: with maxDist < bands every pair within
+    * hamming <= maxDist agrees on at least one full band, so recall is
+    * exact — while each band hashes into 2^(bits/bands) buckets x bands
+    * band-slots, instead of one fixed band whose within-bucket
+    * self-join grows quadratically at corpus scale. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3, bits: Int = 16, n: Int = 3): DataFrame = {
+      maxDist: Int = 3, bits: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxDist < bands, "exact recall needs maxDist < bands (pigeonhole)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
+    }
     val sig = simHash(df, textCol, idCol, bits, n)
-    val banded = sig.withColumn("band", shiftright(col("simhash"), bits / 2))
+    val banded = sig.select(col("id"), col("simhash"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         bit_count(expr("l.simhash ^ r.simhash")).as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 }

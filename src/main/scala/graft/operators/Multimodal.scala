@@ -1,10 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import scala.collection.mutable.ArrayBuffer
+/** Typed decoded-media record; top-level so Spark derives its Encoder. */
+final case class DecodedMedia(
+    doc_id: Long,
+    media_type: String,
+    byte_len: Long,
+    width: Int,
+    height: Int,
+    feature: Array[Float],
+)
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per partition in bounded
@@ -33,13 +41,15 @@ object Multimodal {
     StructField("content_hash", StringType),
   ))
 
+  /** Schema of [[decode]]'s output — the [[DecodedMedia]] encoder's
+    * schema (primitives non-nullable). */
   val decodedSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
+    StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType),
-    StructField("byte_len", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("feature", ArrayType(FloatType)),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false)),
   ))
 
   /** Wrap a text table as a media table (binary payload + metadata) —
@@ -58,32 +68,34 @@ object Multimodal {
     * width/height from byte-length, an 8-dim "feature" from the first
     * bytes. Replace with a real codec call; the batching around it is
     * the part that matters. */
-  def decodeStub(docId: Long, mediaType: String, bytes: Array[Byte]): Row = {
+  def decodeStub(docId: Long, mediaType: String, bytes: Array[Byte]): DecodedMedia = {
     val w = 16 + (bytes.length % 64)
     val h = 16 + ((bytes.length / 64) % 64)
     val feature = (0 until 8).map { i =>
       if (bytes.isEmpty) 0.0f
       else (bytes(i % bytes.length).toInt & 0xff).toFloat / 255.0f
     }.toArray
-    Row(docId, mediaType, bytes.length.toLong, w, h, feature)
+    DecodedMedia(docId, mediaType, bytes.length.toLong, w, h, feature)
   }
 
   /** Partition-parallel decode in bounded batches (the mapInPandas
     * analogue): each executor thread pulls `batchSize` rows, decodes
-    * them, emits, and only then pulls the next batch. */
+    * them, emits, and only then pulls the next batch. Typed
+    * `Dataset.mapPartitions` (NOT an `.rdd` round trip) so rows stay in
+    * Tungsten binary form and the map fuses into the surrounding
+    * codegen stages — the codec call is the only deserialization
+    * point. */
   def decode(spark: SparkSession, media: DataFrame, batchSize: Int = 64): DataFrame = {
-    val schema = decodedSchema
-    val rdd = media.select(col("doc_id"), col("meta.media_type"), col("content"))
-      .rdd.mapPartitions { it =>
+    import spark.implicits._
+    media.select(col("doc_id").cast(LongType).as("doc_id"),
+        col("meta.media_type").as("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          val out = new ArrayBuffer[Row](batch.size)
-          batch.foreach { r =>
-            out += decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
-          }
-          out
+          batch.iterator.map { case (id, mt, bytes) => decodeStub(id, mt, bytes) }
         }
       }
-    spark.createDataFrame(rdd, schema)
+      .toDF()
   }
 
   /** Deterministic frame sampling plumbing for video-like payloads:

@@ -63,6 +63,11 @@ object Similarity {
   private def hyperplaneSign(j: Int, i: Column): Column =
     when(((i * 2654435761L + j * 40503L) % 97L) % 2L === 0L, 1.0).otherwise(-1.0)
 
+  /** Plain-Scala value of [[hyperplaneSign]] — lets an oracle query
+    * embed the identical hyperplanes as literal sign vectors. */
+  def hyperplaneSignValue(j: Int, i: Int): Double =
+    if (((i * 2654435761L + j * 40503L) % 97L) % 2L == 0L) 1.0 else -1.0
+
   /** LSH bucket id from `bits` signed random projections. */
   def lshBucket(vec: Column, bits: Int = 8): Column = {
     val v = asDouble(vec)
@@ -140,6 +145,23 @@ object Similarity {
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
       .toDF("cell", "centroid")
     (assigned, centroids)
+  }
+
+  /** Deterministic IVF assignment against a GIVEN `(cell, centroid)`
+    * table: each corpus row gets its argmax-cosine centroid's cell
+    * (tiebreak: lowest cell). [[ivfIndex]] learns centroids with
+    * KMeans; this fixed-centroid path makes the assign+probe+rerank
+    * machinery oracle-checkable end to end. Centroids are broadcast —
+    * the corpus never shuffles. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__ccos").desc, col("cell").asc)
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("__ccos", cosine(asDouble(col(vecCol)), col("centroid")))
+      .withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") === 1)
+      .drop("__ccos", "__crank", "centroid")
   }
 
   /** Approximate top-k over an IVF index: probe the `nProbe` cells

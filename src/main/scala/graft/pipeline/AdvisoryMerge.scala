@@ -99,9 +99,17 @@ object AdvisoryMerge {
           .as("has_new_enrichment"),
         coalesce(col("exists_in_prod_marker"), lit(false)).as("exists_in_prod"))
 
+    // Stage the normalized states ONCE as attributes; inlined they would
+    // repeat ~8x inside applyTransition's CASE (and once more per extra
+    // transition column) — same tree-size trick as Dedup.shingleSets.
     val withTransitions = combined
+      .withColumn("__cf",
+        expr(graft.statemachine.TransitionSql.normalizedFrom("previous_status")))
+      .withColumn("__ct",
+        expr(graft.statemachine.TransitionSql.normalizedTo("proposed_status")))
       .withColumn("status",
-        TransitionFunctions.applyTransition("previous_status", "proposed_status"))
+        expr(graft.statemachine.TransitionSql.applyTransitionStaged(
+          "previous_status", "proposed_status", "__cf", "__ct")))
       .withColumn("transition_valid",
         TransitionFunctions.isValidTransition("previous_status", "proposed_status"))
       .withColumn("transition_reason",

@@ -19,6 +19,14 @@ import java.time.temporal.ChronoUnit
   */
 object Pipelines {
 
+  /** Session-level pipeline configuration (reference:
+    * ap/dependencies.py:38-45): dynamic partition overwrite + the
+    * (optional, unused-by-the-reference) checkpoint dir. */
+  def configure(spark: SparkSession, config: PipelineConfig): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    config.checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   /** Stage 1 — ingest the advisory feed (and optionally the Postgres
     * override table; callers without a database stage overrides from a
     * DataFrame directly). */

@@ -166,11 +166,15 @@ object AdvisoryQueries {
        |        fixed_version AS echo_fixed_version FROM echo) e
        |  LEFT JOIN new_enrichment n ON e.cve_id = n.cve_id AND e.package = n.package
        |  LEFT JOIN prod_state p ON e.cve_id = p.cve_id AND e.package = p.package),
+       |staged AS (SELECT *,
+       |  ${TransitionSql.normalizedFrom("previous_status")} AS __cf,
+       |  ${TransitionSql.normalizedTo("proposed_status")} AS __ct
+       |  FROM combined),
        |with_transitions AS (SELECT *,
-       |  ${TransitionSql.applyTransition("previous_status", "proposed_status")} AS status,
+       |  ${TransitionSql.applyTransitionStaged("previous_status", "proposed_status", "__cf", "__ct")} AS status,
        |  ${TransitionSql.isValidTransition("previous_status", "proposed_status")} AS transition_valid,
        |  ${TransitionSql.transitionExplanation("previous_status", "proposed_status")} AS transition_reason
-       |  FROM combined),
+       |  FROM staged),
        |processed AS (SELECT cve_id, package, status, previous_status, fixed_version,
        |  internal_status, data_source, priority, enrichment_timestamp,
        |  transition_valid, transition_reason,

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity, SkewJoin}
+import org.apache.spark.sql.functions._
+
+/** Scale-path ANN / dedup / skew operators promoted into the hard
+  * correctness gate (round-1 verdict: these were spec-tested only).
+  *
+  * The LSH family is oracle-able because the random hyperplanes are a
+  * deterministic function of (plane, dim) — [[Similarity.hyperplaneSignValue]]
+  * emits the SAME signs as literal vectors into the DuckDB SQL, so both
+  * engines bucket identically. The salted join is oracle-able because
+  * salting is result-invariant: its output must equal the plain join.
+  */
+object AnnQueries {
+
+  /** Testdata embedding dimensionality (TESTDATA.md). */
+  private val Dims = 64
+
+  private def signList(j: Int): String =
+    (0 until Dims).map(i => Similarity.hyperplaneSignValue(j, i))
+      .mkString("[", ", ", "]")
+
+  /** DuckDB bucket id from `bits` signed projections of `vExpr` —
+    * mirrors [[Similarity.lshBucket]] with the hyperplanes inlined. */
+  private def duckBucket(vExpr: String, bits: Int): String =
+    (0 until bits).map { j =>
+      s"(CASE WHEN list_dot_product($vExpr, ${signList(j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def duckSimhashSig(bits: Int) =
+    s"""w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM ex),
+       |bits AS (SELECT doc_id, h, unnest(range(0, $bits)) AS j FROM hs),
+       |votes AS (SELECT doc_id, j, sum(((h >> CAST(j AS INT)) & 1) * 2 - 1) AS v
+       |  FROM bits GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id AS id,
+       |  CAST(sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // LSH-bucketed approximate top-k with multi-probe, exact result
+    // parity (not just recall): identical hyperplanes on both engines.
+    QueryDef(
+      "q_sim_topk_lsh",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, bits = 8, probes = 4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |cb AS (SELECT vec_id AS neighbor_id, v AS nv,
+              |  ${duckBucket("v", 8)} AS bucket FROM e),
+              |qb0 AS (SELECT vec_id AS query_id, v AS qv,
+              |  ${duckBucket("v", 8)} AS bucket FROM e WHERE vec_id < 8),
+              |qb AS (SELECT query_id, qv, bucket FROM qb0
+              |  UNION SELECT query_id, qv, xor(bucket, 1) FROM qb0
+              |  UNION SELECT query_id, qv, xor(bucket, 2) FROM qb0
+              |  UNION SELECT query_id, qv, xor(bucket, 4) FROM qb0
+              |  UNION SELECT query_id, qv, xor(bucket, 8) FROM qb0),
+              |scored AS (SELECT q.query_id, c.neighbor_id,
+              |  list_cosine_similarity(q.qv, c.nv) AS cos
+              |  FROM cb c JOIN qb q ON c.bucket = q.bucket
+              |  WHERE q.query_id != c.neighbor_id),
+              |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+              |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rank
+              |FROM ranked WHERE rank <= 5""".stripMargin),
+    ),
+
+    // IVF probe-and-rerank with a deterministic (fixed-centroid) index:
+    // cells are the argmax-cosine assignment to the first 16 vectors,
+    // so assignment + probing + rerank are all SQL-expressible. The
+    // KMeans-learned path (ivfIndex) shares this exact search code.
+    QueryDef(
+      "q_sim_topk_ivf",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"),
+            col("embedding").cast("array<double>").as("centroid"))
+        val assigned = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+        Similarity.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cell, v AS centroid FROM e WHERE vec_id < 16),
+             |asg AS (SELECT vec_id, v, cell FROM (
+             |  SELECT e.vec_id, e.v, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rn
+             |  FROM e, cent c) WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |  SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cell ASC) AS pr
+             |  FROM e q, cent c WHERE q.vec_id < 8) WHERE pr <= 4),
+             |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             |  list_cosine_similarity(p.qv, a.v) AS cos
+             |  FROM asg a JOIN probes p ON a.cell = p.cell
+             |  WHERE a.vec_id != p.query_id),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rank
+             |FROM ranked WHERE rank <= 5""".stripMargin),
+    ),
+
+    // Embedding near-dup: random-hyperplane blocks + exact cosine.
+    // The testdata embeddings carry no planted near-dups (max pairwise
+    // cosine ~0.5), so the threshold is set low enough to yield a
+    // non-trivial verified pair set.
+    QueryDef(
+      "q_dedup_embedding",
+      (s, d) => Dedup.embeddingDedup(QueryDef.load(s, d, "embeddings"),
+          "vec_id", "embedding", threshold = 0.2, bits = 4)
+        .select(col("id1"), col("id2"), (round(col("cos"), 4) + lit(0.0)).as("cos")),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |b AS (SELECT vec_id AS id, v, ${duckBucket("v", 4)} AS bucket FROM e),
+              |p AS (SELECT l.id AS id1, r.id AS id2,
+              |  list_cosine_similarity(l.v, r.v) AS cos
+              |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+              |SELECT id1, id2, round(cos, 4) + 0.0 AS cos FROM p WHERE cos >= 0.2"""
+        .stripMargin),
+    ),
+
+    // Multi-band SimHash near-dup pairs (hamming <= 3 over 32 bits in
+    // 4 bands; pigeonhole makes recall exact). 32-bit signatures, not
+    // 16: an 8-bit band key gives 256 buckets per band, keeping the
+    // within-bucket self-join subquadratic as the corpus grows (16-bit
+    // sigs = 16 buckets/band ran a 3M-pair join at sf0.1).
+    QueryDef(
+      "q_dedup_simhash_pairs",
+      (s, d) => Dedup.simHashPairs(QueryDef.load(s, d, "documents"),
+        "text", "doc_id", maxDist = 3, bits = 32, bands = 4),
+      Some(s"""WITH ${duckSimhashSig(32)},
+              |banded AS (SELECT id, simhash, b.band,
+              |  (simhash >> CAST(8 * b.band AS INT)) & 255 AS key
+              |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+              |cand AS (SELECT DISTINCT l.id AS id1, r.id AS id2,
+              |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+              |  FROM banded l JOIN banded r
+              |  ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+              |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3""".stripMargin),
+    ),
+
+    // Salting is result-invariant: the salted join must equal the plain
+    // join (the oracle IS the plain join).
+    QueryDef(
+      "q_join_salted",
+      (s, d) => SkewJoin.saltedJoin(
+          QueryDef.load(s, d, "orders")
+            .selectExpr("o_orderkey", "o_custkey AS custkey"),
+          QueryDef.load(s, d, "customer")
+            .selectExpr("c_custkey AS custkey", "c_mktsegment"),
+          Seq("custkey"), salts = 8)
+        .select(col("o_orderkey"), col("custkey"), col("c_mktsegment")),
+      Some("""SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_mktsegment
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+        .stripMargin),
+    ),
+  )
+}

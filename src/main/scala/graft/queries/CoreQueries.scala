@@ -30,10 +30,14 @@ object CoreQueries {
         .filter(col("l_returnflag") === "R" &&
           col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast(DecimalType(12, 2)).as("qty"),
+          // output doubles, not DECIMAL: the two engines encode decimals
+          // differently (Spark decimal128 vs DuckDB hugeint-backed), which
+          // hash-mismatches even when every value is equal. The stored
+          // doubles are passed through untouched -> bit-identical.
+          col("l_quantity").cast(DoubleType).as("qty"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day")),
       Some("""SELECT l_orderkey, l_linenumber,
-             | CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+             | CAST(l_quantity AS DOUBLE) AS qty,
              | strftime(l_shipdate, '%Y-%m-%d') AS ship_day
              |FROM lineitem
              |WHERE l_returnflag = 'R' AND l_shipdate < TIMESTAMP '1998-01-01'"""
@@ -62,10 +66,10 @@ object CoreQueries {
         load(s, d, "lineitem"),
         StructType(Seq(
           StructField("l_orderkey", StringType),
-          StructField("l_quantity", DecimalType(12, 2)),
+          StructField("l_quantity", DoubleType),
           StructField("l_returnflag", StringType)))),
       Some("""SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
-             | CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity, l_returnflag
+             | CAST(l_quantity AS DOUBLE) AS l_quantity, l_returnflag
              |FROM lineitem""".stripMargin),
     ),
 
@@ -124,13 +128,14 @@ object CoreQueries {
         l.join(o, l("l_orderkey") === o("o_orderkey"), "left")
           .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
           .select(l("l_orderkey"), l("l_linenumber"),
-            (l("l_extendedprice") * (lit(1) - l("l_discount")))
-              .cast(DecimalType(14, 4)).as("revenue"),
+            // single IEEE multiply over the same stored doubles on both
+            // engines -> bit-identical; no DECIMAL re-encoding
+            (l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
             coalesce(c("c_mktsegment"), o("o_orderpriority"), lit("none"))
               .as("seg"))
       },
       Some("""SELECT l.l_orderkey, l.l_linenumber,
-             | CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(14,4)) AS revenue,
+             | l.l_extendedprice * (1 - l.l_discount) AS revenue,
              | COALESCE(c.c_mktsegment, o.o_orderpriority, 'none') AS seg
              |FROM lineitem l
              |LEFT JOIN (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
@@ -149,10 +154,10 @@ object CoreQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("o_custkey"), col("o_orderkey"),
-            col("o_totalprice").cast(DecimalType(12, 2)).as("best_price"))
+            col("o_totalprice").cast(DoubleType).as("best_price"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-             | CAST(o_totalprice AS DECIMAL(12,2)) AS best_price
+             | CAST(o_totalprice AS DOUBLE) AS best_price
              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
              |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
              |      FROM orders)
@@ -182,14 +187,14 @@ object CoreQueries {
         val o = load(s, d, "orders")
         val a = o.filter(col("o_orderstatus") === "P")
           .select(col("o_orderkey"), col("o_orderstatus"),
-            col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+            col("o_totalprice").cast(DoubleType).as("price"))
         val b = o.filter(col("o_orderstatus") === "O")
-          .select(col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
+          .select(col("o_totalprice").cast(DoubleType).as("price"),
             col("o_orderkey"), col("o_orderstatus"))
         a.unionByName(b)
       },
       Some("""SELECT o_orderkey, o_orderstatus,
-             | CAST(o_totalprice AS DECIMAL(12,2)) AS price
+             | CAST(o_totalprice AS DOUBLE) AS price
              |FROM orders WHERE o_orderstatus IN ('P', 'O')""".stripMargin),
     ),
 
@@ -242,17 +247,24 @@ object CoreQueries {
       (s, d) => load(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(12, 2))).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(14, 2))).as("sum_price"),
+          // sum through DECIMAL (exact, order-independent) but emit DOUBLE:
+          // the final decimal->double cast is a single correctly-rounded
+          // conversion in both engines, while decimal OUTPUT encodings
+          // hash-differently (Spark decimal vs DuckDB hugeint-backed).
+          sum(col("l_quantity").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(14, 2)))
+            .cast(DoubleType).as("sum_price"),
           count(lit(1)).as("n"),
           date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
-          max(col("l_discount").cast(DecimalType(4, 2))).as("max_disc")),
+          // min/max are order-independent picks of stored doubles — exact
+          max(col("l_discount")).as("max_disc")),
       Some("""SELECT l_returnflag, l_linestatus,
-             | sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-             | sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
              | count(*) AS n,
              | strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
-             | max(CAST(l_discount AS DECIMAL(4,2))) AS max_disc
+             | max(l_discount) AS max_disc
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
     ),
 
@@ -303,10 +315,11 @@ object CoreQueries {
       (s, d) => load(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(14, 2))).as("total"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2)))
+            .cast(DoubleType).as("total"),
           grouping_id().as("gid")),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             | sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
              | GROUPING(o_orderstatus, o_orderpriority) AS gid
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
         .stripMargin),
@@ -321,10 +334,12 @@ object CoreQueries {
           sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
           sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
           sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p")),
+      // BIGINT casts: DuckDB integer sum() returns HUGEINT (int128),
+      // which hash-mismatches Spark's LongType even at equal values.
       Some("""SELECT o_orderpriority,
-             | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-             | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-             | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+             | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
              |FROM orders GROUP BY o_orderpriority""".stripMargin),
     ),
 
@@ -336,10 +351,11 @@ object CoreQueries {
         .groupBy(date_format(date_trunc("hour", col("ts")),
           "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(12, 2))).as("sum_value")),
+          sum(col("value").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("sum_value")),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              | event_type, count(*) AS n,
-             | sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+             | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin),
     ),
   )

@@ -235,7 +235,7 @@ object DataOpsQueries {
               |votes AS (SELECT doc_id, j, sum(((h >> CAST(j AS INT)) & 1) * 2 - 1) AS v
               |  FROM bits GROUP BY doc_id, j)
               |SELECT doc_id AS id,
-              | sum(CASE WHEN v >= 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS simhash
+              | CAST(sum(CASE WHEN v >= 0 THEN 1 << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
               |FROM votes GROUP BY doc_id""".stripMargin),
     ),
 

@@ -18,24 +18,39 @@ package graft.statemachine
 object TransitionSql {
   private val terminalIn = "('fixed','not_applicable','will_not_fix')"
 
-  /** Normalized "current" state: null/'' -> unknown, then lower+trim. */
-  private def norm(f: String): String =
+  /** Normalized "current" state: null/'' -> unknown, then lower+trim.
+    * Exposed so callers can STAGE it once in a projection and hand the
+    * resulting attribute to [[applyTransitionStaged]] — inlined, the
+    * normalization repeats ~8x inside one CASE and three such columns
+    * stack in the merge, a needlessly large tree for Catalyst to
+    * re-optimize/codegen on every plan build. */
+  def normalizedFrom(f: String): String =
     s"lower(trim(CASE WHEN ($f) IS NULL OR ($f) = '' THEN 'unknown' ELSE ($f) END))"
 
-  private def lowTrim(e: String): String = s"lower(trim($e))"
+  /** Normalized "proposed" state (plain lower+trim). */
+  def normalizedTo(e: String): String = s"lower(trim($e))"
 
-  /** `apply_transition(from, to)` SQL: new state; keeps old on invalid;
-    * null to -> from (unnormalized, null from -> 'unknown'). */
-  def applyTransition(f: String, t: String): String = {
-    val cf = norm(f)
-    val ct = lowTrim(t)
+  private def norm(f: String): String = normalizedFrom(f)
+  private def lowTrim(e: String): String = normalizedTo(e)
+
+  /** [[applyTransition]] over pre-staged normalized expressions: `cf`
+    * and `ct` are usually attribute names of columns holding
+    * [[normalizedFrom]]/[[normalizedTo]] of `f`/`t`. The raw `f`/`t`
+    * are still needed for the null checks and raw passthrough. */
+  def applyTransitionStaged(f: String, t: String, cf: String, ct: String): String =
     s"""CASE WHEN ($t) IS NULL THEN (CASE WHEN ($f) IS NULL THEN 'unknown' ELSE ($f) END)
        |WHEN $ct = $cf THEN $ct
        |WHEN $cf IN $terminalIn THEN $cf
        |WHEN $cf = 'unknown' AND $ct IN ('pending_upstream','fixed') THEN $ct
        |WHEN $cf = 'pending_upstream' AND $ct IN $terminalIn THEN $ct
        |ELSE $cf END""".stripMargin.replace('\n', ' ')
-  }
+
+  /** `apply_transition(from, to)` SQL: new state; keeps old on invalid;
+    * null to -> from (unnormalized, null from -> 'unknown'). Self-
+    * contained form (normalization inlined); pipelines should stage via
+    * [[applyTransitionStaged]]. */
+  def applyTransition(f: String, t: String): String =
+    applyTransitionStaged(f, t, norm(f), lowTrim(t))
 
   /** `is_valid_transition(from, to)` SQL: exact-string membership (NO
     * case normalization — 'Fixed' is an unrecognized state -> false);

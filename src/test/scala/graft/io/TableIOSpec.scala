@@ -62,10 +62,52 @@ class TableIOSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("package_name", "cve_id", "fixed_version"))
   }
 
-  test("jdbc read on unreachable url falls back to empty table") {
-    val df = TableIO.readJdbc(spark, "jdbc:postgresql://127.0.0.1:1/none",
-      "advisory.not_applicable_cves", AdvisorySchemas.notApplicableCves)
+  // ---- live JDBC path against in-memory Derby (ships with Spark) ----
+
+  private val derbyUrl = "jdbc:derby:memory:graftjdbc;create=true"
+
+  private def withDerby[A](f: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    try f(conn) finally conn.close()
+  }
+
+  test("jdbc read of an existing table applies the cast-projection") {
+    withDerby { conn =>
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE not_applicable_cves (cve_id VARCHAR(64), " +
+          "package VARCHAR(64), status VARCHAR(64), fixed_version VARCHAR(64), " +
+          "internal_status VARCHAR(64))")
+      st.executeUpdate(
+        "INSERT INTO not_applicable_cves VALUES " +
+          "('CVE-2024-1', 'glibc', 'not_applicable', NULL, 'code_not_in_use')")
+      st.close()
+    }
+    val df = TableIO.readJdbc(spark, derbyUrl, "not_applicable_cves",
+      AdvisorySchemas.notApplicableCves)
+    assert(df.columns.toSeq == AdvisorySchemas.notApplicableCves.fieldNames.toSeq)
+    assert(df.count() == 1)
+    assert(df.head().getString(0) == "CVE-2024-1")
+  }
+
+  test("jdbc read of a MISSING table returns empty with declared schema") {
+    val df = TableIO.readJdbc(spark, derbyUrl, "definitely_not_a_table",
+      AdvisorySchemas.notApplicableCves)
     assert(df.schema.fieldNames.toSeq == AdvisorySchemas.notApplicableCves.fieldNames.toSeq)
     assert(df.count() == 0)
+  }
+
+  test("jdbc read with a bad URL THROWS (no silent empty-table)") {
+    // driver-missing / unreachable-database errors must propagate —
+    // only table-not-found bootstraps to empty (spark_utils.py:266-271)
+    intercept[Exception] {
+      TableIO.readJdbc(spark, "jdbc:postgresql://127.0.0.1:1/none",
+        "advisory.not_applicable_cves", AdvisorySchemas.notApplicableCves)
+    }
+    intercept[Exception] {
+      // derby in-memory db that was never created (no ;create=true)
+      TableIO.readJdbc(spark, "jdbc:derby:memory:neverCreatedDb",
+        "not_applicable_cves", AdvisorySchemas.notApplicableCves)
+    }
   }
 }

@@ -49,6 +49,24 @@ class DataOpsSpec extends SparkSpec {
     assert(hamming(sig(0L), sig(3L)) > hamming(sig(0L), sig(1L)))
   }
 
+  test("simHashPairs: multi-band recall is EXACT for hamming <= maxDist") {
+    // pigeonhole: 16 bits in 4 bands, maxDist 3 -> every qualifying pair
+    // keeps at least one band intact, so the banded join loses nothing
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = Dedup.simHash(real, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bruteForce = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simHashPairs(real, "text", "doc_id",
+        maxDist = 3, bits = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == bruteForce,
+      s"banded=${banded.size} brute=${bruteForce.size}")
+    assert(bruteForce.nonEmpty, "fixture must contain near-dup docs")
+  }
+
   test("LSH top-k achieves reasonable recall against brute force") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = e.filter($"vec_id" < 20)

@@ -24,6 +24,22 @@ def norm(v):
     return v
 
 
+def tclass(t) -> str:
+    """Column-type equivalence class for the driver's hash compare.
+
+    Round-1 evidence: int widths up to 64 bits unify (Spark int32 vs
+    DuckDB BIGINT passed), but DECIMAL vs DOUBLE and HUGEINT vs BIGINT
+    hash-mismatch (every DECIMAL/HUGEINT-output query failed despite
+    equal values — arrow encodes them as decimal128/float64). So value
+    equality alone is NOT enough; this class must match too.
+    """
+    s = str(t)
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    return s  # HUGEINT, DECIMAL(p,s), FLOAT, DOUBLE, ... stay distinct
+
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -60,6 +76,16 @@ def main(sfdir, outdir):
         exp_cols = sorted(exp_rel.columns)
         if [c.lower() for c in got_cols] != [c.lower() for c in exp_cols]:
             print(f"{name}: SCHEMA-MISMATCH got={got_cols} exp={exp_cols}")
+            failures += 1
+            continue
+        got_types = {c.lower(): tclass(t)
+                     for c, t in zip(got_rel.columns, got_rel.types)}
+        exp_types = {c.lower(): tclass(t)
+                     for c, t in zip(exp_rel.columns, exp_rel.types)}
+        bad_types = {c: (got_types[c], t) for c, t in exp_types.items()
+                     if got_types[c] != t}
+        if bad_types:
+            print(f"{name}: TYPE-MISMATCH (got, exp): {bad_types}")
             failures += 1
             continue
         exp = con.sql(
