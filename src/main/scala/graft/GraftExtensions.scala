@@ -1,0 +1,26 @@
+package graft
+
+import graft.functions.DotProductExpr
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension injector for the engine's native SQL surface.
+  *
+  * Wire up with `spark.sql.extensions=graft.GraftExtensions` (cluster
+  * config — every session gets the functions, including ones the
+  * application code never touches) or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * The imperative registrars ([[graft.functions.VectorExpressions.register]],
+  * [[graft.statemachine.TransitionFunctions.registerUdfs]]) remain for
+  * sessions created without extension config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1)),
+    ))
+  }
+}

@@ -108,6 +108,25 @@ object DataOpsQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // Frame-sampling plumbing for video-like payloads: every 2nd chunk
+    // index, exploded to rows (one row per sampled frame) so the
+    // downstream decode fans out per frame.
+    QueryDef(
+      "q_multimodal_frames",
+      (s, d) => Multimodal.asMediaTable(
+          QueryDef.load(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          explode(Multimodal.frameSampleIndexes(col("meta.byte_len"),
+            chunk = 256, stride = 2)).as("frame_idx")),
+      Some("""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS byte_len
+             |  FROM documents),
+             |idx AS (SELECT doc_id,
+             |  unnest(range(0, greatest(byte_len // 256 - 1, 0) + 1)) AS frame_idx
+             |  FROM m)
+             |SELECT doc_id, frame_idx FROM idx WHERE frame_idx % 2 = 0"""
+        .stripMargin),
+    ),
+
     QueryDef(
       "q_text_tokens",
       (s, d) => QueryDef.load(s, d, "documents").select(

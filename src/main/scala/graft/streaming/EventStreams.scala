@@ -35,6 +35,16 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Stream-static enrichment join: each streaming row picks up the
+    * dimension attributes for its key. The static side is broadcast
+    * (re-read per micro-batch when it is a file source, so dimension
+    * updates flow in without restarting the query); the stream is
+    * never shuffled and no state is kept — this is the stateless
+    * workhorse shape for attaching user/advisory metadata to a feed. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String], joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

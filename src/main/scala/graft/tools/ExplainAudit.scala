@@ -16,7 +16,8 @@ object ExplainAudit {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_scan_filter", "q_join_double_left", "q_agg_groupby",
         "q_window_dedup", "q_advisory_merge", "q_dedup_minhash",
-        "q_sim_topk_brute")
+        "q_sim_topk_brute", "q_sim_topk_lsh", "q_sim_topk_ivf",
+        "q_dedup_simhash_pairs", "q_dedup_embedding", "q_join_salted")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",

@@ -62,6 +62,17 @@ class TableIOSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("package_name", "cve_id", "fixed_version"))
   }
 
+  test("raw file sink: write/read round trip, overwrite semantics") {
+    val p = s"$tmp/raw/body.json"
+    RawFileSink.writeString(spark, """{"a": 1}""", p)
+    assert(RawFileSink.readString(spark, p) == """{"a": 1}""")
+    RawFileSink.writeString(spark, """{"a": 2}""", p) // overwrite default
+    assert(RawFileSink.readString(spark, p) == """{"a": 2}""")
+    intercept[Exception] {
+      RawFileSink.writeString(spark, "x", p, overwrite = false)
+    }
+  }
+
   // ---- live JDBC path against in-memory Derby (ships with Spark) ----
 
   private val derbyUrl = "jdbc:derby:memory:graftjdbc;create=true"

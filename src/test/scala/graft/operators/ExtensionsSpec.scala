@@ -22,6 +22,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(both.length > 100)
   }
 
+  test("GraftExtensions injects dot_product at session build time") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, fresh session built WITH the extension — the
+      // production wiring is spark.sql.extensions=graft.GraftExtensions
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val d = s2.sql(
+        """SELECT dot_product(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+          |                   CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d"""
+          .stripMargin).head().getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("dot_product registers for SQL and handles nulls") {
     VectorExpressions.register(spark)
     val got = spark.sql(

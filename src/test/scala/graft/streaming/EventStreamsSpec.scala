@@ -30,6 +30,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dim, keeps no state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStreams.enrichStream(input.toDF(), dim, Seq("user_id"))
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 2, "click", 1.0),
+        Event(3, ts(3), 99, "click", 1.0)) // no dim row -> null tier
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+      // stateless: the progress metrics must report no state store rows
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the gap, emits on timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
