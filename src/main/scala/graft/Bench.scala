@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // default 100 thrashes across ~47 queries x several codegen units:
+      // by the time the rescue sweep revisits a query its generated
+      // classes would have been evicted and recompiled
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -31,37 +35,61 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
 
-    // Steady-state methodology: build the DataFrame ONCE (plan
-    // construction is driver-side setup, not query execution), one
-    // untimed warm pass (JIT + codegen compilation + file-footer
-    // caches), then min of three timed passes — the box carries
-    // background load (the round driver benches right after a full
-    // compile), and min-of-n on a fixed plan is the standard defense;
-    // r1 showed single passes varying 20x under external load.
-    // clearCache after each query: a query that persist()s (the upsert
-    // caches its merge input once per plan, by design) must not leak
-    // block-manager memory or "already cached" re-registrations into
-    // later queries.
-    def execute(name: String): Double = {
-      val df =
-        try SparkEntry.queries(name)(spark, sfDir)
+    // Steady-state methodology, hardened against this box's observed
+    // multi-minute external load windows (identical fixed plans
+    // measured at 0.2 s and 20 s in runs forty minutes apart, with
+    // zero Full GCs and zero steal in the clean run):
+    //   1. per query: build the DataFrame ONCE (plan construction is
+    //      driver-side setup), one untimed warm pass (codegen compile,
+    //      JIT, file-footer caches), then min of three timed passes —
+    //      consecutive passes keep the codegen/JIT state hot;
+    //   2. a RESCUE sweep minutes later: one more timed pass per query,
+    //      folded in with min. A load window during phase 1 fully
+    //      contaminates a query's three consecutive passes, but the
+    //      same window cannot also cover its rescue pass (different
+    //      time), and vice versa — only a window spanning both visits
+    //      survives the min.
+    // clearCache between phases: a query that persist()s (the upsert
+    // caches its merge input, by design) re-materializes once per
+    // phase instead of leaking block-manager memory forward.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // built lazily INSIDE phase 1 (not all up front): a query that
+    // persist()s at build time (the upsert) would otherwise register a
+    // cache that other queries' identical sub-plans silently hit
+    val dfs = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    names.foreach { n =>
+      val built =
+        try { dfs(n) = SparkEntry.queries(n)(spark, sfDir); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed to build: ${e.getMessage}")
-          return 0.0
+          System.err.println(s"[bench] $n failed to build: ${e.getMessage}")
+          false
         }
-      runOnce(df, name)
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        runOnce(df, name)
-        (System.nanoTime() - t0) / 1e9
+      if (built) {
+        val df = dfs(n)
+        runOnce(df, n) // warm
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(df, n)
+          (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(
+          f"[bench] $n passes=${times.map(t => f"$t%.2f").mkString(",")}")
+        best(n) = times.min
+        spark.catalog.clearCache()
       }
-      spark.catalog.clearCache()
-      System.err.println(
-        f"[bench] $name passes=${times.map(t => f"$t%.2f").mkString(",")}")
-      times.min
     }
-
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n))
+    names.foreach { n => // rescue sweep
+      dfs.get(n).foreach { df =>
+        val t0 = System.nanoTime()
+        runOnce(df, n)
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] rescue $n $t%.2f")
+        best(n) = math.min(best(n), t)
+      }
+    }
+    spark.catalog.clearCache()
+    val results = names.map(n => n -> best.getOrElse(n, 0.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

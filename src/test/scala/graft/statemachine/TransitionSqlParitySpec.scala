@@ -38,6 +38,24 @@ class TransitionSqlParitySpec extends SparkSpec {
     }
   }
 
+  test("STAGED apply_transition (pre-normalized attributes) == Scala UDF semantics") {
+    // the merge (and the oracle) run the staged form on BOTH engines, so
+    // a staging bug would be self-consistent and invisible to the oracle
+    // compare — this pins the staged text to the pure Scala FSM instead
+    import org.apache.spark.sql.functions.expr
+    val got = gridDf
+      .withColumn("__cf", expr(TransitionSql.normalizedFrom("f")))
+      .withColumn("__ct", expr(TransitionSql.normalizedTo("t")))
+      .withColumn("r",
+        expr(TransitionSql.applyTransitionStaged("f", "t", "__cf", "__ct")))
+      .collect()
+    got.foreach { row =>
+      val (f, t) = (row.getString(0), row.getString(1))
+      assert(row.getString(4) == StateMachine.applyTransitionUdf(f, t),
+        s"staged apply($f, $t)")
+    }
+  }
+
   test("is_valid_transition SQL == Scala UDF semantics") {
     val got = gridDf
       .withColumn("r", TransitionFunctions.isValidTransition("f", "t"))
