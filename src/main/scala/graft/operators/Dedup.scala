@@ -167,6 +167,40 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Connected-component labels over candidate duplicate pairs: every
+    * doc gets the MINIMUM id reachable through the pair graph as its
+    * cluster id — the step after any pair-finder (MinHash, SimHash,
+    * embedding LSH) that turns pairwise matches into dedup groups.
+    *
+    * Iterative min-label propagation, the Spark-native shape for this
+    * (GraphX Pregel does the same loop): each round, every node takes
+    * the min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds. Dup components are short chains in
+    * practice, so 2-4 rounds. `localCheckpoint` cuts the growing
+    * lineage each round — without it the plan doubles per iteration.
+    */
+  def dupClusters(pairs: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = nodes.select(col(idCol).as("id"))
+      .distinct().withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges.join(labels, edges("id1") === labels("id"))
+        .groupBy(col("id2").as("id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist, via banded
     * LSH over the signature: the `bits` are cut into `bands` contiguous
     * windows and docs become candidates when ANY window matches

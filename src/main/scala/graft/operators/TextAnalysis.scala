@@ -69,4 +69,39 @@ object TextAnalysis {
     * text. Rolling/shingled hashing lives in [[Dedup.shingles]]. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Deterministic hash-bucketed train/val/test assignment: the split
+    * is a pure function of the document id (stable across runs,
+    * machines, and partitionings — re-ingesting the corpus never moves
+    * a document across the split boundary, which would leak training
+    * data into eval). md5-derived bucket in [0, 100): [0, trainPct)
+    * train, [trainPct, trainPct+valPct) val, rest test. */
+  def assignSplit(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket =
+      Dedup.md5Hash32(concat(lit("split:"), id.cast("string"))) % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** TF-IDF per (doc, term) over whitespace-normalized lowercased
+    * tokens: tf = termCount/docLen, idf = ln(nDocs/docFreq). Two
+    * shuffles (doc-term, then term) + one broadcast scalar — the
+    * vocabulary never sits on one node. */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).as("n_toks"),
+        explode_outer(col("__ws")).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf_cnt"), first(col("n_toks")).as("n_toks"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf_cnt").cast("double") / col("n_toks") *
+          log(col("n_docs").cast("double") / col("doc_freq")), 6).as("tfidf"))
+  }
 }

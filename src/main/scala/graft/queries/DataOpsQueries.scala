@@ -35,6 +35,21 @@ object DataOpsQueries {
        |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
   }
 
+  /** MinHash LSH candidate pairs (id1 < id2) — mirrors
+    * [[Dedup.minHashCandidates]] with the default k=8, bands=4. */
+  private val duckMinhashCand = {
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(m${2 * b} AS STRING) || '-' || " +
+        s"CAST(m${2 * b + 1} AS STRING) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$duckMinhashSig,
+       |buckets AS ($bandRows),
+       |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM buckets l JOIN buckets r
+       |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
+      .stripMargin
+  }
+
   /** Events with second-truncated timestamps: sub-second precision
     * differs between the engines (Spark micros vs DuckDB nanos), so
     * as-of comparisons must happen at a shared granularity. */
@@ -228,22 +243,67 @@ object DataOpsQueries {
         Dedup.jaccardForPairs(
           Dedup.minHashCandidates(docs, "text", "doc_id"), docs, "text", "doc_id")
       },
-      Some {
-        val bandRows = (0 until 4).map { b =>
-          s"SELECT doc_id, $b AS band, CAST(m${2 * b} AS STRING) || '-' || " +
-            s"CAST(m${2 * b + 1} AS STRING) AS key FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH $duckMinhashSig,
-           |buckets AS ($bandRows),
-           |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-           |  FROM buckets l JOIN buckets r
-           |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
-           |SELECT c.id1, c.id2,
-           | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-           |FROM cand c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2"""
-          .stripMargin
+      Some(s"""WITH $duckMinhashCand
+              |SELECT c.id1, c.id2,
+              | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+              |FROM cand c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2"""
+        .stripMargin),
+    ),
+
+    // Connected-component cluster labels over the MinHash candidate
+    // pairs — pairwise matches turned into dedup groups. The oracle
+    // computes reachability with a recursive CTE; the Spark side runs
+    // iterative min-label propagation.
+    QueryDef(
+      "q_dedup_clusters",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        Dedup.dupClusters(
+          Dedup.minHashCandidates(docs, "text", "doc_id"), docs, "doc_id")
       },
+      Some(s"""WITH RECURSIVE $duckMinhashCand,
+              |edges AS (SELECT id1, id2 FROM cand
+              |  UNION ALL SELECT id2, id1 FROM cand),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.id2, reach.r FROM reach JOIN edges e ON e.id1 = reach.id)
+              |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id"""
+        .stripMargin),
+    ),
+
+    // Deterministic hash-bucketed train/val/test split: stable across
+    // runs/partitionings, identical bucketing on both engines.
+    QueryDef(
+      "q_split_assign",
+      (s, d) => QueryDef.load(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.assignSplit(col("doc_id")).as("split")),
+      Some("""SELECT doc_id,
+             | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |      ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+             |  FROM documents)""".stripMargin),
+    ),
+
+    // TF-IDF over whitespace-normalized lowercased tokens.
+    QueryDef(
+      "q_text_tfidf",
+      (s, d) => TextAnalysis.tfIdf(QueryDef.load(s, d, "documents"),
+        "text", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+             |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents),
+             |toks AS (SELECT doc_id, len(ws) AS n_toks, unnest(ws) AS term FROM w),
+             |tf AS (SELECT doc_id, term, count(*) AS tf_cnt, min(n_toks) AS n_toks
+             |  FROM toks GROUP BY doc_id, term),
+             |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+             |SELECT tf.doc_id, tf.term,
+             | round(CAST(tf_cnt AS DOUBLE) / n_toks *
+             |   ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+             |FROM tf JOIN dfq USING (term), nd""".stripMargin),
     ),
 
     QueryDef(

