@@ -179,24 +179,48 @@ object Dedup {
     * practice, so 2-4 rounds. `localCheckpoint` cuts the growing
     * lineage each round — without it the plan doubles per iteration.
     */
-  def dupClusters(pairs: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
+  /** @param rounds 0 (default): loop until convergence — one driver
+    *   `isEmpty` action per round plus a `localCheckpoint` lineage cut,
+    *   correct for ANY graph. This makes the operator EAGER (it
+    *   executes while being composed), which is inherent to iterative
+    *   fixpoints on Spark. >0: a declarative plan of exactly `rounds`
+    *   steps with NO driver actions — but `labels` feeds each round
+    *   twice (join probe + neighbor agg), so the plan DOUBLES per
+    *   round; only usable for rounds <= ~4, kept for tests. The eager
+    *   form is the production path. */
+  def dupClusters(pairs: DataFrame, nodes: DataFrame, idCol: String,
+      rounds: Int = 0): DataFrame = {
+    // persist: the edge set (often an EXPENSIVE subtree — a full
+    // MinHash-LSH candidate computation) appears once per round in the
+    // declarative plan and once per round in the eager loop; without
+    // the cache each round recomputes it from the raw text. The
+    // registration is lazy (no driver action here) — it materializes
+    // on the caller's first action and every later round reads cache.
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    var labels = nodes.select(col(idCol).as("id"))
-      .distinct().withColumn("label", col("id")).localCheckpoint()
-    var converged = false
-    while (!converged) {
+      .persist()
+    def propagate(labels: DataFrame): DataFrame = {
       val neighborMin = edges.join(labels, edges("id1") === labels("id"))
         .groupBy(col("id2").as("id")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+    }
+    var labels = nodes.select(col(idCol).as("id"))
+      .distinct().withColumn("label", col("id"))
+    if (rounds > 0) {
+      (1 to rounds).foreach(_ => labels = propagate(labels))
+    } else {
+      labels = labels.localCheckpoint()
+      var converged = false
+      while (!converged) {
+        val next = propagate(labels).localCheckpoint()
+        converged = next.as("n")
+          .join(labels.as("o"), "id")
+          .filter(col("n.label") =!= col("o.label"))
+          .isEmpty
+        labels = next
+      }
     }
     labels.select(col("id").as(idCol), col("label").as("cluster"))
   }

@@ -257,6 +257,12 @@ object DataOpsQueries {
     // iterative min-label propagation.
     QueryDef(
       "q_dedup_clusters",
+      // NOTE for bench readers: this operator is an iterative fixpoint
+      // and therefore EAGER — the propagation executes during plan
+      // construction (with localCheckpoint lineage cuts), so per-pass
+      // bench timings see only the final checkpointed read (~0.03 s);
+      // the real cost (~4 s at sf0.1) is in the build, recorded in
+      // PERF.md.
       (s, d) => {
         val docs = QueryDef.load(s, d, "documents")
         Dedup.dupClusters(

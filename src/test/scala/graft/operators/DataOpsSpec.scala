@@ -52,10 +52,15 @@ class DataOpsSpec extends SparkSpec {
   test("dupClusters labels connected components with the min id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L), (6L, 5L)).toDF("id1", "id2")
     val nodes = (0L to 7L).toDF("doc_id")
-    val got = Dedup.dupClusters(pairs, nodes, "doc_id").collect()
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L)
+    val eager = Dedup.dupClusters(pairs, nodes, "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    assert(eager == expected)
+    // declarative fixed-round variant agrees once rounds >= diameter
+    val lazyForm = Dedup.dupClusters(pairs, nodes, "doc_id", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lazyForm == expected)
   }
 
   test("assignSplit is deterministic and roughly proportioned") {
