@@ -70,6 +70,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Repetition ratio in [0,1]: the fraction of a document's 3-gram
+    * shingles that are duplicates of an earlier shingle (0 = no
+    * repetition). The standard cheap detector for boilerplate/spam
+    * loops in web-scale corpus cleaning. `ws` must be a materialized
+    * words-array attribute (see [[Dedup.shinglesFromWords]]). */
+  def repetitionRatio(ws: Column, n: Int = 3): Column = {
+    val total = greatest(size(ws) - (n - 1), lit(1)).cast("double")
+    val distinctN = size(Dedup.shinglesFromWords(ws, n)).cast("double")
+    round(lit(1.0) - distinctN / total, 6)
+  }
+
+  /** Punctuation density: non-alphanumeric-non-space chars / length. */
+  def punctRatio(text: Column): Column =
+    round(size(call_function("regexp_extract_all", text,
+      lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1)), 6)
+
   /** Deterministic hash-bucketed train/val/test assignment: the split
     * is a pure function of the document id (stable across runs,
     * machines, and partitionings — re-ingesting the corpus never moves

@@ -192,6 +192,25 @@ object DataOpsQueries {
       },
     ),
 
+    // Repetition + punctuation density quality metrics.
+    QueryDef(
+      "q_text_repetition",
+      (s, d) => QueryDef.load(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          Dedup.words(col("text")).as("__ws"))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("__ws")).as("rep_ratio"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio")),
+      Some(s"""WITH $duckShingles
+              |SELECT w.doc_id,
+              | round(1.0 - CAST(len(sh.s) AS DOUBLE) /
+              |   greatest(len(w.ws) - 2, 1), 6) AS rep_ratio,
+              | round(CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) /
+              |   greatest(length(d.text), 1), 6) AS punct_ratio
+              |FROM documents d JOIN w ON w.doc_id = d.doc_id
+              |JOIN sh ON sh.doc_id = d.doc_id""".stripMargin),
+    ),
+
     // BPE-ish regex pre-tokenization (words | numbers | single symbols).
     QueryDef(
       "q_text_tokens_bpe",
