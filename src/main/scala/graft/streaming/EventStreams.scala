@@ -35,6 +35,30 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Watermarked stream-STREAM interval join (purchase attribution):
+    * each purchase matches the same user's clicks from the preceding
+    * `lookback` window. Both sides carry event-time watermarks and the
+    * join condition bounds the time range in both directions, so Spark
+    * can expire join state — per-key state is O(events in lookback +
+    * watermark), never the whole history. This is the canonical
+    * two-stream correlation shape (attribution, request/response
+    * pairing, fraud windows). */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "10 minutes", watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, expr(
+        s"user_id = c_user AND c_ts >= p_ts - INTERVAL $lookback AND c_ts <= p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"), col("value"))
+  }
+
   /** Stream-static enrichment join: each streaming row picks up the
     * dimension attributes for its key. The static side is broadcast
     * (re-read per micro-batch when it is a file source, so dimension

@@ -30,6 +30,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.purchaseAttribution(
+        purchases.toDF(), clicks.toDF(), lookback = "10 minutes")
+      .select($"purchase_id", $"click_id")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(100, ts(5), 1, "click", 0.0),   // in window of purchase@12
+        Event(101, ts(1), 1, "click", 0.0),   // outside 10-min lookback
+        Event(102, ts(11), 2, "click", 0.0))  // other user
+      purchases.addData(Event(200, ts(12), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((200L, 100L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dim, keeps no state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
