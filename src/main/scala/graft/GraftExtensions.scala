@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProductExpr
+import graft.functions.{DotProductExpr, FuseDotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1)),
     ))
+    // auto-accelerate the portable HOF dot-product pattern
+    ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }

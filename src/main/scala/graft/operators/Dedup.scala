@@ -221,6 +221,8 @@ object Dedup {
           .isEmpty
         labels = next
       }
+      // the final labels are checkpointed — they no longer read edges
+      edges.unpersist()
     }
     labels.select(col("id").as(idCol), col("label").as("cluster"))
   }

@@ -22,6 +22,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(both.length > 100)
   }
 
+  test("FuseDotProduct rewrites the HOF aggregate(zip_with) into the native loop") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val e = s2.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val hof = e.select(col("vec_id"),
+        Similarity.dot(col("v"), col("v")).as("d"))
+      val plan = hof.queryExecution.optimizedPlan.toString
+      assert(plan.contains("dot_product") && !plan.contains("aggregate("),
+        s"rule must rewrite the HOF form:\n$plan")
+      // and the rewrite is value-identical to the unfused HOF form
+      // (same left-to-right accumulation), checked on the base session
+      // where the rule is NOT installed
+      val fused = hof.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val unfused = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), Similarity.dot(col("v"), col("v")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(fused == unfused)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("GraftExtensions injects dot_product at session build time") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
