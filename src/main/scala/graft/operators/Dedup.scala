@@ -167,6 +167,24 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Test-set decontamination: training documents sharing ANY n-gram
+    * shingle with the eval/benchmark set, with the count of distinct
+    * shared shingles. The eval side reduces to a DISTINCT set of
+    * 32-bit shingle hashes — small enough to broadcast even for large
+    * benchmark suites, so the corpus is never shuffled; at 100 TB this
+    * is one scan + one broadcast join + one partial-aggregated count.
+    * (Production decontamination uses longer shingles, e.g. 13-grams —
+    * `n` is the knob.) */
+  def contaminatedDocs(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val corpusHashes = shingleHashes(corpus, textCol, idCol, n)
+    val evalHashes = shingleHashes(evalSet, textCol, idCol, n)
+      .select(col("h")).distinct()
+    corpusHashes.join(broadcast(evalHashes), "h")
+      .groupBy(col("id").as(idCol))
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
+
   /** Connected-component labels over candidate duplicate pairs: every
     * doc gets the MINIMUM id reachable through the pair graph as its
     * cluster id — the step after any pair-finder (MinHash, SimHash,

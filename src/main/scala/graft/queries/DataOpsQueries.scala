@@ -298,6 +298,23 @@ object DataOpsQueries {
         .stripMargin),
     ),
 
+    // Test-set decontamination: training docs (doc_id >= 10) sharing
+    // any 3-gram shingle with the "benchmark" docs (doc_id < 10).
+    QueryDef(
+      "q_decontaminate",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        Dedup.contaminatedDocs(
+          docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10), "text", "doc_id")
+      },
+      Some(s"""WITH $duckShingleHashes,
+              |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id < 10)
+              |SELECT hs.doc_id, count(DISTINCT hs.h) AS n_shared
+              |FROM hs JOIN ev USING (h)
+              |WHERE hs.doc_id >= 10 GROUP BY hs.doc_id""".stripMargin),
+    ),
+
     // Deterministic hash-bucketed train/val/test split: stable across
     // runs/partitionings, identical bucketing on both engines.
     QueryDef(

@@ -63,6 +63,17 @@ class DataOpsSpec extends SparkSpec {
     assert(lazyForm == expected)
   }
 
+  test("contaminatedDocs flags only docs sharing shingles with the eval set") {
+    val evalSet = docs.filter($"doc_id" === 0L)
+    val flagged = Dedup.contaminatedDocs(
+        docs.filter($"doc_id" > 0L), evalSet, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 (near-dup) and 2 (exact dup) share shingles with doc 0;
+    // docs 3 and 4 share none
+    assert(flagged.keySet == Set(1L, 2L))
+    assert(flagged(2L) > flagged(1L), "exact dup shares more shingles")
+  }
+
   test("assignSplit is deterministic and roughly proportioned") {
     val real = spark.read.parquet(s"$sf/documents.parquet")
     val a = real.select($"doc_id", TextAnalysis.assignSplit($"doc_id").as("s"))
