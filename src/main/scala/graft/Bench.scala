@@ -29,10 +29,12 @@ object Bench {
     // not absorb session startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
 
+    val execFailed = scala.collection.mutable.Set.empty[String]
     def runOnce(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       try df.write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        execFailed += name
       }
 
     // Steady-state methodology, hardened against this box's observed
@@ -89,11 +91,17 @@ object Bench {
       }
     }
     spark.catalog.clearCache()
-    val results = names.map(n => n -> best.getOrElse(n, 0.0))
+    // a query that failed to build — or threw during any pass, which
+    // would otherwise be timed as a near-instant exception path — is
+    // reported as failed rather than a silent 0.0 deflating the total
+    best --= execFailed
+    val (ok, failed) = names.partition(best.contains)
+    val results = ok.map(n => n -> best(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

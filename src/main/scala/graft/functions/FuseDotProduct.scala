@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.DoubleType
   * of two lambda dispatches plus an intermediate array per row. The
   * match is deliberately strict — exact multiply/add lambda bodies over
   * the lambda's own variables, double-typed zero — so any semantically
-  * different aggregate is left untouched.
+  * different aggregate is left untouched. [[DotProductExpr]] reproduces
+  * the HOF's null semantics (length mismatch or a null element → NULL),
+  * so the rewrite is observationally equivalent, not just fast.
   */
 object FuseDotProduct extends Rule[LogicalPlan] {
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the dot product of two double arrays.
   *
@@ -24,13 +24,30 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  // Null semantics match the HOF form this expression replaces
+  // (aggregate(zip_with(a,b,*),0.0,+)): unequal lengths null-pad in
+  // zip_with and a null element nullifies the sum — so length mismatch
+  // or any null slot yields NULL, never a truncated/garbage sum. The
+  // rewrite in [[FuseDotProduct]] relies on this equivalence.
+  override def nullable: Boolean = true
+
+  private def elementsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -41,13 +58,27 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("dpN")
       val s = ctx.freshName("dpSum")
       val i = ctx.freshName("dpI")
+      // per-element null checks only when the array type admits null
+      // slots — embedding scans (containsNull=false) keep the tight
+      // two-load fused loop
+      val slotCheck =
+        if (elementsNullable(left) || elementsNullable(right))
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $slotCheck
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

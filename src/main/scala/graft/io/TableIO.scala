@@ -131,15 +131,25 @@ object TableIO {
     }
 
   /** Table/relation-not-found detection across common JDBC dialects
-    * (Spark analysis, Postgres, Derby, SQLite/MySQL), checked down the
-    * cause chain. Matches the reference's narrow catch. */
-  private def isMissingJdbcTable(e: Throwable): Boolean = {
+    * (Spark analysis, Postgres, Derby, SQLite, MySQL), checked down the
+    * cause chain. Matches the reference's narrow catch. Prefers the
+    * standard SQLState 42S02 / MySQL error 1146 when the cause is a
+    * [[java.sql.SQLException]]; message heuristics cover engines that
+    * report table-missing without the standard state (and note MySQL's
+    * message uses the contraction "doesn't exist", not "does not"). */
+  private[io] def isMissingJdbcTable(e: Throwable): Boolean = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
     chain.exists { t =>
+      val sqlStateHit = t match {
+        case s: java.sql.SQLException =>
+          s.getSQLState == "42S02" || s.getErrorCode == 1146
+        case _ => false
+      }
       val m = Option(t.getMessage).getOrElse("").toLowerCase
+      sqlStateHit ||
       m.contains("table or view not found") ||
       m.contains("no such table") ||
-      (m.contains("does not exist") &&
+      ((m.contains("does not exist") || m.contains("doesn't exist")) &&
         (m.contains("relation") || m.contains("table") || m.contains("view")))
     }
   }

@@ -208,15 +208,19 @@ object Dedup {
     *   form is the production path. */
   def dupClusters(pairs: DataFrame, nodes: DataFrame, idCol: String,
       rounds: Int = 0): DataFrame = {
-    // persist: the edge set (often an EXPENSIVE subtree — a full
-    // MinHash-LSH candidate computation) appears once per round in the
-    // declarative plan and once per round in the eager loop; without
-    // the cache each round recomputes it from the raw text. The
-    // registration is lazy (no driver action here) — it materializes
-    // on the caller's first action and every later round reads cache.
-    val edges = pairs.select(col("id1"), col("id2"))
+    // persist (eager path only): the edge set (often an EXPENSIVE
+    // subtree — a full MinHash-LSH candidate computation) appears once
+    // per round in the eager loop; without the cache each round
+    // recomputes it from the raw text. The registration is lazy (no
+    // driver action here) — it materializes on the caller's first
+    // action, every later round reads cache, and the convergence exit
+    // unpersists it. The declarative rounds>0 path does NOT persist:
+    // with no driver action inside the operator there is no safe point
+    // to unpersist, and the cache would leak in the block manager for
+    // the session lifetime (test-only path, <= ~4 rounds anyway).
+    val edgePlan = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist()
+    val edges = if (rounds > 0) edgePlan else edgePlan.persist()
     def propagate(labels: DataFrame): DataFrame = {
       val neighborMin = edges.join(labels, edges("id1") === labels("id"))
         .groupBy(col("id2").as("id")).agg(min(col("label")).as("nlabel"))

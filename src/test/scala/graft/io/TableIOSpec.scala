@@ -108,6 +108,25 @@ class TableIOSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("missing-table detection covers MySQL (contraction + SQLState/code)") {
+    import java.sql.{SQLException, SQLSyntaxErrorException}
+    // MySQL reports 42S02 / vendor code 1146 with the CONTRACTION
+    // "doesn't exist" — none of the "does not exist" heuristics match it
+    assert(TableIO.isMissingJdbcTable(
+      new SQLSyntaxErrorException("Table 'db.t' doesn't exist", "42S02", 1146)))
+    // message-only variant (driver wrapped, state lost)
+    assert(TableIO.isMissingJdbcTable(
+      new RuntimeException("Table 'db.t' doesn't exist")))
+    // nested down the cause chain
+    assert(TableIO.isMissingJdbcTable(new RuntimeException("wrapped",
+      new SQLSyntaxErrorException("Table 'db.t' doesn't exist", "42S02", 1146))))
+    // auth / network failures must NOT be classified as missing-table
+    assert(!TableIO.isMissingJdbcTable(
+      new SQLException("Access denied for user 'x'@'localhost'", "28000", 1045)))
+    assert(!TableIO.isMissingJdbcTable(
+      new SQLException("Communications link failure", "08S01", 0)))
+  }
+
   test("jdbc read with a bad URL THROWS (no silent empty-table)") {
     // driver-missing / unreachable-database errors must propagate —
     // only table-not-found bootstraps to empty (spark_utils.py:266-271)

@@ -58,9 +58,14 @@ class DataOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(eager == expected)
     // declarative fixed-round variant agrees once rounds >= diameter
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val lazyForm = Dedup.dupClusters(pairs, nodes, "doc_id", rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lazyForm == expected)
+    // ...and, having no driver action of its own to unpersist after, it
+    // must not register a cache that would leak for the session lifetime
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "declarative dupClusters must not leak persisted edges")
   }
 
   test("contaminatedDocs flags only docs sharing shingles with the eval set") {

@@ -87,6 +87,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.isNullAt(1))
   }
 
+  test("dot_product matches HOF null semantics on edge inputs") {
+    VectorExpressions.register(spark)
+    // literal args constant-fold through the interpreted eval path
+    val r = spark.sql(
+      """SELECT
+        |  dot_product(CAST(array(1.0,2.0,3.0) AS ARRAY<DOUBLE>),
+        |              CAST(array(1.0,2.0) AS ARRAY<DOUBLE>)) AS mismatch,
+        |  dot_product(CAST(array(1.0,NULL) AS ARRAY<DOUBLE>),
+        |              CAST(array(1.0,2.0) AS ARRAY<DOUBLE>)) AS nullslot,
+        |  aggregate(zip_with(CAST(array(1.0,2.0,3.0) AS ARRAY<DOUBLE>),
+        |                     CAST(array(1.0,2.0) AS ARRAY<DOUBLE>),
+        |                     (x, y) -> x * y), 0.0D, (a, v) -> a + v) AS hof_mismatch,
+        |  aggregate(zip_with(CAST(array(1.0,NULL) AS ARRAY<DOUBLE>),
+        |                     CAST(array(1.0,2.0) AS ARRAY<DOUBLE>),
+        |                     (x, y) -> x * y), 0.0D, (a, v) -> a + v) AS hof_nullslot,
+        |  dot_product(CAST(array() AS ARRAY<DOUBLE>),
+        |              CAST(array() AS ARRAY<DOUBLE>)) AS empty""".stripMargin)
+      .head()
+    assert(r.isNullAt(2) && r.isNullAt(3), "HOF reference semantics")
+    assert(r.isNullAt(0), "length mismatch must be NULL, like the HOF form")
+    assert(r.isNullAt(1), "null element must be NULL, like the HOF form")
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("dot_product null semantics survive codegen (non-literal inputs)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(16)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val r = e.select(
+        VectorExpressions.dotNative(col("v"), expr("slice(v, 1, 3)")).as("mm"),
+        VectorExpressions.dotNative(
+          expr("transform(v, (x, i) -> IF(i = 0, CAST(NULL AS DOUBLE), x))"),
+          col("v")).as("ns"),
+        VectorExpressions.dotNative(col("v"), col("v")).as("ok"))
+      .collect()
+    assert(r.length == 16)
+    r.foreach { row =>
+      assert(row.isNullAt(0), "codegen path: length mismatch -> NULL")
+      assert(row.isNullAt(1), "codegen path: null slot -> NULL")
+      assert(!row.isNullAt(2) && row.getDouble(2) > 0.0)
+    }
+  }
+
   test("as-of join: brute-force parity on real events") {
     val ev = graft.queries.QueryDef.loadEvents(spark, sf)
       .withColumn("ts", date_trunc("second", $"ts"))
