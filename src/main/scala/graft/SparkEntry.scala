@@ -13,7 +13,8 @@ object SparkEntry {
 
   val registry: Seq[QueryDef] =
     CoreQueries.all ++ FsmQueries.all ++ AdvisoryQueries.all ++
-      DataOpsQueries.all ++ AnnQueries.all
+      DataOpsQueries.all ++ AnnQueries.all ++ AnalyticsQueries.all ++
+      CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

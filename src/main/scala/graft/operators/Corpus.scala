@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training-data pipelines: domain
+  * mixing via deterministic stratified sampling, and sequence packing.
+  *
+  * Both are pure column/window compositions — no UDFs, no driver-side
+  * state — and both are REPRODUCIBLE: the sample membership and the
+  * chunk layout are functions of the data alone (md5-derived buckets,
+  * id-ordered prefix sums), never of partitioning, task order, or RNG
+  * seed plumbing. At 100 TB reproducibility is what makes a training
+  * mix auditable and a resumed/backfilled ingest land identical bytes.
+  */
+object Corpus {
+
+  /** Deterministic stratified sample / domain-mixing filter: keeps a
+    * per-stratum fraction of rows, chosen by an md5-derived bucket of
+    * the row id in [0, 10000) — `rates` are fractions per stratum value
+    * (basis-point resolution), `defaultRate` covers unlisted strata.
+    *
+    * Stable under re-partitioning and re-runs (unlike `sample()`/
+    * `sampleBy()`, whose membership depends on partition iteration
+    * order), embarrassingly parallel (a per-row filter inside the scan,
+    * no shuffle), and portable: the bucket is reproducible in any SQL
+    * engine as `('0x' || substr(md5(salt || id), 1, 8))::BIGINT % 10000`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      salt: String = "mix",
+  ): DataFrame = {
+    def bp(r: Double): Int = math.round(r * 10000).toInt
+    val bucket =
+      Dedup.md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) % 10000
+    val threshold = rates.foldLeft(lit(bp(defaultRate))) {
+      case (acc, (k, r)) => when(col(strataCol) === k, lit(bp(r))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Concat-and-chunk sequence packing: documents are laid head-to-tail
+    * in `idCol` order within each shard and cut into fixed
+    * `budget`-token training sequences — the standard packing scheme
+    * for LLM pre-training (documents may straddle a chunk boundary;
+    * the `chunk_start != chunk_end` rows are where a boundary cut
+    * lands). Emits per document: its shard, token count, first/last
+    * chunk index, and the offset of its first token within the first
+    * chunk.
+    *
+    * Packing is per-shard (`shardCol`), which is what makes it scale:
+    * each shard's prefix sum is an independent window partition, so
+    * the layout parallelizes across the cluster instead of forcing a
+    * single global sort. Shard by a stable key (e.g. `id % nShards`)
+    * and the layout is reproducible end to end.
+    */
+  def packChunks(
+      df: DataFrame,
+      shardCol: String,
+      idCol: String,
+      tokensCol: String,
+      budget: Int,
+  ): DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = greatest(col(tokensCol).cast("long"), lit(1L))
+    // `div` (integer division on longs) — a double `/`+floor loses
+    // exactness once a shard's cumulative token count passes 2^53,
+    // which a 100 TB corpus reaches
+    df.withColumn("__t", toks)
+      .withColumn("__cum", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .select(col(idCol), col(shardCol).as("shard"),
+        col("__t").as("n_tokens"),
+        expr(s"__cum div $budget").as("chunk_start"),
+        expr(s"(__cum + __t - 1) div $budget").as("chunk_end"),
+        (col("__cum") % budget).as("chunk_offset"))
+  }
+}

@@ -101,6 +101,33 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** PII patterns, restricted to the regex subset shared by Java
+    * (Spark) and RE2 (DuckDB/Go scrubbers): no backrefs, no lookaround
+    * — so the same pattern text is portable across the stack. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val NumberRe = "\\d+"
+
+  /** PII redaction: emails, then IPv4s, then phone-shaped numbers (the
+    * order matters — emails may contain digit runs, IPs would otherwise
+    * be half-eaten by the phone pattern). Pure codegen'd
+    * `regexp_replace` chain: at 100 TB this is a per-row scan-local
+    * rewrite, no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Number scrubbing (aggressive variant for numeric-id leakage). */
+  def redactNumbers(text: Column): Column =
+    regexp_replace(text, NumberRe, "<NUM>")
+
+  def matchCount(text: Column, pattern: String): Column =
+    size(call_function("regexp_extract_all", text, lit(pattern), lit(0)))
+
   /** TF-IDF per (doc, term) over whitespace-normalized lowercased
     * tokens: tf = termCount/docLen, idf = ln(nDocs/docFreq). Two
     * shuffles (doc-term, then term) + one broadcast scalar — the

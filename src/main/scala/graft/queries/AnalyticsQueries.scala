@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Analytic-SQL breadth beyond the reference's surface: window FRAMES
+  * (rolling aggregates), lag/lead, CUBE grouping sets, and exact
+  * distributed quantiles. Numeric parity follows the repo conventions:
+  * exact sums through DECIMAL with a single final cast to DOUBLE;
+  * nearest-rank quantiles (pick a stored value, never interpolate —
+  * interpolation arithmetic is engine-specific float math).
+  */
+object AnalyticsQueries {
+
+  private def load = QueryDef.load _
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Rolling 7-day revenue: window FRAME spec (ROWS BETWEEN). The
+    // daily pre-aggregation shrinks the input to ~one row per day
+    // BEFORE the global-ordered window — the frame pass runs on ~2.4k
+    // rows regardless of fact-table scale, so the single-partition
+    // sort the unpartitioned window implies is a non-issue.
+    QueryDef(
+      "q_window_rolling",
+      (s, d) => {
+        val daily = load(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("__rev"))
+        val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        daily.select(col("day"),
+          col("__rev").cast(DoubleType).as("rev"),
+          // rolling SUM of exact decimals: bit-identical after the one
+          // decimal->double cast on both engines (a rolling AVG would
+          // divide decimal in Spark but double in DuckDB)
+          sum(col("__rev")).over(w).cast(DoubleType).as("rev_7d"),
+          count(lit(1)).over(w).as("n_days"))
+      },
+      Some("""WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             |  sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+             |  FROM orders GROUP BY 1)
+             |SELECT day, CAST(rev AS DOUBLE) AS rev,
+             | CAST(sum(rev) OVER (ORDER BY day
+             |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
+             | count(*) OVER (ORDER BY day
+             |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
+             |FROM daily""".stripMargin),
+    ),
+
+    // lag/lead: per-user event sequencing (previous/next event and the
+    // gap in seconds). One hash shuffle on user_id; the per-user sort
+    // is local. Tiebreak on event_id keeps the order total.
+    QueryDef(
+      "q_window_lag",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev.select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+          .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
+          .withColumn("gap_sec",
+            unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            col("prev_event_id"), col("next_event_id"), col("gap_sec"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |  date_trunc('second', ts) AS ts FROM events)
+             |SELECT user_id, event_id,
+             | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             | lag(event_id) OVER w AS prev_event_id,
+             | lead(event_id) OVER w AS next_event_id,
+             | date_diff('second', lag(ts) OVER w, ts) AS gap_sec
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+        .stripMargin),
+    ),
+
+    // CUBE grouping sets (all 4 combinations of the two dims), with
+    // grouping_id disambiguating real NULLs from subtotal rows.
+    QueryDef(
+      "q_agg_cube",
+      (s, d) => load(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          grouping_id().as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             | GROUPING(l_returnflag, l_linestatus) AS gid
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+        .stripMargin),
+    ),
+
+    // Exact distributed quantiles by NEAREST RANK: rank every value in
+    // its group (one shuffle + local sort), pick the ceil(q*n)-th. The
+    // picked value is a STORED double — no interpolation arithmetic —
+    // so any engine agrees bit-for-bit. percentile_approx is the
+    // cheaper scale path when one pass over unsorted data is required;
+    // this is the exact oracle-able form.
+    QueryDef(
+      "q_agg_percentiles",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"))
+        val wc = Window.partitionBy(col("l_returnflag"))
+        load(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wc))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice")))
+              .as("p50"),
+            max(when(col("rn") === ceil(col("n") * 0.9), col("l_extendedprice")))
+              .as("p90"),
+            max(when(col("rn") === ceil(col("n") * 0.99), col("l_extendedprice")))
+              .as("p99"),
+            max(col("n")).as("n_rows"))
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
+             |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice, l_orderkey) AS rn,
+             |  count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             | max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS p50,
+             | max(CASE WHEN rn = ceil(n * 0.9) THEN l_extendedprice END) AS p90,
+             | max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END) AS p99,
+             | max(n) AS n_rows
+             |FROM r GROUP BY l_returnflag""".stripMargin),
+    ),
+  )
+}

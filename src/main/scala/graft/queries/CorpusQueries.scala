@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.operators.{Corpus, Dedup, RangeJoin, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Corpus-construction + range-join operators, each with a DuckDB
+  * oracle. Sampling/packing are md5-bucket / prefix-sum deterministic
+  * (identical membership and layout in any engine); the range join is
+  * oracle-checked against DuckDB's native inequality join.
+  */
+object CorpusQueries {
+
+  private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Events with second-truncated timestamps (shared precision floor
+    * between Spark micros and DuckDB nanos). */
+  private def eventsSec(s: org.apache.spark.sql.SparkSession, d: String) =
+    QueryDef.loadEvents(s, d).withColumn("ts", date_trunc("second", col("ts")))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Pure range join (no equi key): purchases inside the 10-minute
+    // window after each error event, aggregated per incident. Spark's
+    // planner alone would run this as a broadcast-nested-loop join;
+    // RangeJoin bins the time axis so it becomes a hash equi-join on
+    // the bin. DuckDB executes its native IEJoin as the oracle.
+    QueryDef(
+      "q_range_join",
+      (s, d) => {
+        val ev = eventsSec(s, d)
+        val incidents = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"), col("ts").as("its"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("ts").as("pts"), col("value"))
+        val pairs = RangeJoin.pointInInterval(
+          purchases, incidents, "pts", "its", lengthSec = 600, binSec = 600)
+        val agg = pairs.groupBy(col("incident_id"))
+          .agg(count(lit(1)).as("np"),
+            sum(col("value").cast(DecimalType(12, 2))).as("sv"))
+        incidents.select(col("incident_id"))
+          .join(agg, Seq("incident_id"), "left")
+          .select(col("incident_id"),
+            coalesce(col("np"), lit(0L)).as("n_purchases"),
+            coalesce(col("sv"), lit(0).cast(DecimalType(12, 2)))
+              .cast(DoubleType).as("sum_value"))
+      },
+      Some("""WITH e AS (SELECT event_id AS incident_id,
+             |  date_trunc('second', ts) AS ts
+             |  FROM events WHERE event_type = 'error'),
+             |p AS (SELECT date_trunc('second', ts) AS ts, value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT e.incident_id,
+             | CAST(count(p.ts) AS BIGINT) AS n_purchases,
+             | CAST(coalesce(sum(CAST(p.value AS DECIMAL(12,2))),
+             |   CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM e LEFT JOIN p
+             | ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 600 SECOND
+             |GROUP BY e.incident_id""".stripMargin),
+    ),
+
+    // Deterministic per-language sampling rates (domain mixing): the
+    // md5 bucket makes membership a pure function of doc_id.
+    QueryDef(
+      "q_sample_stratified",
+      (s, d) => Corpus.stratifiedSample(
+        QueryDef.load(s, d, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.75, "fr" -> 1.0),
+        defaultRate = 0.10)
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      % 10000 AS b
+             |  FROM documents)
+             |WHERE b < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+             |  WHEN 'es' THEN 7500 WHEN 'fr' THEN 10000 ELSE 1000 END"""
+        .stripMargin),
+    ),
+
+    // Concat-and-chunk sequence packing into 512-token training
+    // sequences, 8 shards packed independently.
+    QueryDef(
+      "q_pack_chunks",
+      (s, d) => Corpus.packChunks(
+        QueryDef.load(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "shard", "doc_id", "n_tokens", budget = 512),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             |  greatest(len(string_split(text, ' ')), 1) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM t)
+             |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+             | CAST(cum // 512 AS BIGINT) AS chunk_start,
+             | CAST((cum + n_tokens - 1) // 512 AS BIGINT) AS chunk_end,
+             | CAST(cum % 512 AS BIGINT) AS chunk_offset
+             |FROM c""".stripMargin),
+    ),
+
+    // PII scrub over the event props payload: email/IP/phone redaction
+    // chain plus aggressive number scrubbing, with match counts. The
+    // patterns live in the Java-regex ∩ RE2 subset so the exact same
+    // pattern text runs on both engines.
+    QueryDef(
+      "q_pii_redact",
+      (s, d) => QueryDef.loadEvents(s, d).select(
+        col("event_id"),
+        TextAnalysis.redactNumbers(
+          TextAnalysis.redactPii(col("props"))).as("redacted"),
+        TextAnalysis.matchCount(col("props"), TextAnalysis.NumberRe).as("n_nums"),
+        TextAnalysis.matchCount(col("props"), TextAnalysis.EmailRe).as("n_emails")),
+      // DuckDB single-quoted strings keep backslashes literal, so the
+      // Scala pattern strings embed verbatim
+      Some(s"""SELECT event_id,
+              | regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              |   props,
+              |   '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+              |   '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+              |   '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+              |   '${TextAnalysis.NumberRe}', '<NUM>', 'g') AS redacted,
+              | len(regexp_extract_all(props, '${TextAnalysis.NumberRe}')) AS n_nums,
+              | len(regexp_extract_all(props,
+              |   '${TextAnalysis.EmailRe}')) AS n_emails
+              |FROM events""".stripMargin),
+    ),
+
+    // Quantile-gated quality filter: keep docs at or above the 25th
+    // percentile of quality WITHIN their language (per-stratum gating —
+    // a global cut would empty out low-scoring languages). percent_rank
+    // over (q, doc_id) is deterministic and engine-portable.
+    QueryDef(
+      "q_quality_filter",
+      (s, d) => {
+        val base = QueryDef.load(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("q"), col("doc_id"))
+        base.withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") >= 0.25)
+          .select(col("doc_id"), col("lang"), col("q"),
+            round(col("pr"), 6).as("pr"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              |  round(least(1.0, n_words / 50.0) *
+              |    (1.0 - stop_hits / CAST(n_words AS DOUBLE)), 6) AS q
+              |  FROM (SELECT doc_id, lang,
+              |    len(string_split(text, ' ')) AS n_words,
+              |    len(list_filter(string_split(text, ' '),
+              |        x -> x IN ($stopList))) AS stop_hits
+              |    FROM documents)),
+              |r AS (SELECT doc_id, lang, q,
+              |  percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+              |  FROM t)
+              |SELECT doc_id, lang, q, round(pr, 6) AS pr
+              |FROM r WHERE pr >= 0.25""".stripMargin),
+    ),
+
+    // Corpus-level n-gram statistics: top-5 bigrams per language by
+    // frequency. Two shuffles (lang+bigram count, then per-lang top-k
+    // via WindowGroupLimit-pushed rank).
+    QueryDef(
+      "q_ngram_top",
+      (s, d) => {
+        val ws = QueryDef.load(s, d, "documents")
+          .select(col("lang"), Dedup.words(col("text")).as("__ws"))
+          .filter(size(col("__ws")) >= 2)
+        val bigrams = ws.select(col("lang"),
+          explode(transform(sequence(lit(0), size(col("__ws")) - 2),
+            i => concat_ws(" ", element_at(col("__ws"), i + 1),
+              element_at(col("__ws"), i + 2)))).as("bigram"))
+        val counts = bigrams.groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("bigram").asc)
+        counts.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+      },
+      Some("""WITH w AS (SELECT lang,
+             |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents),
+             |b AS (SELECT lang, unnest(list_transform(range(1, len(ws)),
+             |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+             |  FROM w WHERE len(ws) >= 2),
+             |c AS (SELECT lang, bigram, count(*) AS cnt FROM b GROUP BY 1, 2),
+             |r AS (SELECT lang, bigram, cnt,
+             |  ROW_NUMBER() OVER (PARTITION BY lang
+             |    ORDER BY cnt DESC, bigram ASC) AS rank FROM c)
+             |SELECT lang, bigram, cnt, rank FROM r WHERE rank <= 5"""
+        .stripMargin),
+    ),
+  )
+}

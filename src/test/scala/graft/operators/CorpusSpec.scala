@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- RangeJoin ----
+
+  test("range join: binned result equals brute-force theta join") {
+    val ev = graft.queries.QueryDef.loadEvents(spark, sf)
+      .withColumn("ts", date_trunc("second", $"ts"))
+    val iv = ev.filter($"event_type" === "error")
+      .select($"event_id".as("iid"), $"ts".as("its"))
+    val pts = ev.filter($"event_type" === "click")
+      .select($"event_id".as("pid"), $"ts".as("pts"))
+    val brute = pts.join(iv,
+        $"pts" >= $"its" && $"pts" < $"its" + expr("INTERVAL 600 SECONDS"))
+      .select($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = RangeJoin.pointInInterval(pts, iv, "pts", "its", 600, 600)
+      .select($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == brute)
+    assert(brute.nonEmpty, "fixture must actually produce matches")
+  }
+
+  test("range join: bin width narrower/wider than interval still exact") {
+    val ev = graft.queries.QueryDef.loadEvents(spark, sf)
+      .withColumn("ts", date_trunc("second", $"ts"))
+    val iv = ev.filter($"event_type" === "error").limit(50)
+      .select($"event_id".as("iid"), $"ts".as("its"))
+    val pts = ev.filter($"event_type" === "view")
+      .select($"event_id".as("pid"), $"ts".as("pts"))
+    def run(binSec: Long) =
+      RangeJoin.pointInInterval(pts, iv, "pts", "its", 900, binSec)
+        .select($"pid", $"iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = run(100)
+    assert(run(900) == narrow && run(4000) == narrow)
+  }
+
+  test("range join: no duplicate pairs from interval bin explosion") {
+    val joined = {
+      val ev = graft.queries.QueryDef.loadEvents(spark, sf)
+        .withColumn("ts", date_trunc("second", $"ts"))
+      val iv = ev.filter($"event_type" === "error")
+        .select($"event_id".as("iid"), $"ts".as("its"))
+      val pts = ev.filter($"event_type" === "click")
+        .select($"event_id".as("pid"), $"ts".as("pts"))
+      // length 10x bin width -> each interval explodes to ~11 bins;
+      // each (point, interval) pair must still appear exactly once
+      RangeJoin.pointInInterval(pts, iv, "pts", "its", 3000, 300)
+        .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(joined.length == joined.toSet.size)
+  }
+
+  // ---- Corpus.stratifiedSample ----
+
+  test("stratified sample: deterministic, per-stratum rates, pure filter") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rates = Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.0)
+    val s1 = Corpus.stratifiedSample(docs, "lang", "doc_id", rates)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.stratifiedSample(
+        docs.repartition(7), "lang", "doc_id", rates)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "membership must not depend on partitioning")
+
+    val byLang = Corpus.stratifiedSample(docs, "lang", "doc_id", rates)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == total("de"), "rate 1.0 keeps everything")
+    assert(!byLang.contains("es"), "rate 0.0 keeps nothing")
+    assert(!byLang.contains("zh"), "unlisted stratum uses defaultRate 0.0")
+    val enRate = byLang("en").toDouble / total("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate ~0.5, got $enRate")
+  }
+
+  test("stratified sample: different salts draw different members") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Corpus.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5), salt = "a").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Corpus.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5), salt = "b").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != b)
+  }
+
+  // ---- Corpus.packChunks ----
+
+  test("packChunks: prefix-sum layout invariants hold per shard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", ($"doc_id" % 4).as("shard"),
+        TextAnalysis.tokenCount($"text").as("n_tokens"))
+    val budget = 256
+    val packed = Corpus.packChunks(docs, "shard", "doc_id", "n_tokens", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, start, end, offset) =>
+        assert(offset == cum % budget, "offset = cumulative mod budget")
+        assert(start == cum / budget, "start chunk = cumulative div budget")
+        assert(end == (cum + n - 1) / budget, "end covers the doc tail")
+        assert(start <= end)
+        cum += n
+      }
+      // chunks are gapless: every chunk index up to the last is used
+      val lastEnd = sorted.last._5
+      val covered = sorted.flatMap(r => r._4 to r._5).toSet
+      assert(covered == (0L to lastEnd).toSet, "no empty chunks in layout")
+    }
+  }
+
+  test("packChunks: zero/absent token counts clamp to 1") {
+    val df = Seq((1L, 0L, 0L), (2L, 0L, 5L), (3L, 0L, 0L))
+      .toDF("id", "sh", "toks")
+    val out = Corpus.packChunks(df, "sh", "id", "toks", 4)
+      .orderBy($"id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 5L, 1L)) // n_tokens
+    assert(out.map(_.getLong(5)).toSeq == Seq(0L, 1L, 2L)) // offsets 0,1,6%4
+  }
+
+  // ---- PII redaction ----
+
+  test("redactPii scrubs emails, IPs, and phones; counts match") {
+    val fixtures = Seq(
+      (1L, "contact alice.smith+spam@example-corp.co.uk now"),
+      (2L, "server at 10.0.255.3 responded"),
+      (3L, "call 555-867-5309 or 555.867.5309"),
+      (4L, "mixed bob@x.io from 192.168.1.1 dial 123-456-7890"),
+      (5L, "clean text, nothing to redact"),
+    ).toDF("id", "t")
+    val got = fixtures.select($"id",
+        TextAnalysis.redactPii($"t").as("r"),
+        TextAnalysis.matchCount($"t", TextAnalysis.EmailRe).as("ne"),
+        TextAnalysis.matchCount($"t", TextAnalysis.Ipv4Re).as("ni"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L)._1 == "contact <EMAIL> now" && got(1L)._2 == 1)
+    assert(got(2L)._1 == "server at <IP> responded" && got(2L)._3 == 1)
+    assert(got(3L)._1 == "call <PHONE> or <PHONE>")
+    assert(got(4L)._1 == "mixed <EMAIL> from <IP> dial <PHONE>")
+    assert(got(5L)._1 == "clean text, nothing to redact"
+      && got(5L)._2 == 0 && got(5L)._3 == 0)
+  }
+
+  test("redactNumbers after redactPii leaves placeholders intact") {
+    val df = Seq((1L, "order 42 from bob@x.io at 10.0.0.1")).toDF("id", "t")
+    val r = df.select(TextAnalysis.redactNumbers(
+      TextAnalysis.redactPii($"t")).as("r")).head().getString(0)
+    assert(r == "order <NUM> from <EMAIL> at <IP>")
+  }
+}
