@@ -44,6 +44,30 @@ object Corpus {
     df.filter(bucket < threshold)
   }
 
+  /** Per-group size cap: keeps at most `k` rows per group, chosen by a
+    * deterministic md5-hash order (a seeded uniform draw, not "first k
+    * by id" — id order usually correlates with crawl time/source and
+    * would bias the kept set). The canonical post-dedup step: cap
+    * near-duplicate cluster sizes / per-domain document counts before
+    * training. Executes as row_number over (group, hash) which Spark
+    * runs with WindowGroupLimit pushdown — each map task keeps only k
+    * rows per group BEFORE the shuffle, so a pathological 10^8-row
+    * cluster never lands on one reducer. */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int,
+      salt: String = "cap",
+  ): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val draw =
+      Dedup.md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(draw.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid head-to-tail
     * in `idCol` order within each shard and cut into fixed
     * `budget`-token training sequences — the standard packing scheme

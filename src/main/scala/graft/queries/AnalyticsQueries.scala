@@ -96,6 +96,96 @@ object AnalyticsQueries {
         .stripMargin),
     ),
 
+    // Exact distinct counting (the expand-based distinct aggregate —
+    // the exact counterpart of approx_count_distinct, which stays
+    // spec-only because HLL estimates are engine-specific).
+    QueryDef(
+      "q_agg_distinct",
+      (s, d) => QueryDef.loadEvents(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             | count(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin),
+    ),
+
+    // Full outer join with partially-overlapping key ranges (left-only,
+    // both, right-only rows all present).
+    QueryDef(
+      "q_join_full",
+      (s, d) => {
+        val c = load(s, d, "customer").filter(col("c_custkey") < 1000)
+          .select(col("c_custkey").as("custkey"), col("c_name"))
+        val o = load(s, d, "orders").filter(col("o_custkey") >= 500)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        c.join(o, Seq("custkey"), "full")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS custkey, c_name FROM customer
+             |  WHERE c_custkey < 1000),
+             |o AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+             |  FROM orders WHERE o_custkey >= 500 GROUP BY 1)
+             |SELECT coalesce(c.custkey, o.custkey) AS custkey, c_name, n_orders
+             |FROM c FULL JOIN o ON c.custkey = o.custkey""".stripMargin),
+    ),
+
+    // Correlated NOT EXISTS (argmax-by-subquery): each customer's
+    // latest order, tiebroken by orderkey. Catalyst decorrelates the
+    // subquery into a self-anti-join; all comparisons are on
+    // date/integer values so both engines agree exactly.
+    QueryDef(
+      "q_subquery_latest",
+      (s, d) => {
+        load(s, d, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT o_orderkey, o_custkey,
+                |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate
+                |FROM v_orders o
+                |WHERE NOT EXISTS (
+                |  SELECT 1 FROM v_orders o2
+                |  WHERE o2.o_custkey = o.o_custkey
+                |    AND (o2.o_orderdate > o.o_orderdate
+                |      OR (o2.o_orderdate = o.o_orderdate
+                |        AND o2.o_orderkey > o.o_orderkey)))""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+             |FROM orders o
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders o2
+             |  WHERE o2.o_custkey = o.o_custkey
+             |    AND (o2.o_orderdate > o.o_orderdate
+             |      OR (o2.o_orderdate = o.o_orderdate
+             |        AND o2.o_orderkey > o.o_orderkey)))""".stripMargin),
+    ),
+
+    // Date arithmetic across a fact-fact join: ship delay in days per
+    // order priority. The average divides an exact BIGINT sum by the
+    // count in ONE double division — identical in any engine.
+    QueryDef(
+      "q_date_math",
+      (s, d) => load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("delay"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("delay")).as("total_delay_days"),
+          round(sum(col("delay")).cast(DoubleType) / count(lit(1)), 6)
+            .as("avg_delay_days")),
+      Some("""WITH j AS (SELECT o_orderpriority,
+             |  date_diff('day', o_orderdate, l_shipdate) AS delay
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT o_orderpriority, count(*) AS n_items,
+             | CAST(sum(delay) AS BIGINT) AS total_delay_days,
+             | round(CAST(sum(delay) AS DOUBLE) / count(*), 6) AS avg_delay_days
+             |FROM j GROUP BY o_orderpriority""".stripMargin),
+    ),
+
     // Exact distributed quantiles by NEAREST RANK: rank every value in
     // its group (one shuffle + local sort), pick the ceil(q*n)-th. The
     // picked value is a STORED double — no interpolation arithmetic —

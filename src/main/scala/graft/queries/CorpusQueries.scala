@@ -129,6 +129,23 @@ object CorpusQueries {
               |FROM events""".stripMargin),
     ),
 
+    // Per-source document cap (cluster-size capping): at most 10 docs
+    // per source, drawn by deterministic hash — the post-dedup step
+    // that stops any one domain/cluster from dominating the mix.
+    QueryDef(
+      "q_group_cap",
+      (s, d) => Corpus.capPerGroup(
+        QueryDef.load(s, d, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 10)
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+             |    ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+             |      doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 10""".stripMargin),
+    ),
+
     // Quantile-gated quality filter: keep docs at or above the 25th
     // percentile of quality WITHIN their language (per-stratum gating —
     // a global cut would empty out low-scoring languages). percent_rank

@@ -92,6 +92,28 @@ class CorpusSpec extends SparkSpec {
     assert(a != b)
   }
 
+  // ---- Corpus.capPerGroup ----
+
+  test("capPerGroup: at most k per group, deterministic, unbiased by id") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source")
+    val capped = Corpus.capPerGroup(docs, "source", "doc_id", k = 10)
+    val sizes = capped.groupBy($"source").count().collect()
+      .map(_.getLong(1))
+    assert(sizes.forall(_ <= 10) && sizes.nonEmpty)
+    // deterministic under repartitioning
+    val a = capped.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.capPerGroup(docs.repartition(5), "source", "doc_id", 10)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // hash draw, not first-k-by-id: some group must keep a non-prefix set
+    val bySource = capped.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).sorted)
+    val firstK = docs.collect().groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(0)).sorted.take(10))
+    assert(bySource.exists { case (s, kept) => firstK(s) != kept })
+  }
+
   // ---- Corpus.packChunks ----
 
   test("packChunks: prefix-sum layout invariants hold per shard") {
