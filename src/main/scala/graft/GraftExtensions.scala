@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ))
     // auto-accelerate the portable HOF dot-product pattern
     ext.injectOptimizerRule(_ => FuseDotProduct)
+    // rewrite pure range joins (p >= s AND p < s + L, no equi key)
+    // from nested-loop shape into a binned hash equi-join
+    ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin)
   }
 }

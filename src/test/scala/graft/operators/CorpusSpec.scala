@@ -57,6 +57,73 @@ class CorpusSpec extends SparkSpec {
     assert(joined.length == joined.toSet.size)
   }
 
+  test("BinRangeJoin rule: SQL range join plans as hash join, same result") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      def prep(s: org.apache.spark.sql.SparkSession): Unit = {
+        val ev = graft.queries.QueryDef.loadEvents(s, sf)
+          .withColumn("pe", unix_timestamp(date_trunc("second", $"ts")))
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("iid"), col("pe").as("se"))
+          .createOrReplaceTempView("v_iv")
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("pid"), col("pe"))
+          .createOrReplaceTempView("v_p")
+      }
+      val sql = """SELECT pid, iid FROM v_p JOIN v_iv
+                  |ON pe >= se AND pe < se + 600L""".stripMargin
+      prep(s2)
+      val accel = s2.sql(sql)
+      val phys = accel.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"rule must remove the nested-loop join:\n$phys")
+      assert(phys.contains("HashJoin") || phys.contains("SortMergeJoin"),
+        s"expected a hash/sort-merge equi join:\n$phys")
+      val got = accel.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference result from the base session (rule NOT installed)
+      prep(base)
+      val plain = base.sql(sql)
+      assert(plain.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "baseline must be the BNLJ shape")
+      val exp = plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp && exp.nonEmpty)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("BinRangeJoin rule: joins with an equi conjunct are left alone") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      Seq((1L, 10L, 100L)).toDF("pid", "k", "pe").createOrReplaceTempView("t_p")
+      Seq((2L, 10L, 90L)).toDF("iid", "k", "se").createOrReplaceTempView("t_iv")
+      val df = s2.sql("""SELECT pid, iid FROM t_p JOIN t_iv
+                        |ON t_p.k = t_iv.k AND pe >= se AND pe < se + 600L"""
+        .stripMargin)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__brj_bin"),
+        "equi-keyed join must not be rewritten")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == Seq((1L, 2L)))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   // ---- Corpus.stratifiedSample ----
 
   test("stratified sample: deterministic, per-stratum rates, pure filter") {
