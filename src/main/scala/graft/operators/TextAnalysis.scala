@@ -128,6 +128,36 @@ object TextAnalysis {
   def matchCount(text: Column, pattern: String): Column =
     size(call_function("regexp_extract_all", text, lit(pattern), lit(0)))
 
+  /** Unigram-LM surprise scoring: each document's average per-token
+    * negative log-probability under the corpus's own unigram model —
+    * the cheap stand-in for KenLM-style perplexity filtering (low =
+    * boilerplate/common tokens, high = rare-token-heavy). Per-token
+    * log-probs are quantized to integer MICRO-NATS before the per-doc
+    * sum, so the aggregation is exact integer arithmetic: the result
+    * is independent of partial-aggregation order (a raw double sum
+    * would drift with partitioning) and reproducible across engines.
+    * Shuffles: doc-term explode -> term-count join (vocabulary-sized
+    * build side) -> per-doc sum; the corpus total is one broadcast
+    * scalar. */
+  def unigramSurprise(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), explode(col("__ws")).as("term"))
+    val termCounts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(termCounts, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log(col("cnt").cast("double") / col("n")) * 1e6)
+          .cast("long").as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("sum_micro").cast("double") / col("n_toks") / 1000000.0, 6)
+          .as("avg_surprise"))
+  }
+
   /** TF-IDF per (doc, term) over whitespace-normalized lowercased
     * tokens: tf = termCount/docLen, idf = ln(nDocs/docFreq). Two
     * shuffles (doc-term, then term) + one broadcast scalar — the

@@ -177,6 +177,28 @@ object CorpusQueries {
               |FROM r WHERE pr >= 0.25""".stripMargin),
     ),
 
+    // Unigram-LM surprise (perplexity-filter stand-in): per-token
+    // -ln p(term) under the corpus unigram model, quantized to integer
+    // micro-nats so the per-doc aggregation is order-independent.
+    QueryDef(
+      "q_text_unigram",
+      (s, d) => TextAnalysis.unigramSurprise(
+        QueryDef.load(s, d, "documents"), "text", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+             |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents),
+             |toks AS (SELECT doc_id, unnest(ws) AS term FROM w),
+             |tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+             |tot AS (SELECT count(*) AS n FROM toks),
+             |scored AS (SELECT t.doc_id,
+             |  CAST(round(-ln(CAST(tc.cnt AS DOUBLE) / n) * 1000000) AS BIGINT) AS micro
+             |  FROM toks t JOIN tc USING (term), tot)
+             |SELECT doc_id, count(*) AS n_toks,
+             | round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+             |   AS avg_surprise
+             |FROM scored GROUP BY doc_id""".stripMargin),
+    ),
+
     // Corpus-level n-gram statistics: top-5 bigrams per language by
     // frequency. Two shuffles (lang+bigram count, then per-lang top-k
     // via WindowGroupLimit-pushed rank).

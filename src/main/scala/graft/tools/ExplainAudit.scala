@@ -17,7 +17,9 @@ object ExplainAudit {
       else Seq("q_scan_filter", "q_join_double_left", "q_agg_groupby",
         "q_window_dedup", "q_advisory_merge", "q_dedup_minhash",
         "q_sim_topk_brute", "q_sim_topk_lsh", "q_sim_topk_ivf",
-        "q_dedup_simhash_pairs", "q_dedup_embedding", "q_join_salted")
+        "q_dedup_simhash_pairs", "q_dedup_embedding", "q_join_salted",
+        "q_range_join", "q_ngram_top", "q_group_cap", "q_pack_chunks",
+        "q_subquery_latest", "q_date_math", "q_text_unigram")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
