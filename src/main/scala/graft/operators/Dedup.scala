@@ -185,6 +185,39 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** Bloom-filter decontamination PRE-FILTER: flags corpus docs whose
+    * shingle set MIGHT overlap the eval set, using a Bloom filter
+    * built from the eval shingle hashes. Guarantees NO false negatives
+    * (every truly contaminated doc is flagged; false-positive rate
+    * `fpp` per probe), so the exact [[contaminatedDocs]] join only
+    * needs to run over the flagged slice. The scale rationale: a
+    * Bloom filter of 10^8 eval shingles at 1% fpp is ~120 MB — a
+    * plain broadcast — while the distinct-hash set it replaces can be
+    * 10x that; and the corpus-side check becomes a branch-free bit
+    * probe inside the scan. NOTE `fpp` is per PROBE: a doc with k
+    * shingles is falsely flagged with probability 1-(1-fpp)^k, so
+    * size fpp against the shingles-per-doc count (e.g. 1e-4 for
+    * ~100-shingle docs keeps per-doc FP ~1%) — the filter only grows
+    * logarithmically in 1/fpp. Uses a Scala UDF deliberately: the sketch
+    * is an opaque broadcast object, not a Column-expressible value
+    * (same boundary class as the NVD client, not a hot-path
+    * expression). Deterministic (fixed hash seed) but
+    * implementation-specific, so spec-verified against the exact
+    * operator rather than oracle-checked. */
+  def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      fpp: Double = 1e-4): DataFrame = {
+    val evalHashes = shingleHashes(evalSet, textCol, idCol, n)
+      .select(col("h")).distinct()
+    val expected = math.max(evalHashes.count(), 1L)
+    val bf = evalHashes.stat.bloomFilter("h", expected, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
+    shingleHashes(corpus, textCol, idCol, n)
+      .filter(mightContain(col("h")))
+      .select(col("id").as(idCol)).distinct()
+  }
+
   /** Connected-component labels over candidate duplicate pairs: every
     * doc gets the MINIMUM id reachable through the pair graph as its
     * cluster id — the step after any pair-finder (MinHash, SimHash,

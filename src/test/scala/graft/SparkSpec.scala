@@ -6,10 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for suites (one per JVM, not per test). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
-  lazy val sf: String = "/root/testdata/sf0.001"
+  lazy val sf: String = SparkSpec.sfDir
 }
 
 object SparkSpec {
+  val sfDir: String = "/root/testdata/sf0.001"
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

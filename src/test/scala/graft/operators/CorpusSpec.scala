@@ -241,6 +241,24 @@ class CorpusSpec extends SparkSpec {
       && got(5L)._2 == 0 && got(5L)._3 == 0)
   }
 
+  test("bloom decontamination: superset of exact, bounded inflation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val evalSet = docs.filter($"doc_id" < 10)
+    val corpus = docs.filter($"doc_id" >= 10)
+    val exact = Dedup.contaminatedDocs(corpus, evalSet, "text", "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // fpp is per probe; docs here carry ~50 shingles, so 1e-4 per
+    // probe keeps the per-doc false-positive rate ~0.5%
+    val flagged = Dedup.bloomDecontaminate(corpus, evalSet, "text", "doc_id",
+        fpp = 1e-4)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged), "Bloom must have NO false negatives")
+    val nClean = corpus.count() - exact.size
+    assert(flagged.size - exact.size <= math.max(5L, nClean / 10),
+      s"false positives out of bound: ${flagged.size} vs ${exact.size}")
+    assert(exact.nonEmpty, "fixture must contain real contamination")
+  }
+
   test("redactNumbers after redactPii leaves placeholders intact") {
     val df = Seq((1L, "order 42 from bob@x.io at 10.0.0.1")).toDF("id", "t")
     val r = df.select(TextAnalysis.redactNumbers(
