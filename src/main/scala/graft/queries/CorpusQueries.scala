@@ -177,6 +177,79 @@ object CorpusQueries {
               |FROM r WHERE pr >= 0.25""".stripMargin),
     ),
 
+    // THE corpus-construction flagship: the full deterministic chain a
+    // training-data build runs, composed from the individually-proven
+    // operators — exact-dedup to canonical docs, drop eval-contaminated
+    // docs, per-language quality gate, per-source cap, split assign.
+    // Every stage is a pure function of the data (md5 buckets, shingle
+    // hashes, integer ranks), so the final kept-set is reproducible
+    // end to end and oracle-checkable as one composition.
+    QueryDef(
+      "q_corpus_pipeline",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val evalSet = docs.filter(col("doc_id") < 10)
+        val corpus = docs.filter(col("doc_id") >= 10)
+        val canon = Dedup.exactDedupGroups(corpus, "text", "doc_id")
+          .select(col("canonical_id").as("doc_id"))
+        val base = corpus.join(canon, "doc_id")
+        val contam = Dedup.contaminatedDocs(corpus, evalSet, "text", "doc_id")
+          .select(col("doc_id"))
+        val clean = base.join(contam, Seq("doc_id"), "left_anti")
+        val scored = clean.select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("q"), col("doc_id"))
+        val kept = scored.withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") >= 0.10)
+          .select(col("doc_id"), col("lang"), col("source"))
+        Corpus.capPerGroup(kept, "source", "doc_id", k = 15)
+          .select(col("doc_id"), col("lang"), col("source"),
+            TextAnalysis.assignSplit(col("doc_id")).as("split"))
+      },
+      Some(s"""WITH fp AS (SELECT doc_id, lang, source, text,
+              |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+              |  FROM documents WHERE doc_id >= 10),
+              |canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+              |base AS (SELECT fp.doc_id, fp.lang, fp.source, fp.text
+              |  FROM fp JOIN canon USING (doc_id)),
+              |w AS (SELECT doc_id,
+              |  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+              |  FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+              |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+              |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+              |hs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM ex),
+              |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id < 10),
+              |contam AS (SELECT DISTINCT hs.doc_id FROM hs JOIN ev USING (h)
+              |  WHERE hs.doc_id >= 10),
+              |clean AS (SELECT b.* FROM base b
+              |  WHERE b.doc_id NOT IN (SELECT doc_id FROM contam)),
+              |scored AS (SELECT doc_id, lang, source,
+              |  round(least(1.0, n_words / 50.0) *
+              |    (1.0 - stop_hits / CAST(n_words AS DOUBLE)), 6) AS q
+              |  FROM (SELECT doc_id, lang, source,
+              |    len(string_split(text, ' ')) AS n_words,
+              |    len(list_filter(string_split(text, ' '),
+              |        x -> x IN ($stopList))) AS stop_hits
+              |    FROM clean)),
+              |kept AS (SELECT doc_id, lang, source FROM (
+              |  SELECT doc_id, lang, source,
+              |    percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+              |  FROM scored) WHERE pr >= 0.10),
+              |capped AS (SELECT doc_id, lang, source FROM (
+              |  SELECT doc_id, lang, source,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+              |        doc_id) AS rn
+              |  FROM kept) WHERE rn <= 15)
+              |SELECT doc_id, lang, source,
+              | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              |      ELSE 'test' END AS split
+              |FROM (SELECT doc_id, lang, source,
+              |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+              |  FROM capped)""".stripMargin),
+    ),
+
     // Unigram-LM surprise (perplexity-filter stand-in): per-token
     // -ln p(term) under the corpus unigram model, quantized to integer
     // micro-nats so the per-doc aggregation is order-independent.
