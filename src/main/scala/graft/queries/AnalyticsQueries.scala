@@ -79,6 +79,46 @@ object AnalyticsQueries {
         .stripMargin),
     ),
 
+    // Gap-based sessionization in BATCH form (the oracle-checked
+    // complement of streaming.EventStreams.sessionize): a session
+    // break is a >30-minute gap; the session sequence number is the
+    // running sum of break flags. One shuffle on user_id, both
+    // windows share the same sort.
+    QueryDef(
+      "q_sessionize_batch",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(w)
+        ev.withColumn("new_s",
+            when(prev.isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(prev) > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            col("session_seq"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |f AS (SELECT user_id, event_id, ts,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             |    THEN 1 ELSE 0 END AS new_s
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, event_id,
+             | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             | CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |   AS session_seq
+             |FROM f""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(
