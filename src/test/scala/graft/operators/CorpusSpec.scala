@@ -99,6 +99,41 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("BinRangeJoin rule: flipped operand order rewrites; BETWEEN does not") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      Seq((1L, 100L), (2L, 699L), (3L, 700L), (4L, 99L))
+        .toDF("pid", "pe").createOrReplaceTempView("f_p")
+      Seq((7L, 100L)).toDF("iid", "se").createOrReplaceTempView("f_iv")
+      // interval side written FIRST, operands reversed (s <= p, s+L > p)
+      val flipped = s2.sql(
+        """SELECT iid, pid FROM f_iv JOIN f_p
+          |ON se <= pe AND se + 600L > pe""".stripMargin)
+      assert(flipped.queryExecution.optimizedPlan.toString.contains("__brj_bin"),
+        "flipped operand order must still be recognized")
+      assert(flipped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == Set((7L, 1L), (7L, 2L)))
+      // BETWEEN has an INCLUSIVE upper bound -> different semantics,
+      // must NOT be rewritten by the exclusive-end matcher
+      val between = s2.sql(
+        """SELECT pid, iid FROM f_p JOIN f_iv
+          |ON pe BETWEEN se AND se + 600L""".stripMargin)
+      assert(!between.queryExecution.optimizedPlan.toString.contains("__brj_bin"))
+      assert(between.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == Set((1L, 7L), (2L, 7L), (3L, 7L)))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("BinRangeJoin rule: joins with an equi conjunct are left alone") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
