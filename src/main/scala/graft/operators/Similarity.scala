@@ -200,4 +200,22 @@ object Similarity {
     a.join(b, col("id2") > col("id1") && col("id2") <= col("id1") + window)
       .select(col("id1"), col("id2"), (round(cosine(col("v1"), col("v2")), 4) + lit(0.0)).as("cos"))
   }
+
+  /** Per-group embedding centroids in LONG form (group, dimension,
+    * value) — the k-means update step / class-prototype primitive.
+    * Element values quantize to integer micro-units before the sum, so
+    * the per-dimension mean is exact integer arithmetic divided ONCE:
+    * independent of partial-aggregation order (a raw double sum
+    * drifts with partitioning) and reproducible across engines. One
+    * shuffle on (group, dim); rows x dims intermediate, map-side
+    * combined. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("v") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round(col("s").cast("double") / col("n") / 1000000.0, 6)
+          .as("centroid_val"))
 }

@@ -148,6 +148,25 @@ object AnnQueries {
 
     // Salting is result-invariant: the salted join must equal the plain
     // join (the oracle IS the plain join).
+    // Per-label embedding centroids (k-means update / class prototype):
+    // long-form (label, dim, value), micro-unit quantization makes the
+    // mean exact and order-independent.
+    QueryDef(
+      "q_sim_centroids",
+      (s, d) => graft.operators.Similarity.centroids(
+        QueryDef.load(s, d, "embeddings"), "label", "embedding"),
+      Some("""WITH t AS (SELECT label,
+             |  unnest(range(0, len(embedding))) AS pos,
+             |  unnest(embedding::DOUBLE[]) AS v
+             |  FROM embeddings),
+             |q AS (SELECT label, pos,
+             |  CAST(round(v * 1000000) AS BIGINT) AS micro FROM t)
+             |SELECT label, pos,
+             | round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+             |   AS centroid_val
+             |FROM q GROUP BY label, pos""".stripMargin),
+    ),
+
     QueryDef(
       "q_join_salted",
       (s, d) => SkewJoin.saltedJoin(
