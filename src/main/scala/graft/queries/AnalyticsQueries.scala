@@ -136,6 +136,42 @@ object AnalyticsQueries {
         .stripMargin),
     ),
 
+    // The dedicated relational PIVOT (DataFrame .pivot API with an
+    // explicit value list — without it Spark needs an extra pass to
+    // discover the pivot values; always pass the list at scale).
+    QueryDef(
+      "q_pivot_api",
+      (s, d) => QueryDef.loadEvents(s, d)
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count(),
+      Some("""SELECT user_id % 10 AS user_bucket,
+             | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+             |FROM events GROUP BY 1""".stripMargin),
+    ),
+
+    // ntile quantile bucketing (equal-frequency binning) with a total
+    // order for determinism.
+    QueryDef(
+      "q_window_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        load(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .withColumn("quartile", ntile(4).over(w))
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             | ntile(4) OVER (PARTITION BY l_returnflag
+             |   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile
+             |FROM lineitem""".stripMargin),
+    ),
+
     // Exact distinct counting (the expand-based distinct aggregate —
     // the exact counterpart of approx_count_distinct, which stays
     // spec-only because HLL estimates are engine-specific).
