@@ -207,15 +207,20 @@ object Dedup {
   def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
       fpp: Double = 1e-4): DataFrame = {
+    // persist: sizing (count) and building (bloomFilter) are two
+    // actions over the same shingle subtree — without the cache the
+    // eval-side tokenize/explode/distinct runs twice
     val evalHashes = shingleHashes(evalSet, textCol, idCol, n)
-      .select(col("h")).distinct()
-    val expected = math.max(evalHashes.count(), 1L)
-    val bf = evalHashes.stat.bloomFilter("h", expected, fpp)
-    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
-    shingleHashes(corpus, textCol, idCol, n)
-      .filter(mightContain(col("h")))
-      .select(col("id").as(idCol)).distinct()
+      .select(col("h")).distinct().persist()
+    try {
+      val expected = math.max(evalHashes.count(), 1L)
+      val bf = evalHashes.stat.bloomFilter("h", expected, fpp)
+      val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
+      shingleHashes(corpus, textCol, idCol, n)
+        .filter(mightContain(col("h")))
+        .select(col("id").as(idCol)).distinct()
+    } finally evalHashes.unpersist(blocking = false)
   }
 
   /** Connected-component labels over candidate duplicate pairs: every

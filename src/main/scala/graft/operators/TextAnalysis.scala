@@ -143,9 +143,14 @@ object TextAnalysis {
       idCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df
       .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
-      .select(col("doc_id"), explode(col("__ws")).as("term"))
+      // explode_outer: plain explode infers a size>0 filter that
+      // re-inlines the words() regex below the projection (see
+      // Dedup.shingleHashes) — same results, double the scan work
+      .select(col("doc_id"), explode_outer(col("__ws")).as("term"))
     val termCounts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("n"))
+    // count(term), not count(*): explode_outer emits a null term row
+    // for null-text docs, which must not inflate the corpus total
+    val total = toks.agg(count(col("term")).as("n"))
     toks.join(termCounts, "term")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),

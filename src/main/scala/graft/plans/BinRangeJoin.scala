@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -98,13 +98,24 @@ object BinRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
+  /** Post-analysis no implicit casts are inserted, so IntegerType
+    * operands must be cast to long explicitly before mixing with the
+    * Long bin literals (an un-cast mix fails BinaryOperator's type
+    * check and invalidates the plan). */
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case _ => Cast(e, LongType)
+  }
+
   private def rewrite(
       join: Join,
       pointSide: LogicalPlan,
       intervalSide: LogicalPlan,
-      p: Expression,
-      s: Expression,
+      hint: JoinHint,
+      p0: Expression,
+      s0: Expression,
       len: Long): LogicalPlan = {
+    val (p, s) = (asLong(p0), asLong(s0))
     val bin = len // bin width = interval length: <= 2 bins per interval
     val pBin = Alias(floorDiv(p, bin), "__brj_bin_p")()
     val newPoint = Project(pointSide.output :+ pBin, pointSide)
@@ -122,7 +133,7 @@ object BinRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       child = intervalSide)
     val newCond = And(EqualTo(pBin.toAttribute, ivBinAttr),
       join.condition.get)
-    val binned = Join(newPoint, newInterval, Inner, Some(newCond), join.hint)
+    val binned = Join(newPoint, newInterval, Inner, Some(newCond), hint)
     // restore the original output (and column order)
     Project(join.output, binned)
   }
@@ -133,9 +144,13 @@ object BinRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       if (crossSideEquality(conjuncts, left, right)) j
       else {
         matchRange(conjuncts, left, right)
-          .map { case (p, s, len) => rewrite(j, left, right, p, s, len) }
+          .map { case (p, s, len) => rewrite(j, left, right, j.hint, p, s, len) }
           .orElse(matchRange(conjuncts, right, left)
-            .map { case (p, s, len) => rewrite(j, right, left, p, s, len) })
+            .map { case (p, s, len) =>
+              // children swap sides -> side-specific hints swap with them
+              rewrite(j, right, left,
+                JoinHint(j.hint.rightHint, j.hint.leftHint), p, s, len)
+            })
           .getOrElse(j)
       }
   }

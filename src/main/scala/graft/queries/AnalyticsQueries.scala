@@ -144,7 +144,10 @@ object AnalyticsQueries {
       (s, d) => QueryDef.loadEvents(s, d)
         .groupBy((col("user_id") % 10).as("user_bucket"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .count(),
+        .count()
+        // pivot leaves absent (bucket, type) cells NULL; the conditional
+        // -agg oracle yields 0 — normalize so sparse buckets stay parity
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error")),
       Some("""SELECT user_id % 10 AS user_bucket,
              | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
              | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,

@@ -134,6 +134,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("BinRangeJoin rule: INT (not just LONG) point/start columns work") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      // all-INT operands: the analyzer inserts no casts, so the rule
+      // must cast before mixing with its Long bin literals
+      Seq((1, 100), (2, 699), (3, 700)).toDF("pid", "pe")
+        .createOrReplaceTempView("i_p")
+      Seq((7, 100)).toDF("iid", "se").createOrReplaceTempView("i_iv")
+      val df = s2.sql(
+        """SELECT pid, iid FROM i_p JOIN i_iv
+          |ON pe >= se AND pe < se + 600""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__brj_bin"))
+      assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+        == Set((1, 7), (2, 7)))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("BinRangeJoin rule: joins with an equi conjunct are left alone") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
