@@ -177,6 +177,44 @@ object CorpusQueries {
               |FROM r WHERE pr >= 0.25""".stripMargin),
     ),
 
+    // Corpus reporting: per-language doc/token/char totals, exact
+    // average tokens-per-doc (one double division of exact BIGINTs),
+    // and nearest-rank median doc length.
+    QueryDef(
+      "q_corpus_stats",
+      (s, d) => {
+        val base = QueryDef.load(s, d, "documents").select(col("lang"),
+          col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("nt"), col("doc_id"))
+        val wc = Window.partitionBy(col("lang"))
+        base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wc))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_tokens"),
+            sum(col("nc")).as("total_chars"),
+            round(sum(col("nt")).cast(DoubleType) / count(lit(1)), 6)
+              .as("avg_tokens"),
+            max(when(col("rn") === ceil(col("n") * 0.5), col("nt")))
+              .as("median_tokens"))
+      },
+      Some("""WITH t AS (SELECT lang, doc_id,
+             |  len(string_split(text, ' ')) AS nt, length(text) AS nc
+             |  FROM documents),
+             |r AS (SELECT lang, nt, nc,
+             |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nt, doc_id) AS rn,
+             |  count(*) OVER (PARTITION BY lang) AS n FROM t)
+             |SELECT lang, count(*) AS n_docs,
+             | CAST(sum(nt) AS BIGINT) AS total_tokens,
+             | CAST(sum(nc) AS BIGINT) AS total_chars,
+             | round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS avg_tokens,
+             | CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN nt END) AS BIGINT)
+             |   AS median_tokens
+             |FROM r GROUP BY lang""".stripMargin),
+    ),
+
     // THE corpus-construction flagship: the full deterministic chain a
     // training-data build runs, composed from the individually-proven
     // operators — exact-dedup to canonical docs, drop eval-contaminated
