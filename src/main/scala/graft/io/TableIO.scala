@@ -133,16 +133,21 @@ object TableIO {
   /** Table/relation-not-found detection across common JDBC dialects
     * (Spark analysis, Postgres, Derby, SQLite, MySQL), checked down the
     * cause chain. Matches the reference's narrow catch. Prefers the
-    * standard SQLState 42S02 / MySQL error 1146 when the cause is a
+    * standard SQLState 42S02 when the cause is a
     * [[java.sql.SQLException]]; message heuristics cover engines that
     * report table-missing without the standard state (and note MySQL's
     * message uses the contraction "doesn't exist", not "does not"). */
   private[io] def isMissingJdbcTable(e: Throwable): Boolean = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
     chain.exists { t =>
+      // SQLState 42S02 is the cross-dialect "base table not found"
+      // class (MySQL, MariaDB, SQL Server). Deliberately NOT matching
+      // bare vendor code 1146: vendor codes are dialect-scoped, and a
+      // non-MySQL engine's unrelated 1146 would silently bootstrap an
+      // empty table (MySQL's 1146 always carries 42S02 and the
+      // "doesn't exist" message anyway).
       val sqlStateHit = t match {
-        case s: java.sql.SQLException =>
-          s.getSQLState == "42S02" || s.getErrorCode == 1146
+        case s: java.sql.SQLException => s.getSQLState == "42S02"
         case _ => false
       }
       val m = Option(t.getMessage).getOrElse("").toLowerCase

@@ -35,6 +35,13 @@ object Corpus {
       defaultRate: Double = 0.0,
       salt: String = "mix",
   ): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach { r =>
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r")
+      // resolution is one basis point; a tiny non-zero rate silently
+      // rounding to "keep nothing" must be an error, not a surprise
+      require(r == 0.0 || r >= 0.5 / 10000,
+        s"rate $r is below the 1-basis-point resolution (use 0 or >= 1e-4)")
+    }
     def bp(r: Double): Int = math.round(r * 10000).toInt
     val bucket =
       Dedup.md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) % 10000

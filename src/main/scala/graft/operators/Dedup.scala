@@ -215,6 +215,12 @@ object Dedup {
     try {
       val expected = math.max(evalHashes.count(), 1L)
       val bf = evalHashes.stat.bloomFilter("h", expected, fpp)
+      // broadcast lifetime = returned DataFrame lifetime: the UDF
+      // closure pins it while the plan is referenced, and Spark's
+      // ContextCleaner reclaims the blocks once the DataFrame (and
+      // with it this handle) is garbage-collected. Callers looping
+      // over many eval sets should drop each returned DataFrame
+      // after their action so the ~100 MB-class filters are freed.
       val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
       val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
       shingleHashes(corpus, textCol, idCol, n)
