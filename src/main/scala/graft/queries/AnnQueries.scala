@@ -126,6 +126,37 @@ object AnnQueries {
         .stripMargin),
     ),
 
+    // Embedding-side END-TO-END semantic dedup (SemDeDup-style): LSH
+    // near-dup pairs -> connected components -> canonical keep-set
+    // (keep = the min-id representative of each duplicate cluster).
+    // Same composition shape as the text-side q_corpus_pipeline.
+    QueryDef(
+      "q_dedup_semantic",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        val pairs = Dedup.embeddingDedup(e, "vec_id", "embedding",
+          threshold = 0.2, bits = 4).select(col("id1"), col("id2"))
+        Dedup.dupClusters(pairs, e, "vec_id")
+          .select(col("vec_id"), col("cluster"),
+            (col("vec_id") === col("cluster")).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |b AS (SELECT vec_id AS id, v, ${duckBucket("v", 4)} AS bucket FROM e),
+              |p AS (SELECT l.id AS id1, r.id AS id2
+              |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+              |  WHERE list_cosine_similarity(l.v, r.v) >= 0.2),
+              |edges AS (SELECT id1, id2 FROM p
+              |  UNION ALL SELECT id2, id1 FROM p),
+              |reach(id, r) AS (
+              |  SELECT vec_id, vec_id FROM embeddings
+              |  UNION
+              |  SELECT e2.id2, reach.r FROM reach JOIN edges e2 ON e2.id1 = reach.id),
+              |c AS (SELECT id AS vec_id, min(r) AS cluster FROM reach GROUP BY id)
+              |SELECT vec_id, cluster, vec_id = cluster AS keep FROM c"""
+        .stripMargin),
+    ),
+
     // Multi-band SimHash near-dup pairs (hamming <= 3 over 32 bits in
     // 4 bands; pigeonhole makes recall exact). 32-bit signatures, not
     // 16: an 8-bit band key gives 256 buckets per band, keeping the
