@@ -238,6 +238,31 @@ object AnalyticsQueries {
              |        AND o2.o_orderkey > o.o_orderkey)))""".stripMargin),
     ),
 
+    // Fuzzy string matching (edit distance): near-matching customer
+    // names within an id window — the record-linkage / entity-dedup
+    // primitive. levenshtein is the classic DP edit distance in both
+    // engines; the id-window join bounds candidates (real linkage
+    // would block on a phonetic/ngram key the same way the dedup
+    // family blocks on bands).
+    QueryDef(
+      "q_fuzzy_match",
+      (s, d) => {
+        val c = load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        val a = c.select(col("c_custkey").as("id1"), col("c_name").as("n1"))
+        val b = c.select(col("c_custkey").as("id2"), col("c_name").as("n2"))
+        a.join(b, col("id2") > col("id1") && col("id2") <= col("id1") + 3)
+          .select(col("id1"), col("id2"),
+            levenshtein(col("n1"), col("n2")).as("edit_dist"))
+          .filter(col("edit_dist") <= 4)
+      },
+      Some("""SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+             | levenshtein(a.c_name, b.c_name) AS edit_dist
+             |FROM customer a JOIN customer b
+             | ON b.c_custkey > a.c_custkey AND b.c_custkey <= a.c_custkey + 3
+             |WHERE levenshtein(a.c_name, b.c_name) <= 4""".stripMargin),
+    ),
+
     // Date arithmetic across a fact-fact join: ship delay in days per
     // order priority. The average divides an exact BIGINT sum by the
     // count in ONE double division — identical in any engine.
