@@ -28,7 +28,7 @@ object AnalyticsQueries {
         val daily = load(s, d, "orders")
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
           .agg(sum(col("o_totalprice").cast(DecimalType(14, 2))).as("__rev"))
-        val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        val w = Window.orderBy(col("day").asc_nulls_last).rowsBetween(-6, 0)
         daily.select(col("day"),
           col("__rev").cast(DoubleType).as("rev"),
           // rolling SUM of exact decimals: bit-identical after the one
@@ -41,9 +41,9 @@ object AnalyticsQueries {
              |  sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
              |  FROM orders GROUP BY 1)
              |SELECT day, CAST(rev AS DOUBLE) AS rev,
-             | CAST(sum(rev) OVER (ORDER BY day
+             | CAST(sum(rev) OVER (ORDER BY day NULLS LAST
              |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
-             | count(*) OVER (ORDER BY day
+             | count(*) OVER (ORDER BY day NULLS LAST
              |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
              |FROM daily""".stripMargin),
     ),
@@ -57,7 +57,7 @@ object AnalyticsQueries {
         val ev = QueryDef.loadEvents(s, d)
           .withColumn("ts", date_trunc("second", col("ts")))
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
+          .orderBy(col("ts").asc_nulls_last, col("event_id"))
         ev.select(col("user_id"), col("event_id"), col("ts"))
           .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
           .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
@@ -75,7 +75,7 @@ object AnalyticsQueries {
              | lead(event_id) OVER w AS next_event_id,
              | date_diff('second', lag(ts) OVER w, ts) AS gap_sec
              |FROM e
-             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)"""
         .stripMargin),
     ),
 
@@ -91,7 +91,7 @@ object AnalyticsQueries {
           .withColumn("ts", date_trunc("second", col("ts")))
           .select(col("user_id"), col("event_id"), col("ts"))
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
+          .orderBy(col("ts").asc_nulls_last, col("event_id"))
         val prev = lag(col("ts"), 1).over(w)
         ev.withColumn("new_s",
             when(prev.isNull ||
@@ -110,10 +110,10 @@ object AnalyticsQueries {
              |       OR date_diff('second', lag(ts) OVER w, ts) > 1800
              |    THEN 1 ELSE 0 END AS new_s
              |  FROM e
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id))
              |SELECT user_id, event_id,
              | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-             | CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             | CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
              |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |   AS session_seq
              |FROM f""".stripMargin),
@@ -163,7 +163,7 @@ object AnalyticsQueries {
       "q_window_ntile",
       (s, d) => {
         val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_extendedprice").asc_nulls_last, col("l_orderkey"), col("l_linenumber"))
         load(s, d, "lineitem")
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             col("l_extendedprice"))
@@ -171,7 +171,7 @@ object AnalyticsQueries {
       },
       Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
              | ntile(4) OVER (PARTITION BY l_returnflag
-             |   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile
+             |   ORDER BY l_extendedprice NULLS LAST, l_orderkey, l_linenumber) AS quartile
              |FROM lineitem""".stripMargin),
     ),
 
@@ -300,7 +300,7 @@ object AnalyticsQueries {
       "q_agg_percentiles",
       (s, d) => {
         val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_extendedprice"), col("l_orderkey"))
+          .orderBy(col("l_extendedprice").asc_nulls_last, col("l_orderkey"))
         val wc = Window.partitionBy(col("l_returnflag"))
         load(s, d, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
@@ -318,7 +318,7 @@ object AnalyticsQueries {
       },
       Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
              |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
-             |    ORDER BY l_extendedprice, l_orderkey) AS rn,
+             |    ORDER BY l_extendedprice NULLS LAST, l_orderkey) AS rn,
              |  count(*) OVER (PARTITION BY l_returnflag) AS n
              |  FROM lineitem)
              |SELECT l_returnflag,

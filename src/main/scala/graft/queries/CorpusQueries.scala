@@ -156,7 +156,7 @@ object CorpusQueries {
         val base = QueryDef.load(s, d, "documents").select(
           col("doc_id"), col("lang"),
           TextAnalysis.qualityScore(col("text")).as("q"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("q"), col("doc_id"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("q").asc_nulls_last, col("doc_id"))
         base.withColumn("pr", percent_rank().over(w))
           .filter(col("pr") >= 0.25)
           .select(col("doc_id"), col("lang"), col("q"),
@@ -171,7 +171,7 @@ object CorpusQueries {
               |        x -> x IN ($stopList))) AS stop_hits
               |    FROM documents)),
               |r AS (SELECT doc_id, lang, q,
-              |  percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+              |  percent_rank() OVER (PARTITION BY lang ORDER BY q NULLS LAST, doc_id) AS pr
               |  FROM t)
               |SELECT doc_id, lang, q, round(pr, 6) AS pr
               |FROM r WHERE pr >= 0.25""".stripMargin),
@@ -186,7 +186,7 @@ object CorpusQueries {
         val base = QueryDef.load(s, d, "documents").select(col("lang"),
           col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
           length(col("text")).cast("long").as("nc"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("nt"), col("doc_id"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("nt").asc_nulls_last, col("doc_id"))
         val wc = Window.partitionBy(col("lang"))
         base
           .withColumn("rn", row_number().over(w))
@@ -204,7 +204,7 @@ object CorpusQueries {
              |  len(string_split(text, ' ')) AS nt, length(text) AS nc
              |  FROM documents),
              |r AS (SELECT lang, nt, nc,
-             |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nt, doc_id) AS rn,
+             |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nt NULLS LAST, doc_id) AS rn,
              |  count(*) OVER (PARTITION BY lang) AS n FROM t)
              |SELECT lang, count(*) AS n_docs,
              | CAST(sum(nt) AS BIGINT) AS total_tokens,
@@ -236,7 +236,7 @@ object CorpusQueries {
         val clean = base.join(contam, Seq("doc_id"), "left_anti")
         val scored = clean.select(col("doc_id"), col("lang"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("q"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("q"), col("doc_id"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("q").asc_nulls_last, col("doc_id"))
         val kept = scored.withColumn("pr", percent_rank().over(w))
           .filter(col("pr") >= 0.10)
           .select(col("doc_id"), col("lang"), col("source"))
@@ -272,7 +272,7 @@ object CorpusQueries {
               |    FROM clean)),
               |kept AS (SELECT doc_id, lang, source FROM (
               |  SELECT doc_id, lang, source,
-              |    percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+              |    percent_rank() OVER (PARTITION BY lang ORDER BY q NULLS LAST, doc_id) AS pr
               |  FROM scored) WHERE pr >= 0.10),
               |capped AS (SELECT doc_id, lang, source FROM (
               |  SELECT doc_id, lang, source,
