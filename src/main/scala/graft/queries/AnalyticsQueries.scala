@@ -238,6 +238,71 @@ object AnalyticsQueries {
              |        AND o2.o_orderkey > o.o_orderkey)))""".stripMargin),
     ),
 
+    // TPC-H Q5-shaped star join: 6 tables, region filter reaching the
+    // region scan, small dims broadcast down the chain, one agg
+    // shuffle at the end. The multi-way join-planning stress the rest
+    // of the set lacks.
+    QueryDef(
+      "q_star_join",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val o = load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = load(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val su = load(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val n = load(s, d, "nation").select(col("n_nationkey"), col("n_regionkey"),
+          col("n_name"))
+        val r = load(s, d, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+             | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             | count(*) AS n_items
+             |FROM lineitem
+             | JOIN orders ON l_orderkey = o_orderkey
+             | JOIN customer ON o_custkey = c_custkey
+             | JOIN supplier ON l_suppkey = s_suppkey
+             |   AND c_nationkey = s_nationkey
+             | JOIN nation ON s_nationkey = n_nationkey
+             | JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin),
+    ),
+
+    // ORDER BY + LIMIT top-k (TPC-H Q3 shape): Spark plans a
+    // TakeOrderedAndProject — per-partition top-k then a k-row merge
+    // on the driver, never a global sort. Deterministic via the
+    // orderkey tiebreak.
+    QueryDef(
+      "q_top_orders",
+      (s, d) => load(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6)).as("rev"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("rev")).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10),
+      Some("""SELECT l_orderkey,
+             | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem GROUP BY l_orderkey
+             |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin),
+    ),
+
     // Fuzzy string matching (edit distance): near-matching customer
     // names within an id window — the record-linkage / entity-dedup
     // primitive. levenshtein is the classic DP edit distance in both
