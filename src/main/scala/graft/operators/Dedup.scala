@@ -185,6 +185,28 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** Graded contamination score: for EVERY corpus document, the
+    * fraction of its distinct n-gram shingles that appear in the eval
+    * set (0.0 = clean, 1.0 = fully contained). [[contaminatedDocs]]
+    * answers "which docs overlap at all"; this is the thresholdable
+    * variant pipelines use to drop only heavily-contaminated docs.
+    * Same 100 TB shape — the eval side collapses to a broadcastable
+    * distinct hash set and the corpus aggregates map-side; the LEFT
+    * join keeps clean docs (score 0) in the output. */
+  def contaminationScores(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val corpusHashes = shingleHashes(corpus, textCol, idCol, n)
+      .distinct() // per-doc DISTINCT shingles: repeated grams count once
+    val evalHashes = shingleHashes(evalSet, textCol, idCol, n)
+      .select(col("h"), lit(1).as("__hit")).distinct()
+    corpusHashes.join(broadcast(evalHashes), Seq("h"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_shared"))
+      .withColumn("score",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Bloom-filter decontamination PRE-FILTER: flags corpus docs whose
     * shingle set MIGHT overlap the eval set, using a Bloom filter
     * built from the eval shingle hashes. Guarantees NO false negatives

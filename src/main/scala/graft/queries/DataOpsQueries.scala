@@ -315,6 +315,27 @@ object DataOpsQueries {
               |WHERE hs.doc_id >= 10 GROUP BY hs.doc_id""".stripMargin),
     ),
 
+    // Graded contamination: per-doc FRACTION of distinct shingles
+    // shared with the eval set (thresholdable score; clean docs kept
+    // at 0.0). One integer division per doc after exact BIGINT counts.
+    QueryDef(
+      "q_contamination_ratio",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        Dedup.contaminationScores(
+          docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10), "text", "doc_id")
+      },
+      Some(s"""WITH $duckShingleHashes,
+              |dh AS (SELECT DISTINCT doc_id, h FROM hs),
+              |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id < 10)
+              |SELECT dh.doc_id, count(*) AS n_shingles,
+              | count(ev.h) AS n_shared,
+              | round(CAST(count(ev.h) AS DOUBLE) / count(*), 6) AS score
+              |FROM dh LEFT JOIN ev ON dh.h = ev.h
+              |WHERE dh.doc_id >= 10 GROUP BY dh.doc_id""".stripMargin),
+    ),
+
     // Deterministic hash-bucketed train/val/test split: stable across
     // runs/partitionings, identical bucketing on both engines.
     QueryDef(

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Second wave of analytic-SQL breadth: explicit GROUPING SETS, bag
+  * set-operations (INTERSECT/EXCEPT ALL), array higher-order
+  * functions, string-function coverage, RANGE window frames, and
+  * exact moment statistics (stddev/corr) built from decimal power
+  * sums. The numeric-parity conventions are the repo's usual ones
+  * (QueryDef scaladoc); moment statistics add one more: every float
+  * op after the exact decimal sums is written in the SAME order on
+  * both engines, so the doubles are bit-identical, not just close.
+  */
+object SqlBreadthQueries {
+
+  private def load = QueryDef.load _
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Explicit GROUPING SETS — the general form underlying rollup and
+    // cube (both already covered): an arbitrary subset of grouping
+    // combinations, planned as one Expand + single aggregation pass
+    // (NOT one scan per set).
+    QueryDef(
+      "q_grouping_sets",
+      (s, d) => load(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          grouping_id().as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             | GROUPING(l_returnflag, l_linestatus) AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_returnflag), ())""".stripMargin),
+    ),
+
+    // INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicities
+    // min / subtract, vs the distinct-set forms in q_set_ops). Spark
+    // plans these as an aggregate over per-side counts + generate,
+    // never a quadratic pair join.
+    QueryDef(
+      "q_intersect_all",
+      (s, d) => {
+        val l = load(s, d, "lineitem")
+        val r = l.filter(col("l_returnflag") === "R").select("l_orderkey")
+        val a = l.filter(col("l_returnflag") === "A").select("l_orderkey")
+        r.intersectAll(a).withColumn("tag", lit("both_all"))
+          .union(r.exceptAll(a).withColumn("tag", lit("r_excess")))
+      },
+      Some("""SELECT l_orderkey, 'both_all' AS tag FROM (
+             |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+             |  INTERSECT ALL
+             |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+             |UNION ALL
+             |SELECT l_orderkey, 'r_excess' AS tag FROM (
+             |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+             |  EXCEPT ALL
+             |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A')"""
+        .stripMargin),
+    ),
+
+    // Array higher-order functions over a collected-per-group array:
+    // array_sort(collect_list(...)) makes the array deterministic,
+    // then transform / filter / aggregate run INSIDE the row — no
+    // explode-regroup round trip, no extra shuffle. All element math
+    // is integral so both engines agree exactly.
+    QueryDef(
+      "q_array_hof",
+      (s, d) => load(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("l_quantity").cast(LongType)))
+          .as("qs"))
+        .select(col("l_orderkey"),
+          array_join(transform(col("qs"), _.cast("string")), ",")
+            .as("qs_str"),
+          size(filter(col("qs"), _ >= 25)).cast(LongType).as("n_big"),
+          aggregate(col("qs"), lit(0L), (acc, x) => acc + x * 2)
+            .as("doubled_sum")),
+      Some("""WITH a AS (SELECT l_orderkey,
+             |  list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey,
+             | array_to_string(qs, ',') AS qs_str,
+             | CAST(len(list_filter(qs, x -> x >= 25)) AS BIGINT) AS n_big,
+             | CAST(list_sum(list_transform(qs, x -> x * 2)) AS BIGINT)
+             |   AS doubled_sum
+             |FROM a""".stripMargin),
+    ),
+
+    // String-function breadth in one scan-local pass: regexp_extract,
+    // pad/trim, translate, substring/locate, reverse, split +
+    // element_at, conditional concat. Everything stays inside
+    // whole-stage codegen; no UDFs.
+    QueryDef(
+      "q_string_funcs",
+      (s, d) => load(s, d, "customer")
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("id_str"),
+          lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("xlated"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          instr(col("c_name"), "#").cast(LongType).as("hash_pos"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          element_at(split(col("c_name"), "#"), 2).as("after_hash"),
+          concat_ws("|", col("c_mktsegment"),
+            upper(col("c_name"))).as("joined")),
+      Some("""SELECT c_custkey,
+             | regexp_extract(c_name, '([0-9]+)$', 1) AS id_str,
+             | lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+             | translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlated,
+             | substring(c_name, 1, 8) AS prefix,
+             | CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+             | reverse(c_mktsegment) AS rev_seg,
+             | string_split(c_name, '#')[2] AS after_hash,
+             | concat_ws('|', c_mktsegment, upper(c_name)) AS joined
+             |FROM customer""".stripMargin),
+    ),
+
+    // RANGE window frame (value-based, vs the ROWS frames already
+    // covered): trailing-30-day revenue per customer keyed on an
+    // integer day number. RANGE makes the frame deterministic under
+    // ties by construction — all rows of an equal day are in or out
+    // together — so no tiebreaker column is needed.
+    QueryDef(
+      "q_window_range",
+      (s, d) => {
+        val o = load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"),
+            lit("1970-01-01").cast("date")).cast(LongType).as("day_num"),
+          col("o_totalprice").cast(DecimalType(14, 2)).as("__price"))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day_num")).rangeBetween(-29, 0)
+        o.select(col("o_orderkey"), col("o_custkey"), col("day_num"),
+          sum(col("__price")).over(w).cast(DoubleType).as("rev_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+             |  date_diff('day', DATE '1970-01-01', o_orderdate) AS day_num,
+             |  CAST(o_totalprice AS DECIMAL(14,2)) AS price FROM orders)
+             |SELECT o_orderkey, o_custkey, day_num,
+             | CAST(sum(price) OVER w AS DOUBLE) AS rev_30d,
+             | count(*) OVER w AS n_30d
+             |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+             |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin),
+    ),
+
+    // Exact moment statistics: mean / population stddev / Pearson
+    // correlation per group, from DECIMAL power sums (sx, sxx, sy,
+    // syy, sxy) — order-independent exact partial aggregation, the
+    // built-in stddev/corr's float accumulators are partitioning-
+    // dependent and can't hash-match across engines. The float math
+    // happens ONCE per group after aggregation, identically ordered
+    // on both sides.
+    QueryDef(
+      "q_moment_stats",
+      (s, d) => {
+        val x = col("l_extendedprice").cast(DecimalType(18, 2))
+        val y = col("l_quantity").cast(DecimalType(18, 2))
+        val sums = load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast(DoubleType).as("__sx"),
+            sum(x * x).cast(DoubleType).as("__sxx"),
+            sum(y).cast(DoubleType).as("__sy"),
+            sum(y * y).cast(DoubleType).as("__syy"),
+            sum(x * y).cast(DoubleType).as("__sxy"))
+        val nd = col("n").cast(DoubleType)
+        val mx = col("__sx") / nd
+        val my = col("__sy") / nd
+        val sdx = sqrt(col("__sxx") / nd - mx * mx)
+        val sdy = sqrt(col("__syy") / nd - my * my)
+        sums.select(col("l_returnflag"), col("n"),
+          round(mx, 6).as("mean_price"),
+          round(sdx, 6).as("std_price"),
+          round(my, 6).as("mean_qty"),
+          round(sdy, 6).as("std_qty"),
+          round((col("__sxy") / nd - mx * my) / (sdx * sdy), 6)
+            .as("corr_pq"))
+      },
+      Some("""WITH sums AS (SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x*x) AS DOUBLE) AS sxx,
+             |  CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(y*y) AS DOUBLE) AS syy,
+             |  CAST(sum(x*y) AS DOUBLE) AS sxy
+             |  FROM (SELECT l_returnflag,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
+             |    CAST(l_quantity AS DECIMAL(18,2)) AS y FROM lineitem)
+             |  GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             | round(sx / n, 6) AS mean_price,
+             | round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS std_price,
+             | round(sy / n, 6) AS mean_qty,
+             | round(sqrt(syy / n - (sy / n) * (sy / n)), 6) AS std_qty,
+             | round((sxy / n - (sx / n) * (sy / n)) /
+             |   (sqrt(sxx / n - (sx / n) * (sx / n)) *
+             |    sqrt(syy / n - (sy / n) * (sy / n))), 6) AS corr_pq
+             |FROM sums""".stripMargin),
+    ),
+  )
+}
