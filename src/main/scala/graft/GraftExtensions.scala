@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite pure range joins (p >= s AND p < s + L, no equi key)
     // from nested-loop shape into a binned hash equi-join
     ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin)
+    // plan the native sorted-merge as-of join node
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

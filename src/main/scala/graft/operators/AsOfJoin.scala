@@ -61,4 +61,51 @@ object AsOfJoin {
       .filter(col("__r") === 0)
       .select(leftOut ++ rightOut: _*)
   }
+
+  /** Same join, executed by the native sorted-merge physical node
+    * ([[graft.plans.AsOfJoinExec]]) instead of the union-window
+    * composition — preference (c) of the ladder. Same output shape
+    * (left.* then `asof_`-prefixed right columns); prefer it when the
+    * left side is wide, since the composition shuffles left rows
+    * padded to the union width while the node shuffles each side only
+    * as itself. Keys and timestamps must have matching types on both
+    * sides. NULL keys/timestamps follow SQL join semantics (never
+    * match; left rows still emitted). */
+  def asOfJoinMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightValueCols: Seq[String],
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val spark = left.sparkSession
+    GraftSqlBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+
+    // rename right columns before the join so the combined output has
+    // no duplicate names: keys get droppable __asof_k_* aliases, the
+    // ts/value payload its public asof_* names
+    val keyAliases = keys.map(k => k -> s"__asof_k_$k")
+    val rightProj = right.select(
+      keyAliases.map { case (k, a) => col(k).as(a) } ++
+        (rightTs +: rightValueCols).map(c => col(c).as(s"asof_$c")): _*)
+
+    val lPlan = GraftSqlBridge.analyzedPlan(left)
+    val rPlan = GraftSqlBridge.analyzedPlan(rightProj)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}"))
+
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)),
+      keyAliases.map { case (_, a) => attr(rPlan, a) },
+      attr(lPlan, leftTs),
+      attr(rPlan, s"asof_$rightTs"))
+    GraftSqlBridge.ofRows(spark, node)
+      .drop(keyAliases.map(_._2): _*)
+  }
 }

@@ -95,6 +95,44 @@ object DataOpsQueries {
              | ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
     ),
 
+    // The SAME as-of join through the native sorted-merge physical
+    // node (AsOfJoinExec — custom LogicalPlan + Strategy + SparkPlan)
+    // instead of the union-window composition; same DuckDB oracle.
+    QueryDef(
+      "q_asof_join_exec",
+      (s, d) => {
+        val ev = eventsSec(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts")).orderBy(col("click_id").desc)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("event_id").as("click_id"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        AsOfJoin.asOfJoinMerge(purchases, clicks, Seq("user_id"), "ts", "ts",
+            Seq("value", "click_id"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+            col("asof_value"), col("asof_click_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c0 AS (SELECT user_id, date_trunc('second', ts) AS ts, value,
+             |  event_id AS click_id,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('second', ts)
+             |    ORDER BY event_id DESC) AS rn
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id,
+             | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+             | c.value AS asof_value, c.click_id AS asof_click_id
+             |FROM p ASOF LEFT JOIN
+             | (SELECT user_id, ts, value, click_id FROM c0 WHERE rn = 1) c
+             | ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payload + typed metadata; the decode
     // runs the real partition-batched machinery (stub codec), and the
     // oracle checks its integer outputs (dims derive from byte length).
