@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming operators.
   *
@@ -131,6 +131,47 @@ object EventStreams {
       watermark: String = "1 hour"): DataFrame =
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Exactly-once parquet FILE sink: the checkpoint tracks committed
+    * batch ids and the sink's file-manifest log makes partially-written
+    * batches invisible to readers, so a crash/restart never duplicates
+    * or tears a batch. Readers see only committed files (they must go
+    * through the same Spark file-source path, which consults the
+    * manifest). This is the default landing pattern for a corpus feed:
+    * append-only parquet, optionally hive-partitioned. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      partitionBy: Seq[String] = Nil): StreamingQuery = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
+  }
+
+  /** Idempotent per-micro-batch write for [[foreachBatchSink]]: each
+    * batch lands in its own `batch_id=N` hive partition under dynamic
+    * partition overwrite, so a REPLAYED batch (restart after a failure
+    * between sink write and checkpoint commit) overwrites exactly its
+    * own partition instead of duplicating rows — the standard
+    * batchId-keyed idempotence recipe for sinks without transactions. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, targetDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(targetDir)
+
+  /** foreachBatch sink: runs arbitrary BATCH logic per micro-batch —
+    * the escape hatch for sinks Structured Streaming lacks natively
+    * (JDBC upserts, multi-table writes). Exactly-once = source replay
+    * (checkpoint) + the idempotent batch write above. */
+  def foreachBatchSink(stream: DataFrame, targetDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(b.toDF(), id, targetDir))
+      .start()
 
   final case class Proposal(cve_id: String, package_name: String, proposed: String)
   final case class KeyedState(cve_id: String, package_name: String, status: String,

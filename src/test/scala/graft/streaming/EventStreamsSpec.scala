@@ -186,4 +186,58 @@ class EventStreamsSpec extends SparkSpec {
       assert(m("CVE-2").getAs[Long]("blocked") == 1)
     } finally q.stop()
   }
+
+  test("parquet file sink: checkpointed restart appends without duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = MemoryStream[Event]
+    val q1 = parquetSink(input.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData(Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 1, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the SAME checkpoint: only the new rows are written
+    val q2 = parquetSink(input.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData(Event(3, ts(3), 2, "click", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$dir/data")
+      .select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("foreachBatch sink: batch replay is idempotent, stream lands all rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fb").toString
+
+    // the idempotence contract, hit directly: replaying batch 0 after
+    // batch 1 landed must leave the table unchanged
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    writeBatchIdempotent(b0, 0L, s"$dir/tbl")
+    writeBatchIdempotent(b1, 1L, s"$dir/tbl")
+    writeBatchIdempotent(b0, 0L, s"$dir/tbl") // replay
+    val after = spark.read.parquet(s"$dir/tbl")
+    assert(after.count() == 3)
+    assert(after.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // and end-to-end through an actual foreachBatch stream
+    val input = MemoryStream[Event]
+    val q = foreachBatchSink(input.toDF(), s"$dir/stream", s"$dir/ckpt")
+    try {
+      input.addData(Event(1, ts(1), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/stream")
+    assert(streamed.select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // distinct batch ids prove the per-batch partitioning landed
+    assert(streamed.select("batch_id").distinct().count() == 2)
+  }
 }
