@@ -105,4 +105,25 @@ object Multimodal {
     filter(
       sequence(lit(0), greatest((byteLen / chunk).cast("int") - 1, lit(0))),
       i => i % stride === 0)
+
+  /** Aspect-preserving resize DIMENSIONS, as pure Column integer math
+    * (no UDF — stays in whole-stage codegen): scale the long edge down
+    * to `targetLongEdge` (never upscale), floor the short edge, clamp
+    * at 1px. This is the planning half of a resize; the pixel
+    * transform itself is a codec call that belongs next to
+    * [[decodeStub]] in the batched decode. `w*t` stays < 2^53 for any
+    * sane dimensions so the floor over the double division is exact. */
+  def resizeDims(width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column,
+      targetLongEdge: Int): org.apache.spark.sql.Column = {
+    val w = width.cast(LongType)
+    val h = height.cast(LongType)
+    val mx = greatest(w, h)
+    val t = lit(targetLongEdge.toLong)
+    def scaled(e: org.apache.spark.sql.Column) =
+      greatest(lit(1L), floor(e * t / mx).cast(LongType))
+    struct(
+      when(mx <= t, w).otherwise(scaled(w)).as("out_w"),
+      when(mx <= t, h).otherwise(scaled(h)).as("out_h"))
+  }
 }

@@ -161,6 +161,31 @@ object DataOpsQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // Aspect-preserving resize planning: decode dims -> target-128
+    // output dims as scan-local integer math. The oracle recomputes
+    // the whole decode+resize chain from byte lengths.
+    QueryDef(
+      "q_multimodal_resize",
+      (s, d) => Multimodal.decode(s,
+        Multimodal.asMediaTable(QueryDef.load(s, d, "documents"), "doc_id", "text"))
+        .select(col("doc_id"), col("width"), col("height"),
+          Multimodal.resizeDims(col("width"), col("height"), 64).as("rs"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("rs.out_w").as("out_w"), col("rs.out_h").as("out_h")),
+      Some("""WITH dims AS (SELECT doc_id,
+             |  16 + octet_length(encode(text)) % 64 AS width,
+             |  16 + (octet_length(encode(text)) // 64) % 64 AS height
+             |  FROM documents)
+             |SELECT doc_id, width, height,
+             | CASE WHEN greatest(width, height) <= 64 THEN width
+             |   ELSE greatest(1, CAST(floor(width * 64 / greatest(width, height))
+             |     AS BIGINT)) END AS out_w,
+             | CASE WHEN greatest(width, height) <= 64 THEN height
+             |   ELSE greatest(1, CAST(floor(height * 64 / greatest(width, height))
+             |     AS BIGINT)) END AS out_h
+             |FROM dims""".stripMargin),
+    ),
+
     // Frame-sampling plumbing for video-like payloads: every 2nd chunk
     // index, exploded to rows (one row per sampled frame) so the
     // downstream decode fans out per frame.

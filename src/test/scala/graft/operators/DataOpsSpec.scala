@@ -182,6 +182,32 @@ class DataOpsSpec extends SparkSpec {
     rows.foreach(r => assert(again(r.getLong(0)) == r.getAs[scala.collection.Seq[Float]]("feature")))
   }
 
+  test("multimodal resize dims: aspect preserved, no upscale, 1px floor") {
+    import spark.implicits._
+    val dims = Seq((1L, 100, 50), (2L, 50, 100), (3L, 30, 20), (4L, 2000, 2))
+      .toDF("id", "w", "h")
+      .select(col("id"), Multimodal.resizeDims(col("w"), col("h"), 64).as("r"))
+      .select(col("id"), col("r.out_w"), col("r.out_h"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(dims.toSeq == Seq(
+      (1L, 64L, 32L), // long edge scaled to target, aspect kept
+      (2L, 32L, 64L),
+      (3L, 30L, 20L), // already under target: untouched
+      (4L, 64L, 1L), // extreme aspect clamps at 1px, never 0
+    ))
+  }
+
+  test("decoded media features flow into the ANN operators") {
+    val feats = Multimodal.decode(spark,
+        Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    val topk = Similarity.bruteForceTopK(feats, feats.limit(2), "vec_id",
+      "embedding", k = 2).collect()
+    assert(topk.length == 4) // 2 queries x k=2
+    topk.foreach(r => assert(r.getAs[Double]("cos") >= -1.0001 &&
+      r.getAs[Double]("cos") <= 1.0001))
+  }
+
   test("embedding dedup finds planted near-identical vectors") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
