@@ -306,17 +306,23 @@ object AnalyticsQueries {
     // Fuzzy string matching (edit distance): near-matching customer
     // names within an id window — the record-linkage / entity-dedup
     // primitive. levenshtein is the classic DP edit distance in both
-    // engines; the id-window join bounds candidates (real linkage
-    // would block on a phonetic/ngram key the same way the dedup
-    // family blocks on bands).
+    // engines. The candidate window `id1 < id2 <= id1+3` is generated
+    // as an EXPLICIT equi-join (explode the 3 offsets, join on
+    // id2 = id1 + off): the range-predicate formulation has no equi
+    // key and plans as a nested-loop join that runs on ONE core —
+    // measured minutes at sf0.1 vs sub-second for this shape. Real
+    // linkage blocks on a phonetic/ngram key exactly the same way the
+    // dedup family blocks on bands.
     QueryDef(
       "q_fuzzy_match",
       (s, d) => {
         val c = load(s, d, "customer")
           .select(col("c_custkey"), col("c_name"))
         val a = c.select(col("c_custkey").as("id1"), col("c_name").as("n1"))
+          .withColumn("__off", explode(array(lit(1L), lit(2L), lit(3L))))
+          .withColumn("id2", col("id1") + col("__off")).drop("__off")
         val b = c.select(col("c_custkey").as("id2"), col("c_name").as("n2"))
-        a.join(b, col("id2") > col("id1") && col("id2") <= col("id1") + 3)
+        a.join(b, "id2")
           .select(col("id1"), col("id2"),
             levenshtein(col("n1"), col("n2")).as("edit_dist"))
           .filter(col("edit_dist") <= 4)
