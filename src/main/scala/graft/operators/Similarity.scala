@@ -192,12 +192,19 @@ object Similarity {
 
   /** Embedding near-dup pairs within a sliding id window — the exact
     * verifier shape used after any blocking scheme; `window` bounds the
-    * pair space for the oracle-checked query. */
+    * pair space for the oracle-checked query. The window is generated
+    * as an explicit equi-join (explode the `window` offsets, join on
+    * id2 = id1 + off): the range-predicate form has no equi key and
+    * would plan as a one-core nested-loop join — quadratic row
+    * comparisons regardless of how cheap the window filter is. */
   def embeddingWindowPairs(corpus: DataFrame, idCol: String, vecCol: String,
       window: Int = 5): DataFrame = {
     val a = corpus.select(col(idCol).as("id1"), asDouble(col(vecCol)).as("v1"))
+      .withColumn("__off",
+        explode(array((1 to window).map(o => lit(o.toLong)): _*)))
+      .withColumn("id2", col("id1") + col("__off")).drop("__off")
     val b = corpus.select(col(idCol).as("id2"), asDouble(col(vecCol)).as("v2"))
-    a.join(b, col("id2") > col("id1") && col("id2") <= col("id1") + window)
+    a.join(b, "id2")
       .select(col("id1"), col("id2"), (round(cosine(col("v1"), col("v2")), 4) + lit(0.0)).as("cos"))
   }
 
