@@ -112,4 +112,67 @@ object Corpus {
         expr(s"(__cum + __t - 1) div $budget").as("chunk_end"),
         (col("__cum") % budget).as("chunk_offset"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per
+    * stratum (Efraimidis–Spirakis A-Res): rank rows by
+    * `-ln(u) / w` ascending (equivalently u^(1/w) descending) where
+    * `u` is an md5-derived uniform in (0, 1], keep the first k.
+    * Inclusion probability is proportional to weight; membership is a
+    * pure function of (salt, id, weight) — reproducible across runs,
+    * partitionings, and engines. Executes as one ranking window per
+    * stratum with WindowGroupLimit map-side pruning (only k rows per
+    * stratum cross the shuffle). The key is rounded to 9 decimals so
+    * sub-ulp libm differences between engines cannot flip a rank
+    * (ties fall back to id order). Weights must be > 0. */
+  def weightedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "wsample",
+  ): DataFrame = {
+    require(k > 0, "k must be > 0")
+    // (h+1)/2^32 in (0,1]: numerator exact below 2^53, division by a
+    // power of two exact -> u is the SAME double in any engine
+    val u = (Dedup.md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string")))
+      + lit(1L)) / lit(4294967296.0)
+    val key = round(-log(u) / col(weightCol), 9)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__key", key)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .withColumnRenamed("__key", "sample_key")
+      .withColumnRenamed("__rk", "sample_rank")
+  }
+
+  /** Deterministic fractional-epoch repetition (data-mixture weights):
+    * a document with weight 2.3 appears 2 times plus a 3rd with
+    * probability 0.3, the extra copy decided by an md5 draw — so the
+    * EXPECTED corpus-level multiplicity equals the mixture weight
+    * exactly while every run (and engine) materializes the identical
+    * repeated corpus. Weights quantize to basis points (1e-4) before
+    * the integer/fraction split, keeping all comparisons integral.
+    * Zero-weight (< 0.5e-4) docs drop out. Emits one row per
+    * repetition with its `epoch` index — a scan-local generate, no
+    * shuffle, no state; the downstream shuffle-by-pack/shard sees
+    * repeated docs as ordinary rows. */
+  def epochRepeat(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      salt: String = "epoch",
+  ): DataFrame = {
+    val wbp = round(col(weightCol) * 10000).cast("long")
+    val draw =
+      Dedup.md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) % 10000
+    val reps = expr("__wbp div 10000") +
+      when(draw < col("__wbp") % 10000, 1L).otherwise(0L)
+    df.withColumn("__wbp", wbp)
+      .withColumn("n_reps", reps)
+      .filter(col("n_reps") >= 1L) // sequence(1,0) is illegal in Spark
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_reps"))))
+      .drop("__wbp")
+  }
 }

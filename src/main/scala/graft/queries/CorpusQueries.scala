@@ -79,6 +79,57 @@ object CorpusQueries {
         .stripMargin),
     ),
 
+    // Weighted sampling without replacement (A-Res), 20 docs per
+    // language with inclusion probability proportional to a weight:
+    // rank by -ln(u)/w over an md5 uniform. u is a dyadic double
+    // (exact in both engines) and the key is rounded to 9 decimals so
+    // libm ulp differences cannot flip ranks.
+    QueryDef(
+      "q_sample_weighted",
+      (s, d) => Corpus.weightedSample(
+        QueryDef.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            (col("doc_id") % 5 + lit(0.5)).as("wt")),
+        "lang", "doc_id", "wt", k = 20)
+        .select(col("doc_id"), col("lang"), col("wt"),
+          col("sample_key"), col("sample_rank")),
+      Some("""WITH w AS (SELECT doc_id, lang,
+             |  CAST(doc_id % 5 + 0.5 AS DOUBLE) AS wt,
+             |  (('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |    + 1) / 4294967296.0 AS u
+             |  FROM documents),
+             |k AS (SELECT doc_id, lang, wt,
+             |  round(-ln(u) / wt, 9) AS sample_key FROM w),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+             |  ORDER BY sample_key, doc_id) AS sample_rank FROM k)
+             |SELECT doc_id, lang, wt, sample_key, sample_rank
+             |FROM r WHERE sample_rank <= 20""".stripMargin),
+    ),
+
+    // Fractional-epoch repetition (data-mixture weights): weight 2.3
+    // -> 2 copies plus a 3rd with md5 probability 0.3; expected
+    // multiplicity equals the weight, materialization is identical on
+    // every run and engine. Scan-local generate, no shuffle.
+    QueryDef(
+      "q_corpus_mix",
+      (s, d) => Corpus.epochRepeat(
+        QueryDef.load(s, d, "documents")
+          .select(col("doc_id"), ((col("doc_id") % 37) / 10.0).as("wt")),
+        "doc_id", "wt")
+        .select(col("doc_id"), col("wt"), col("n_reps"), col("epoch")),
+      Some("""WITH w AS (SELECT doc_id, (doc_id % 37) / 10.0 AS wt,
+             |  CAST(round((doc_id % 37) / 10.0 * 10000) AS BIGINT) AS wbp,
+             |  ('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |    % 10000 AS draw
+             |  FROM documents),
+             |r AS (SELECT doc_id, wt,
+             |  wbp // 10000 + CASE WHEN draw < wbp % 10000 THEN 1 ELSE 0 END
+             |    AS n_reps
+             |  FROM w)
+             |SELECT doc_id, wt, n_reps, unnest(range(1, n_reps + 1)) AS epoch
+             |FROM r WHERE n_reps >= 1""".stripMargin),
+    ),
+
     // Concat-and-chunk sequence packing into 512-token training
     // sequences, 8 shards packed independently.
     QueryDef(

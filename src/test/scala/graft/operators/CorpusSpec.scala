@@ -327,4 +327,45 @@ class CorpusSpec extends SparkSpec {
       TextAnalysis.redactPii($"t")).as("r")).head().getString(0)
     assert(r == "order <NUM> from <EMAIL> at <IP>")
   }
+
+  test("weightedSample: k per stratum, weight-biased, repartition-stable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", ($"doc_id" % 5 + lit(0.5)).as("wt"))
+    val s1 = Corpus.weightedSample(docs, "lang", "doc_id", "wt", k = 20)
+    val s2 = Corpus.weightedSample(docs.repartition(7), "lang", "doc_id",
+      "wt", k = 20)
+    val rows1 = s1.select("doc_id").as[Long].collect().toSet
+    assert(rows1 == s2.select("doc_id").as[Long].collect().toSet,
+      "membership must not depend on partitioning")
+    // at most k per stratum
+    val perLang = s1.groupBy("lang").count().as[(String, Long)].collect()
+    assert(perLang.forall(_._2 <= 20))
+    // inclusion ∝ weight: the sampled mean weight must exceed the
+    // population mean by a clear margin (population mean = 2.5;
+    // weights 0.5..4.5 uniform)
+    val sampledMean = s1.agg(avg($"wt")).head().getDouble(0)
+    val popMean = docs.agg(avg($"wt")).head().getDouble(0)
+    assert(sampledMean > popMean + 0.3,
+      s"sampled mean $sampledMean should exceed population mean $popMean")
+  }
+
+  test("epochRepeat: reps bracket the weight, expectation matches") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", (($"doc_id" % 37) / 10.0).as("wt"))
+    val r = Corpus.epochRepeat(docs, "doc_id", "wt")
+    // every doc's n_reps is floor(wt) or ceil(wt)
+    val bad = r.select($"doc_id", $"wt", $"n_reps").distinct()
+      .filter(!($"n_reps" === floor($"wt") || $"n_reps" === ceil($"wt")))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+    // epoch indexes are 1..n_reps per doc (row count == sum of reps)
+    val totalRows = r.count()
+    val sumReps = r.select($"doc_id", $"n_reps").distinct()
+      .agg(sum($"n_reps")).head().getLong(0)
+    assert(totalRows == sumReps)
+    // corpus-level expectation: total reps ~ total weight (the md5
+    // draws are uniform; 500 docs gives a tight but safe 10% band)
+    val totalWt = docs.agg(sum($"wt")).head().getDouble(0)
+    assert(math.abs(totalRows - totalWt) / totalWt < 0.10,
+      s"total reps $totalRows vs total weight $totalWt")
+  }
 }
