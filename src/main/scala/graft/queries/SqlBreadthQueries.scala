@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Second wave of analytic-SQL breadth: explicit GROUPING SETS, bag
   * set-operations (INTERSECT/EXCEPT ALL), array higher-order
@@ -151,6 +151,60 @@ object SqlBreadthQueries {
              | count(*) OVER w AS n_30d
              |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
              |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin),
+    ),
+
+    // EXISTS + IN subqueries (the positive complement of
+    // q_subquery_latest's NOT EXISTS): Catalyst decorrelates both to
+    // left-semi joins — no per-row subquery execution.
+    QueryDef(
+      "q_subquery_exists",
+      (s, d) => {
+        load(s, d, "orders").createOrReplaceTempView("v_o")
+        load(s, d, "customer").createOrReplaceTempView("v_c")
+        s.sql("""SELECT o_orderkey, o_custkey FROM v_o o
+                |WHERE EXISTS (SELECT 1 FROM v_c c
+                |    WHERE c.c_custkey = o.o_custkey
+                |      AND c.c_mktsegment = 'AUTOMOBILE')
+                |  AND o_custkey IN (SELECT c_custkey FROM v_c
+                |    WHERE c_acctbal > 0)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM customer c
+             |    WHERE c.c_custkey = o.o_custkey
+             |      AND c.c_mktsegment = 'AUTOMOBILE')
+             |  AND o_custkey IN (SELECT c_custkey FROM customer
+             |    WHERE c_acctbal > 0)""".stripMargin),
+    ),
+
+    // UNION with DISTINCT semantics (q_union_all covers the bag form):
+    // one hash-aggregate dedup over the concatenation.
+    QueryDef(
+      "q_union_distinct",
+      (s, d) => {
+        val l = load(s, d, "lineitem")
+        val r = l.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+        val big = load(s, d, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_orderkey").as("l_orderkey"))
+        r.union(big).distinct()
+      },
+      Some("""SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+             |UNION
+             |SELECT o_orderkey AS l_orderkey FROM orders
+             |WHERE o_totalprice > 300000""".stripMargin),
+    ),
+
+    // Schema-typed JSON parsing (from_json -> struct, vs
+    // q_json_extract's per-path string extraction): ONE parse per
+    // document no matter how many fields are pulled out.
+    QueryDef(
+      "q_json_typed",
+      (s, d) => QueryDef.loadEvents(s, d).select(
+        col("event_id"),
+        from_json(col("props"), StructType(Seq(
+          StructField("k", IntegerType)))).getField("k").as("k")),
+      Some("""SELECT event_id,
+             | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+             |FROM events""".stripMargin),
     ),
 
     // Exact moment statistics: mean / population stddev / Pearson
