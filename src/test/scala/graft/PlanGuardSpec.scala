@@ -1,0 +1,38 @@
+package graft
+
+/** Plan-shape regression guard over the ENTIRE query registry: no
+  * query may plan a BroadcastNestedLoopJoin or CartesianProduct
+  * unless it is on the explicit allowlist of deliberate, bounded
+  * broadcast crosses. A pure range predicate accidentally losing its
+  * equi key plans "correct but one-core quadratic" — it passes every
+  * correctness gate and only shows up as minutes of wall-clock at
+  * scale (this guard exists because exactly that shipped twice:
+  * q_fuzzy_match and embeddingWindowPairs). */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose nested-loop/cross shapes are deliberate: tiny
+    * broadcast sides (query vectors, centroids, single-row scalar
+    * totals), each documented at the operator. */
+  private val allowedNestedLoop = Set(
+    "q_sim_topk_brute", // brute-force baseline: corpus x broadcast queries
+    "q_sim_topk_lsh", // probe set broadcast cross
+    "q_sim_topk_ivf", // query x broadcast centroids
+    "q_dedup_semantic", // reuses the brute/verify cross on candidates
+    "q_text_tfidf", // single-row n_docs scalar
+    "q_text_unigram", // single-row total-tokens scalar
+    "q_corpus_stats", // single-row corpus totals
+  )
+
+  test("no accidental nested-loop or cartesian joins in any query") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.run(spark, sf).queryExecution.sparkPlan.toString
+      val bad = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      if (bad && !allowedNestedLoop.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian in: ${offenders.mkString(", ")} — " +
+        "either give the join an equi key (explode the window offsets, " +
+        "bin the range) or add it to the allowlist with a justification")
+  }
+}
