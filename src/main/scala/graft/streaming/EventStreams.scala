@@ -44,7 +44,8 @@ object EventStreams {
     * two-stream correlation shape (attribution, request/response
     * pairing, fraud windows). */
   def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
-      lookback: String = "10 minutes", watermark: String = "1 hour"): DataFrame = {
+      lookback: String = "10 minutes", watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"), col("value"))
@@ -53,8 +54,15 @@ object EventStreams {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", watermark)
+    // joinType "leftOuter" gives attribution WITH the misses: an
+    // unattributed purchase emits null-click once the click-side
+    // watermark passes p_ts (no earlier click can still arrive), so
+    // the output is complete AND state stays bounded — the both-sided
+    // watermark + two-sided time bound is what makes the outer form
+    // legal on two unbounded streams
     p.join(c, expr(
-        s"user_id = c_user AND c_ts >= p_ts - INTERVAL $lookback AND c_ts <= p_ts"))
+        s"user_id = c_user AND c_ts >= p_ts - INTERVAL $lookback AND c_ts <= p_ts"),
+        joinType)
       .select(col("purchase_id"), col("user_id"), col("p_ts"),
         col("click_id"), col("c_ts"), col("value"))
   }

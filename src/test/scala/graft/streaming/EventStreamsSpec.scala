@@ -98,6 +98,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits misses after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.purchaseAttribution(
+        purchases.toDF(), clicks.toDF(), lookback = "10 minutes",
+        watermark = "1 minute", joinType = "leftOuter")
+      .select($"purchase_id", $"click_id")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(100, ts(5), 1, "click", 0.0))
+      purchases.addData(
+        Event(200, ts(12), 1, "purchase", 9.99), // attributed to 100
+        Event(201, ts(12), 2, "purchase", 5.00)) // no click: a miss
+      q.processAllAvailable()
+      // advance BOTH watermarks far past purchase time + lookback so
+      // the unmatched purchase can no longer be matched and emits
+      clicks.addData(Event(102, ts(60), 9, "click", 0.0))
+      purchases.addData(Event(202, ts(60), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      // one more cycle: outer results emit on state eviction
+      clicks.addData(Event(103, ts(90), 9, "click", 0.0))
+      purchases.addData(Event(203, ts(90), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows.contains((200L, 100L)), s"matched row missing: $rows")
+      assert(rows.contains((201L, -1L)),
+        s"unmatched purchase must emit null click after watermark: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dim, keeps no state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
