@@ -207,6 +207,81 @@ object SqlBreadthQueries {
              |FROM events""".stripMargin),
     ),
 
+    // Typed UDAF (Aggregator) surface: exact variance over quantized
+    // integers — three-long accumulator, merge-order invariant,
+    // registered for SQL text. The oracle recomputes from the same
+    // integer power sums with the identical final float sequence.
+    QueryDef(
+      "q_udaf_variance",
+      (s, d) => {
+        s.udf.register("exact_var",
+          udaf(new graft.functions.ExactVarAgg(100)))
+        load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(round(expr("exact_var(l_quantity)"), 6).as("var_qty"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH q AS (SELECT l_returnflag,
+             |  CAST(round(l_quantity * 100) AS BIGINT) AS v FROM lineitem),
+             |s AS (SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(v) AS DOUBLE) AS sv,
+             |  CAST(sum(v * v) AS DOUBLE) AS svv FROM q GROUP BY 1)
+             |SELECT l_returnflag,
+             | round((svv / n - (sv / n) * (sv / n)) / 10000.0, 6) AS var_qty,
+             | n
+             |FROM s""".stripMargin),
+    ),
+
+    // GROUP BY ... HAVING (post-aggregation predicate; Catalyst plans
+    // it as a filter above the final aggregate, partial agg intact).
+    QueryDef(
+      "q_having",
+      (s, d) => {
+        load(s, d, "lineitem").createOrReplaceTempView("v_li_h")
+        s.sql("""SELECT l_orderkey,
+                |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                |    AS total_qty
+                |FROM v_li_h GROUP BY l_orderkey
+                |HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150"""
+          .stripMargin)
+      },
+      Some("""SELECT l_orderkey,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             |   AS total_qty
+             |FROM lineitem GROUP BY l_orderkey
+             |HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150"""
+        .stripMargin),
+    ),
+
+    // first_value / last_value / nth_value over an explicit full-frame
+    // window (last/nth need UNBOUNDED FOLLOWING to be well-defined);
+    // the (ts, event_id) order is total so every engine agrees.
+    QueryDef(
+      "q_window_firstlast",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc_nulls_last, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+          .select(col("user_id"), col("event_id"),
+            first(col("event_id")).over(w).as("first_ev"),
+            last(col("event_id")).over(w).as("last_ev"),
+            nth_value(col("event_id"), 2).over(w).as("second_ev"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |  date_trunc('second', ts) AS ts FROM events)
+             |SELECT user_id, event_id,
+             | first_value(event_id) OVER w AS first_ev,
+             | last_value(event_id) OVER w AS last_ev,
+             | nth_value(event_id, 2) OVER w AS second_ev
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY ts NULLS LAST, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin),
+    ),
+
     // Exact moment statistics: mean / population stddev / Pearson
     // correlation per group, from DECIMAL power sums (sx, sxx, sy,
     // syy, sxy) — order-independent exact partial aggregation, the
