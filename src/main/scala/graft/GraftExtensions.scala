@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductExpr, FuseDotProduct}
+import graft.functions.{CosineExpr, DotProductExpr, FuseDotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineExpr(exprs(0), exprs(1)),
     ))
     // auto-accelerate the portable HOF dot-product pattern
     ext.injectOptimizerRule(_ => FuseDotProduct)

@@ -129,6 +129,52 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("fused cosine is bit-identical to the composed three-dot form") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(64)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = e.as("a")
+    val b = e.as("b")
+    val composed = VectorExpressions.dotNative(col("a.v"), col("b.v")) /
+      (sqrt(VectorExpressions.dotNative(col("a.v"), col("a.v"))) *
+        sqrt(VectorExpressions.dotNative(col("b.v"), col("b.v"))))
+    val rows = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(
+        VectorExpressions.cosineNative(col("a.v"), col("b.v")).as("fused"),
+        composed.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    // bit-identical, not approximately equal: same accumulation order
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("cosine_sim null semantics match dot_product's (both eval paths)") {
+    VectorExpressions.register(spark)
+    val lit = spark.sql(
+      """SELECT
+        |  cosine_sim(CAST(array(1.0,2.0,3.0) AS ARRAY<DOUBLE>),
+        |             CAST(array(1.0,2.0) AS ARRAY<DOUBLE>)) AS mismatch,
+        |  cosine_sim(CAST(array(1.0,NULL) AS ARRAY<DOUBLE>),
+        |             CAST(array(1.0,2.0) AS ARRAY<DOUBLE>)) AS nullslot,
+        |  cosine_sim(CAST(array(1.0,0.0) AS ARRAY<DOUBLE>),
+        |             CAST(array(1.0,0.0) AS ARRAY<DOUBLE>)) AS selfsim""".stripMargin)
+      .head()
+    assert(lit.isNullAt(0) && lit.isNullAt(1))
+    assert(lit.getDouble(2) == 1.0)
+    // codegen path on non-literal inputs
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(8)
+      .select($"embedding".cast("array<double>").as("v"))
+    val r = e.select(
+        VectorExpressions.cosineNative(col("v"), expr("slice(v, 1, 3)")).as("mm"),
+        VectorExpressions.cosineNative(col("v"), col("v")).as("self"))
+      .collect()
+    r.foreach { row =>
+      assert(row.isNullAt(0))
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    }
+  }
+
   test("as-of join: brute-force parity on real events") {
     val ev = graft.queries.QueryDef.loadEvents(spark, sf)
       .withColumn("ts", date_trunc("second", $"ts"))
