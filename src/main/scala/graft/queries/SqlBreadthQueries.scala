@@ -282,6 +282,56 @@ object SqlBreadthQueries {
         .stripMargin),
     ),
 
+    // Time-series gap-fill + LOCF: densify each user's hourly
+    // timeline between their first and last event (sequence + explode
+    // — a scan-local generate bounded per key), left-join the real
+    // hourly aggregates, and carry the last observation forward with
+    // an ignore-nulls running window. Hours are epoch-hour BIGINTs so
+    // the densification is pure integer arithmetic on both engines.
+    QueryDef(
+      "q_gapfill_locf",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .filter(col("user_id") < 50) // bound the demo timeline set
+          .select(col("user_id"),
+            (unix_timestamp(col("ts")) / 3600).cast(LongType).as("hn"),
+            col("value").cast(DecimalType(14, 4)).as("__v"))
+        val hourly = ev.groupBy(col("user_id"), col("hn"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("__v")).cast(DoubleType).as("hour_value"))
+        val spans = ev.groupBy(col("user_id"))
+          .agg(min(col("hn")).as("h0"), max(col("hn")).as("h1"))
+          .withColumn("hn", explode(sequence(col("h0"), col("h1"))))
+          .select(col("user_id"), col("hn"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("hn")).rowsBetween(Window.unboundedPreceding, 0)
+        spans.join(hourly, Seq("user_id", "hn"), "left")
+          .select(col("user_id"), col("hn"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            col("hour_value"))
+          .withColumn("locf_value",
+            last(col("hour_value"), ignoreNulls = true).over(w))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS hn,
+             |  CAST(value AS DECIMAL(14,4)) AS v
+             |  FROM events WHERE user_id < 50),
+             |hourly AS (SELECT user_id, hn, count(*) AS n,
+             |  CAST(sum(v) AS DOUBLE) AS hour_value
+             |  FROM ev GROUP BY 1, 2),
+             |spans AS (SELECT user_id,
+             |  unnest(range(min(hn), max(hn) + 1)) AS hn
+             |  FROM ev GROUP BY user_id)
+             |SELECT s.user_id, s.hn,
+             | coalesce(h.n, 0) AS n, h.hour_value,
+             | last_value(h.hour_value IGNORE NULLS) OVER (
+             |   PARTITION BY s.user_id ORDER BY s.hn
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |   AS locf_value
+             |FROM spans s LEFT JOIN hourly h
+             |  ON s.user_id = h.user_id AND s.hn = h.hn""".stripMargin),
+    ),
+
     // Exact moment statistics: mean / population stddev / Pearson
     // correlation per group, from DECIMAL power sums (sx, sxx, sy,
     // syy, sxy) — order-independent exact partial aggregation, the
