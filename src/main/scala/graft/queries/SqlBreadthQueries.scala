@@ -332,6 +332,77 @@ object SqlBreadthQueries {
              |  ON s.user_id = h.user_id AND s.hn = h.hn""".stripMargin),
     ),
 
+    // One-pass column profiler (data-quality surface): totals, nulls,
+    // exact distincts, min/max per column, long-form output. One scan
+    // for all columns (multi-count-distinct Expand + stack).
+    QueryDef(
+      "q_profile",
+      (s, d) => graft.operators.Profile.profile(
+        load(s, d, "orders"),
+        Seq("o_orderstatus", "o_custkey", "o_orderpriority")),
+      Some(Seq("o_orderstatus", "o_custkey", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")),
+    ),
+
+    // Declarative data-quality rules, all evaluated in one scan; a
+    // NULL rule result counts as a violation.
+    QueryDef(
+      "q_data_quality",
+      (s, d) => graft.operators.Profile.checkRules(
+        load(s, d, "lineitem"),
+        Seq(
+          "qty_in_range" -> col("l_quantity").between(1, 50),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "discount_low" -> (col("l_discount") <= 0.05),
+          "ship_not_null" -> col("l_shipdate").isNotNull)),
+      Some("""WITH v AS (SELECT
+             |  CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS qty_in_range,
+             |  CAST(sum(CASE WHEN l_extendedprice > 0
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+             |  CAST(sum(CASE WHEN l_discount <= 0.05
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS discount_low,
+             |  CAST(sum(CASE WHEN l_shipdate IS NOT NULL
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS ship_not_null,
+             |  count(*) AS total FROM lineitem)
+             |SELECT 'qty_in_range' AS rule, qty_in_range AS n_violations,
+             | total AS n_rows,
+             | round(CAST(qty_in_range AS DOUBLE) / total, 6) AS violation_rate
+             |FROM v
+             |UNION ALL SELECT 'price_positive', price_positive, total,
+             | round(CAST(price_positive AS DOUBLE) / total, 6) FROM v
+             |UNION ALL SELECT 'discount_low', discount_low, total,
+             | round(CAST(discount_low AS DOUBLE) / total, 6) FROM v
+             |UNION ALL SELECT 'ship_not_null', ship_not_null, total,
+             | round(CAST(ship_not_null AS DOUBLE) / total, 6) FROM v"""
+        .stripMargin),
+    ),
+
+    // Fixed-width histogram over order totals: integral centi-unit
+    // binning (float floor(x/w) wobbles at bin boundaries), map-side
+    // combined so at most n_bins rows cross the shuffle per task.
+    QueryDef(
+      "q_histogram",
+      (s, d) => graft.operators.Profile.histogram(
+        load(s, d, "orders"), "o_totalprice", width = 50000.0),
+      Some("""WITH b AS (SELECT
+             |  CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+             |  o_totalprice
+             |  FROM orders WHERE o_totalprice IS NOT NULL)
+             |SELECT bin, count(*) AS n,
+             | round(min(o_totalprice), 2) AS bin_min,
+             | round(max(o_totalprice), 2) AS bin_max,
+             | round(bin * 5000000 / 100.0, 2) AS bin_lo
+             |FROM b GROUP BY bin""".stripMargin),
+    ),
+
     // Exact moment statistics: mean / population stddev / Pearson
     // correlation per group, from DECIMAL power sums (sx, sxx, sy,
     // syy, sxy) — order-independent exact partial aggregation, the
