@@ -403,6 +403,36 @@ object SqlBreadthQueries {
              |FROM b GROUP BY bin""".stripMargin),
     ),
 
+    // Sliding (hopping) time windows: 1-hour windows every 30
+    // minutes, so each event contributes to exactly 2 windows —
+    // Spark's window() generator (same operator Structured Streaming
+    // uses). The oracle reproduces the expansion with the two
+    // half-hour-aligned window starts per event.
+    QueryDef(
+      "q_window_sliding",
+      (s, d) => QueryDef.loadEvents(s, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(14, 4)))
+            .cast(DoubleType).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""WITH e AS (SELECT event_type,
+             |  CAST(value AS DECIMAL(14,4)) AS v,
+             |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+             |  FROM events),
+             |x AS (SELECT event_type, v,
+             |  unnest([es // 1800 * 1800 - 1800, es // 1800 * 1800]) AS ws
+             |  FROM e)
+             |SELECT strftime(make_timestamp(ws * 1000000),
+             |   '%Y-%m-%d %H:%M:%S') AS w_start,
+             | event_type, count(*) AS n,
+             | CAST(sum(v) AS DOUBLE) AS sum_value
+             |FROM x GROUP BY 1, 2""".stripMargin),
+    ),
+
     // Exact moment statistics: mean / population stddev / Pearson
     // correlation per group, from DECIMAL power sums (sx, sxx, sy,
     // syy, sxy) — order-independent exact partial aggregation, the
