@@ -127,6 +127,26 @@ object Dedup {
           (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT for candidate pairs: |A ∩ B| / |A| and
+    * / |B| — near-1.0 containment with low Jaccard is the
+    * quoted/wrapped-copy case (one doc embedded in a larger one) that
+    * symmetric Jaccard misses entirely; corpus dedup drops the
+    * contained side. Same blocked shape as [[jaccardForPairs]]: the
+    * candidate pairs come from MinHash bands, shingle sets join only
+    * for candidates — never all-pairs. */
+  def containmentForPairs(pairs: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, n)
+      .select(col("id"), col("s"), size(col("s")).as("sz"))
+    pairs
+      .join(sets.select(col("id").as("id1"), col("s").as("s1"), col("sz").as("sz1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("s").as("s2"), col("sz").as("sz2")), "id2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") / col("sz1"), 6).as("contain_1_in_2"),
+        round(col("inter").cast("double") / col("sz2"), 6).as("contain_2_in_1"))
+  }
+
   /** MinHash LSH end to end: candidates + exact-Jaccard verification. */
   def minHashDedup(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7, k: Int = 8, bands: Int = 4, n: Int = 3): DataFrame =

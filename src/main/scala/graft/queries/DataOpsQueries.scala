@@ -318,6 +318,25 @@ object DataOpsQueries {
               |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin),
     ),
 
+    // Asymmetric containment (|A∩B|/|A|, /|B|) over adjacent-id pairs:
+    // the quoted/wrapped-copy detector symmetric Jaccard misses.
+    QueryDef(
+      "q_dedup_containment",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val pairs = docs.select(col("doc_id").as("id1"),
+          (col("doc_id") + 1).as("id2"))
+        Dedup.containmentForPairs(pairs, docs, "text", "doc_id")
+      },
+      Some(s"""WITH $duckShingles
+              |SELECT a.doc_id AS id1, b.doc_id AS id2,
+              | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |   len(a.s), 6) AS contain_1_in_2,
+              | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |   len(b.s), 6) AS contain_2_in_1
+              |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin),
+    ),
+
     QueryDef(
       "q_dedup_minhash",
       (s, d) => {

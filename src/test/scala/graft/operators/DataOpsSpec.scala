@@ -182,6 +182,21 @@ class DataOpsSpec extends SparkSpec {
     rows.foreach(r => assert(again(r.getLong(0)) == r.getAs[scala.collection.Seq[Float]]("feature")))
   }
 
+  test("containment flags an embedded copy that Jaccard scores low") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = (1 to 20).map(i => s"filler$i word$i").mkString(" ") +
+      " " + small + " " + (21 to 40).map(i => s"tail$i pad$i").mkString(" ")
+    val df = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val c = Dedup.containmentForPairs(pairs, df, "text", "doc_id").head()
+    val j = Dedup.jaccardForPairs(pairs, df, "text", "doc_id").head()
+    assert(c.getAs[Double]("contain_1_in_2") == 1.0, c.toString)
+    assert(c.getAs[Double]("contain_2_in_1") < 0.2)
+    assert(j.getAs[Double]("jaccard") < 0.2,
+      "symmetric Jaccard misses the embedded copy by construction")
+  }
+
   test("multimodal resize dims: aspect preserved, no upscale, 1px floor") {
     import spark.implicits._
     val dims = Seq((1L, 100, 50), (2L, 50, 100), (3L, 30, 20), (4L, 2000, 2))
