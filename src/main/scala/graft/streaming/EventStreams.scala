@@ -148,11 +148,18 @@ object EventStreams {
     * manifest). This is the default landing pattern for a corpus feed:
     * append-only parquet, optionally hive-partitioned. */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
-      partitionBy: Seq[String] = Nil): StreamingQuery = {
-    val w = df.writeStream.format("parquet")
+      partitionBy: Seq[String] = Nil, drainOnce: Boolean = false): StreamingQuery = {
+    var w = df.writeStream.format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
+    // Trigger.AvailableNow: process the full backlog in rate-limited
+    // micro-batches, then STOP — the scheduled-batch-ingest pattern
+    // (cron a drain instead of keeping a cluster resident) with the
+    // same checkpoint/exactly-once guarantees as the resident query
+    if (drainOnce) {
+      w = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    }
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).start()
   }
 

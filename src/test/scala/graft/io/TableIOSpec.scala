@@ -140,4 +140,25 @@ class TableIOSpec extends SparkSpec {
         "not_applicable_cves", AdvisorySchemas.notApplicableCves)
     }
   }
+
+  test("range-layout write produces range-disjoint, internally sorted files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
+    val ev = graft.queries.QueryDef.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts"))
+    TableIO.writeRangeLayout(ev, s"$dir/t", Seq("ts"), partitions = 4)
+    // per-FILE min/max intervals must not overlap: that disjointness
+    // is what lets parquet row-group stats prune range scans
+    val spans = spark.read.parquet(s"$dir/t")
+      .select(col("ts"), input_file_name().as("f"))
+      .groupBy("f").agg(min("ts").as("lo"), max("ts").as("hi"))
+      .collect().map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+      .sortBy(_._1)
+    assert(spans.length > 1)
+    spans.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file spans overlap: $hi1 > $lo2")
+    }
+    // total row fidelity
+    assert(spark.read.parquet(s"$dir/t").count() == ev.count())
+  }
 }

@@ -244,6 +244,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("parquet sink drainOnce: AvailableNow drains the backlog then stops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drain").toString
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "view", 2.0))
+    val q = parquetSink(input.toDF(), s"$dir/data", s"$dir/ckpt",
+      drainOnce = true)
+    // AvailableNow terminates by itself once the backlog is consumed
+    assert(q.awaitTermination(60000), "drain query must self-terminate")
+    val got = spark.read.parquet(s"$dir/data")
+      .select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
   test("foreachBatch sink: batch replay is idempotent, stream lands all rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
