@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Analytic-SQL breadth beyond the reference's surface: window FRAMES
   * (rolling aggregates), lag/lead, CUBE grouping sets, and exact
@@ -359,6 +359,115 @@ object AnalyticsQueries {
              | CAST(sum(delay) AS BIGINT) AS total_delay_days,
              | round(CAST(sum(delay) AS DOUBLE) / count(*), 6) AS avg_delay_days
              |FROM j GROUP BY o_orderpriority""".stripMargin),
+    ),
+
+    // Z-score outlier detection: per-group mean/std from exact decimal
+    // power sums (the q_moment_stats recipe), broadcast back onto the
+    // fact rows, flag |x - mean| > 1.5 std (the synthetic prices are near-uniform,
+    // so the classic 3-sigma tail is empty; the threshold is the knob). The join-back is on the tiny
+    // 3-row stats side so the fact table never shuffles.
+    QueryDef(
+      "q_outliers",
+      (s, d) => {
+        val x = col("l_extendedprice").cast(DecimalType(18, 2))
+        val stats = load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("__n"),
+            sum(x).cast(DoubleType).as("__sx"),
+            sum(x * x).cast(DoubleType).as("__sxx"))
+          .select(col("l_returnflag"),
+            (col("__sx") / col("__n")).as("__mean"),
+            sqrt(col("__sxx") / col("__n") -
+              (col("__sx") / col("__n")) * (col("__sx") / col("__n")))
+              .as("__std"))
+        load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice"))
+          .join(broadcast(stats), "l_returnflag")
+          .filter(abs(col("l_extendedprice") - col("__mean")) >
+            col("__std") * 1.5)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"),
+            round((col("l_extendedprice") - col("__mean")) / col("__std"), 4)
+              .as("z"))
+      },
+      Some("""WITH s AS (SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+             |  FROM lineitem GROUP BY 1),
+             |st AS (SELECT l_returnflag, sx / n AS mean,
+             |  sqrt(sxx / n - (sx / n) * (sx / n)) AS std FROM s)
+             |SELECT l.l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             | round((l_extendedprice - mean) / std, 4) AS z
+             |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+             |WHERE abs(l_extendedprice - mean) > std * 1.5""".stripMargin),
+    ),
+
+    // Cohort retention: users grouped by first-activity week, counted
+    // per subsequent activity week — two aggregations, integer week
+    // math, the canonical product-analytics rollup.
+    QueryDef(
+      "q_cohort_retention",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .select(col("user_id"),
+            (unix_timestamp(date_trunc("second", col("ts"))) / 604800)
+              .cast(LongType).as("wk"))
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (col("wk") - col("cohort_wk")).as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS wk
+             |  FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+             |SELECT cohort_wk, wk - cohort_wk AS weeks_since,
+             | count(DISTINCT ev.user_id) AS n_users
+             |FROM ev JOIN c ON ev.user_id = c.user_id
+             |GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // Funnel analysis: per-user first-touch times per step, one
+    // conditional-aggregation pass, then ordered-step predicates
+    // decide how deep each user got. No joins, no self-unions.
+    QueryDef(
+      "q_funnel",
+      (s, d) => {
+        val firsts = QueryDef.loadEvents(s, d)
+          .withColumn("es", unix_timestamp(date_trunc("second", col("ts"))))
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("es"))).as("t_view"),
+            min(when(col("event_type") === "click", col("es"))).as("t_click"),
+            min(when(col("event_type") === "purchase", col("es"))).as("t_purchase"))
+        firsts.select(col("user_id"),
+          col("t_view").isNotNull.as("reached_view"),
+          (col("t_view").isNotNull && col("t_click").isNotNull &&
+            col("t_click") >= col("t_view")).as("reached_click"),
+          (col("t_view").isNotNull && col("t_click").isNotNull &&
+            col("t_purchase").isNotNull && col("t_click") >= col("t_view") &&
+            col("t_purchase") >= col("t_click")).as("reached_purchase"))
+      },
+      Some("""WITH f AS (SELECT user_id,
+             |  min(CASE WHEN event_type = 'view'
+             |    THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS t_view,
+             |  min(CASE WHEN event_type = 'click'
+             |    THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS t_click,
+             |  min(CASE WHEN event_type = 'purchase'
+             |    THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS t_purchase
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id,
+             | t_view IS NOT NULL AS reached_view,
+             | (t_view IS NOT NULL AND t_click IS NOT NULL
+             |   AND t_click >= t_view) AS reached_click,
+             | (t_view IS NOT NULL AND t_click IS NOT NULL
+             |   AND t_purchase IS NOT NULL AND t_click >= t_view
+             |   AND t_purchase >= t_click) AS reached_purchase
+             |FROM f""".stripMargin),
     ),
 
     // Exact distributed quantiles by NEAREST RANK: rank every value in
