@@ -205,6 +205,22 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** Cross-corpus exact dedup: which INCOMING documents duplicate a
+    * document already in the existing corpus (by normalized-text
+    * fingerprint). The incremental-ingest shape: the existing side
+    * reduces to a distinct fingerprint set joined as a left-semi
+    * (duplicates) — at 100 TB the incoming batch is the small side
+    * and only 32-hex fingerprints ever shuffle, never text. Keep the
+    * complement (left-anti) as the rows to append. */
+  def crossCorpusDups(incoming: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val seen = existing.select(fp.as("__fp")).distinct()
+    incoming.withColumn("__fp", fp)
+      .join(seen, Seq("__fp"), "left_semi")
+      .select(col(idCol), col("__fp").as("fingerprint"))
+  }
+
   /** Graded contamination score: for EVERY corpus document, the
     * fraction of its distinct n-gram shingles that appear in the eval
     * set (0.0 = clean, 1.0 = fully contained). [[contaminatedDocs]]

@@ -397,6 +397,69 @@ object DataOpsQueries {
               |WHERE hs.doc_id >= 10 GROUP BY hs.doc_id""".stripMargin),
     ),
 
+    // Cross-corpus exact dedup (incremental ingest): an incoming batch
+    // — fresh docs plus 50 re-ingested copies of existing ones under
+    // new ids — checked against the existing corpus by fingerprint;
+    // only the re-ingested copies come back. Existing side reduces to
+    // a distinct fingerprint set; left-semi join, fingerprints only.
+    QueryDef(
+      "q_dedup_cross",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val existing = docs.filter(col("doc_id") < 250)
+        val incoming = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 10000))
+        Dedup.crossCorpusDups(incoming, existing, "text", "doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |inc AS (SELECT doc_id, fp FROM f WHERE doc_id >= 250
+             |  UNION ALL SELECT doc_id + 10000, fp FROM f WHERE doc_id < 50),
+             |ex AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250)
+             |SELECT inc.doc_id, inc.fp AS fingerprint
+             |FROM inc JOIN ex ON inc.fp = ex.fp""".stripMargin),
+    ),
+
+    // Token-distribution Shannon entropy per doc (the low-diversity /
+    // spam signal): per-term -p*ln(p) contributions quantized to
+    // integer micro-nats BEFORE the per-doc sum (the q_text_unigram
+    // exactness recipe — float summation order can never change the
+    // result), one final /1e6.
+    QueryDef(
+      "q_text_entropy",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val words = docs.select(col("doc_id"),
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+            .as("ws"))
+        val toks = words.select(col("doc_id"), size(col("ws")).as("n"),
+          explode(col("ws")).as("term"))
+        toks.groupBy(col("doc_id"), col("n"), col("term"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("p", col("c").cast("double") / col("n"))
+          .withColumn("__micro",
+            round(col("p") * log(col("p")) * 1e6).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg((-sum(col("__micro")) / 1e6).as("entropy"),
+            countDistinct(col("term")).as("n_terms"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents),
+             |t AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS term FROM w),
+             |c AS (SELECT doc_id, n, term, count(*) AS c
+             |  FROM t GROUP BY 1, 2, 3),
+             |m AS (SELECT doc_id, term,
+             |  CAST(round((CAST(c AS DOUBLE) / n) *
+             |    ln(CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT) AS micro
+             |  FROM c)
+             |SELECT doc_id, -CAST(sum(micro) AS DOUBLE) / 1e6 AS entropy,
+             | count(DISTINCT term) AS n_terms
+             |FROM m GROUP BY doc_id""".stripMargin),
+    ),
+
     // Graded contamination: per-doc FRACTION of distinct shingles
     // shared with the eval set (thresholdable score; clean docs kept
     // at 0.0). One integer division per doc after exact BIGINT counts.
