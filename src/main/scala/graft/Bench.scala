@@ -103,7 +103,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
+    println(json)
+    // Loss-proof copy: a stdout tail capture can truncate the (long)
+    // single JSON line — persist it to a file as well so the headline
+    // total always survives (BENCH_r03 lost its own total this way).
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outFile,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

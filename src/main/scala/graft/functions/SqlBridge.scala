@@ -24,11 +24,18 @@ object GraftSqlBridge {
 
   /** Idempotently register an extra planner strategy on a live session
     * (the per-session fallback for cluster-level
-    * `spark.sql.extensions=graft.GraftExtensions`). */
+    * `spark.sql.extensions=graft.GraftExtensions`). NOTE: mutates
+    * session-global state (`experimental.extraStrategies`) — callers
+    * like asOfJoinMerge document this. The read-modify-write is
+    * synchronized on the ExperimentalMethods instance so concurrent
+    * registrations cannot append duplicates (duplicates are harmless
+    * to planning but would grow the list unboundedly). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(s)) {
-      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+    cs.experimental.synchronized {
+      if (!cs.experimental.extraStrategies.contains(s)) {
+        cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+      }
     }
   }
 }

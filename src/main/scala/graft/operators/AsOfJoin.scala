@@ -70,7 +70,13 @@ object AsOfJoin {
     * padded to the union width while the node shuffles each side only
     * as itself. Keys and timestamps must have matching types on both
     * sides. NULL keys/timestamps follow SQL join semantics (never
-    * match; left rows still emitted). */
+    * match; left rows still emitted).
+    *
+    * Side effect: registers [[graft.plans.AsOfJoinStrategy]] on the
+    * session's `experimental.extraStrategies` (session-global state,
+    * idempotent and thread-safe via GraftSqlBridge.addStrategy) — the
+    * per-session fallback when the cluster isn't launched with
+    * `spark.sql.extensions=graft.GraftExtensions`. */
   def asOfJoinMerge(
       left: DataFrame,
       right: DataFrame,

@@ -150,9 +150,12 @@ object Corpus {
   /** Deterministic fractional-epoch repetition (data-mixture weights):
     * a document with weight 2.3 appears 2 times plus a 3rd with
     * probability 0.3, the extra copy decided by an md5 draw — so the
-    * EXPECTED corpus-level multiplicity equals the mixture weight
-    * exactly while every run (and engine) materializes the identical
-    * repeated corpus. Weights quantize to basis points (1e-4) before
+    * EXPECTED corpus-level multiplicity equals the mixture weight to
+    * within 2e-6 (the draw is a 32-bit uniform reduced mod 10000;
+    * 2^32 mod 10000 = 7296, so the 7296 lowest residues are hit one
+    * extra time in 2^32 — a relative bias of ~1.7e-6, far below any
+    * mixture-tuning resolution) while every run (and engine)
+    * materializes the identical repeated corpus. Weights quantize to basis points (1e-4) before
     * the integer/fraction split, keeping all comparisons integral.
     * Zero-weight (< 0.5e-4) docs drop out. Emits one row per
     * repetition with its `epoch` index — a scan-local generate, no

@@ -24,21 +24,29 @@ object Profile {
     * for a cheaper sketch when exactness is not required. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
+    // Internal aliases are positional (__n_0, __n_1, ...) and the user
+    // name appears only as a lit() — no raw identifiers ever reach SQL
+    // text, so names with quotes/dots/backticks cannot break parsing
+    // or inject expressions.
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(lit(1)).as(s"__n_$c"),
-        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        count(lit(1)).as(s"__n_$i"),
+        count(when(col(c).isNull, 1)).as(s"__nulls_$i"),
+        countDistinct(col(c)).as(s"__dist_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      s"'$c', __n_$c, __nulls_$c, __dist_$c, __min_$c, __max_$c"
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${cols.size}, $stacked) AS " +
-        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("column_name"),
+        col(s"__n_$i").as("n_rows"),
+        col(s"__nulls_$i").as("n_nulls"),
+        col(s"__dist_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_value"),
+        col(s"__max_$i").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
   /** Declarative data-quality rules: each rule is a boolean Column
@@ -48,14 +56,19 @@ object Profile {
     * satisfied). All rules evaluate in the same single scan. */
   def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
-    val aggs = rules.map { case (name, pred) =>
-      count(when(!coalesce(pred, lit(false)), 1)).as(s"__v_$name")
+    // Positional internal aliases + lit() rule names, same reasoning
+    // as profile(): rule names never become SQL identifiers.
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(!coalesce(pred, lit(false)), 1)).as(s"__v_$i")
     } :+ count(lit(1)).as("__total")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = rules.map { case (name, _) => s"'$name', __v_$name" }
-      .mkString(", ")
-    one.select(expr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)"),
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__v_$i").as("n_violations"))
+    }
+    one.select(explode(array(rows: _*)).as("r"),
         col("__total").as("n_rows"))
+      .select(col("r.rule").as("rule"),
+        col("r.n_violations").as("n_violations"), col("n_rows"))
       .withColumn("violation_rate",
         round(col("n_violations").cast("double") / col("n_rows"), 6))
   }
@@ -67,10 +80,19 @@ object Profile {
   def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
     require(width > 0, "width must be > 0")
     // quantize to centi-units so the bin boundary comparison is
-    // integral (float floor(x/w) wobbles at boundaries across engines)
+    // integral (float floor(x/w) wobbles at boundaries across engines).
+    // FLOOR division, not Spark's truncate-toward-zero `div`: pmod is
+    // non-negative, so (a - pmod(a, wc)) is the largest multiple of wc
+    // <= a and the `div` is exact — negative values land in their own
+    // bins (DuckDB's integer `//` floors the same way), and bin_lo is
+    // the true lower edge for every bin.
     val wc = math.round(width * 100)
     require(wc > 0, "width below centi-unit resolution")
-    val bin = expr(s"CAST(round(${valueCol} * 100) AS BIGINT) div $wc")
+    val cents = round(col(valueCol) * 100).cast("long")
+    // (cents - pmod) is an exact multiple of wc, so the double `/` is
+    // exact as long as |cents| < 2^53 (centi-units of ~9e13 — far past
+    // any realistic measure column).
+    val bin = ((cents - pmod(cents, lit(wc))) / lit(wc)).cast("long")
     df.filter(col(valueCol).isNotNull)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
