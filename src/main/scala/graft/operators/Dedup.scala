@@ -24,11 +24,40 @@ object Dedup {
   /** 2^31 - 1, the classic MinHash modulus prime. */
   val MinHashPrime: Long = 2147483647L
 
-  /** Fixed (a, b) coefficient pairs for the K permutation hashes. */
+  /** Fixed (a, b) coefficient pairs for the first 8 permutation hashes
+    * (kept verbatim so signatures produced before the family was
+    * generalized remain bit-identical). */
   val MinHashCoeffs: Seq[(Long, Long)] = Seq(
     (1103L, 12289L), (1999L, 52361L), (3491L, 77377L), (4723L, 104729L),
     (6101L, 130363L), (7919L, 155893L), (9533L, 181081L), (11087L, 207013L),
   )
+
+  /** splitmix64 finalizer — a public-domain bijective mixer; pure
+    * integer arithmetic, identical on every platform. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** (a, b) coefficient pairs for a K-permutation MinHash family, any
+    * K — the first 8 are the historical fixed constants (existing
+    * signatures stay stable), the rest come from a seeded splitmix64
+    * stream reduced into the prime field, so k=64 or k=128 (the
+    * production LSH range) works without silent truncation. All
+    * coefficients are < 2^31, so `h * a + b` on a 32-bit `h` stays
+    * below 2^63 — no Long overflow in either engine. */
+  def minHashCoeffs(k: Int): Seq[(Long, Long)] = {
+    require(k >= 1, "k must be >= 1")
+    MinHashCoeffs.take(k) ++ (MinHashCoeffs.size until k).map { i =>
+      val a = java.lang.Long.remainderUnsigned(
+        splitmix64(2L * i), MinHashPrime - 1) + 1 // a in [1, prime)
+      val b = java.lang.Long.remainderUnsigned(
+        splitmix64(2L * i + 1), MinHashPrime) // b in [0, prime)
+      (a, b)
+    }
+  }
 
   /** 32-bit integer hash of a string via md5 prefix — reproducible in
     * any SQL engine as `('0x' || substr(md5(s),1,8))::BIGINT`. */
@@ -81,11 +110,12 @@ object Dedup {
       .select(col("id"), explode_outer(col("s")).as("g"))
       .select(col("id"), md5Hash32(col("g")).as("h"))
 
-  /** K-column MinHash signature per doc. */
+  /** K-column MinHash signature per doc — any K (coefficients are
+    * generated, never truncated; see [[minHashCoeffs]]). */
   def minHashSignature(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, n: Int = 3): DataFrame = {
     val hashes = shingleHashes(df, textCol, idCol, n)
-    val aggs = MinHashCoeffs.take(k).zipWithIndex.map { case ((a, b), i) =>
+    val aggs = minHashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MinHashPrime).as(s"m$i")
     }
     hashes.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
@@ -113,39 +143,40 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for given candidate pairs (id1, id2). */
-  def jaccardForPairs(pairs: DataFrame, df: DataFrame, textCol: String,
-      idCol: String, n: Int = 3): DataFrame = {
+  /** Shared pair-verification scaffolding: attach both sides' shingle
+    * sets (+ sizes) to candidate pairs and compute the intersection
+    * size — the blocked shape every set-overlap metric shares (shingle
+    * sets join only for candidates, never all-pairs). Output columns:
+    * id1, id2, sz1, sz2, inter. */
+  private def pairOverlap(pairs: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, n)
       .select(col("id"), col("s"), size(col("s")).as("sz"))
     pairs
       .join(sets.select(col("id").as("id1"), col("s").as("s1"), col("sz").as("sz1")), "id1")
       .join(sets.select(col("id").as("id2"), col("s").as("s2"), col("sz").as("sz2")), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (id1, id2). */
+  def jaccardForPairs(pairs: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame =
+    pairOverlap(pairs, df, textCol, idCol, n)
       .select(col("id1"), col("id2"),
         round(col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
-  }
 
   /** Asymmetric CONTAINMENT for candidate pairs: |A ∩ B| / |A| and
     * / |B| — near-1.0 containment with low Jaccard is the
     * quoted/wrapped-copy case (one doc embedded in a larger one) that
     * symmetric Jaccard misses entirely; corpus dedup drops the
-    * contained side. Same blocked shape as [[jaccardForPairs]]: the
-    * candidate pairs come from MinHash bands, shingle sets join only
-    * for candidates — never all-pairs. */
+    * contained side. Same blocked shape as [[jaccardForPairs]]. */
   def containmentForPairs(pairs: DataFrame, df: DataFrame, textCol: String,
-      idCol: String, n: Int = 3): DataFrame = {
-    val sets = shingleSets(df, textCol, idCol, n)
-      .select(col("id"), col("s"), size(col("s")).as("sz"))
-    pairs
-      .join(sets.select(col("id").as("id1"), col("s").as("s1"), col("sz").as("sz1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("s").as("s2"), col("sz").as("sz2")), "id2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      idCol: String, n: Int = 3): DataFrame =
+    pairOverlap(pairs, df, textCol, idCol, n)
       .select(col("id1"), col("id2"),
         round(col("inter").cast("double") / col("sz1"), 6).as("contain_1_in_2"),
         round(col("inter").cast("double") / col("sz2"), 6).as("contain_2_in_1"))
-  }
 
   /** MinHash LSH end to end: candidates + exact-Jaccard verification. */
   def minHashDedup(df: DataFrame, textCol: String, idCol: String,

@@ -27,8 +27,12 @@ object DataOpsQueries {
        |hs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM ex)"""
       .stripMargin
 
-  private val duckMinhashSig = {
-    val mins = Dedup.MinHashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+  /** MinHash signature CTE for any K — the coefficient list comes from
+    * the SAME generator the Spark operator uses
+    * ([[Dedup.minHashCoeffs]]), so both engines hash identically at
+    * k=8 and k=64 alike. */
+  private def duckMinhashSigK(k: Int) = {
+    val mins = Dedup.minHashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % ${Dedup.MinHashPrime}) AS m$i"
     }.mkString(", ")
     s"""$duckShingleHashes,
@@ -36,19 +40,23 @@ object DataOpsQueries {
   }
 
   /** MinHash LSH candidate pairs (id1 < id2) — mirrors
-    * [[Dedup.minHashCandidates]] with the default k=8, bands=4. */
-  private val duckMinhashCand = {
-    val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band, CAST(m${2 * b} AS STRING) || '-' || " +
-        s"CAST(m${2 * b + 1} AS STRING) AS key FROM sig"
+    * [[Dedup.minHashCandidates]] for any (k, bands). */
+  private def duckMinhashCandK(k: Int, bands: Int) = {
+    val rpb = k / bands
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until rpb).map(r => s"CAST(m${b * rpb + r} AS STRING)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$duckMinhashSig,
+    s"""${duckMinhashSigK(k)},
        |buckets AS ($bandRows),
        |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
        |  FROM buckets l JOIN buckets r
        |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
       .stripMargin
   }
+
+  private val duckMinhashCand = duckMinhashCandK(8, 4)
 
   /** Events with second-truncated timestamps: sub-second precision
     * differs between the engines (Spark micros vs DuckDB nanos), so
@@ -345,6 +353,28 @@ object DataOpsQueries {
           Dedup.minHashCandidates(docs, "text", "doc_id"), docs, "text", "doc_id")
       },
       Some(s"""WITH $duckMinhashCand
+              |SELECT c.id1, c.id2,
+              | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+              |FROM cand c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2"""
+        .stripMargin),
+    ),
+
+    // Production-scale MinHash config: 64 permutations in 16 bands of
+    // 4 rows — the LSH similarity threshold curve s ≈ (1/b)^(1/r)
+    // lands near 0.5 with a much sharper cutoff than k=8 can express.
+    // Coefficients beyond the 8 historical constants come from the
+    // seeded splitmix64 family (no silent truncation at k > 8); the
+    // oracle SQL is generated from the SAME coefficient list.
+    QueryDef(
+      "q_dedup_minhash64",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        Dedup.jaccardForPairs(
+          Dedup.minHashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
+          docs, "text", "doc_id")
+      },
+      Some(s"""WITH ${duckMinhashCandK(64, 16)}
               |SELECT c.id1, c.id2,
               | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
               |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard

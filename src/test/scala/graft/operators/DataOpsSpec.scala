@@ -31,6 +31,28 @@ class DataOpsSpec extends SparkSpec {
     assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minHashCoeffs: stable 8-prefix, valid field range, k>8 never truncates") {
+    val c64 = Dedup.minHashCoeffs(64)
+    assert(c64.take(8) == Dedup.MinHashCoeffs,
+      "generalizing the family must not change historical signatures")
+    assert(c64.size == 64 && c64.distinct.size == 64)
+    c64.foreach { case (a, b) =>
+      assert(a >= 1L && a < Dedup.MinHashPrime, s"a=$a out of [1, prime)")
+      assert(b >= 0L && b < Dedup.MinHashPrime, s"b=$b out of [0, prime)")
+    }
+    // the pre-generalization bug: k=16 silently produced an 8-column
+    // signature; now every requested permutation materializes
+    val sig16 = Dedup.minHashSignature(docs, "text", "doc_id", k = 16)
+    assert(sig16.columns.count(_.matches("m\\d+")) == 16)
+    // production-scale config end to end: k=64, 16 bands of 4 rows
+    // still surfaces the planted exact-dup pair
+    val found = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.5,
+        k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 2L)), "exact-dup pair 0-2 must be found")
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("jaccard is 1.0 for exact dups, high for near-dups, 0 for unrelated") {
     val pairs = Seq((0L, 2L), (0L, 1L), (0L, 3L)).toDF("id1", "id2")
     val j = Dedup.jaccardForPairs(pairs, docs, "text", "doc_id")
