@@ -68,13 +68,16 @@ object Similarity {
   def hyperplaneSignValue(j: Int, i: Int): Double =
     if (((i * 2654435761L + j * 40503L) % 97L) % 2L == 0L) 1.0 else -1.0
 
-  /** LSH bucket id from `bits` signed random projections. */
-  def lshBucket(vec: Column, bits: Int = 8): Column = {
+  /** LSH bucket id from `bits` signed random projections. `table`
+    * selects an independent hyperplane family (planes are indexed
+    * `table * bits + j`, so table 0 reproduces the historical single-
+    * table buckets bit-for-bit). */
+  def lshBucket(vec: Column, bits: Int = 8, table: Int = 0): Column = {
     val v = asDouble(vec)
     val projections = (0 until bits).map { j =>
-      // projection_j = sum_i sign(j,i) * v[i]
+      // projection_j = sum_i sign(table*bits + j, i) * v[i]
       val weighted = zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x * hyperplaneSign(j, i))
+        (x, i) => x * hyperplaneSign(table * bits + j, i))
       val proj = aggregate(weighted, lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << j)).otherwise(0L)
     }
@@ -90,27 +93,46 @@ object Similarity {
     * probes. `probes = 0` searches only the query's own bucket;
     * `probes = n` additionally probes the n single-bit-flip neighbor
     * buckets nearest in Hamming space — the standard multi-probe trick
-    * that lifts recall without re-bucketing the corpus. */
+    * that lifts recall without re-bucketing the corpus (note it
+    * saturates at `bits` flips). `tables = L` builds L INDEPENDENT
+    * hyperplane tables and unions their candidates — the classic
+    * recall amplifier (miss probability (1-p)^L instead of 1-p): a
+    * near neighbor only needs to collide in ONE table. Cost: the
+    * corpus emits L (table, bucket) index entries per row — the
+    * standard L-replica LSH index — but the join stays a fully blocked
+    * equi-join on (table, bucket); candidate pairs found by several
+    * tables are deduplicated BEFORE the cosine rerank. Table 0 is the
+    * historical single-table family, so `tables = 1` output is
+    * unchanged. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int = 5, bits: Int = 8, probes: Int = 0): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, bits)
-      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"),
-        col("bucket"))
-    val own = lshBuckets(queries, idCol, vecCol, bits)
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
-        col("bucket"))
+      vecCol: String, k: Int = 5, bits: Int = 8, probes: Int = 0,
+      tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    def tableBuckets(df: DataFrame, outId: String, outVec: String): DataFrame = {
+      val tb = (0 until tables).map { t =>
+        struct(lit(t).as("t"), lshBucket(col(vecCol), bits, t).as("bucket"))
+      }
+      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as(outVec),
+          explode(array(tb: _*)).as("tb"))
+        .select(col(outId), col(outVec),
+          col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    }
+    val cb = tableBuckets(corpus, "neighbor_id", "nv")
+    val own = tableBuckets(queries, "query_id", "qv")
     val qb =
       if (probes <= 0) own
       else {
         val flips = (0 until math.min(probes, bits)).map { j =>
           expr(s"bucket ^ ${1L << j}")
         }
-        own.select(col("query_id"), col("qv"),
+        own.select(col("query_id"), col("qv"), col("t"),
             explode(array((col("bucket") +: flips): _*)).as("bucket"))
-          .dropDuplicates("query_id", "bucket")
+          .dropDuplicates("query_id", "t", "bucket")
       }
-    val scored = cb.join(broadcast(qb), "bucket")
+    val scored = cb.join(broadcast(qb), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair colliding in several tables/probes must rerank ONCE
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))

@@ -22,10 +22,12 @@ object AnnQueries {
       .mkString("[", ", ", "]")
 
   /** DuckDB bucket id from `bits` signed projections of `vExpr` —
-    * mirrors [[Similarity.lshBucket]] with the hyperplanes inlined. */
-  private def duckBucket(vExpr: String, bits: Int): String =
+    * mirrors [[Similarity.lshBucket]] with the hyperplanes inlined.
+    * `table` selects the independent hyperplane family (plane index
+    * `table * bits + j`), exactly as the Spark operator does. */
+  private def duckBucket(vExpr: String, bits: Int, table: Int = 0): String =
     (0 until bits).map { j =>
-      s"(CASE WHEN list_dot_product($vExpr, ${signList(j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product($vExpr, ${signList(table * bits + j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
   private def duckSimhashSig(bits: Int) =
@@ -70,6 +72,45 @@ object AnnQueries {
               |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
               |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rank
               |FROM ranked WHERE rank <= 5""".stripMargin),
+    ),
+
+    // MULTI-TABLE LSH top-k (4 independent hyperplane tables x 4 bits,
+    // 2 probe flips per table): the recall amplifier — a true neighbor
+    // only needs to collide in ONE table, so miss probability drops
+    // from (1-p) to (1-p)^4. Exact result parity with DuckDB running
+    // the identical 16 inlined hyperplanes; recall quality itself is
+    // floored by AnnRecallSpec against brute force.
+    QueryDef(
+      "q_sim_topk_mtlsh",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, bits = 4, probes = 2, tables = 4)
+      },
+      Some {
+        val corpusTables = (0 until 4).map { t =>
+          s"SELECT vec_id, v, $t AS t, ${duckBucket("v", 4, t)} AS bucket FROM e"
+        }.mkString(" UNION ALL ")
+        val queryTables = (0 until 4).map { t =>
+          s"SELECT vec_id, v, $t AS t, ${duckBucket("v", 4, t)} AS bucket FROM e WHERE vec_id < 8"
+        }.mkString(" UNION ALL ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cb AS (SELECT vec_id AS neighbor_id, v AS nv, t, bucket
+           |  FROM ($corpusTables)),
+           |qb0 AS (SELECT vec_id AS query_id, v AS qv, t, bucket
+           |  FROM ($queryTables)),
+           |qb AS (SELECT query_id, qv, t, bucket FROM qb0
+           |  UNION SELECT query_id, qv, t, xor(bucket, 1) FROM qb0
+           |  UNION SELECT query_id, qv, t, xor(bucket, 2) FROM qb0),
+           |scored AS (SELECT DISTINCT q.query_id, c.neighbor_id,
+           |  list_cosine_similarity(q.qv, c.nv) AS cos
+           |  FROM cb c JOIN qb q ON c.t = q.t AND c.bucket = q.bucket
+           |  WHERE q.query_id != c.neighbor_id),
+           |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+           |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rank
+           |FROM ranked WHERE rank <= 5""".stripMargin
+      },
     ),
 
     // IVF probe-and-rerank with a deterministic (fixed-centroid) index:

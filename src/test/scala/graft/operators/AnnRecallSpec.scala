@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Recall-QUALITY floors for the approximate-nearest-neighbor paths.
+  *
+  * The registered oracles (q_sim_topk_lsh / q_sim_topk_ivf) prove
+  * output parity with a DuckDB run of the same algorithm — they catch
+  * implementation drift but not a recall regression from a bad
+  * hyperplane seed or centroid set (both engines would agree on the
+  * same bad answer). This spec pins the approximate operators against
+  * the BRUTE-FORCE ground truth on the embeddings fixture with fixed
+  * seeds; everything here is deterministic, so the floors are exact
+  * regression lines, not flaky statistical bounds. Measured values are
+  * recorded in PERF.md (ANN recall section).
+  *
+  * The fixture is a hard case on purpose: 500 near-uniform vectors
+  * have weak cosine margins at k=10, so single-table LSH caps out
+  * around 0.64 even probing most buckets — which is WHY lshTopK grew
+  * the `tables` knob (L independent hyperplane tables, miss
+  * probability (1-p)^L). These floors would have caught that gap.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val K = 10
+  private val NQueries = 50
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < NQueries)
+
+  /** (query, neighbor) ground-truth set from exact search. */
+  private lazy val exact: Set[(Long, Long)] =
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = K)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def lshRecall(bits: Int, probes: Int, tables: Int): Double = {
+    val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = K, bits = bits, probes = probes, tables = tables)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.intersect(got).size.toDouble / exact.size
+  }
+
+  private def ivfRecall(nCells: Int, nProbe: Int): Double = {
+    val (assigned, centroids) =
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = nCells)
+    val got = Similarity.ivfTopK(assigned, centroids, queries, "vec_id",
+        "embedding", k = K, nProbe = nProbe)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.intersect(got).size.toDouble / exact.size
+  }
+
+  test("multi-table LSH (bits=4, tables=8, probes=4) recall@10 >= 0.80") {
+    val recall = lshRecall(bits = 4, probes = 4, tables = 8)
+    info(f"LSH recall@$K = $recall%.3f (measured 0.804; floor 0.80)")
+    assert(recall >= 0.80, f"LSH recall@$K $recall%.3f below 0.80 floor")
+  }
+
+  test("LSH recall is monotone in tables (the multi-table amplifier works)") {
+    val r1 = lshRecall(bits = 4, probes = 4, tables = 1)
+    val r8 = lshRecall(bits = 4, probes = 4, tables = 8)
+    info(f"LSH recall tables=1: $r1%.3f, tables=8: $r8%.3f")
+    assert(r8 > r1 + 0.2,
+      f"8 tables ($r8%.3f) must amplify recall well past 1 table ($r1%.3f)")
+  }
+
+  test("IVF (nCells=8) recall@10: >= 0.70 at nProbe=4, >= 0.85 at nProbe=6") {
+    val r4 = ivfRecall(nCells = 8, nProbe = 4)
+    val r6 = ivfRecall(nCells = 8, nProbe = 6)
+    info(f"IVF recall@$K nProbe=4: $r4%.3f (measured 0.754; floor 0.70), " +
+      f"nProbe=6: $r6%.3f (measured 0.900; floor 0.85)")
+    assert(r4 >= 0.70, f"IVF nProbe=4 recall $r4%.3f below 0.70 floor")
+    assert(r6 >= 0.85, f"IVF nProbe=6 recall $r6%.3f below 0.85 floor")
+    assert(r6 > r4, "probing more cells must not lose recall")
+  }
+}
