@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for the testdata layout: replicates each
+  * SCALING table `factor` times with per-replica key offsets (so key
+  * cardinality grows with the data — replicating without offsets would
+  * inflate join fan-outs and group sizes instead of table sizes, which
+  * is NOT how a larger scale factor behaves) and copies the
+  * fixed-size tables (region/nation/documents/embeddings — the driver's
+  * own generator keeps those constant across sf) verbatim.
+  *
+  * Purpose: the sf1 scale rehearsal. Every 100 TB posture claim is
+  * plan-audited at sf0.1; this executes the full registry one decade
+  * up. Usage:
+  *   runMain graft.tools.ScaleUp [srcDir] [dstDir] [factor]
+  * then Bench with SPARK_GRAFT_SF_DIR=dstDir.
+  *
+  * Keys offset per replica r: orderkey, custkey (orders+customer
+  * consistently), partkey, suppkey (lineitem+dims consistently),
+  * event_id, user_id. Foreign-key relationships within each replica
+  * are preserved exactly, so join selectivities match a genuinely
+  * larger dataset.
+  */
+object ScaleUp {
+
+  /** Replicate `df` `factor` times, adding `r * stride(col)` to each
+    * key column — one crossJoin plan, no driver-side unions. */
+  private def replicate(df: DataFrame, factor: Int,
+      strides: Map[String, Long]): DataFrame = {
+    val r = explode(array((0 until factor).map(i => lit(i.toLong)): _*)).as("__r")
+    val cols: Seq[Column] = df.columns.toSeq.map { c =>
+      strides.get(c) match {
+        case Some(s) => (col(c) + col("__r") * s).as(c)
+        case None => col(c)
+      }
+    }
+    df.withColumn("__r", r).select(cols: _*)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("target/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS); read as long (see QueryDef)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    // strides shared across tables so FK relationships stay intact
+    val orders = read("orders"); val lineitem = read("lineitem")
+    val customer = read("customer"); val supplier = read("supplier")
+    val part = read("part"); val events = read("events")
+    val okS = math.max(maxOf(orders, "o_orderkey"), maxOf(lineitem, "l_orderkey"))
+    val ckS = math.max(maxOf(orders, "o_custkey"), maxOf(customer, "c_custkey"))
+    val pkS = math.max(maxOf(part, "p_partkey"), maxOf(lineitem, "l_partkey"))
+    val skS = math.max(maxOf(supplier, "s_suppkey"), maxOf(lineitem, "l_suppkey"))
+    val ekS = maxOf(events, "event_id")
+    val ukS = maxOf(events, "user_id")
+
+    def write(df: DataFrame, t: String, parts: Int): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t -> $dst/$t.parquet")
+    }
+
+    write(replicate(lineitem, factor, Map(
+      "l_orderkey" -> okS, "l_partkey" -> pkS, "l_suppkey" -> skS)),
+      "lineitem", 32)
+    write(replicate(orders, factor, Map(
+      "o_orderkey" -> okS, "o_custkey" -> ckS)), "orders", 16)
+    write(replicate(customer, factor, Map("c_custkey" -> ckS)), "customer", 4)
+    write(replicate(supplier, factor, Map("s_suppkey" -> skS)), "supplier", 2)
+    write(replicate(part, factor, Map("p_partkey" -> pkS)), "part", 4)
+    write(replicate(events, factor, Map(
+      "event_id" -> ekS, "user_id" -> ukS)), "events", 16)
+    // fixed-size tables: constant across scale factors by design
+    Seq("region" -> 1, "nation" -> 1, "documents" -> 2, "embeddings" -> 2)
+      .foreach { case (t, p) => write(read(t), t, p) }
+    spark.stop()
+  }
+}
