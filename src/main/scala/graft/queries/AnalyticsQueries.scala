@@ -175,6 +175,29 @@ object AnalyticsQueries {
              |FROM lineitem""".stripMargin),
     ),
 
+    // The SAME exact ntile through the distributed-rank operator
+    // (bucket by approx-quantile boundaries, rank per slice, add
+    // offsets): result-identical — same oracle — but parallelism is
+    // groups x buckets instead of groups. The plain-window form above
+    // is the audit oracle; this is the scale path (sf1 rehearsal:
+    // the window form was the registry's slowest decade-scaling at
+    // 8.1x, pinned to 3 tasks).
+    QueryDef(
+      "q_window_ntile_dist",
+      (s, d) => graft.operators.GlobalRank.ntileByRange(
+          load(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("l_orderkey", "l_linenumber"), n = 4)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("__tile").as("quartile")),
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             | ntile(4) OVER (PARTITION BY l_returnflag
+             |   ORDER BY l_extendedprice NULLS LAST, l_orderkey, l_linenumber) AS quartile
+             |FROM lineitem""".stripMargin),
+    ),
+
     // Exact distinct counting (the expand-based distinct aggregate —
     // the exact counterpart of approx_count_distinct, which stays
     // spec-only because HLL estimates are engine-specific).
@@ -496,6 +519,30 @@ object AnalyticsQueries {
               .as("p99"),
             max(col("n")).as("n_rows"))
       },
+      Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
+             |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice NULLS LAST, l_orderkey) AS rn,
+             |  count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             | max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS p50,
+             | max(CASE WHEN rn = ceil(n * 0.9) THEN l_extendedprice END) AS p90,
+             | max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END) AS p99,
+             | max(n) AS n_rows
+             |FROM r GROUP BY l_returnflag""".stripMargin),
+    ),
+
+    // The SAME exact nearest-rank quantiles through the
+    // distributed-rank operator — identical result and oracle, but no
+    // per-group serial rank window (sf1 rehearsal: the window form was
+    // 7.6x across the decade, parallelism = 3 groups).
+    QueryDef(
+      "q_agg_percentiles_dist",
+      (s, d) => graft.operators.GlobalRank.quantilesByRank(
+        load(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey")),
+        Seq("l_returnflag"), "l_extendedprice", Seq("l_orderkey"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)),
       Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
              |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
              |    ORDER BY l_extendedprice NULLS LAST, l_orderkey) AS rn,
