@@ -185,6 +185,59 @@ class TableIOSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: per-file stats prune on BOTH columns; linear sort only on one") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val ev = graft.queries.QueryDef.loadEvents(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // enough files that each covers a small z-square; range boundaries
+    // are sampled, so file spans bleed past aligned squares a bit
+    val nFiles = 64
+    TableIO.writeZOrderLayout(ev, s"$dir/z", Seq("user_id", "value"), nFiles)
+    TableIO.writeRangeLayout(ev, s"$dir/r", Seq("user_id"), nFiles)
+
+    // per-FILE [min,max] spans on both dimensions — what parquet
+    // row-group stats expose to the scan planner
+    def spans(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val zSpans = spans(s"$dir/z")
+    val rSpans = spans(s"$dir/r")
+    assert(zSpans.length > 4 && rSpans.length > 4)
+
+    // narrow predicates on each dimension (~7-10% of each domain:
+    // user_id spans 0..149 in this fixture)
+    val (uLo, uHi) = (100L, 110L)
+    val stats = ev.agg(min("value"), max("value")).head()
+    val (vMin, vMax) = (stats.getDouble(0), stats.getDouble(1))
+    val vW = (vMax - vMin) / 10
+    val (vLo, vHi) = (vMin + 4 * vW, vMin + 5 * vW)
+    def touchedU(s: Array[(Long, Long, Double, Double)]) =
+      s.count { case (lo, hi, _, _) => hi >= uLo && lo <= uHi }
+    def touchedV(s: Array[(Long, Long, Double, Double)]) =
+      s.count { case (_, _, lo, hi) => hi >= vLo && lo <= vHi }
+
+    info(s"z-layout:     user_id predicate touches ${touchedU(zSpans)}/${zSpans.length} files, " +
+      s"value predicate ${touchedV(zSpans)}/${zSpans.length}")
+    info(s"range-layout: user_id predicate touches ${touchedU(rSpans)}/${rSpans.length} files, " +
+      s"value predicate ${touchedV(rSpans)}/${rSpans.length}")
+    // z-order: BOTH dimensions prune (files cover small rectangles)
+    assert(touchedU(zSpans) <= zSpans.length * 45 / 100,
+      s"z-layout should prune most files on user_id: ${touchedU(zSpans)}/${zSpans.length}")
+    assert(touchedV(zSpans) <= zSpans.length * 45 / 100,
+      s"z-layout should prune most files on value: ${touchedV(zSpans)}/${zSpans.length}")
+    // linear sort: leading column prunes hard, the other not at all —
+    // the gap z-ordering exists to close
+    assert(touchedU(rSpans) <= rSpans.length / 4)
+    assert(touchedV(rSpans) >= rSpans.length * 8 / 10,
+      s"a user_id-sorted layout cannot prune on value: ${touchedV(rSpans)}/${rSpans.length}")
+    // layout is a storage optimization only: row fidelity holds
+    assert(spark.read.parquet(s"$dir/z").count() == ev.count())
+  }
+
   test("range-layout write produces range-disjoint, internally sorted files") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
