@@ -121,10 +121,10 @@ object Dedup {
     hashes.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band of the signature.
-    * bands x rowsPerBand must equal k. Pairs are distinct, id1 < id2. */
-  def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
+  /** Banded LSH buckets (id, band, key) for a table — the shared index
+    * shape behind the self-join and cross-corpus candidate finders. */
+  private def bandedBuckets(df: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int, n: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val sig = minHashSignature(df, textCol, idCol, k, n)
@@ -133,14 +133,54 @@ object Dedup {
         concat_ws("-", (0 until rowsPerBand)
           .map(r => col(s"m${b * rowsPerBand + r}")): _*).as("key"))
     }
-    val buckets = sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band of the signature.
+    * bands x rowsPerBand must equal k. Pairs are distinct, id1 < id2. */
+  def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
+    val buckets = bandedBuckets(df, textCol, idCol, k, bands, n)
     val l = buckets.as("l")
     val r = buckets.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
+  }
+
+  /** Cross-corpus NEAR-dup candidates: incoming docs sharing any
+    * signature band with an EXISTING doc — the incremental-ingest twin
+    * of [[minHashCandidates]] (and the near-dup generalization of
+    * [[crossCorpusDups]], which only catches byte-identical text).
+    * Output: (id1 = incoming id, id2 = existing id), distinct. At
+    * 100 TB the existing side's banded buckets are the precomputed LSH
+    * index (bands x corpus rows, built once, appended per ingest); the
+    * incoming batch joins against it by (band, key) — fully blocked,
+    * never corpus x batch. */
+  def minHashCandidatesCross(incoming: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
+    val l = bandedBuckets(incoming, textCol, idCol, k, bands, n).as("l")
+    val r = bandedBuckets(existing, textCol, idCol, k, bands, n).as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+  }
+
+  /** Cross-corpus near-dup detection end to end: banded candidates +
+    * exact-Jaccard verification above `threshold`. Ids must be unique
+    * ACROSS the two tables (the verify join resolves shingle sets from
+    * their union). */
+  def nearDupsCross(incoming: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.7,
+      k: Int = 8, bands: Int = 4, n: Int = 3): DataFrame = {
+    val pairs = minHashCandidatesCross(incoming, existing, textCol, idCol, k, bands, n)
+    val union = incoming.select(col(idCol), col(textCol))
+      .unionByName(existing.select(col(idCol), col(textCol)))
+    jaccardForPairs(pairs, union, textCol, idCol, n)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Shared pair-verification scaffolding: attach both sides' shingle

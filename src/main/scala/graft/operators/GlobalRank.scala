@@ -31,16 +31,17 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** Adds `rank` (1-based, per `groupCols`, ordered by `valueCol` asc
-    * nulls last, then `tiebreak` asc) without a group-wide window.
-    * `buckets` bounds the added parallelism (groups x buckets tasks). */
-  def withGroupRank(
+  /** Core: (ranked rows incl. `rank`, per-slice count table). The
+    * slice-count table (groups x buckets rows) also serves as the
+    * group-total source for callers — deriving totals from it avoids a
+    * third scan of the fact table. */
+  private def rankedWithSliceCounts(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       tiebreak: Seq[String],
-      buckets: Int = 32,
-  ): DataFrame = {
+      buckets: Int,
+  ): (DataFrame, DataFrame) = {
     require(buckets >= 1, "buckets must be >= 1")
     // GLOBAL boundaries of the order key (cheap sketch; per-group
     // boundaries would only improve balance when group distributions
@@ -63,17 +64,31 @@ object GlobalRank {
     // tiny part: per-slice counts -> running offset per group. The agg
     // is map-side combined; the cumsum window runs over groups x
     // (buckets + 2) rows, not data rows.
+    val sliceCounts = bucketed.groupBy((groupCols :+ "__bkt").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
     val wOff = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy((groupCols :+ "__bkt").map(col): _*)
-      .agg(count(lit(1)).as("__cnt"))
+    val offsets = sliceCounts
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
       .select((groupCols :+ "__bkt").map(col) :+ col("__off"): _*)
-    ranked.join(broadcast(offsets), groupCols :+ "__bkt")
+    val withRank = ranked.join(broadcast(offsets), groupCols :+ "__bkt")
       .withColumn("rank", col("__off") + col("__rb"))
       .drop("__bkt", "__rb", "__off")
+    (withRank, sliceCounts)
   }
+
+  /** Adds `rank` (1-based, per `groupCols`, ordered by `valueCol` asc
+    * nulls last, then `tiebreak` asc) without a group-wide window.
+    * `buckets` bounds the added parallelism (groups x buckets tasks). */
+  def withGroupRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tiebreak: Seq[String],
+      buckets: Int = 32,
+  ): DataFrame =
+    rankedWithSliceCounts(df, groupCols, valueCol, tiebreak, buckets)._1
 
   /** Standard SQL ntile from a 1-based rank and the group size: the
     * first `n_rows % n` tiles hold `n_rows/n + 1` rows. Exactly the
@@ -99,10 +114,13 @@ object GlobalRank {
       n: Int,
       buckets: Int = 32,
   ): DataFrame = {
-    val counts = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-    withGroupRank(df, groupCols, valueCol, tiebreak, buckets)
-      .join(broadcast(counts), groupCols)
+    val (ranked, sliceCounts) =
+      rankedWithSliceCounts(df, groupCols, valueCol, tiebreak, buckets)
+    // group totals fold from the tiny slice-count table — no extra
+    // scan of the fact table
+    val counts = sliceCounts.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__cnt")).as("__n"))
+    ranked.join(broadcast(counts), groupCols)
       .withColumn("__tile", ntileFromRank(col("rank"), col("__n"), n))
       .drop("rank", "__n")
   }
@@ -119,10 +137,11 @@ object GlobalRank {
       quantiles: Seq[(String, Double)],
       buckets: Int = 32,
   ): DataFrame = {
-    val counts = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-    val ranked = withGroupRank(df, groupCols, valueCol, tiebreak, buckets)
-      .join(broadcast(counts), groupCols)
+    val (rankedRows, sliceCounts) =
+      rankedWithSliceCounts(df, groupCols, valueCol, tiebreak, buckets)
+    val counts = sliceCounts.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__cnt")).as("__n"))
+    val ranked = rankedRows.join(broadcast(counts), groupCols)
     // keep only the target-rank rows (a handful per group) before the
     // final fold — everything else never leaves its partition
     val isTarget = quantiles.map { case (_, p) =>

@@ -15,27 +15,32 @@ object DataOpsQueries {
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   /** DuckDB shingle-set CTE fragment (3-gram, distinct, lowercased) —
-    * mirrors [[Dedup.shingles]]. */
-  private val duckShingles =
-    """w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
-      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w)""".stripMargin
+    * mirrors [[Dedup.shingles]]. `src` is the source relation (a table
+    * name or an aliased subquery). */
+  private def duckShinglesFrom(src: String) =
+    s"""w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws FROM $src),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w)""".stripMargin
 
-  private val duckShingleHashes =
-    s"""$duckShingles,
+  private val duckShingles = duckShinglesFrom("documents")
+
+  private def duckShingleHashesFrom(src: String) =
+    s"""${duckShinglesFrom(src)},
        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
        |hs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM ex)"""
       .stripMargin
+
+  private val duckShingleHashes = duckShingleHashesFrom("documents")
 
   /** MinHash signature CTE for any K — the coefficient list comes from
     * the SAME generator the Spark operator uses
     * ([[Dedup.minHashCoeffs]]), so both engines hash identically at
     * k=8 and k=64 alike. */
-  private def duckMinhashSigK(k: Int) = {
+  private def duckMinhashSigK(k: Int, src: String = "documents") = {
     val mins = Dedup.minHashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % ${Dedup.MinHashPrime}) AS m$i"
     }.mkString(", ")
-    s"""$duckShingleHashes,
+    s"""${duckShingleHashesFrom(src)},
        |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
   }
 
@@ -380,6 +385,51 @@ object DataOpsQueries {
               |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
               |FROM cand c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2"""
         .stripMargin),
+    ),
+
+    // Cross-corpus NEAR-dup detection (incremental ingest): an
+    // incoming batch — fresh docs plus 50 re-ingested copies under new
+    // ids — LSH-banded against the EXISTING corpus's signature index,
+    // then exact-Jaccard verified. The near-dup generalization of
+    // q_dedup_cross (which only catches byte-identical text): the
+    // incoming batch joins the precomputed banded index by (band,
+    // key), never corpus x batch.
+    QueryDef(
+      "q_dedup_cross_minhash",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val existing = docs.filter(col("doc_id") < 250)
+        val incoming = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 10000))
+        Dedup.nearDupsCross(incoming, existing, "text", "doc_id",
+          threshold = 0.5)
+      },
+      Some {
+        val src = """(SELECT doc_id, text FROM documents WHERE doc_id >= 250
+                    | UNION ALL SELECT doc_id + 10000 AS doc_id, text
+                    |   FROM documents WHERE doc_id < 50
+                    | UNION ALL SELECT doc_id, text FROM documents
+                    |   WHERE doc_id < 250) AS src""".stripMargin
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 2).map(r => s"CAST(m${b * 2 + r} AS STRING)")
+            .mkString(" || '-' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH ${duckMinhashSigK(8, src)},
+           |buckets AS ($bandRows),
+           |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM buckets l JOIN buckets r
+           |  ON l.band = r.band AND l.key = r.key
+           |  AND l.doc_id >= 250 AND r.doc_id < 250)
+           |SELECT c.id1, c.id2,
+           | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+           |FROM cand c JOIN sh a ON a.doc_id = c.id1 JOIN sh b ON b.doc_id = c.id2
+           |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5"""
+          .stripMargin
+      },
     ),
 
     // Connected-component cluster labels over the MinHash candidate

@@ -90,6 +90,25 @@ class DataOpsSpec extends SparkSpec {
       "declarative dupClusters must not leak persisted edges")
   }
 
+  test("nearDupsCross: incoming near-dups of existing docs found, direction kept") {
+    import spark.implicits._
+    val existing = docs // ids 0-4
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // = doc 0
+      (11L, "the quick brown fox leaps over the lazy dog near the river bank today"), // near doc 0
+      (12L, "totally novel content with no counterpart in the existing corpus at all"),
+    ).toDF("doc_id", "text")
+    val found = Dedup.nearDupsCross(incoming, existing, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // id1 is always the incoming side, id2 the existing side
+    assert(found.keySet.subsetOf(Set(10L, 11L)), found.toString)
+    assert(found.contains(10L), "exact copy must be found")
+    assert(found.contains(11L), "near-dup must be found")
+    assert(!found.contains(12L), "novel doc must not match")
+    assert(found.values.forall(id2 => id2 >= 0L && id2 <= 4L))
+  }
+
   test("contaminatedDocs flags only docs sharing shingles with the eval set") {
     val evalSet = docs.filter($"doc_id" === 0L)
     val flagged = Dedup.contaminatedDocs(
