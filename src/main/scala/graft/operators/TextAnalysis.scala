@@ -125,6 +125,26 @@ object TextAnalysis {
   def redactNumbers(text: Column): Column =
     regexp_replace(text, NumberRe, "<NUM>")
 
+  /** HTML/markup stripping for crawled corpora: drop script/style
+    * blocks wholesale (their CONTENT is code, not text), comments,
+    * then all remaining tags; unescape the common entities; collapse
+    * whitespace. Patterns avoid backrefs/lookaround so the identical
+    * semantics are expressible in RE2 engines (DuckDB oracle, Go
+    * scrubbers) — same portability contract as the PII patterns.
+    * Pure codegen'd regexp_replace chain: scan-local, no shuffle. */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val unescaped = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&",
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   def matchCount(text: Column, pattern: String): Column =
     size(call_function("regexp_extract_all", text, lit(pattern), lit(0)))
 

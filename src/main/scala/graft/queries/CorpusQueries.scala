@@ -180,6 +180,52 @@ object CorpusQueries {
               |FROM events""".stripMargin),
     ),
 
+    // HTML/markup stripping (crawled-corpus cleaning): the fixture has
+    // no markup, so the query WRAPS each document in deterministic
+    // HTML — script/style blocks whose content must vanish wholesale,
+    // a comment, attributes, entities — and strips it back. Both
+    // engines run the identical RE2-safe pattern chain (no backrefs,
+    // no lookaround); scan-local regexp_replace, no shuffle.
+    QueryDef(
+      "q_text_strip_html",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><style>body { color: red; }</style></head>" +
+            "<body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- crawler: drop me --><p class=\"main\">"),
+          col("text"),
+          lit(" &amp; more &lt;tags&gt;</p>" +
+            "<script>if (1 < 2) { track(); }</script></body></html>"))
+        QueryDef.load(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.stripHtml(html).as("clean"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><style>body { color: red; }</style></head><body><h1>Doc '
+             |  || CAST(doc_id AS VARCHAR)
+             |  || '</h1><!-- crawler: drop me --><p class="main">' || text
+             |  || ' &amp; more &lt;tags&gt;</p><script>if (1 < 2) { track(); }</script></body></html>'
+             |  AS html FROM documents)
+             |SELECT doc_id, trim(regexp_replace(
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |  regexp_replace(regexp_replace(
+             |    html,
+             |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |    '(?s)<!--.*?-->', ' ', 'g'),
+             |    '<[^>]+>', ' ', 'g'),
+             |    '&nbsp;', ' ', 'g'),
+             |    '&lt;', '<', 'g'),
+             |    '&gt;', '>', 'g'),
+             |    '&quot;', '"', 'g'),
+             |    '&#39;', CHR(39), 'g'),
+             |    '&amp;', '&', 'g'),
+             |  '\s+', ' ', 'g')) AS clean
+             |FROM h""".stripMargin),
+    ),
+
     // Per-source document cap (cluster-size capping): at most 10 docs
     // per source, drawn by deterministic hash — the post-dedup step
     // that stops any one domain/cluster from dominating the mix.

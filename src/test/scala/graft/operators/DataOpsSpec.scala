@@ -282,6 +282,27 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("stripHtml: blocks vanish wholesale, tags strip, entities decode") {
+    val cases = Seq(
+      (1L, "<p>hello <b>world</b></p>", "hello world"),
+      // script/style CONTENT must disappear, including literal '<'
+      (2L, "a<script>if (1 < 2) x();</script>b", "a b"),
+      (3L, "a<style>p { x: 1 }</style>b", "a b"),
+      (4L, "keep <!-- not this -->that", "keep that"),
+      // entity decode order: &amp;lt; decodes to &lt;, NOT to <
+      (5L, "x &amp;lt; y &lt; z &#39;q&#39;", "x &lt; y < z 'q'"),
+      (6L, "  lots   of\t\nspace  ", "lots of space"),
+      (7L, "<a href=\"u?a=1&amp;b=2\">link</a>", "link"),
+    )
+    import spark.implicits._
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "html")
+      .select($"id", TextAnalysis.stripHtml($"html").as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"case $id: got '${got(id)}', want '$want'")
+    }
+  }
+
   test("langId picks marker-matching language; und when no markers") {
     val df = Seq(
       (1L, "the cat and the dog of a house"),
