@@ -267,6 +267,40 @@ object TableIO {
       .write.mode(mode).parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files. Streaming sinks and incremental ingests
+    * accrete small files; at 100 TB each scan then pays per-file open
+    * + footer-read + scheduling overhead (and the NameNode/listing
+    * pays with it), so periodic compaction is table hygiene, not an
+    * optimization. Sizing uses the CURRENT on-disk bytes (so the
+    * output matches the actual compression ratio), the rewrite goes to
+    * a temp dir first and swaps in via rename — readers never observe
+    * a half-written directory. Returns the output file count. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+  ): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (!fs.rename(hPath, bak)) sys.error(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, hPath)) { // restore on failure
+      fs.rename(bak, hPath)
+      sys.error(s"compact: cannot swap in compacted $path")
+    }
+    fs.delete(bak, true)
+    n
+  }
+
   /** Execute SQL then write — the state-machine stage's primary path
     * (spark_utils.py:46-47). */
   def writeSql(

@@ -238,6 +238,59 @@ class TableIOSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/z").count() == ev.count())
   }
 
+  test("compact: many small files rewrite to size-targeted few, atomically swapped") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val ev = graft.queries.QueryDef.loadEvents(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.repartition(64).write.parquet(s"$dir/t") // the accretion problem
+    def files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val before = files
+    assert(before.length == 64)
+    val totalBytes = before.map(_.length).sum
+    val target = totalBytes / 4 // aim for ~4 output files
+    val n = TableIO.compact(spark, s"$dir/t", target)
+    assert(n >= 4 && n <= 6, s"expected ~4-5 output files, got $n")
+    assert(files.length == n)
+    // fidelity: same rows, same schema, no leftover temp/backup dirs
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == ev.count())
+    assert(back.columns.toSeq == Seq("event_id", "user_id", "value"))
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == Set("t"))
+  }
+
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer metadata") {
+    import org.apache.spark.sql.functions._
+    // pushdown is a DataSource V2 feature — parquet defaults to the V1
+    // path, so drop it from the V1 list for this test
+    val keys = Seq("spark.sql.parquet.aggregatePushdown",
+      "spark.sql.sources.useV1SourceList")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      spark.read.parquet(s"$sf/orders.parquet")
+        .createOrReplaceTempView("__aggpd_orders")
+      val agg = spark.sql(
+        "SELECT count(*) AS n, min(o_orderkey) AS lo, max(o_orderkey) AS hi " +
+          "FROM __aggpd_orders")
+      val row = agg.head()
+      assert(row.getAs[Long]("n") == 1500L)
+      assert(row.getAs[Long]("lo") < row.getAs[Long]("hi"))
+      val plan = agg.queryExecution.executedPlan.toString
+      // the scan itself must answer the aggregate from row-group
+      // statistics — no data pages decoded at any scale
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate not pushed into the parquet scan:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("range-layout write produces range-disjoint, internally sorted files") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
