@@ -30,6 +30,29 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketches MERGE: partial sketches union to the whole (the scale property)") {
+    // what makes approx-distinct work at 100 TB is not the estimate,
+    // it's MERGEABILITY: per-partition (or per-day) sketches combine
+    // into the global answer without revisiting rows. Build sketches
+    // over disjoint halves, union them, and require the merged
+    // estimate to (a) match the one-pass sketch exactly — same
+    // algorithm, same registers — and (b) bound the exact count.
+    val ev = graft.queries.QueryDef.loadEvents(spark, sf)
+      .select($"user_id", pmod($"event_id", lit(2)).as("half"))
+    val partials = ev.groupBy($"half")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val merged = partials.agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .head().getLong(0)
+    val onePass = ev.agg(hll_sketch_estimate(hll_sketch_agg($"user_id")))
+      .head().getLong(0)
+    val exact = ev.select($"user_id").distinct().count()
+    assert(merged == onePass,
+      s"merged partial sketches ($merged) must equal the one-pass sketch ($onePass)")
+    assert(math.abs(merged - exact) <= math.max(1L, (exact * 0.1).toLong),
+      s"estimate $merged vs exact $exact")
+  }
+
   test("percentile_approx: estimate lands within a rank band of exact") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select($"l_extendedprice".as("v")).cache()
