@@ -422,6 +422,52 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster"))
   }
 
+  /** Exploded character-window hashes: (id, pos, h) for every
+    * `k`-char window starting at 1, 1+stride, 1+2*stride, ... —
+    * the EXACT-substring analogue of word shingles (the unit behind
+    * substring-level dedup/decontamination a la "Deduplicating
+    * Training Data": repeated verbatim SPANS matter even when whole
+    * documents differ). `stride > 1` trades recall for volume — a
+    * duplicated span of length >= k + stride - 1 is still guaranteed
+    * to contribute at least one aligned window on one side; pair it
+    * with stride 1 on the (small) probe side for exactness. Scan-local
+    * generate: rows x windows, each carrying a 32-bit hash, never the
+    * text. */
+  def charWindowHashes(df: DataFrame, textCol: String, idCol: String,
+      k: Int, stride: Int = 1): DataFrame = {
+    require(k >= 1 && stride >= 1, "k and stride must be >= 1")
+    val t = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.select(col(idCol).as("id"), t.as("__t"))
+      .select(col("id"), col("__t"),
+        explode_outer(sequence(lit(1),
+          greatest(length(col("__t")) - (k - 1), lit(1)), lit(stride))).as("pos"))
+      .select(col("id"), col("pos"),
+        md5Hash32(col("__t").substr(col("pos"), lit(k))).as("h"))
+  }
+
+  /** Per-document exact-substring duplication profile: of the doc's
+    * sampled `k`-char windows, how many also occur VERBATIM in some
+    * OTHER document. High `dup_ratio` with a non-trivial denominator
+    * is the boilerplate/licence-block/quoted-copy signal that
+    * document-level fingerprints miss. One shuffle on the 32-bit
+    * window hash; the per-hash distinct-doc count is map-side
+    * combined; text never shuffles. */
+  def substringDupProfile(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 40, stride: Int = 1): DataFrame = {
+    val hashes = charWindowHashes(df, textCol, idCol, k, stride)
+    // a window value is "shared" when >= 2 distinct docs contain it
+    val shared = hashes.select(col("h"), col("id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("h"), lit(1).as("__shared"))
+    hashes.join(shared, Seq("h"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("__shared")).as("n_shared"))
+      .withColumn("dup_ratio",
+        round(col("n_shared").cast("double") / col("n_windows"), 6))
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist, via banded
     * LSH over the signature: the `bits` are cut into `bands` contiguous
     * windows and docs become candidates when ANY window matches

@@ -460,6 +460,35 @@ object DataOpsQueries {
         .stripMargin),
     ),
 
+    // Exact-substring duplication profile: per doc, the fraction of
+    // its sampled 40-char windows that occur VERBATIM in another doc —
+    // the boilerplate/licence-block/quoted-copy signal document-level
+    // fingerprints miss (substring-level dedup a la "Deduplicating
+    // Training Data"). One shuffle on 32-bit window hashes.
+    QueryDef(
+      "q_substring_dups",
+      (s, d) => Dedup.substringDupProfile(
+        QueryDef.load(s, d, "documents"), "text", "doc_id",
+        k = 40, stride = 7),
+      Some("""WITH t AS (SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+             |  FROM documents),
+             |w AS (SELECT doc_id, t,
+             |  unnest(range(1, greatest(len(t) - 39, 1) + 1, 7)) AS pos
+             |  FROM t),
+             |hx AS (SELECT doc_id, pos,
+             |  ('0x' || substr(md5(substr(t, pos, 40)), 1, 8))::BIGINT AS h
+             |  FROM w),
+             |sh AS (SELECT h FROM (
+             |  SELECT h, count(DISTINCT doc_id) AS d FROM hx GROUP BY h)
+             |  WHERE d >= 2)
+             |SELECT hx.doc_id, count(*) AS n_windows,
+             | count(sh.h) AS n_shared,
+             | round(CAST(count(sh.h) AS DOUBLE) / count(*), 6) AS dup_ratio
+             |FROM hx LEFT JOIN sh ON sh.h = hx.h
+             |GROUP BY hx.doc_id""".stripMargin),
+    ),
+
     // Test-set decontamination: training docs (doc_id >= 10) sharing
     // any 3-gram shingle with the "benchmark" docs (doc_id < 10).
     QueryDef(

@@ -282,6 +282,26 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("substringDupProfile: verbatim cross-doc spans flagged, within-doc repeats not") {
+    import spark.implicits._
+    val licence = "licensed under the apache license version two point zero see notice file"
+    val df = Seq(
+      (1L, s"doc one unique words here $licence trailing content distinct alpha"),
+      (2L, s"totally different beginning $licence and a different ending beta"),
+      (3L, "no shared spans in this document at all just singular content gamma"),
+      // within-doc repetition only: must NOT count (cross-doc signal)
+      (4L, "echo echo echo echo echo echo echo echo echo echo echo echo delta"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupProfile(df, "text", "doc_id", k = 30, stride = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1)._2 > 0 && got(2)._2 > 0,
+      s"shared licence span must register on both docs: $got")
+    assert(got(3)._2 == 0, "doc without shared spans must score 0")
+    assert(got(4)._2 == 0, "within-doc repetition is not cross-doc duplication")
+    assert(got(1)._3 > 0.2 && got(1)._3 < 1.0, s"ratio sane: ${got(1)._3}")
+  }
+
   test("stripHtml: blocks vanish wholesale, tags strip, entities decode") {
     val cases = Seq(
       (1L, "<p>hello <b>world</b></p>", "hello world"),
