@@ -149,13 +149,15 @@ object Corpus {
 
   /** Deterministic fractional-epoch repetition (data-mixture weights):
     * a document with weight 2.3 appears 2 times plus a 3rd with
-    * probability 0.3, the extra copy decided by an md5 draw — so the
-    * EXPECTED corpus-level multiplicity equals the mixture weight to
-    * within 2e-6 (the draw is a 32-bit uniform reduced mod 10000;
-    * 2^32 mod 10000 = 7296, so the 7296 lowest residues are hit one
-    * extra time in 2^32 — a relative bias of ~1.7e-6, far below any
-    * mixture-tuning resolution) while every run (and engine)
-    * materializes the identical repeated corpus. Weights quantize to basis points (1e-4) before
+    * probability 0.3, the extra copy decided by an md5 draw — and the
+    * EXPECTED corpus-level multiplicity equals the mixture weight
+    * EXACTLY at the hash's 2^-32 granularity: the draw is the
+    * scaled-uniform reduction floor(h * 10000 / 2^32) of a 32-bit
+    * uniform h, so P(draw < f) = ceil(f * 2^32 / 10000) / 2^32, within
+    * 2^-32 of f / 10000 for every threshold (a plain `h % 10000` draw
+    * instead biases the 7296 lowest residues by ~1.7e-6 — 2^32 mod
+    * 10000 = 7296). Every run (and engine) materializes the identical
+    * repeated corpus. Weights quantize to basis points (1e-4) before
     * the integer/fraction split, keeping all comparisons integral.
     * Zero-weight (< 0.5e-4) docs drop out. Emits one row per
     * repetition with its `epoch` index — a scan-local generate, no
@@ -168,8 +170,10 @@ object Corpus {
       salt: String = "epoch",
   ): DataFrame = {
     val wbp = round(col(weightCol) * 10000).cast("long")
-    val draw =
-      Dedup.md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) % 10000
+    // scaled-uniform: h * 10000 < 2^32 * 10^4 < 2^46, no Long overflow
+    val draw = shiftright(
+      Dedup.md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) * 10000L,
+      32)
     val reps = expr("__wbp div 10000") +
       when(draw < col("__wbp") % 10000, 1L).otherwise(0L)
     df.withColumn("__wbp", wbp)

@@ -380,7 +380,24 @@ object Dedup {
     *   round; only usable for rounds <= ~4, kept for tests. The eager
     *   form is the production path. */
   def dupClusters(pairs: DataFrame, nodes: DataFrame, idCol: String,
-      rounds: Int = 0): DataFrame = {
+      rounds: Int = 0): DataFrame =
+    if (rounds == 0) dupClustersCounted(pairs, nodes, idCol)._1
+    else dupClustersImpl(pairs, nodes, idCol, rounds)
+
+  /** Eager min-label propagation with an observable round count — the
+    * driver-coordinated convergence loop behind `dupClusters(rounds=0)`.
+    * Rounds needed = component diameter (the min label travels one hop
+    * per round); see `dupClustersStar` for the O(log n)-round variant
+    * that a 100 TB near-dup graph with long chains wants. */
+  private[graft] def dupClustersCounted(pairs: DataFrame, nodes: DataFrame,
+      idCol: String): (DataFrame, Int) = {
+    var n = 0
+    val labels = dupClustersImpl(pairs, nodes, idCol, 0, () => n += 1)
+    (labels, n)
+  }
+
+  private def dupClustersImpl(pairs: DataFrame, nodes: DataFrame, idCol: String,
+      rounds: Int, onRound: () => Unit = () => ()): DataFrame = {
     // persist (eager path only): the edge set (often an EXPENSIVE
     // subtree — a full MinHash-LSH candidate computation) appears once
     // per round in the eager loop; without the cache each round
@@ -409,6 +426,7 @@ object Dedup {
       labels = labels.localCheckpoint()
       var converged = false
       while (!converged) {
+        onRound()
         val next = propagate(labels).localCheckpoint()
         converged = next.as("n")
           .join(labels.as("o"), "id")
@@ -420,6 +438,72 @@ object Dedup {
       edges.unpersist()
     }
     labels.select(col("id").as(idCol), col("label").as("cluster"))
+  }
+
+  /** Connected-component cluster labels via alternating
+    * large-star/small-star (the standard MapReduce CC construction:
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — converges in O(log n) driver-coordinated rounds where
+    * min-label propagation (`dupClusters`) needs O(diameter). On a
+    * 100 TB near-dup graph the dup chains (A~B~C~... through
+    * boilerplate variants) are exactly the long-diameter case where
+    * per-round driver latency dominates.
+    *
+    *   - large-star: every node attaches its strictly-LARGER neighbors
+    *     to the minimum of its closed neighborhood — safe in parallel
+    *     because edges only ever move toward smaller ids;
+    *   - small-star: every node attaches itself and its smaller
+    *     neighbors to that minimum — collapses local chains into stars.
+    *
+    * The edge set is stable exactly when every component is a star
+    * centered at its minimum id, so the final labels equal
+    * `dupClusters`'s (cluster = min reachable id) and the same
+    * recursive-CTE oracle gates both. Each round shuffles only the
+    * (canonical-direction) edge list; text/signatures never shuffle. */
+  def dupClustersStar(pairs: DataFrame, nodes: DataFrame,
+      idCol: String): DataFrame =
+    dupClustersStarCounted(pairs, nodes, idCol)._1
+
+  private[graft] def dupClustersStarCounted(pairs: DataFrame, nodes: DataFrame,
+      idCol: String): (DataFrame, Int) = {
+    // canonical direction (larger -> smaller), self-loops dropped; the
+    // localCheckpoint both cuts lineage and materializes the (often
+    // expensive — e.g. a full MinHash-LSH candidate pass) pair subtree
+    // exactly once
+    var edges = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done) {
+      rounds += 1
+      // large-star over both directions: attach v > u to min(N+(u))
+      val nbr = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minL = nbr.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val afterLarge = nbr.join(minL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m: canonical
+        .distinct()
+      // small-star on canonical edges: attach the center and all its
+      // (smaller) neighbors to the closed-neighborhood min
+      val minS = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val vEdges = afterLarge.join(minS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val next = vEdges.union(minS.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      done = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+    }
+    // stable => stars centered at component minima; centers and
+    // isolated nodes label themselves
+    val labels = nodes.select(col(idCol).as("id")).distinct()
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("cluster"))
+    (labels, rounds)
   }
 
   /** Exploded character-window hashes: (id, pos, h) for every
@@ -445,27 +529,62 @@ object Dedup {
         md5Hash32(col("__t").substr(col("pos"), lit(k))).as("h"))
   }
 
+  /** Content-defined ("0 mod p" / winnowing-style) window selection:
+    * hash EVERY `k`-char window at stride 1 and keep those whose hash
+    * is ≡ 0 (mod `stride`). Selection depends only on window CONTENT,
+    * so a span shared verbatim by two documents contributes the
+    * identical selected-window set in both, at ANY byte offset — the
+    * alignment-free fix for double-strided positional sampling, where
+    * two copies of an arbitrarily long span starting at offsets that
+    * differ mod `stride` can share ZERO sampled windows. Expected
+    * volume reduction is the same 1/stride; the match hash doubles as
+    * the selector, so cost is one md5 per position either way, and the
+    * downstream shuffle still carries only the selected 32-bit hashes. */
+  def winnowedWindowHashes(df: DataFrame, textCol: String, idCol: String,
+      k: Int, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    charWindowHashes(df, textCol, idCol, k, 1)
+      .filter(col("h") % stride === 0)
+  }
+
   /** Per-document exact-substring duplication profile: of the doc's
     * sampled `k`-char windows, how many also occur VERBATIM in some
     * OTHER document. High `dup_ratio` with a non-trivial denominator
     * is the boilerplate/licence-block/quoted-copy signal that
     * document-level fingerprints miss. One shuffle on the 32-bit
     * window hash; the per-hash distinct-doc count is map-side
-    * combined; text never shuffles. */
+    * combined; text never shuffles.
+    *
+    * `winnowed = true` (the recommended mode for `stride > 1`) selects
+    * windows by content (`winnowedWindowHashes`) instead of absolute
+    * position, so shared spans are detected at any alignment; a doc
+    * whose windows all miss the selector still appears, with
+    * `n_windows = 0` and a null `dup_ratio`. */
   def substringDupProfile(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 40, stride: Int = 1): DataFrame = {
-    val hashes = charWindowHashes(df, textCol, idCol, k, stride)
+      k: Int = 40, stride: Int = 1, winnowed: Boolean = false): DataFrame = {
+    val hashes =
+      if (winnowed) winnowedWindowHashes(df, textCol, idCol, k, stride)
+      else charWindowHashes(df, textCol, idCol, k, stride)
     // a window value is "shared" when >= 2 distinct docs contain it
     val shared = hashes.select(col("h"), col("id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= 2)
       .select(col("h"), lit(1).as("__shared"))
-    hashes.join(shared, Seq("h"), "left")
-      .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_windows"),
-        count(col("__shared")).as("n_shared"))
+    val prof = hashes.join(shared, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__nw"),
+        count(col("__shared")).as("__ns"))
+    // left join from the distinct doc ids: winnowed selection can leave
+    // a (short) doc with zero selected windows, and the profile must
+    // still report it rather than silently dropping the row
+    df.select(col(idCol)).distinct().as("d")
+      .join(prof.as("p"), col("d." + idCol) === col("p.id"), "left")
+      .select(col("d." + idCol).as(idCol),
+        coalesce(col("__nw"), lit(0L)).as("n_windows"),
+        coalesce(col("__ns"), lit(0L)).as("n_shared"))
       .withColumn("dup_ratio",
-        round(col("n_shared").cast("double") / col("n_windows"), 6))
+        when(col("n_windows") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_shared").cast("double") / col("n_windows"), 6)))
   }
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist, via banded

@@ -158,9 +158,12 @@ object AnalyticsQueries {
     ),
 
     // ntile quantile bucketing (equal-frequency binning) with a total
-    // order for determinism.
+    // order for determinism. Serial-window AUDIT ORACLE for the
+    // distributed form below — parallelism = group count (3 tasks) by
+    // construction, so it is deliberately NOT the primary name: a
+    // registry consumer at scale gets the GlobalRank plan.
     QueryDef(
-      "q_window_ntile",
+      "q_window_ntile_serial_oracle",
       (s, d) => {
         val w = Window.partitionBy(col("l_returnflag"))
           .orderBy(col("l_extendedprice").asc_nulls_last, col("l_orderkey"), col("l_linenumber"))
@@ -175,15 +178,15 @@ object AnalyticsQueries {
              |FROM lineitem""".stripMargin),
     ),
 
-    // The SAME exact ntile through the distributed-rank operator
+    // The CANONICAL exact ntile, through the distributed-rank operator
     // (bucket by approx-quantile boundaries, rank per slice, add
-    // offsets): result-identical — same oracle — but parallelism is
-    // groups x buckets instead of groups. The plain-window form above
-    // is the audit oracle; this is the scale path (sf1 rehearsal:
-    // the window form was the registry's slowest decade-scaling at
-    // 8.1x, pinned to 3 tasks).
+    // offsets): result-identical to the serial audit oracle above —
+    // same DuckDB oracle — but parallelism is groups x buckets instead
+    // of groups (sf1 rehearsal: the window form was the registry's
+    // slowest decade-scaling at 8.1x, pinned to 3 tasks; this form ran
+    // 2.8x faster on 32 cores and scales with the cluster).
     QueryDef(
-      "q_window_ntile_dist",
+      "q_window_ntile",
       (s, d) => graft.operators.GlobalRank.ntileByRange(
           load(s, d, "lineitem")
             .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
@@ -498,9 +501,11 @@ object AnalyticsQueries {
     // picked value is a STORED double — no interpolation arithmetic —
     // so any engine agrees bit-for-bit. percentile_approx is the
     // cheaper scale path when one pass over unsorted data is required;
-    // this is the exact oracle-able form.
+    // this is the exact oracle-able form. Serial-window AUDIT ORACLE
+    // for the distributed form below (per-group rank window = one task
+    // per group); the primary name carries the GlobalRank plan.
     QueryDef(
-      "q_agg_percentiles",
+      "q_agg_percentiles_serial_oracle",
       (s, d) => {
         val w = Window.partitionBy(col("l_returnflag"))
           .orderBy(col("l_extendedprice").asc_nulls_last, col("l_orderkey"))
@@ -532,12 +537,12 @@ object AnalyticsQueries {
              |FROM r GROUP BY l_returnflag""".stripMargin),
     ),
 
-    // The SAME exact nearest-rank quantiles through the
+    // The CANONICAL exact nearest-rank quantiles through the
     // distributed-rank operator — identical result and oracle, but no
     // per-group serial rank window (sf1 rehearsal: the window form was
     // 7.6x across the decade, parallelism = 3 groups).
     QueryDef(
-      "q_agg_percentiles_dist",
+      "q_agg_percentiles",
       (s, d) => graft.operators.GlobalRank.quantilesByRank(
         load(s, d, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey")),

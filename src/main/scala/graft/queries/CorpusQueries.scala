@@ -119,8 +119,8 @@ object CorpusQueries {
         .select(col("doc_id"), col("wt"), col("n_reps"), col("epoch")),
       Some("""WITH w AS (SELECT doc_id, (doc_id % 37) / 10.0 AS wt,
              |  CAST(round((doc_id % 37) / 10.0 * 10000) AS BIGINT) AS wbp,
-             |  ('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-             |    % 10000 AS draw
+             |  (('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |    * 10000) >> 32 AS draw
              |  FROM documents),
              |r AS (SELECT doc_id, wt,
              |  wbp // 10000 + CASE WHEN draw < wbp % 10000 THEN 1 ELSE 0 END

@@ -435,18 +435,20 @@ object DataOpsQueries {
     // Connected-component cluster labels over the MinHash candidate
     // pairs — pairwise matches turned into dedup groups. The oracle
     // computes reachability with a recursive CTE; the Spark side runs
-    // iterative min-label propagation.
+    // alternating large-star/small-star (O(log n) rounds vs
+    // O(diameter) for min-label propagation, which remains available
+    // as Dedup.dupClusters and oracle-gated via q_dedup_semantic).
     QueryDef(
       "q_dedup_clusters",
       // NOTE for bench readers: this operator is an iterative fixpoint
-      // and therefore EAGER — the propagation executes during plan
+      // and therefore EAGER — the star rounds execute during plan
       // construction (with localCheckpoint lineage cuts), so per-pass
       // bench timings see only the final checkpointed read (~0.03 s);
       // the real cost (~4 s at sf0.1) is in the build, recorded in
       // PERF.md.
       (s, d) => {
         val docs = QueryDef.load(s, d, "documents")
-        Dedup.dupClusters(
+        Dedup.dupClustersStar(
           Dedup.minHashCandidates(docs, "text", "doc_id"), docs, "doc_id")
       },
       Some(s"""WITH RECURSIVE $duckMinhashCand,
@@ -464,29 +466,39 @@ object DataOpsQueries {
     // its sampled 40-char windows that occur VERBATIM in another doc —
     // the boilerplate/licence-block/quoted-copy signal document-level
     // fingerprints miss (substring-level dedup a la "Deduplicating
-    // Training Data"). One shuffle on 32-bit window hashes.
+    // Training Data"). Window selection is CONTENT-DEFINED (winnowed:
+    // hash every position, keep h % 7 == 0), so a shared span is
+    // detected at any byte offset — positional double-striding can
+    // report 0 for a verbatim copy whose offset differs mod stride.
+    // One shuffle on the selected 32-bit window hashes.
     QueryDef(
       "q_substring_dups",
       (s, d) => Dedup.substringDupProfile(
         QueryDef.load(s, d, "documents"), "text", "doc_id",
-        k = 40, stride = 7),
+        k = 40, stride = 7, winnowed = true),
       Some("""WITH t AS (SELECT doc_id,
              |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
              |  FROM documents),
              |w AS (SELECT doc_id, t,
-             |  unnest(range(1, greatest(len(t) - 39, 1) + 1, 7)) AS pos
+             |  unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS pos
              |  FROM t),
-             |hx AS (SELECT doc_id, pos,
+             |hx AS (SELECT * FROM (SELECT doc_id, pos,
              |  ('0x' || substr(md5(substr(t, pos, 40)), 1, 8))::BIGINT AS h
-             |  FROM w),
+             |  FROM w) WHERE h % 7 = 0),
              |sh AS (SELECT h FROM (
              |  SELECT h, count(DISTINCT doc_id) AS d FROM hx GROUP BY h)
-             |  WHERE d >= 2)
-             |SELECT hx.doc_id, count(*) AS n_windows,
-             | count(sh.h) AS n_shared,
-             | round(CAST(count(sh.h) AS DOUBLE) / count(*), 6) AS dup_ratio
-             |FROM hx LEFT JOIN sh ON sh.h = hx.h
-             |GROUP BY hx.doc_id""".stripMargin),
+             |  WHERE d >= 2),
+             |p AS (SELECT hx.doc_id, count(*) AS n_windows,
+             |  count(sh.h) AS n_shared
+             |  FROM hx LEFT JOIN sh ON sh.h = hx.h
+             |  GROUP BY hx.doc_id)
+             |SELECT d.doc_id, coalesce(p.n_windows, 0) AS n_windows,
+             | coalesce(p.n_shared, 0) AS n_shared,
+             | CASE WHEN coalesce(p.n_windows, 0) = 0 THEN NULL
+             |   ELSE round(CAST(p.n_shared AS DOUBLE) / p.n_windows, 6)
+             | END AS dup_ratio
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN p ON p.doc_id = d.doc_id""".stripMargin),
     ),
 
     // Test-set decontamination: training docs (doc_id >= 10) sharing

@@ -90,6 +90,36 @@ class DataOpsSpec extends SparkSpec {
       "declarative dupClusters must not leak persisted edges")
   }
 
+  test("dupClustersStar matches min-label labels in far fewer rounds on a deep chain") {
+    // a 32-node chain: the worst case for min-label propagation, whose
+    // round count equals the diameter; large-star/small-star collapses
+    // it in O(log n) driver-coordinated rounds
+    val chain = (0L until 31L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val nodes = (0L to 31L).toDF("doc_id")
+    val (starLabels, starRounds) =
+      Dedup.dupClustersStarCounted(chain, nodes, "doc_id")
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == (0L to 31L).map(_ -> 0L).toMap,
+      s"one component labeled by its min: $star")
+    val (propLabels, propRounds) =
+      Dedup.dupClustersCounted(chain, nodes, "doc_id")
+    assert(propLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == star)
+    assert(propRounds >= 31, s"min-label on a 32-chain needs >= diameter rounds, got $propRounds")
+    assert(starRounds <= 10, s"star rounds must be logarithmic, got $starRounds")
+    assert(starRounds < propRounds / 2,
+      s"star ($starRounds) must beat propagation ($propRounds) decisively")
+  }
+
+  test("dupClustersStar handles forests, isolated nodes, and dup pair directions") {
+    val pairs = Seq((1L, 0L), (0L, 1L), (1L, 2L), (3L, 4L), (6L, 5L), (5L, 5L))
+      .toDF("id1", "id2")
+    val nodes = (0L to 7L).toDF("doc_id")
+    val got = Dedup.dupClustersStar(pairs, nodes, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("nearDupsCross: incoming near-dups of existing docs found, direction kept") {
     import spark.implicits._
     val existing = docs // ids 0-4
@@ -300,6 +330,63 @@ class DataOpsSpec extends SparkSpec {
     assert(got(3)._2 == 0, "doc without shared spans must score 0")
     assert(got(4)._2 == 0, "within-doc repetition is not cross-doc duplication")
     assert(got(1)._3 > 0.2 && got(1)._3 < 1.0, s"ratio sane: ${got(1)._3}")
+  }
+
+  test("winnowed substringDupProfile detects shared spans at ANY alignment; " +
+      "positional striding provably misses the misaligned ones") {
+    import spark.implicits._
+    def randStr(n: Int, seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val stride = 7
+    // one pair per offset delta r in 0..6: both docs embed the SAME
+    // 300-char span, after unique prefixes whose lengths differ by r —
+    // so the copies sit at byte offsets congruent to r apart (mod 7)
+    val docs = (0 until stride).flatMap { r =>
+      val span = randStr(300, 1000 + r)
+      Seq((100L + 2 * r, randStr(50, 100 + r) + span),
+        (101L + 2 * r, randStr(50 + r, 200 + r) + span))
+    }
+    val df = docs.toDF("doc_id", "text")
+
+    val winnowed = Dedup.substringDupProfile(df, "text", "doc_id",
+        k = 30, stride = stride, winnowed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until stride).foreach { r =>
+      assert(winnowed(100L + 2 * r) > 0 && winnowed(101L + 2 * r) > 0,
+        s"offset delta $r: winnowed selection must flag the shared span; got $winnowed")
+    }
+
+    // negative control — the bug the winnowing fixes: with positional
+    // stride-7 sampling, in-span sample offsets are fixed by the span's
+    // absolute position, so every pair with delta not a multiple of 7
+    // shares ZERO sampled windows
+    val strided = Dedup.substringDupProfile(df, "text", "doc_id",
+        k = 30, stride = stride, winnowed = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (1 until stride).foreach { r =>
+      assert(strided(100L + 2 * r) == 0,
+        s"offset delta $r: positional striding should miss (documents the bug)")
+    }
+    assert(strided(100L) > 0, "aligned copies are the one case striding catches")
+  }
+
+  test("winnowed substringDupProfile keeps docs with zero selected windows") {
+    import spark.implicits._
+    // ~40 one-window docs (len < k): each doc's single window hash
+    // passes the h % 7 == 0 selector only ~1/7 of the time, so some
+    // docs MUST land at n_windows = 0 — they still have to appear,
+    // with a null dup_ratio
+    val df = (1 to 40).map(i => (i.toLong, s"tiny doc number $i"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.substringDupProfile(df, "text", "doc_id",
+      k = 30, stride = 7, winnowed = true).collect()
+    assert(rows.length == 40, s"all docs must appear, got ${rows.length}")
+    val zero = rows.filter(_.getLong(1) == 0L)
+    assert(zero.nonEmpty, "expected some zero-window docs in this fixture")
+    zero.foreach(r => assert(r.isNullAt(3),
+      s"zero-window doc ${r.getLong(0)} must have null dup_ratio"))
   }
 
   test("stripHtml: blocks vanish wholesale, tags strip, entities decode") {
