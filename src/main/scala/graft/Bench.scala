@@ -53,7 +53,17 @@ object Bench {
     // clearCache between phases: a query that persist()s (the upsert
     // caches its merge input, by design) re-materializes once per
     // phase instead of leaking block-manager memory forward.
+    // SPARK_GRAFT_BENCH_ONLY: optional comma-separated subset (the
+    // sf10 heavy-hitter rehearsal); default = the whole registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_BENCH_QUICK=1: no warm pass, one timed pass, no
+    // rescue sweep — for scale-ratio rehearsals where a steady-state
+    // min would cost 5x the wall-clock and the quantity of interest is
+    // the RATIO between two runs of the same methodology
+    val quick = sys.env.get("SPARK_GRAFT_BENCH_QUICK").contains("1")
     // built lazily INSIDE phase 1 (not all up front): a query that
     // persist()s at build time (the upsert) would otherwise register a
     // cache that other queries' identical sub-plans silently hit
@@ -68,9 +78,10 @@ object Bench {
         }
       if (built) {
         val df = dfs(n)
-        runOnce(df, n) // warm (a transient warm failure is tolerated —
-                       // the first timed pass absorbs compile cost then)
-        val times = (1 to 3).flatMap { _ =>
+        if (!quick) runOnce(df, n) // warm (a transient warm failure is
+                       // tolerated — the first timed pass absorbs
+                       // compile cost then)
+        val times = (1 to (if (quick) 1 else 3)).flatMap { _ =>
           val t0 = System.nanoTime()
           val ok = runOnce(df, n)
           val t = (System.nanoTime() - t0) / 1e9
@@ -82,7 +93,7 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    names.foreach { n => // rescue sweep
+    (if (quick) Seq.empty else names).foreach { n => // rescue sweep
       dfs.get(n).foreach { df =>
         val t0 = System.nanoTime()
         val ok = runOnce(df, n)

@@ -159,7 +159,12 @@ object TableIO {
     }
   }
 
-  /** Schema-enforced parquet writer.
+  /** Schema-enforced table writer (parquet by default; ORC/JSON/CSV via
+    * `format` — real corpora arrive in all of them). Avro is
+    * deliberately absent: this Spark distribution does not bundle the
+    * external `spark-avro` module and the build adds no dependencies,
+    * so `format("avro")` cannot resolve here; ORC covers the
+    * second-columnar-format role.
     *
     * @param partitions  >0: repartition to exactly n output files
     *                    (reference behavior with n=1); 0: keep the
@@ -172,10 +177,17 @@ object TableIO {
       mode: SaveMode = SaveMode.Overwrite,
       partitionKeys: Seq[String] = Seq.empty,
       partitions: Int = 0,
+      format: Format = Parquet,
   ): Unit = {
     val cast = castToSchema(df, schema)
     val sized = if (partitions > 0) cast.repartition(partitions) else cast
-    sized.write.mode(mode).partitionBy(partitionKeys: _*).parquet(path)
+    val w = sized.write.mode(mode).partitionBy(partitionKeys: _*)
+    format match {
+      case Parquet => w.parquet(path)
+      case Orc => w.orc(path)
+      case Json => w.json(path)
+      case Csv(header) => w.option("header", header.toString).csv(path)
+    }
   }
 
   /** Bucketed managed-table write: co-locates rows by `bucketCols` so

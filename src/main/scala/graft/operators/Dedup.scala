@@ -559,21 +559,26 @@ object Dedup {
     * windows by content (`winnowedWindowHashes`) instead of absolute
     * position, so shared spans are detected at any alignment; a doc
     * whose windows all miss the selector still appears, with
-    * `n_windows = 0` and a null `dup_ratio`. */
+    * `n_windows = 0` and a null `dup_ratio`.
+    *
+    * Plan shape: ONE hashing scan (the generate + md5 chain is the
+    * dominant cost — a self-join formulation would run it twice), then
+    * (id, h) pre-aggregation, a window count over h (rows per h after
+    * the pre-agg ARE the distinct docs per h), and the per-doc rollup.
+    * Everything shuffled is (id, 32-bit hash, count) triples. */
   def substringDupProfile(df: DataFrame, textCol: String, idCol: String,
       k: Int = 40, stride: Int = 1, winnowed: Boolean = false): DataFrame = {
     val hashes =
       if (winnowed) winnowedWindowHashes(df, textCol, idCol, k, stride)
       else charWindowHashes(df, textCol, idCol, k, stride)
+    val perDocHash = hashes.groupBy(col("id"), col("h"))
+      .agg(count(lit(1)).as("__cnt"))
     // a window value is "shared" when >= 2 distinct docs contain it
-    val shared = hashes.select(col("h"), col("id")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") >= 2)
-      .select(col("h"), lit(1).as("__shared"))
-    val prof = hashes.join(shared, Seq("h"), "left")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("__nw"),
-        count(col("__shared")).as("__ns"))
+    val flagged = perDocHash.withColumn("__docs",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    val prof = flagged.groupBy(col("id"))
+      .agg(sum(col("__cnt")).as("__nw"),
+        sum(when(col("__docs") >= 2, col("__cnt")).otherwise(0L)).as("__ns"))
     // left join from the distinct doc ids: winnowed selection can leave
     // a (short) doc with zero selected windows, and the profile must
     // still report it rather than silently dropping the row

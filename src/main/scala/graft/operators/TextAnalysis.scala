@@ -203,4 +203,155 @@ object TextAnalysis {
         round(col("tf_cnt").cast("double") / col("n_toks") *
           log(col("n_docs").cast("double") / col("doc_freq")), 6).as("tfidf"))
   }
+
+  // ------------------------------------------------------------------
+  // Real merge-table BPE (Sennrich et al. 2016, "Neural Machine
+  // Translation of Rare Words with Subword Units") — an actual merge
+  // loop, not a regex approximation, so packChunks token budgets track
+  // a genuine trained tokenizer.
+  //
+  // Encoding trick that keeps the APPLY step a pure codegen'd Column
+  // expression (and byte-identical in the DuckDB oracle): a document
+  // becomes a single string where every symbol is wrapped in unit
+  // separators (US, 0x1f) and words are split by record separators
+  // (RS, 0x1e). A merge (a, b) -> ab is then the literal string
+  // replacement  US a US US b US  ->  US ab US . Because every symbol
+  // is US-delimited on BOTH sides, a match can never straddle symbol
+  // or word boundaries, and left-to-right non-overlapping `replace`
+  // is exactly BPE's leftmost-first merge order. Applying the merge
+  // list once, in training-rank order, is equivalent to the
+  // priority-queue formulation: rank-i output symbols only feed
+  // higher-rank merges, so no earlier merge can become applicable
+  // again. Token count = US-pairs / 2 — no arrays, no UDFs, one
+  // scan-local expression chain.
+  // ------------------------------------------------------------------
+
+  private val RS = "\u001e"
+  private val US = "\u001f"
+
+  /** Pre-tokenization shared by the trainer and the Column chain:
+    * lowercase; words = letter runs | digit runs | single punctuation
+    * marks (the GPT-style category split, RE2-portable). */
+  private[operators] def preTokenize(text: String): Seq[String] =
+    "[a-z]+|[0-9]+|[^a-z0-9\\s]".r.findAllIn(text.toLowerCase).toSeq
+
+  private def mergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Deterministic BPE trainer: count adjacent symbol pairs across the
+    * pre-tokenized word-frequency table, greedily merge the most
+    * frequent pair (ties broken lexicographically), repeat. Stops
+    * early when no pair occurs twice. Driver-side and tiny — the
+    * trained table is DATA shipped into the plan, like any vocab. */
+  def trainBpeMerges(corpus: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] = corpus.flatMap(preTokenize)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size.toLong
+      }
+    val out = Seq.newBuilder[(String, String)]
+    var n = 0
+    var done = false
+    while (n < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      val best = pairCounts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          out += ((a, b)); n += 1
+          words = words.toSeq.map { case (syms, cnt) =>
+            mergeOnce(syms, a, b) -> cnt
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  /** The embedded public-text seed corpus and its trained merge table.
+    * The specific merges are demo vocabulary; the LOOP is the real
+    * algorithm and swaps tables freely (a production pipeline would
+    * load its tokenizer's merges file here). */
+  val bpeSeedCorpus: Seq[String] = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "to be or not to be that is the question",
+    "all that glitters is not gold and all roads lead to rome",
+    "in the beginning there was the word and the word was with the data",
+    "she sells sea shells by the sea shore and the shells are sea shells",
+    "it was the best of times, it was the worst of times.",
+    "a journey of 1000 miles begins with a single step, then 42 more.",
+    "ask not what your data can do for you; ask what you can do for your data.",
+    "training data quality matters more than training data quantity.",
+    "the rain in spain stays mainly in the plain.",
+  )
+
+  val bpeMerges: Seq[(String, String)] = trainBpeMerges(bpeSeedCorpus, 48)
+
+  /** The US/RS symbol-string encoding of a document, before merges. */
+  private def bpeSymbolString(text: Column): Column = {
+    var t = lower(text)
+    t = regexp_replace(t, "\\s+", RS)
+    // each punctuation mark is its own word (and RS-separated)
+    t = regexp_replace(t, "([^a-z0-9\u001e])", RS + "$1" + RS)
+    // split letter<->digit transitions (two passes: insertions only
+    // ever split, so every original adjacency survives to its pass)
+    t = regexp_replace(t, "([a-z])([0-9])", "$1" + RS + "$2")
+    t = regexp_replace(t, "([0-9])([a-z])", "$1" + RS + "$2")
+    t = regexp_replace(t, "\u001e+", RS)
+    t = regexp_replace(t, "^\u001e|\u001e$", "")
+    // wrap every remaining char in US: the initial one-symbol-per-char
+    // state of the BPE apply loop
+    regexp_replace(t, "([^\u001e])", US + "$1" + US)
+  }
+
+  /** Apply the merge table in rank order (see block comment above). */
+  def bpeMerged(text: Column, merges: Seq[(String, String)] = bpeMerges): Column =
+    merges.foldLeft(bpeSymbolString(text)) { case (acc, (a, b)) =>
+      call_function("replace", acc,
+        lit(US + a + US + US + b + US), lit(US + a + b + US))
+    }
+
+  /** BPE token count: total symbols = US pairs / 2. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = bpeMerges): Column = {
+    val m = bpeMerged(text, merges)
+    ((length(m) - length(call_function("replace", m, lit(US), lit("")))) / lit(2))
+      .cast("long")
+  }
+
+  /** The DuckDB mirror of [[bpeMerged]]+[[bpeTokenCount]], generated
+    * from the same merge table so both engines apply the identical
+    * tokenizer (`expr` is the input SQL expression for the text). */
+  def bpeTokenCountSql(expr: String, merges: Seq[(String, String)] = bpeMerges): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val sym =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |regexp_replace(regexp_replace(regexp_replace(lower($expr),
+         |  '\\s+', chr(30), 'g'),
+         |  '([^a-z0-9\\x1e])', chr(30) || '\\1' || chr(30), 'g'),
+         |  '([a-z])([0-9])', '\\1' || chr(30) || '\\2', 'g'),
+         |  '([0-9])([a-z])', '\\1' || chr(30) || '\\2', 'g'),
+         |  '\\x1e+', chr(30), 'g'),
+         |  '^\\x1e|\\x1e$$', '', 'g'),
+         |  '([^\\x1e])', chr(31) || '\\1' || chr(31), 'g')""".stripMargin
+    val merged = merges.foldLeft(sym) { case (acc, (a, b)) =>
+      s"replace($acc, chr(31)||${q(a)}||chr(31)||chr(31)||${q(b)}||chr(31), " +
+        s"chr(31)||${q(a + b)}||chr(31))"
+    }
+    s"(len($merged) - len(replace($merged, chr(31), ''))) // 2"
+  }
 }

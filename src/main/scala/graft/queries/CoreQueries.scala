@@ -59,6 +59,32 @@ object CoreQueries {
              |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin),
     ),
 
+    // Format breadth: the SAME table re-written as ORC and read back
+    // through the schema-enforced ORC path, then aggregated — the
+    // oracle reads the original parquet, so the round trip must be
+    // value-faithful. (Avro stays out: the distribution carries no
+    // spark-avro module and the build adds no dependencies.) The ORC
+    // write happens once at plan-build time, like the other
+    // materializing operators.
+    QueryDef(
+      "q_orc_roundtrip",
+      (s, d) => {
+        val sup = load(s, d, "supplier")
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_orc_" + Integer.toHexString(d.hashCode)).toString
+        TableIO.writeTable(sup, dir, sup.schema, format = TableIO.Orc)
+        TableIO.readTable(s, dir, sup.schema, TableIO.Orc)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), min(col("s_name")).as("first_name"),
+            // stored doubles pass through untouched -> bit-identical
+            max(col("s_acctbal")).as("max_bal"))
+      },
+      Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+             | min(s_name) AS first_name, max(s_acctbal) AS max_bal
+             |FROM supplier GROUP BY s_nationkey""".stripMargin),
+    ),
+
     // P1: cast-projection schema enforcement.
     QueryDef(
       "q_cast_projection",

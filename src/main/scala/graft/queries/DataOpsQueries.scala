@@ -290,12 +290,17 @@ object DataOpsQueries {
     // BPE-ish regex pre-tokenization (words | numbers | single symbols).
     QueryDef(
       "q_text_tokens_bpe",
+      // REAL merge-table BPE (48 merges trained by the embedded
+      // Sennrich trainer): both engines apply the identical merge list
+      // as a generated replace() chain over the US/RS symbol-string
+      // encoding — see TextAnalysis.bpeMerged. Token counts therefore
+      // track an actual trained tokenizer, not a pre-tokenizer regex.
       (s, d) => QueryDef.load(s, d, "documents").select(
         col("doc_id"),
-        size(TextAnalysis.tokensRegex(col("text"))).as("n_bpe_tokens")),
-      Some("""SELECT doc_id,
-             | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
-             |FROM documents""".stripMargin),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens")),
+      Some(s"""SELECT doc_id,
+              | ${TextAnalysis.bpeTokenCountSql("text")} AS n_bpe_tokens
+              |FROM documents""".stripMargin),
     ),
 
     QueryDef(

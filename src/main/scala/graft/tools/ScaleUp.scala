@@ -43,6 +43,11 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // 4th arg "scaleDocs": also replicate documents/embeddings (with
+    // content divergence — see below). Default OFF: the full-registry
+    // sf1 record keeps the fixed-corpus methodology of earlier rounds
+    // so totals stay comparable; the dedup/ANN scale rehearsal opts in.
+    val scaleDocs = args.lift(3).contains("scaleDocs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -83,9 +88,47 @@ object ScaleUp {
     write(replicate(part, factor, Map("p_partkey" -> pkS)), "part", 4)
     write(replicate(events, factor, Map(
       "event_id" -> ekS, "user_id" -> ukS)), "events", 16)
-    // fixed-size tables: constant across scale factors by design
-    Seq("region" -> 1, "nation" -> 1, "documents" -> 2, "embeddings" -> 2)
+    // region/nation: constant across scale factors by design
+    Seq("region" -> 1, "nation" -> 1)
       .foreach { case (t, p) => write(read(t), t, p) }
+
+    if (!scaleDocs) {
+      Seq("documents" -> 2, "embeddings" -> 2)
+        .foreach { case (t, p) => write(read(t), t, p) }
+      spark.stop(); return
+    }
+    // documents/embeddings: the driver's generator keeps these constant
+    // across sf, but the dedup/ANN rehearsal is hollow if the corpus
+    // doesn't grow — so replicate WITH content divergence:
+    //   - documents: doc_id offset + a per-replica prefix on EVERY word,
+    //     so cross-replica shingle overlap is zero (within-replica
+    //     near-dup structure is preserved exactly; dup pairs scale
+    //     ~linearly with factor instead of quadratically, which is what
+    //     a genuinely larger crawl looks like);
+    //   - embeddings: vec_id offset + a deterministic per-replica,
+    //     per-dimension perturbation, so cross-replica vectors are
+    //     near-but-not-identical (ANN candidate structure scales).
+    val docs = read("documents")
+    val dkS = maxOf(docs, "doc_id")
+    val docsRep = replicate(docs, factor, Map("doc_id" -> dkS))
+      .withColumn("__r", ((col("doc_id") - (col("doc_id") % dkS)) / dkS).cast("int"))
+      .withColumn("text",
+        when(col("__r") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(^|\\s)([^\\s])"),
+            concat(lit("$1r"), col("__r").cast("string"), lit("x$2")))))
+      .drop("__r")
+    write(docsRep, "documents", math.max(2, 2 * factor / 10))
+
+    val emb = read("embeddings")
+    val vkS = maxOf(emb, "vec_id")
+    val embRep = replicate(emb, factor, Map("vec_id" -> vkS))
+      .withColumn("__r", ((col("vec_id") - (col("vec_id") % vkS)) / vkS).cast("int"))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + col("__r").cast("double") * 0.003 *
+            cos(i.cast("double") + col("__r").cast("double"))).cast("float")))
+      .drop("__r")
+    write(embRep, "embeddings", math.max(2, 2 * factor / 10))
     spark.stop()
   }
 }

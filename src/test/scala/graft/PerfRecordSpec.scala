@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry <-> committed-bench lockstep.
+  *
+  * `graft.Bench` itself always iterates `SparkEntry.queries`, so a live
+  * run can't miss a query — but the COMMITTED perf records can trail
+  * the registry (round 4 shipped 112-query records against a 113-query
+  * registry). This spec pins the newest committed sf0.1 record to the
+  * exact registered query set, so adding a query without refreshing the
+  * bench records fails the build instead of silently shipping a stale
+  * perf story.
+  */
+class PerfRecordSpec extends AnyFunSuite {
+
+  private def latestRecord(): java.nio.file.Path = {
+    val dir = java.nio.file.Paths.get("perf")
+    val rx = "bench_sf01_r(\\d+)\\.json".r
+    val all = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case rx(n) => Some((n.toInt, p))
+          case _ => None
+        }
+      }
+    assert(all.nonEmpty, "no committed perf/bench_sf01_r*.json records")
+    all.maxBy(_._1)._2
+  }
+
+  test("latest committed sf0.1 bench record covers exactly the registry") {
+    val txt = new String(java.nio.file.Files.readAllBytes(latestRecord()),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // bench record keys are `"<name>":<seconds>` inside the "queries"
+    // object; failed-query names sit in a bare array (no colon) and are
+    // intentionally NOT counted as covered
+    val benched = "\"(q_[a-z0-9_]+)\":".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    val missing = registered -- benched
+    val stale = benched -- registered
+    assert(missing.isEmpty && stale.isEmpty,
+      s"committed bench record out of lockstep with the registry — " +
+        s"missing: ${missing.toSeq.sorted.mkString(",")}; " +
+        s"stale: ${stale.toSeq.sorted.mkString(",")}")
+  }
+}

@@ -55,11 +55,21 @@ class TableIOSpec extends SparkSpec {
 
   test("orc write + schema-applied read round trip") {
     val df = TableIO.readTable(spark, s"$tmp/echo", AdvisorySchemas.echoAdvisory)
-    df.write.mode("overwrite").orc(s"$tmp/echo_orc")
+    TableIO.writeTable(df, s"$tmp/echo_orc", AdvisorySchemas.echoAdvisory,
+      format = TableIO.Orc)
     val back = TableIO.readTable(spark, s"$tmp/echo_orc",
       AdvisorySchemas.echoAdvisory, TableIO.Orc)
     assert(back.count() == 2)
     assert(back.columns.toSeq == Seq("package_name", "cve_id", "fixed_version"))
+    // hive-partitioned ORC write + basePath read (partition column
+    // comes back from the path, not the files)
+    TableIO.writeTable(df, s"$tmp/echo_orc_part", AdvisorySchemas.echoAdvisory,
+      partitionKeys = Seq("package_name"), format = TableIO.Orc)
+    val part = TableIO.readTable(spark, s"$tmp/echo_orc_part",
+      AdvisorySchemas.echoAdvisory, TableIO.Orc)
+    assert(part.count() == 2)
+    assert(part.select("package_name").distinct().count() ==
+      df.select("package_name").distinct().count())
   }
 
   test("raw file sink: write/read round trip, overwrite semantics") {

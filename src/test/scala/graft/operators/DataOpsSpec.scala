@@ -389,6 +389,80 @@ class DataOpsSpec extends SparkSpec {
       s"zero-window doc ${r.getLong(0)} must have null dup_ratio"))
   }
 
+  test("BPE: golden counts under a fixed two-merge table") {
+    import spark.implicits._
+    val merges = Seq(("t", "h"), ("th", "e"))
+    // "the" -> t h e -> th e -> the (1); "cat" stays 3 chars; "!" is 1
+    val cases = Seq(
+      (1L, "the the", 2L),
+      (2L, "the cat!", 5L),
+      (3L, "thethe", 2L),     // one word, both merges apply twice
+      (4L, "th e", 2L),       // merge cannot cross the word boundary
+      (5L, "a1b", 3L),        // letter/digit category split
+      (6L, "", 0L),
+      (7L, "   ", 0L),
+    )
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "text")
+      .select($"id", TextAnalysis.bpeTokenCount($"text", merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (id, text, want) =>
+      assert(got(id) == want, s"'$text': got ${got(id)}, want $want")
+    }
+  }
+
+  test("BPE: Column chain agrees with an independent priority-queue reference") {
+    import spark.implicits._
+    // classic apply formulation: repeatedly merge the LOWEST-RANK
+    // applicable pair, all occurrences left-to-right — independent of
+    // the replace()-fold implementation under test
+    def refMergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refCount(text: String, merges: Seq[(String, String)]): Long = {
+      val rank = merges.zipWithIndex.toMap
+      TextAnalysis.preTokenize(text).map { w =>
+        var syms = w.map(_.toString).toVector
+        var go = true
+        while (go) {
+          val applicable = syms.indices.dropRight(1)
+            .map(i => (syms(i), syms(i + 1))).filter(rank.contains)
+          if (applicable.isEmpty) go = false
+          else {
+            val (a, b) = applicable.minBy(rank)
+            syms = refMergeOnce(syms, a, b)
+          }
+        }
+        syms.length.toLong
+      }.sum
+    }
+    val texts = TextAnalysis.bpeSeedCorpus ++ Seq(
+      "aaaa thththe question??", "a1b2c3 x 42!", "...", "the-th-e",
+      "mixed CASE With  double  spaces", "1000 miles; 42 more",
+    )
+    val merges = TextAnalysis.bpeMerges
+    assert(merges.size == 48, s"trainer should produce 48 merges, got ${merges.size}")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.bpeTokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refCount(t, merges),
+        s"'$t': column ${got(i.toLong)} != reference ${refCount(t, merges)}")
+    }
+    // merges only ever reduce the token count vs raw characters
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val raw = TextAnalysis.preTokenize(t).map(_.length).sum
+      assert(got(i.toLong) <= raw && (t.trim.isEmpty || got(i.toLong) > 0))
+    }
+  }
+
   test("stripHtml: blocks vanish wholesale, tags strip, entities decode") {
     val cases = Seq(
       (1L, "<p>hello <b>world</b></p>", "hello world"),
