@@ -12,9 +12,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_INIT_PARTITIONS: AQE's initial shuffle partition
+    // count (coalesced down after the fact). The scale knob for runs
+    // decades above the tuned sf: 32 initial partitions at 60M-row
+    // shuffles means multi-GB sort partitions that spill; a larger
+    // initial count keeps partitions memory-sized and AQE merges the
+    // small ones back — exactly what a real cluster config would do.
+    val initParts = sys.env.get("SPARK_GRAFT_INIT_PARTITIONS")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initParts.getOrElse(cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -86,8 +86,17 @@ object ScaleUp {
     write(replicate(customer, factor, Map("c_custkey" -> ckS)), "customer", 4)
     write(replicate(supplier, factor, Map("s_suppkey" -> skS)), "supplier", 2)
     write(replicate(part, factor, Map("p_partkey" -> pkS)), "part", 4)
+    // ts (nanos-as-long here): offset each replica by the full span +
+    // 1h, so a bigger factor means a LONGER HISTORY at the same event
+    // rate — replicating into the same time range instead multiplies
+    // temporal density, which makes every interval/window join's
+    // OUTPUT grow quadratically with factor (observed: the 600 s
+    // point-in-interval join went 35x across the sf1d->sf10d decade
+    // purely from pair-count inflation, not operator cost)
+    val tsSpanNs = events.agg(max(col("ts")) - min(col("ts")))
+      .head().getLong(0) + 3600L * 1000000000L
     write(replicate(events, factor, Map(
-      "event_id" -> ekS, "user_id" -> ukS)), "events", 16)
+      "event_id" -> ekS, "user_id" -> ukS, "ts" -> tsSpanNs)), "events", 16)
     // region/nation: constant across scale factors by design
     Seq("region" -> 1, "nation" -> 1)
       .foreach { case (t, p) => write(read(t), t, p) }

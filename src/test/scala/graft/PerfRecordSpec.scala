@@ -14,9 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PerfRecordSpec extends AnyFunSuite {
 
-  private def latestRecord(): java.nio.file.Path = {
+  private def latestRecord(prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Paths.get("perf")
-    val rx = "bench_sf01_r(\\d+)\\.json".r
+    val rx = (java.util.regex.Pattern.quote(prefix) + "_r(\\d+)\\.json").r
     val all = java.nio.file.Files.list(dir).toArray.toSeq
       .map(_.asInstanceOf[java.nio.file.Path])
       .flatMap { p =>
@@ -25,12 +25,13 @@ class PerfRecordSpec extends AnyFunSuite {
           case _ => None
         }
       }
-    assert(all.nonEmpty, "no committed perf/bench_sf01_r*.json records")
+    assert(all.nonEmpty, s"no committed perf/${prefix}_r*.json records")
     all.maxBy(_._1)._2
   }
 
-  test("latest committed sf0.1 bench record covers exactly the registry") {
-    val txt = new String(java.nio.file.Files.readAllBytes(latestRecord()),
+  private def assertLockstep(prefix: String): Unit = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(latestRecord(prefix)),
       java.nio.charset.StandardCharsets.UTF_8)
     // bench record keys are `"<name>":<seconds>` inside the "queries"
     // object; failed-query names sit in a bare array (no colon) and are
@@ -41,8 +42,16 @@ class PerfRecordSpec extends AnyFunSuite {
     val missing = registered -- benched
     val stale = benched -- registered
     assert(missing.isEmpty && stale.isEmpty,
-      s"committed bench record out of lockstep with the registry — " +
+      s"committed $prefix bench record out of lockstep with the registry — " +
         s"missing: ${missing.toSeq.sorted.mkString(",")}; " +
         s"stale: ${stale.toSeq.sorted.mkString(",")}")
+  }
+
+  test("latest committed sf0.1 bench record covers exactly the registry") {
+    assertLockstep("bench_sf01")
+  }
+
+  test("latest committed sf1 bench record covers exactly the registry") {
+    assertLockstep("bench_sf1")
   }
 }
