@@ -153,6 +153,32 @@ object CorpusQueries {
              |FROM c""".stripMargin),
     ),
 
+    // The same packing, budgeted by the REAL BPE tokenizer instead of
+    // whitespace words — the whole point of carrying an actual merge
+    // table: chunk boundaries land where a trained tokenizer's token
+    // budget says they do, on both engines (the oracle embeds the
+    // generated merge-chain SQL).
+    QueryDef(
+      "q_pack_chunks_bpe",
+      (s, d) => Corpus.packChunks(
+        QueryDef.load(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            TextAnalysis.bpeTokenCount(col("text")).as("n_tokens")),
+        "shard", "doc_id", "n_tokens", budget = 512),
+      Some(s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+              |  greatest(${TextAnalysis.bpeTokenCountSql("text")}, 1) AS n_tokens
+              |  FROM documents),
+              |c AS (SELECT doc_id, shard, n_tokens,
+              |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              |  FROM t)
+              |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+              | CAST(cum // 512 AS BIGINT) AS chunk_start,
+              | CAST((cum + n_tokens - 1) // 512 AS BIGINT) AS chunk_end,
+              | CAST(cum % 512 AS BIGINT) AS chunk_offset
+              |FROM c""".stripMargin),
+    ),
+
     // PII scrub over the event props payload: email/IP/phone redaction
     // chain plus aggressive number scrubbing, with match counts. The
     // patterns live in the Java-regex ∩ RE2 subset so the exact same
