@@ -479,14 +479,15 @@ object Dedup {
     var done = edges.isEmpty
     while (!done) {
       rounds += 1
-      // large-star over both directions: attach v > u to min(N+(u))
+      // large-star over both directions: attach v > u to min(N+(u)).
+      // No intermediate distinct — duplicate edges cannot change any
+      // min, and the final per-round distinct dedups the output once.
       val nbr = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val minL = nbr.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       val afterLarge = nbr.join(minL, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u >= m: canonical
-        .distinct()
       // small-star on canonical edges: attach the center and all its
       // (smaller) neighbors to the closed-neighborhood min
       val minS = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
@@ -495,7 +496,9 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       val next = vEdges.union(minS.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      done = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // both sides are distinct sets, so equal counts + one-sided
+      // containment is full equality — one except instead of two
+      done = next.count() == edges.count() && next.except(edges).isEmpty
       edges = next
     }
     // stable => stars centered at component minima; centers and
