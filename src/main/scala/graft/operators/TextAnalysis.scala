@@ -326,6 +326,15 @@ object TextAnalysis {
         lit(US + a + US + US + b + US), lit(US + a + b + US))
     }
 
+  /** BPE tokens as an array of symbol strings (everything between US
+    * pairs) — the actual tokenization, for vocabulary building and
+    * frequency analysis; [[bpeTokenCount]] is its size. Word
+    * boundaries (RS) disappear: like real BPE output, the token
+    * stream is the concatenation of per-word symbol sequences. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)] = bpeMerges): Column =
+    call_function("regexp_extract_all", bpeMerged(text, merges),
+      lit("\u001f([^\u001f\u001e]*)\u001f"), lit(1))
+
   /** BPE token count: total symbols = US pairs / 2. */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)] = bpeMerges): Column = {
     val m = bpeMerged(text, merges)

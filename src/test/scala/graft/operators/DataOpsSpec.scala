@@ -461,6 +461,19 @@ class DataOpsSpec extends SparkSpec {
       val raw = TextAnalysis.preTokenize(t).map(_.length).sum
       assert(got(i.toLong) <= raw && (t.trim.isEmpty || got(i.toLong) > 0))
     }
+
+    // bpeTokens is the actual tokenization: size matches the count and
+    // concatenation losslessly reconstructs the pre-tokenized text
+    val tok = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.bpeTokens($"text").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(tok(i.toLong).size.toLong == got(i.toLong),
+        s"'$t': token array size != count")
+      assert(tok(i.toLong).mkString == TextAnalysis.preTokenize(t).mkString,
+        s"'$t': tokens must reconstruct the pre-tokenized text")
+    }
   }
 
   test("stripHtml: blocks vanish wholesale, tags strip, entities decode") {
