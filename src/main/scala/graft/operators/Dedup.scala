@@ -595,6 +595,37 @@ object Dedup {
           .otherwise(round(col("n_shared").cast("double") / col("n_windows"), 6)))
   }
 
+  /** Document PAIRS sharing >= `minShared` winnowed `k`-char windows —
+    * the actionable output of substring-level dedup ("Deduplicating
+    * Training Data"): which documents share verbatim spans, not just
+    * how much each is duplicated. Selection is content-defined
+    * ([[winnowedWindowHashes]]), so shared spans pair up at any byte
+    * offset.
+    *
+    * Scale shape: candidate pairs are generated per shared hash
+    * (a blocked self-join, like LSH bands), and hashes held by more
+    * than `maxDf` documents are dropped FIRST — ubiquitous boilerplate
+    * windows (licence headers, navigation chrome) would otherwise
+    * create |docs|^2 pairs in one bucket; dropping them is the
+    * document-frequency stopword cut, and any pair sharing a rare
+    * window still surfaces. Shuffles carry (id, hash) pairs only. */
+  def substringDupPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 40, stride: Int = 7, minShared: Long = 3,
+      maxDf: Long = 50): DataFrame = {
+    val perDocHash = winnowedWindowHashes(df, textCol, idCol, k, stride)
+      .select(col("id"), col("h")).distinct()
+    val dfOk = perDocHash.groupBy(col("h"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2 && col("__docs") <= maxDf)
+      .select(col("h"))
+    val kept = perDocHash.join(dfOk, Seq("h"))
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist, via banded
     * LSH over the signature: the `bits` are cut into `bands` contiguous
     * windows and docs become candidates when ANY window matches

@@ -342,10 +342,10 @@ object TextAnalysis {
       .cast("long")
   }
 
-  /** The DuckDB mirror of [[bpeMerged]]+[[bpeTokenCount]], generated
-    * from the same merge table so both engines apply the identical
-    * tokenizer (`expr` is the input SQL expression for the text). */
-  def bpeTokenCountSql(expr: String, merges: Seq[(String, String)] = bpeMerges): String = {
+  /** The DuckDB mirror of [[bpeMerged]], generated from the same merge
+    * table so both engines apply the identical tokenizer (`expr` is
+    * the input SQL expression for the text). */
+  def bpeMergedSql(expr: String, merges: Seq[(String, String)] = bpeMerges): String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     val sym =
       s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -357,10 +357,20 @@ object TextAnalysis {
          |  '\\x1e+', chr(30), 'g'),
          |  '^\\x1e|\\x1e$$', '', 'g'),
          |  '([^\\x1e])', chr(31) || '\\1' || chr(31), 'g')""".stripMargin
-    val merged = merges.foldLeft(sym) { case (acc, (a, b)) =>
+    merges.foldLeft(sym) { case (acc, (a, b)) =>
       s"replace($acc, chr(31)||${q(a)}||chr(31)||chr(31)||${q(b)}||chr(31), " +
         s"chr(31)||${q(a + b)}||chr(31))"
     }
+  }
+
+  /** The DuckDB mirror of [[bpeTokenCount]]. */
+  def bpeTokenCountSql(expr: String, merges: Seq[(String, String)] = bpeMerges): String = {
+    val merged = bpeMergedSql(expr, merges)
     s"(len($merged) - len(replace($merged, chr(31), ''))) // 2"
   }
+
+  /** The DuckDB mirror of [[bpeTokens]] (a LIST expression). */
+  def bpeTokensSql(expr: String, merges: Seq[(String, String)] = bpeMerges): String =
+    s"regexp_extract_all(${bpeMergedSql(expr, merges)}, " +
+      "'\\x1f([^\\x1f\\x1e]*)\\x1f', 1)"
 }

@@ -303,6 +303,23 @@ object DataOpsQueries {
               |FROM documents""".stripMargin),
     ),
 
+    // Subword vocabulary building: corpus-wide frequency of the REAL
+    // BPE tokens (explode -> count -> top 30, deterministic tie-break).
+    // TakeOrderedAndProject on the Spark side — no global sort.
+    QueryDef(
+      "q_text_bpe_vocab",
+      (s, d) => QueryDef.load(s, d, "documents")
+        .select(explode(TextAnalysis.bpeTokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30),
+      Some(s"""WITH tok AS (SELECT unnest(${TextAnalysis.bpeTokensSql("text")})
+              |  AS token FROM documents)
+              |SELECT token, CAST(count(*) AS BIGINT) AS n
+              |FROM tok GROUP BY token
+              |ORDER BY n DESC, token LIMIT 30""".stripMargin),
+    ),
+
     QueryDef(
       "q_text_fingerprint",
       (s, d) => QueryDef.load(s, d, "documents").select(
@@ -504,6 +521,34 @@ object DataOpsQueries {
              | END AS dup_ratio
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN p ON p.doc_id = d.doc_id""".stripMargin),
+    ),
+
+    // Substring-level dup PAIRS: which documents share >= 3 winnowed
+    // 40-char windows (rarer than df=50 — the document-frequency
+    // stopword cut that stops ubiquitous boilerplate from creating a
+    // quadratic bucket). The actionable form of the profile above.
+    QueryDef(
+      "q_substring_dup_pairs",
+      (s, d) => Dedup.substringDupPairs(
+        QueryDef.load(s, d, "documents"), "text", "doc_id",
+        k = 40, stride = 7, minShared = 3, maxDf = 50),
+      Some("""WITH t AS (SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+             |  FROM documents),
+             |w AS (SELECT doc_id, t,
+             |  unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS pos
+             |  FROM t),
+             |hx AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
+             |  ('0x' || substr(md5(substr(t, pos, 40)), 1, 8))::BIGINT AS h
+             |  FROM w) WHERE h % 7 = 0),
+             |ok AS (SELECT h FROM (
+             |  SELECT h, count(*) AS d FROM hx GROUP BY h)
+             |  WHERE d BETWEEN 2 AND 50)
+             |SELECT a.doc_id AS id1, b.doc_id AS id2,
+             | CAST(count(*) AS BIGINT) AS n_shared
+             |FROM hx a JOIN ok USING (h) JOIN hx b ON a.h = b.h
+             |  AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
     ),
 
     // Test-set decontamination: training docs (doc_id >= 10) sharing

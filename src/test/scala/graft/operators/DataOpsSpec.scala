@@ -372,6 +372,37 @@ class DataOpsSpec extends SparkSpec {
     assert(strided(100L) > 0, "aligned copies are the one case striding catches")
   }
 
+  test("substringDupPairs: misaligned copies pair up; ubiquitous windows are df-cut") {
+    import spark.implicits._
+    def randStr(n: Int, seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // 7 pairs sharing a 300-char span at offset deltas 0..6, PLUS a
+    // boilerplate block of 60 docs all sharing one 120-char span
+    val boiler = randStr(120, 9999)
+    val docs = (0 until 7).flatMap { r =>
+      val span = randStr(300, 1000 + r)
+      Seq((100L + 2 * r, randStr(50, 100 + r) + span),
+        (101L + 2 * r, randStr(50 + r, 200 + r) + span))
+    } ++ (0 until 60).map(i => (500L + i, randStr(80, 3000 + i) + boiler))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(df, "text", "doc_id",
+        k = 40, stride = 7, minShared = 2, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 7).foreach { r =>
+      assert(pairs.contains((100L + 2 * r, 101L + 2 * r)),
+        s"offset-delta-$r copy pair must surface: $pairs")
+    }
+    assert(!pairs.exists { case (a, b) => a >= 500L && b >= 500L },
+      "60-doc boilerplate windows exceed maxDf=50 and must be df-cut")
+    // raising maxDf above the block size lets the boilerplate pairs in
+    val loose = Dedup.substringDupPairs(df, "text", "doc_id",
+        k = 40, stride = 7, minShared = 2, maxDf = 100)
+      .filter(col("id1") >= 500L && col("id2") >= 500L).count()
+    assert(loose == 60L * 59 / 2, s"all boilerplate pairs expected, got $loose")
+  }
+
   test("winnowed substringDupProfile keeps docs with zero selected windows") {
     import spark.implicits._
     // ~40 one-window docs (len < k): each doc's single window hash
