@@ -612,13 +612,16 @@ object Dedup {
   def substringDupPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 40, stride: Int = 7, minShared: Long = 3,
       maxDf: Long = 50): DataFrame = {
-    val perDocHash = winnowedWindowHashes(df, textCol, idCol, k, stride)
+    // document frequency as a window count over the distinct (id, h)
+    // set — NOT a separate groupBy branch: this keeps the (expensive)
+    // hashing scan in ONE subtree, and because both self-join sides
+    // below are the identical plan, ReuseExchange materializes the
+    // shuffle once and reads it twice
+    val kept = winnowedWindowHashes(df, textCol, idCol, k, stride)
       .select(col("id"), col("h")).distinct()
-    val dfOk = perDocHash.groupBy(col("h"))
-      .agg(count(lit(1)).as("__docs"))
+      .withColumn("__docs", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("__docs") >= 2 && col("__docs") <= maxDf)
-      .select(col("h"))
-    val kept = perDocHash.join(dfOk, Seq("h"))
+      .select(col("id"), col("h"))
     kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
