@@ -629,6 +629,34 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Substring-level test-set decontamination: training documents that
+    * share at least one `k`-char VERBATIM window with any benchmark
+    * document — the span-level contamination check of "Deduplicating
+    * Training Data" (word-shingle decontamination misses quoted
+    * fragments embedded in otherwise-different text).
+    *
+    * Asymmetric sampling, sized for the asymmetric data: the (huge)
+    * training side is winnowed at `stride` (content-defined — a shared
+    * span selects the same train windows at any byte offset), the
+    * (small) benchmark side hashes EVERY window, so any selected train
+    * window inside a shared span is guaranteed present in the eval
+    * set. Recall for a shared span of length L is therefore
+    * 1 - (1 - 1/stride)^(L-k+1) — ~99.96% for L >= k + 50 at the
+    * default stride 7 — and the train side pays 1/stride the shuffle.
+    * The eval window set is deduped and broadcast; the corpus never
+    * shuffles. */
+  def substringContaminated(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, k: Int = 40,
+      stride: Int = 7): DataFrame = {
+    val tr = winnowedWindowHashes(train, textCol, idCol, k, stride)
+      .select(col("id"), col("h")).distinct()
+    val ev = charWindowHashes(eval, textCol, idCol, k, 1)
+      .select(col("h")).distinct()
+    tr.join(broadcast(ev), Seq("h"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist, via banded
     * LSH over the signature: the `bits` are cut into `bands` contiguous
     * windows and docs become candidates when ANY window matches

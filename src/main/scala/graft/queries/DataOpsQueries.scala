@@ -551,6 +551,38 @@ object DataOpsQueries {
              |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
     ),
 
+    // Substring-level decontamination: training docs (doc_id >= 10)
+    // sharing a 40-char VERBATIM window with any benchmark doc
+    // (doc_id < 10) — catches quoted fragments that word-shingle
+    // decontamination misses. Train side winnowed at stride 7
+    // (content-defined), eval side exhaustive and broadcast.
+    QueryDef(
+      "q_decontaminate_substring",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        Dedup.substringContaminated(
+          docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10), "text", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+             |  FROM documents),
+             |trh AS (SELECT DISTINCT doc_id, h FROM (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(substr(t, pos, 40)), 1, 8))::BIGINT AS h
+             |  FROM (SELECT doc_id, t,
+             |    unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS pos
+             |    FROM t WHERE doc_id >= 10))
+             |  WHERE h % 7 = 0),
+             |evh AS (SELECT DISTINCT
+             |    ('0x' || substr(md5(substr(t, pos, 40)), 1, 8))::BIGINT AS h
+             |  FROM (SELECT t,
+             |    unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS pos
+             |    FROM t WHERE doc_id < 10))
+             |SELECT trh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+             |FROM trh JOIN evh USING (h) GROUP BY 1""".stripMargin),
+    ),
+
     // Test-set decontamination: training docs (doc_id >= 10) sharing
     // any 3-gram shingle with the "benchmark" docs (doc_id < 10).
     QueryDef(

@@ -403,6 +403,30 @@ class DataOpsSpec extends SparkSpec {
     assert(loose == 60L * 59 / 2, s"all boilerplate pairs expected, got $loose")
   }
 
+  test("substringContaminated flags quoted eval fragments at any offset") {
+    import spark.implicits._
+    def randStr(n: Int, seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val fragment = randStr(150, 77)
+    val eval = Seq((1L, randStr(60, 10) + fragment + randStr(60, 11)))
+      .toDF("doc_id", "text")
+    // train docs quote the fragment after prefixes of every residue
+    // class mod 7; one clean doc shares nothing
+    val train = (0 until 7).map { r =>
+      (100L + r, randStr(40 + r, 200 + r) + fragment + randStr(30, 300 + r))
+    } :+ ((200L, randStr(400, 999))) // clean
+    val got = Dedup.substringContaminated(
+        train.toDF("doc_id", "text"), eval, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 7).foreach { r =>
+      assert(got.getOrElse(100L + r, 0L) > 0,
+        s"offset residue $r: quoted fragment must be flagged; got $got")
+    }
+    assert(!got.contains(200L), "clean doc must not be flagged")
+  }
+
   test("winnowed substringDupProfile keeps docs with zero selected windows") {
     import spark.implicits._
     // ~40 one-window docs (len < k): each doc's single window hash
