@@ -57,7 +57,13 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor, scaleDocs)
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+      scaleDocs: Boolean): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1L
@@ -104,7 +110,7 @@ object ScaleUp {
     if (!scaleDocs) {
       Seq("documents" -> 2, "embeddings" -> 2)
         .foreach { case (t, p) => write(read(t), t, p) }
-      spark.stop(); return
+      return
     }
     // documents/embeddings: the driver's generator keeps these constant
     // across sf, but the dedup/ANN rehearsal is hollow if the corpus
@@ -138,6 +144,5 @@ object ScaleUp {
             cos(i.cast("double") + col("__r").cast("double"))).cast("float")))
       .drop("__r")
     write(embRep, "embeddings", math.max(2, 2 * factor / 10))
-    spark.stop()
   }
 }

@@ -185,4 +185,34 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
     } finally { seqs.unpersist(); q.stop() }
   }
+
+  test("stateless text analysis (real BPE) streams unchanged: replay equals q_text_tokens_bpe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the BPE merge chain is a pure Column projection, so the SAME
+    // expression runs append-mode on a stream with zero state — the
+    // property that makes the text-analysis layer reusable in a
+    // streaming ingest pipeline without a parallel implementation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.operators.TextAnalysis.bpeTokenCount($"text").as("n_bpe_tokens"))
+      .writeStream.format("memory").queryName("eq_bpe")
+      .outputMode("append").start()
+    try {
+      chunks(docs, 4).foreach { c =>
+        input.addData(c: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("eq_bpe").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.SparkEntry.queries("q_text_tokens_bpe")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} docs vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
