@@ -509,6 +509,29 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Cluster-canonical selection — the ENDPOINT of near-dup dedup: for
+    * every dup cluster pick the best-scoring member (highest `scoreCol`,
+    * ties broken by smallest id) and map each document to its cluster's
+    * canonical representative. Downstream consumers either keep only
+    * `is_canonical = 1` rows (the deduplicated corpus) or use the
+    * `doc_id -> canonical_id` mapping to redirect references.
+    *
+    * `labels` is a `dupClusters*` output (`idCol`, `cluster`); `scored`
+    * carries (`idCol`, `scoreCol`) — typically
+    * [[TextAnalysis.qualityScore]], so dedup keeps the best-quality
+    * variant rather than an arbitrary one. At 100 TB the window
+    * shuffles (id, cluster, score) triples only; document text never
+    * leaves the scan. */
+  def canonicalPerCluster(labels: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labels.join(scored, Seq(idCol))
+      .withColumn("canonical_id", first(col(idCol)).over(w))
+      .withColumn("is_canonical",
+        (col(idCol) === col("canonical_id")).cast("int"))
+  }
+
   /** Exploded character-window hashes: (id, pos, h) for every
     * `k`-char window starting at 1, 1+stride, 1+2*stride, ... —
     * the EXACT-substring analogue of word shingles (the unit behind

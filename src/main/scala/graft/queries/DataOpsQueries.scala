@@ -484,6 +484,46 @@ object DataOpsQueries {
         .stripMargin),
     ),
 
+    // Cluster-canonical selection — the dedup ENDPOINT: each doc mapped
+    // to its near-dup cluster's best-quality member (ties -> smallest
+    // id). Keeping `is_canonical = 1` rows IS the deduplicated corpus;
+    // the mapping column supports reference redirection. The window
+    // shuffles (id, cluster, score) triples only — text stays in the
+    // scan.
+    QueryDef(
+      "q_dedup_canonical",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val labels = Dedup.dupClustersStar(
+          Dedup.minHashCandidates(docs, "text", "doc_id"), docs, "doc_id")
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        Dedup.canonicalPerCluster(labels, scored, "doc_id", "q")
+      },
+      Some(s"""WITH RECURSIVE $duckMinhashCand,
+              |edges AS (SELECT id1, id2 FROM cand
+              |  UNION ALL SELECT id2, id1 FROM cand),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.id2, reach.r FROM reach JOIN edges e ON e.id1 = reach.id),
+              |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+              |sc AS (SELECT doc_id, round(least(1.0, n_words / 50.0) *
+              |    (1.0 - stop_hits / CAST(n_words AS DOUBLE)), 6) AS q
+              |  FROM (SELECT doc_id,
+              |    len(string_split(text, ' ')) AS n_words,
+              |    len(list_filter(string_split(text, ' '),
+              |        x -> x IN ($stopList))) AS stop_hits
+              |    FROM documents)),
+              |ranked AS (SELECT l.doc_id, l.cluster, s.q,
+              |  first_value(l.doc_id) OVER
+              |    (PARTITION BY l.cluster ORDER BY s.q DESC, l.doc_id) AS canonical_id
+              |  FROM lab l JOIN sc s USING (doc_id))
+              |SELECT doc_id, cluster, q, canonical_id,
+              |  CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS is_canonical
+              |FROM ranked""".stripMargin),
+    ),
+
     // Exact-substring duplication profile: per doc, the fraction of
     // its sampled 40-char windows that occur VERBATIM in another doc —
     // the boilerplate/licence-block/quoted-copy signal document-level

@@ -120,6 +120,22 @@ class DataOpsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("canonicalPerCluster keeps the best-scoring member, ties to smallest id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "q")
+    val got = Dedup.canonicalPerCluster(labels, scored, "doc_id", "q")
+      .select("doc_id", "canonical_id", "is_canonical").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // 2 and 3 tie at 0.9 -> smallest id 2 is canonical for cluster 1
+    assert(got(1L) == ((2L, 0)))
+    assert(got(2L) == ((2L, 1)))
+    assert(got(3L) == ((2L, 0)))
+    // a singleton cluster is its own canonical
+    assert(got(9L) == ((9L, 1)))
+  }
+
   test("nearDupsCross: incoming near-dups of existing docs found, direction kept") {
     import spark.implicits._
     val existing = docs // ids 0-4
