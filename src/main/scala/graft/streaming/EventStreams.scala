@@ -188,6 +188,28 @@ object EventStreams {
         writeBatchIdempotent(b.toDF(), id, targetDir))
       .start()
 
+  /** Streaming incremental near-dup detection: every micro-batch of
+    * incoming documents is checked against the STATIC existing corpus
+    * via [[graft.operators.Dedup.minHashCandidatesCross]] inside
+    * foreachBatch — the idiom for running batch-only relational logic
+    * in a stream while keeping checkpointed exactly-once sink
+    * semantics (each batch's candidate pairs land in their own
+    * batch_id partition). Per batch the join touches only shared
+    * (band, key) signature buckets, never corpus x batch; at 100 TB
+    * the corpus side's banded index is the thing to pre-compute and
+    * persist, which the batch operator's shape already allows. */
+  def incrementalNearDupSink(docs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, targetDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Dedup.minHashCandidatesCross(
+            b.toDF(), corpus, textCol, idCol),
+          id, targetDir))
+      .start()
+
   final case class Proposal(cve_id: String, package_name: String, proposed: String)
   final case class KeyedState(cve_id: String, package_name: String, status: String,
       transitions: Long, blocked: Long)

@@ -197,6 +197,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental near-dup sink equals the batch cross operator across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "completely different content about spark query engines and columnar formats"),
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "the quick brown fox leaps over the lazy dog near the river bank today"),
+      (12L, "totally novel content with no counterpart in the existing corpus at all"),
+    )
+    val out = java.nio.file.Files.createTempDirectory("neardup-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalNearDupSink(
+      input.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id", out, ckpt)
+    try {
+      input.addData(incoming.take(2): _*)
+      q.processAllAvailable()
+      input.addData(incoming.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out).select("id1", "id2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Dedup.minHashCandidatesCross(
+        incoming.toDF("doc_id", "text"), corpus, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed $streamed vs batch $batch")
+      assert(streamed.contains((10L, 0L)), "exact copy of corpus doc 0 must flag")
+      assert(!streamed.exists(_._1 == 12L), "novel doc must not flag")
+    } finally q.stop()
+  }
+
   test("streaming FSM folds proposals with batch-identical semantics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
