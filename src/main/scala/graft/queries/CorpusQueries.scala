@@ -411,6 +411,92 @@ object CorpusQueries {
               |  FROM capped)""".stripMargin),
     ),
 
+    // The NEAR-dup variant of the composed pipeline: stage 1 swaps the
+    // exact-fingerprint canonical for MinHash-LSH clusters +
+    // best-quality canonical selection (Dedup.canonicalPerCluster) —
+    // boilerplate variants that exact dedup misses collapse to their
+    // best-scoring member before decontamination/gating. Candidates on
+    // the corpus subset equal the induced subgraph of the full
+    // candidate set (signatures are per-doc), which is how the oracle
+    // states it.
+    QueryDef(
+      "q_corpus_pipeline_neardup",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val evalSet = docs.filter(col("doc_id") < 10)
+        val corpus = docs.filter(col("doc_id") >= 10)
+        val labels = Dedup.dupClustersStar(
+          Dedup.minHashCandidates(corpus, "text", "doc_id"), corpus, "doc_id")
+        val scoredAll = corpus.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        val canon = Dedup.canonicalPerCluster(labels, scoredAll, "doc_id", "q")
+          .filter(col("is_canonical") === 1)
+          .select(col("doc_id"))
+        val base = corpus.join(canon, Seq("doc_id"))
+        val contam = Dedup.contaminatedDocs(corpus, evalSet, "text", "doc_id")
+          .select(col("doc_id"))
+        val clean = base.join(contam, Seq("doc_id"), "left_anti")
+        val scored = clean.select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("q").asc_nulls_last, col("doc_id"))
+        val kept = scored.withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") >= 0.10)
+          .select(col("doc_id"), col("lang"), col("source"))
+        Corpus.capPerGroup(kept, "source", "doc_id", k = 15)
+          .select(col("doc_id"), col("lang"), col("source"),
+            TextAnalysis.assignSplit(col("doc_id")).as("split"))
+      },
+      Some(s"""WITH RECURSIVE ${DataOpsQueries.duckMinhashCand},
+              |edges AS (SELECT id1, id2 FROM cand WHERE id1 >= 10 AND id2 >= 10
+              |  UNION ALL SELECT id2, id1 FROM cand WHERE id1 >= 10 AND id2 >= 10),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents WHERE doc_id >= 10
+              |  UNION
+              |  SELECT e.id2, reach.r FROM reach JOIN edges e ON e.id1 = reach.id),
+              |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+              |scq AS (SELECT doc_id, round(least(1.0, n_words / 50.0) *
+              |    (1.0 - stop_hits / CAST(n_words AS DOUBLE)), 6) AS q
+              |  FROM (SELECT doc_id,
+              |    len(string_split(text, ' ')) AS n_words,
+              |    len(list_filter(string_split(text, ' '),
+              |        x -> x IN ($stopList))) AS stop_hits
+              |    FROM documents WHERE doc_id >= 10)),
+              |canon AS (SELECT doc_id FROM (
+              |  SELECT l.doc_id, first_value(l.doc_id) OVER
+              |    (PARTITION BY l.cluster ORDER BY s.q DESC, l.doc_id) AS cid
+              |  FROM lab l JOIN scq s USING (doc_id)) t WHERE doc_id = cid),
+              |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id < 10),
+              |contam AS (SELECT DISTINCT hs.doc_id FROM hs JOIN ev USING (h)
+              |  WHERE hs.doc_id >= 10),
+              |clean AS (SELECT d.doc_id, d.lang, d.source, d.text
+              |  FROM documents d JOIN canon USING (doc_id)
+              |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)),
+              |scored AS (SELECT doc_id, lang, source,
+              |  round(least(1.0, n_words / 50.0) *
+              |    (1.0 - stop_hits / CAST(n_words AS DOUBLE)), 6) AS q
+              |  FROM (SELECT doc_id, lang, source,
+              |    len(string_split(text, ' ')) AS n_words,
+              |    len(list_filter(string_split(text, ' '),
+              |        x -> x IN ($stopList))) AS stop_hits
+              |    FROM clean)),
+              |kept AS (SELECT doc_id, lang, source FROM (
+              |  SELECT doc_id, lang, source,
+              |    percent_rank() OVER (PARTITION BY lang ORDER BY q NULLS LAST, doc_id) AS pr
+              |  FROM scored) WHERE pr >= 0.10),
+              |capped AS (SELECT doc_id, lang, source FROM (
+              |  SELECT doc_id, lang, source,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+              |        doc_id) AS rn
+              |  FROM kept) WHERE rn <= 15)
+              |SELECT doc_id, lang, source,
+              | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              |      ELSE 'test' END AS split
+              |FROM (SELECT doc_id, lang, source,
+              |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+              |  FROM capped)""".stripMargin),
+    ),
+
     // Unigram-LM surprise (perplexity-filter stand-in): per-token
     // -ln p(term) under the corpus unigram model, quantized to integer
     // micro-nats so the per-doc aggregation is order-independent.

@@ -61,7 +61,9 @@ object DataOpsQueries {
       .stripMargin
   }
 
-  private val duckMinhashCand = duckMinhashCandK(8, 4)
+  /** Shared with [[CorpusQueries]] (the near-dup pipeline variant
+    * reuses the same candidate CTE and its `hs` shingle hashes). */
+  private[queries] val duckMinhashCand = duckMinhashCandK(8, 4)
 
   /** Events with second-truncated timestamps: sub-second precision
     * differs between the engines (Spark micros vs DuckDB nanos), so
