@@ -494,6 +494,11 @@ object DataOpsQueries {
     // scan.
     QueryDef(
       "q_dedup_canonical",
+      // NOTE for bench readers: like q_dedup_clusters, the star-CC
+      // labels subtree is eager (rounds execute at plan construction
+      // with localCheckpoint lineage cuts), so per-pass timings see the
+      // checkpointed read + the quality/window stages; the build cost
+      // is measured in PERF.md's CcRounds table.
       (s, d) => {
         val docs = QueryDef.load(s, d, "documents")
         val labels = Dedup.dupClustersStar(
