@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.io.TableIO
+import graft.io.{AvroIO, TableIO}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -62,10 +62,9 @@ object CoreQueries {
     // Format breadth: the SAME table re-written as ORC and read back
     // through the schema-enforced ORC path, then aggregated — the
     // oracle reads the original parquet, so the round trip must be
-    // value-faithful. (Avro stays out: the distribution carries no
-    // spark-avro module and the build adds no dependencies.) The ORC
-    // write happens once at plan-build time, like the other
-    // materializing operators.
+    // value-faithful. The ORC write happens once at plan-build time,
+    // like the other materializing operators. (Avro gets the same
+    // treatment below via AvroIO.)
     QueryDef(
       "q_orc_roundtrip",
       (s, d) => {
@@ -83,6 +82,32 @@ object CoreQueries {
       Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
              | min(s_name) AS first_name, max(s_acctbal) AS max_bal
              |FROM supplier GROUP BY s_nationkey""".stripMargin),
+    ),
+
+    // Avro round trip via AvroIO: the distribution bundles avro-core /
+    // avro-mapred but NOT the spark-avro datasource, so the connector
+    // is built on the public mapreduce I/O formats directly —
+    // splittable at Avro sync markers on read, per-partition container
+    // files on write. Same oracle shape as the ORC round trip: the
+    // oracle reads the original parquet, so the trip must be
+    // value-faithful (doubles bit-identical, nulls preserved).
+    QueryDef(
+      "q_avro_roundtrip",
+      (s, d) => {
+        val cust = load(s, d, "customer").select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_avro_" + Integer.toHexString(d.hashCode)).toString
+        AvroIO.writeAvro(cust, dir)
+        AvroIO.readAvro(s, dir, cust.schema)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), min(col("c_name")).as("first_name"),
+            max(col("c_acctbal")).as("max_bal"))
+      },
+      Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             | min(c_name) AS first_name, max(c_acctbal) AS max_bal
+             |FROM customer GROUP BY c_nationkey""".stripMargin),
     ),
 
     // P1: cast-projection schema enforcement.
