@@ -57,6 +57,38 @@ class AvroIOSpec extends SparkSpec {
     }
   }
 
+  test("randomized round trips: unicode, extremes, null patterns (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("plain ascii", "ünïcödé ✓ 記録", "", " \t\n", "a" * 500)
+    (0 until 3).foreach { trial =>
+      val rows = (0 until 50).map { i =>
+        Row(
+          rnd.nextLong(),
+          if (rnd.nextInt(4) == 0) null else alphabets(rnd.nextInt(alphabets.size)) + i,
+          rnd.nextInt(5) match {
+            case 0 => null
+            case 1 => Double.MaxValue
+            case 2 => Double.MinPositiveValue
+            case _ => rnd.nextDouble()
+          },
+          rnd.nextBoolean(),
+          if (rnd.nextInt(3) == 0) null
+          else Array.fill(rnd.nextInt(16))(rnd.nextInt().toByte),
+        )
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), schema)
+      val dir = s"$tmp/prop$trial"
+      AvroIO.writeAvro(df, dir)
+      val back = AvroIO.readAvro(spark, dir, schema).collect()
+      val norm = (rs: Seq[Row]) => rs.map { r =>
+        (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getBoolean(3),
+          Option(r.get(4)).map(_.asInstanceOf[Array[Byte]].toSeq))
+      }.sortBy(_.toString)
+      assert(norm(back.toSeq) == norm(rows), s"trial $trial mismatch")
+    }
+  }
+
   test("reader resolves fields by name (projection + reorder)") {
     val dir = s"$tmp/byname"
     AvroIO.writeAvro(fixture, dir)
