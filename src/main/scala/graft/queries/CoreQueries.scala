@@ -100,7 +100,9 @@ object CoreQueries {
           System.getProperty("java.io.tmpdir"),
           "graft_avro_" + Integer.toHexString(d.hashCode)).toString
         AvroIO.writeAvro(cust, dir)
-        AvroIO.readAvro(s, dir, cust.schema)
+        // read back through the DSv2 connector (format("graftavro")) so
+        // the datasource sits inside the oracle gate, not only specs
+        s.read.format("graftavro").schema(cust.schema).load(dir)
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).as("n"), min(col("c_name")).as("first_name"),
             max(col("c_acctbal")).as("max_bal"))
