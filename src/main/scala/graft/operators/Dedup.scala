@@ -542,7 +542,10 @@ object Dedup {
     * to contribute at least one aligned window on one side; pair it
     * with stride 1 on the (small) probe side for exactness. Scan-local
     * generate: rows x windows, each carrying a 32-bit hash, never the
-    * text. */
+    * text. This is the POSITIONAL (md5) legacy form, kept for
+    * offset-reporting callers; the substring operators use the
+    * content-defined [[winnowedWindowHashes]] rolling kernel, which is
+    * both alignment-free and O(1) per position. */
   def charWindowHashes(df: DataFrame, textCol: String, idCol: String,
       k: Int, stride: Int = 1): DataFrame = {
     require(k >= 1 && stride >= 1, "k and stride must be >= 1")
@@ -556,21 +559,29 @@ object Dedup {
   }
 
   /** Content-defined ("0 mod p" / winnowing-style) window selection:
-    * hash EVERY `k`-char window at stride 1 and keep those whose hash
-    * is ≡ 0 (mod `stride`). Selection depends only on window CONTENT,
-    * so a span shared verbatim by two documents contributes the
-    * identical selected-window set in both, at ANY byte offset — the
+    * hash EVERY `k`-char window and keep those whose hash is ≡ 0
+    * (mod `stride`). Selection depends only on window CONTENT, so a
+    * span shared verbatim by two documents contributes the identical
+    * selected-window set in both, at ANY byte offset — the
     * alignment-free fix for double-strided positional sampling, where
     * two copies of an arbitrarily long span starting at offsets that
-    * differ mod `stride` can share ZERO sampled windows. Expected
-    * volume reduction is the same 1/stride; the match hash doubles as
-    * the selector, so cost is one md5 per position either way, and the
-    * downstream shuffle still carries only the selected 32-bit hashes. */
+    * differ mod `stride` can share ZERO sampled windows.
+    *
+    * Hashing is the one-pass polynomial rolling kernel
+    * ([[graft.functions.WindowHashExpr]]): O(1) arithmetic per
+    * position instead of the positional form's O(k) md5 digest +
+    * substring allocation + hex parse, and because the winnowing cut
+    * happens inside the expression, the explode materializes only the
+    * ~1/stride selected hashes. The match hash doubles as the
+    * selector; the downstream shuffle carries (id, 32-bit hash) only. */
   def winnowedWindowHashes(df: DataFrame, textCol: String, idCol: String,
       k: Int, stride: Int): DataFrame = {
-    require(stride >= 1, "stride must be >= 1")
-    charWindowHashes(df, textCol, idCol, k, 1)
-      .filter(col("h") % stride === 0)
+    require(k >= 1 && stride >= 1, "k and stride must be >= 1")
+    val t = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.select(col(idCol).as("id"), t.as("__t"))
+      .select(col("id"),
+        explode(graft.functions.WindowHashExpr.windowHashes(
+          col("__t"), k, stride)).as("h"))
   }
 
   /** Per-document exact-substring duplication profile: of the doc's
@@ -587,8 +598,10 @@ object Dedup {
     * whose windows all miss the selector still appears, with
     * `n_windows = 0` and a null `dup_ratio`.
     *
-    * Plan shape: ONE hashing scan (the generate + md5 chain is the
-    * dominant cost — a self-join formulation would run it twice), then
+    * Plan shape: ONE hashing scan (the hashing projection is the
+    * dominant cost — the rolling kernel in winnowed mode, the md5
+    * chain in positional mode; a self-join formulation would run it
+    * twice), then
     * (id, h) pre-aggregation, a window count over h (rows per h after
     * the pre-agg ARE the distinct docs per h), and the per-doc rollup.
     * Everything shuffled is (id, 32-bit hash, count) triples. */
@@ -673,7 +686,7 @@ object Dedup {
       stride: Int = 7): DataFrame = {
     val tr = winnowedWindowHashes(train, textCol, idCol, k, stride)
       .select(col("id"), col("h")).distinct()
-    val ev = charWindowHashes(eval, textCol, idCol, k, 1)
+    val ev = winnowedWindowHashes(eval, textCol, idCol, k, 1)
       .select(col("h")).distinct()
     tr.join(broadcast(ev), Seq("h"))
       .groupBy(col("id").as(idCol))

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis)
   * over the `documents` and `embeddings` tables, each with a DuckDB
-  * oracle. Hashing is md5-prefix based so both engines compute
-  * identical integers; float cosines are rounded to 4 decimals after
-  * double-precision math on both sides.
+  * oracle. Shingle hashing is md5-prefix based and substring-window
+  * hashing is the polynomial rolling hash ([[duckRollHash]]) so both
+  * engines compute identical integers; float cosines are rounded to 4
+  * decimals after double-precision math on both sides.
   */
 object DataOpsQueries {
 
@@ -31,6 +32,20 @@ object DataOpsQueries {
       .stripMargin
 
   private val duckShingleHashes = duckShingleHashesFrom("documents")
+
+  /** DuckDB mirror of [[graft.functions.WindowHashExpr]]'s polynomial
+    * window hash at character position `pos` of normalized text `t`:
+    * fold `(acc*31 + codepoint) mod 2^32` over the k-codepoint window
+    * (shorter at the tail only when the whole string is shorter than k;
+    * the empty string hashes to 0 — list_reduce rejects empty lists, so
+    * that case is guarded explicitly). ONE generator-equivalent
+    * definition substituted into every substring oracle, so the oracles
+    * check the hash definition once, not three transcriptions. */
+  private def duckRollHash(k: Int, t: String = "t", pos: String = "pos") =
+    s"CASE WHEN len($t) = 0 THEN 0 ELSE list_reduce(" +
+      s"list_transform(range($pos, least($pos + $k, len($t) + 1)), " +
+      s"j -> CAST(unicode(substr($t, j, 1)) AS BIGINT)), " +
+      s"(acc, c) -> (acc * 31 + c) % 4294967296) END"
 
   /** MinHash signature CTE for any K — the coefficient list comes from
     * the SAME generator the Spark operator uses
@@ -545,14 +560,14 @@ object DataOpsQueries {
       (s, d) => Dedup.substringDupProfile(
         QueryDef.load(s, d, "documents"), "text", "doc_id",
         k = 40, stride = 7, winnowed = true),
-      Some("""WITH t AS (SELECT doc_id,
-             |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
              |  FROM documents),
              |w AS (SELECT doc_id, t,
              |  unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS pos
              |  FROM t),
              |hx AS (SELECT * FROM (SELECT doc_id, pos,
-             |  ('0x' || substr(md5(substr(t, pos, 40)), 1, 8))::BIGINT AS h
+             |  ${duckRollHash(40)} AS h
              |  FROM w) WHERE h % 7 = 0),
              |sh AS (SELECT h FROM (
              |  SELECT h, count(DISTINCT doc_id) AS d FROM hx GROUP BY h)
@@ -579,14 +594,14 @@ object DataOpsQueries {
       (s, d) => Dedup.substringDupPairs(
         QueryDef.load(s, d, "documents"), "text", "doc_id",
         k = 40, stride = 7, minShared = 3, maxDf = 50),
-      Some("""WITH t AS (SELECT doc_id,
-             |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
              |  FROM documents),
              |w AS (SELECT doc_id, t,
              |  unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS pos
              |  FROM t),
              |hx AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
-             |  ('0x' || substr(md5(substr(t, pos, 40)), 1, 8))::BIGINT AS h
+             |  ${duckRollHash(40)} AS h
              |  FROM w) WHERE h % 7 = 0),
              |ok AS (SELECT h FROM (
              |  SELECT h, count(*) AS d FROM hx GROUP BY h)
@@ -611,19 +626,19 @@ object DataOpsQueries {
           docs.filter(col("doc_id") >= 10),
           docs.filter(col("doc_id") < 10), "text", "doc_id")
       },
-      Some("""WITH t AS (SELECT doc_id,
-             |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
              |  FROM documents),
              |trh AS (SELECT DISTINCT doc_id, h FROM (
              |  SELECT doc_id,
-             |    ('0x' || substr(md5(substr(t, pos, 40)), 1, 8))::BIGINT AS h
+             |    ${duckRollHash(40)} AS h
              |  FROM (SELECT doc_id, t,
              |    unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS pos
              |    FROM t WHERE doc_id >= 10))
              |  WHERE h % 7 = 0),
              |evh AS (SELECT DISTINCT
-             |    ('0x' || substr(md5(substr(t, pos, 40)), 1, 8))::BIGINT AS h
-             |  FROM (SELECT t,
+             |    ${duckRollHash(40)} AS h
+             |  FROM (SELECT doc_id, t,
              |    unnest(range(1, greatest(len(t) - 39, 1) + 1)) AS pos
              |    FROM t WHERE doc_id < 10))
              |SELECT trh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
