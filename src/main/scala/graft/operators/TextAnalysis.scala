@@ -148,6 +148,63 @@ object TextAnalysis {
   def matchCount(text: Column, pattern: String): Column =
     size(call_function("regexp_extract_all", text, lit(pattern), lit(0)))
 
+  /** Corpus-level boilerplate removal (the C4 / RefinedWeb cleaning
+    * step): segments occurring verbatim in >= `minDocs` DISTINCT
+    * documents are dropped from every document, and each document is
+    * reassembled with its surviving segments in original order.
+    * Navigation chrome, licence headers, and cookie banners repeat
+    * across a crawl; within-doc signals cannot see that — the cut is
+    * corpus-global by construction.
+    *
+    * Segmentation is CONTENT-DEFINED: the normalized text splits on a
+    * literal `delim` (a sentence boundary in real corpora), so a
+    * boilerplate block produces the identical segment list at any byte
+    * offset in any document — the same alignment-free property as
+    * winnowed window selection. Only segments of >= `minLen` chars
+    * count toward the cut (ubiquitous SHORT segments are ordinary
+    * language, not boilerplate).
+    *
+    * Scale shape: the document-frequency branch shuffles (id, 32-bit
+    * segment hash) pairs, never segment text; the resulting boilerplate
+    * hash set is small by nature (bounded by corpus segments / minDocs)
+    * and joins back against scan-recomputed probe-side hashes; document
+    * text shuffles exactly ONCE, for the per-doc reassembly that any
+    * document reconstruction inherently requires. Hash classes are
+    * [[Dedup.md5Hash32]] (oracle-reproducible); a 32-bit collision can
+    * only merge two segment classes — conservative over-removal, never
+    * a miss — and a cluster deployment can widen to `xxhash64`
+    * unchanged. Returns (idCol, clean_text, n_segments, n_removed):
+    * a fully-boilerplate document survives with clean_text = ''. */
+  def removeBoilerplate(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, delim: String = " the ", minDocs: Long = 2,
+      minLen: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would drop every segment")
+    val t = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val segs = df.select(col(idCol).as("id"), t.as("__t"))
+      .select(col("id"),
+        posexplode(split(col("__t"),
+          java.util.regex.Pattern.quote(delim))).as(Seq("pos", "seg")))
+      .withColumn("h", Dedup.md5Hash32(col("seg")))
+    val bp = segs.filter(length(col("seg")) >= minLen)
+      .select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("h"), lit(1).as("__bp"))
+    segs.join(bp, Seq("h"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the nulls the `when` emits for boilerplate
+        // rows; array_sort on (pos, seg) structs restores source order
+        concat_ws(delim, transform(
+          array_sort(collect_list(
+            when(col("__bp").isNull, struct(col("pos"), col("seg"))))),
+          x => x.getField("seg"))).as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("n_segments"),
+        col("n_removed"))
+  }
+
   /** Unigram-LM surprise scoring: each document's average per-token
     * negative log-probability under the corpus's own unigram model —
     * the cheap stand-in for KenLM-style perplexity filtering (low =

@@ -206,6 +206,38 @@ object CorpusQueries {
               |FROM events""".stripMargin),
     ),
 
+    // Corpus-level boilerplate removal (C4/RefinedWeb cleaning):
+    // segments occurring verbatim in >= 2 distinct docs are dropped
+    // from every doc, which is reassembled in source order. Content-
+    // defined segmentation (split on a literal common token) makes a
+    // shared block produce identical segments at any offset; the
+    // df-count branch shuffles only (id, 32-bit hash) pairs.
+    QueryDef(
+      "q_text_boilerplate",
+      (s, d) => TextAnalysis.removeBoilerplate(
+        QueryDef.load(s, d, "documents"), "text", "doc_id",
+        delim = " the ", minDocs = 2, minLen = 20),
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+             |  FROM documents),
+             |l0 AS (SELECT doc_id, string_split(t, ' the ') AS ls FROM t),
+             |l AS (SELECT doc_id, pos, ls[pos] AS seg,
+             |  ('0x' || substr(md5(ls[pos]), 1, 8))::BIGINT AS h
+             |  FROM (SELECT doc_id, ls,
+             |    unnest(range(1, len(ls) + 1)) AS pos FROM l0)),
+             |bp AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS d
+             |  FROM l WHERE len(seg) >= 20 GROUP BY h) WHERE d >= 2),
+             |m AS (SELECT l.doc_id, l.pos, l.seg,
+             |  CASE WHEN bp.h IS NULL THEN 0 ELSE 1 END AS f
+             |  FROM l LEFT JOIN bp ON l.h = bp.h)
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN f = 0 THEN seg END,
+             |    ' the ' ORDER BY pos), '') AS clean_text,
+             |  CAST(count(*) AS BIGINT) AS n_segments,
+             |  CAST(sum(f) AS BIGINT) AS n_removed
+             |FROM m GROUP BY doc_id""".stripMargin),
+    ),
+
     // HTML/markup stripping (crawled-corpus cleaning): the fixture has
     // no markup, so the query WRAPS each document in deterministic
     // HTML — script/style blocks whose content must vanish wholesale,

@@ -568,6 +568,32 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("removeBoilerplate: cross-doc segments drop at any offset, " +
+      "order and unique content survive, short repeats exempt") {
+    val banner = "we value your privacy accept all cookies to continue"
+    val footer = "copyright holders reserve all rights in this material"
+    val df = Seq(
+      // banner leads doc 1, sits mid-doc in 2, trails doc 3: the
+      // content-defined split must catch all three placements
+      (1L, s"$banner the alpha unique body one the $footer"),
+      (2L, s"beta opens here the $banner the beta closes here"),
+      (3L, s"gamma unique content the ok the $footer the $banner"),
+      // doc 4 is NOTHING BUT boilerplate -> must survive with ''
+      (4L, s"$banner the $footer"),
+      // 'ok' repeats across docs but is under minLen -> kept
+      (5L, "delta keeps the ok the delta tail"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(df, "text", "doc_id",
+        delim = " the ", minDocs = 2, minLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("alpha unique body one", 3L, 2L)))
+    assert(got(2L) == (("beta opens here the beta closes here", 3L, 1L)))
+    assert(got(3L) == (("gamma unique content the ok", 4L, 2L)))
+    assert(got(4L) == (("", 2L, 2L)))
+    assert(got(5L) == (("delta keeps the ok the delta tail", 3L, 0L)))
+  }
+
   test("langId picks marker-matching language; und when no markers") {
     val df = Seq(
       (1L, "the cat and the dog of a house"),
