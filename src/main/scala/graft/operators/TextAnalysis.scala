@@ -376,8 +376,23 @@ object TextAnalysis {
     regexp_replace(t, "([^\u001e])", US + "$1" + US)
   }
 
-  /** Apply the merge table in rank order (see block comment above). */
+  /** Apply the merge table in rank order (see block comment above).
+    * Runs as the fused native kernel
+    * ([[graft.functions.BpeEncodeExpr]]): one codepoint scan emits the
+    * symbol string (replacing seven regexp passes) and the merge
+    * replaces apply in the same loop — [[bpeMergedReference]] keeps
+    * the original Column chain as the executable spec of the
+    * semantics, and the DuckDB oracles still run the regex-chain
+    * formulation, so engine parity re-proves the kernel every run. */
   def bpeMerged(text: Column, merges: Seq[(String, String)] = bpeMerges): Column =
+    graft.functions.BpeEncodeExpr.bpeEncode(text, merges)
+
+  /** The original Column-chain formulation of [[bpeMerged]] — the
+    * executable reference BpeParitySpec fuzzes the kernel against.
+    * Same contract, ~55 string passes per document; not used by any
+    * registered query. */
+  private[graft] def bpeMergedReference(text: Column,
+      merges: Seq[(String, String)] = bpeMerges): Column =
     merges.foldLeft(bpeSymbolString(text)) { case (acc, (a, b)) =>
       call_function("replace", acc,
         lit(US + a + US + US + b + US), lit(US + a + b + US))
