@@ -760,6 +760,40 @@ object DataOpsQueries {
              |  FROM documents)""".stripMargin),
     ),
 
+    // Leakage-safe split: near-duplicate documents must NEVER straddle
+    // train/test — a near-dup of a test doc in the training set is eval
+    // contamination the plain per-doc hash split cannot see. Split
+    // assignment hashes the near-dup CLUSTER label (the star-CC over
+    // MinHash candidates), so every member of a cluster lands in the
+    // same split; singleton clusters degenerate to the per-doc split.
+    QueryDef(
+      "q_split_leakage_safe",
+      // NOTE for bench readers: the star-CC labels subtree is eager
+      // (rounds execute at plan construction — see q_dedup_clusters);
+      // the build cost is measured in PERF.md's CcRounds table.
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        Dedup.dupClustersStar(
+            Dedup.minHashCandidates(docs, "text", "doc_id"), docs, "doc_id")
+          .select(col("doc_id"), col("cluster"),
+            TextAnalysis.assignSplit(col("cluster")).as("split"))
+      },
+      Some(s"""WITH RECURSIVE $duckMinhashCand,
+              |edges AS (SELECT id1, id2 FROM cand
+              |  UNION ALL SELECT id2, id1 FROM cand),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.id2, reach.r FROM reach JOIN edges e ON e.id1 = reach.id),
+              |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
+              |SELECT doc_id, cluster,
+              |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM (SELECT doc_id, cluster,
+              |  ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+              |  FROM lab)""".stripMargin),
+    ),
+
     // TF-IDF over whitespace-normalized lowercased tokens.
     QueryDef(
       "q_text_tfidf",

@@ -90,6 +90,25 @@ class DataOpsSpec extends SparkSpec {
       "declarative dupClusters must not leak persisted edges")
   }
 
+  test("leakage-safe split: every cluster member shares one split, " +
+      "singletons match the per-doc cluster-hash split") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val nodes = (0L to 6L).toDF("doc_id")
+    val got = Dedup.dupClusters(pairs, nodes, "doc_id")
+      .select($"doc_id", $"cluster",
+        TextAnalysis.assignSplit($"cluster").as("split"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // the whole point: connected docs can never straddle splits
+    assert(got(0L) == got(1L) && got(1L) == got(2L))
+    assert(got(3L) == got(4L))
+    // split depends only on the cluster label, so a member's split
+    // equals the split of its cluster-id doc
+    (0L to 6L).foreach { id =>
+      assert(got(id)._2 == got(got(id)._1)._2)
+    }
+  }
+
   test("dupClustersStar matches min-label labels in far fewer rounds on a deep chain") {
     // a 32-node chain: the worst case for min-label propagation, whose
     // round count equals the diameter; large-star/small-star collapses
