@@ -26,15 +26,25 @@ object QueryDef {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(tbl(dir, name))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and rebuild a (micro) timestamp.
-    * Integer division — a double division would lose precision above
-    * 2^53 ns. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, so
+    * adapt to what the file actually contains:
+    *   - NANOS: Spark's vectorized reader rejects it; read nanos as long and
+    *     rebuild a (micro) timestamp. Integer division — a double division
+    *     would lose precision above 2^53 ns.
+    *   - MICROS without UTC adjustment arrives as TIMESTAMP_NTZ; cast to
+    *     TIMESTAMP. The session timezone is pinned to UTC everywhere
+    *     (Verify/Bench/specs), so the wall-clock value is unchanged and
+    *     downstream time arithmetic keeps one timestamp type. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 }

@@ -53,7 +53,7 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS); read as long (see QueryDef)
+      // events.ts physical type varies by testdata generation (see QueryDef)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -71,7 +71,12 @@ object ScaleUp {
     // strides shared across tables so FK relationships stay intact
     val orders = read("orders"); val lineitem = read("lineitem")
     val customer = read("customer"); val supplier = read("supplier")
-    val part = read("part"); val events = read("events")
+    // events goes through loadEvents (ts physical type varies by testdata
+    // generation); hold ts as long micros so the generic key-offset
+    // replication applies, rebuild the timestamp at write time.
+    val part = read("part")
+    val events = graft.queries.QueryDef.loadEvents(spark, src)
+      .withColumn("ts", unix_micros(col("ts")))
     val okS = math.max(maxOf(orders, "o_orderkey"), maxOf(lineitem, "l_orderkey"))
     val ckS = math.max(maxOf(orders, "o_custkey"), maxOf(customer, "c_custkey"))
     val pkS = math.max(maxOf(part, "p_partkey"), maxOf(lineitem, "l_partkey"))
@@ -92,17 +97,18 @@ object ScaleUp {
     write(replicate(customer, factor, Map("c_custkey" -> ckS)), "customer", 4)
     write(replicate(supplier, factor, Map("s_suppkey" -> skS)), "supplier", 2)
     write(replicate(part, factor, Map("p_partkey" -> pkS)), "part", 4)
-    // ts (nanos-as-long here): offset each replica by the full span +
+    // ts (long micros here): offset each replica by the full span +
     // 1h, so a bigger factor means a LONGER HISTORY at the same event
     // rate — replicating into the same time range instead multiplies
     // temporal density, which makes every interval/window join's
     // OUTPUT grow quadratically with factor (observed: the 600 s
     // point-in-interval join went 35x across the sf1d->sf10d decade
     // purely from pair-count inflation, not operator cost)
-    val tsSpanNs = events.agg(max(col("ts")) - min(col("ts")))
-      .head().getLong(0) + 3600L * 1000000000L
+    val tsSpanUs = events.agg(max(col("ts")) - min(col("ts")))
+      .head().getLong(0) + 3600L * 1000000L
     write(replicate(events, factor, Map(
-      "event_id" -> ekS, "user_id" -> ukS, "ts" -> tsSpanNs)), "events", 16)
+      "event_id" -> ekS, "user_id" -> ukS, "ts" -> tsSpanUs))
+      .withColumn("ts", timestamp_micros(col("ts"))), "events", 16)
     // region/nation: constant across scale factors by design
     Seq("region" -> 1, "nation" -> 1)
       .foreach { case (t, p) => write(read(t), t, p) }

@@ -45,13 +45,15 @@ class ScaleUpSpec extends SparkSpec {
   }
 
   test("event history gets LONGER, not denser") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def span(dir: String): Long = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(col("ts")) - min(col("ts"))).head().getLong(0)
+    // loadEvents normalizes ts to TimestampType whatever the parquet
+    // physical type; measure the span in micros
+    def span(dir: String): Long = graft.queries.QueryDef.loadEvents(spark, dir)
+      .agg(unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+      .head().getLong(0)
     val (s0, s3) = (span(sf), span(dst))
     // replicas are offset by span + 1h each: new span ~ 3*old + 2h
-    val expected = 3 * s0 + 2 * 3600L * 1000000000L
-    assert(math.abs(s3 - expected) < 2L * 1000000000L,
+    val expected = 3 * s0 + 2 * 3600L * 1000000L
+    assert(math.abs(s3 - expected) < 2L * 1000000L,
       s"time span must triple (+2h offsets): $s0 -> $s3, expected ~$expected")
   }
 
