@@ -78,6 +78,10 @@ object Bench {
     // cache that other queries' identical sub-plans silently hit
     val dfs = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // whether the query's plan uses persist() — must be decided while
+    // the phase-1 cache registration is still alive (after clearCache a
+    // fresh optimize sees no InMemoryRelation); informs the rescue sweep
+    val usesCacheMap = scala.collection.mutable.Map.empty[String, Boolean]
     names.foreach { n =>
       val built =
         try { dfs(n) = SparkEntry.queries(n)(spark, sfDir); true }
@@ -87,6 +91,9 @@ object Bench {
         }
       if (built) {
         val df = dfs(n)
+        usesCacheMap(n) = df.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+        }.nonEmpty
         if (!quick) runOnce(df, n) // warm (a transient warm failure is
                        // tolerated — the first timed pass absorbs
                        // compile cost then)
@@ -103,10 +110,28 @@ object Bench {
       }
     }
     (if (quick) Seq.empty else names).foreach { n => // rescue sweep
-      dfs.get(n).foreach { df =>
+      dfs.get(n).foreach { phase1Df =>
+        // A query that persist()s lost its cache REGISTRATION to the
+        // inter-phase clearCache, so a bare rescue pass on the phase-1
+        // DataFrame times the fully UNCACHED plan (the upsert's merge
+        // recomputes on both union sides) — a strictly different
+        // measurement that can NEVER beat a clean phase-1 pass,
+        // leaving such a query unrescuable if a load window hit its
+        // phase-1 visit (observed: upsert 1.33 s contaminated min vs
+        // 0.47 s clean, rescue 4.6 s useless). For cache-using plans
+        // (detected on the phase-1 snapshot), rebuild the query so
+        // persist() re-registers, re-materialize untimed, then time —
+        // the exact phase-1 condition — and clear before moving on.
+        val usesCache = usesCacheMap.getOrElse(n, false)
+        val df =
+          if (!usesCache) phase1Df
+          else scala.util.Try(SparkEntry.queries(n)(spark, sfDir))
+            .getOrElse(phase1Df)
+        if (usesCache) runOnce(df, n)
         val t0 = System.nanoTime()
         val ok = runOnce(df, n)
         val t = (System.nanoTime() - t0) / 1e9
+        if (usesCache) spark.catalog.clearCache()
         System.err.println(f"[bench] rescue $n $t%.2f")
         // a rescue-pass failure (e.g. an external-load window, the very
         // thing the sweep hardens against) must not discard the three
