@@ -113,6 +113,57 @@ object Corpus {
         (col("__cum") % budget).as("chunk_offset"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the stride
+    * windowing that turns variable-length documents into model-sized
+    * training sequences (and RAG chunks): windows of `chunkTokens`
+    * tokens, each starting `chunkTokens - overlapTokens` after the
+    * previous, so `overlapTokens` of context repeats across every
+    * boundary. Complementary to [[packChunks]]: packing fits SHORT
+    * documents into a budget; this SPLITS long ones.
+    *
+    * Window count and membership are pure integer functions of the
+    * token count — reproducible across runs, partitionings, and
+    * engines. Every document emits at least one window (an empty token
+    * stream yields one empty window — filter `n_tokens > 0` downstream
+    * to drop those rather than silently losing the document here).
+    * The last window is short rather than padded; padding policy
+    * belongs to the trainer.
+    *
+    * Scale shape: projection + generate inside the document scan,
+    * ZERO shuffles — embarrassingly parallel; each output row carries
+    * only its own window's tokens, so output bytes ~ input tokens x
+    * (1 + overlap/stride), never quadratic. `tokensCol` is an
+    * array<string> column (e.g. [[TextAnalysis.bpeTokens]], so window
+    * budgets track the real tokenizer). */
+  def windowChunks(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int,
+  ): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be > 0")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlapTokens
+    // ceil((n - overlap) / step) windows cover every token; the
+    // greatest(..., 1) keeps empty/short docs at exactly one window.
+    // Integer `div` arithmetic — exact at any corpus size.
+    df.select(col(idCol), col(tokensCol).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__nc", greatest(
+        expr(s"(greatest(__n - $overlapTokens, 0) + ${step - 1}) div $step"),
+        lit(1L)))
+      .select(col(idCol), col("__toks"),
+        explode(expr("sequence(CAST(0 AS BIGINT), __nc - 1)")).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__toks"),
+          (col("chunk_idx") * step + 1).cast("int"), lit(chunkTokens)).as("__w"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        concat_ws("", col("__w")).as("chunk_text"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement, k per
     * stratum (Efraimidis–Spirakis A-Res): rank rows by
     * `-ln(u) / w` ascending (equivalently u^(1/w) descending) where

@@ -179,6 +179,35 @@ object CorpusQueries {
               |FROM c""".stripMargin),
     ),
 
+    // Stride windowing over the REAL BPE token stream: fixed 64-token
+    // training sequences with 16 tokens of overlap — the split-long-docs
+    // complement to q_pack_chunks_bpe's pack-short-docs. Window layout
+    // is a pure integer function of the token count, identical on both
+    // engines; chunk_text is the window's tokens rejoined (the token
+    // stream is what a trainer consumes — original spacing is already
+    // gone at tokenization).
+    QueryDef(
+      "q_chunk_overlap",
+      (s, d) => Corpus.windowChunks(
+        QueryDef.load(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("toks")),
+        "doc_id", "toks", chunkTokens = 64, overlapTokens = 16),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  ${TextAnalysis.bpeTokensSql("text")} AS toks FROM documents),
+              |n AS (SELECT doc_id, toks,
+              |  greatest((greatest(len(toks) - 16, 0) + 47) // 48, 1) AS nc
+              |  FROM t),
+              |x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx
+              |  FROM n)
+              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              | CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+              |   AS BIGINT) AS n_tokens,
+              | coalesce(array_to_string(
+              |   list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ''),
+              |   '') AS chunk_text
+              |FROM x""".stripMargin),
+    ),
+
     // PII scrub over the event props payload: email/IP/phone redaction
     // chain plus aggressive number scrubbing, with match counts. The
     // patterns live in the Java-regex ∩ RE2 subset so the exact same
