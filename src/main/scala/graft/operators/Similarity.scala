@@ -230,6 +230,116 @@ object Similarity {
       .select(col("id1"), col("id2"), (round(cosine(col("v1"), col("v2")), 4) + lit(0.0)).as("cos"))
   }
 
+  /** Squared L2 between equal-length double arrays — sequential fold,
+    * so the accumulation order is fixed and a SQL oracle spelling the
+    * same left-associated sum produces bit-identical doubles. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic product-quantization codebook: `k` seed vectors
+    * chosen by md5-hash order of the id (a seeded uniform sample —
+    * reproducible across runs, partitionings, and engines), each cut
+    * into `m` subvectors; output rows are (sub, code, centroid). A
+    * trained codebook (k-means per subspace) drops in with the same
+    * schema — the seeded-sample codebook is the deterministic baseline
+    * that makes the whole encode/search pipeline oracle-checkable.
+    * The seed pick is a top-k by hash (TakeOrdered — no global sort),
+    * and the result is m*k tiny rows, made for broadcast. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, salt: String = "pq"): DataFrame = {
+    require(m > 0 && k > 0, "m and k must be > 0")
+    val seeds = corpus
+      .select(col(idCol).cast("string").as("__sid"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__h", Dedup.md5Hash32(concat(lit(s"$salt:"), col("__sid"))))
+      .orderBy(col("__h").asc, col("__sid").asc)
+      .limit(k)
+    // window over the k surviving rows only — k <= 256 by design
+    val coded = seeds.withColumn("code", row_number().over(
+      Window.orderBy(col("__h").asc, col("__sid").asc)) - 1)
+    coded
+      .select(col("code"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("__v"))
+      .select(col("sub"), col("code"),
+        expr(s"slice(__v, sub * (size(__v) div $m) + 1, size(__v) div $m)")
+          .as("centroid"))
+  }
+
+  /** PQ encoding: each vector becomes `m` small codes (argmin-L2
+    * centroid per subspace, ties to the lowest code) — 64 floats
+    * collapse to 8 bytes, the memory story that lets a billion-vector
+    * index live in RAM. Distances against the broadcast codebook are
+    * scan-local (n*m*k fused-loop evaluations, no shuffle); the
+    * argmin runs as a partial-aggregable min(struct(dist, code)), so
+    * only (id, sub, code) triples cross the wire, and the reassembly
+    * groupBy carries m tiny rows per vector. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, m: Int = 8): DataFrame = {
+    val subs = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("__v"))
+      .select(col(idCol), col("sub"),
+        expr(s"slice(__v, sub * (size(__v) div $m) + 1, size(__v) div $m)").as("__sv"))
+    subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d", l2sq(col("__sv"), col("centroid")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("__d"), col("code"))).getField("code").as("code"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** ADC (asymmetric-distance) search over PQ codes + exact rerank —
+    * the IVF-PQ search shape: each query precomputes its distance to
+    * every (sub, code) centroid (m*k table, broadcast), a candidate's
+    * approximate distance is the SUM of m table lookups over its codes
+    * (never touching the original vectors), the `rerank` closest by
+    * approximate distance are re-scored with exact cosine, and top-k
+    * of those is returned. Per-lookup distances quantize to
+    * DECIMAL(28,9) before the sum, so the m-term accumulation is exact
+    * integer arithmetic — identical across partitionings and engines
+    * (a raw double sum would tie-break rankings differently per run).
+    * At scale: codes are the only per-vector state the search reads;
+    * the original vectors are fetched just for the rerank shortlist. */
+  def pqTopK(corpus: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, m: Int = 8,
+      rerank: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val cand = pqEncode(corpus, codebook, idCol, vecCol, m)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val qtab = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .select(col("query_id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+        col("__qv"))
+      .select(col("query_id"), col("sub"),
+        expr(s"slice(__qv, sub * (size(__qv) div $m) + 1, size(__qv) div $m)")
+          .as("__qs"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(l2sq(col("__qs"), col("centroid")), 9)
+          .cast(DecimalType(28, 9)).as("__dq"))
+    // every (sub, code) exists in qtab, so each (query, neighbor)
+    // group aggregates exactly m lookup rows
+    val approx = cand.join(broadcast(qtab), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__dq")).cast(DoubleType).as("pq_dist"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
+    val shortlist = approx.withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= rerank)
+    val nv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__nv"))
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    shortlist.join(nv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", cosine(col("__qv2"), col("__nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"),
+        (round(col("pq_dist"), 6) + lit(0.0)).as("pq_dist"))
+  }
+
   /** Per-group embedding centroids in LONG form (group, dimension,
     * value) — the k-means update step / class-prototype primitive.
     * Element values quantize to integer micro-units before the sum, so

@@ -30,6 +30,13 @@ object AnnQueries {
       s"(CASE WHEN list_dot_product($vExpr, ${signList(table * bits + j)}) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Left-associated squared-L2 over `dims`-element list expressions —
+    * the identical float addition order as [[Similarity.l2sq]]'s
+    * sequential fold, so both engines produce bit-identical doubles. */
+  private def duckL2sq(a: String, b: String, dims: Int): String =
+    (1 to dims).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+      .mkString("(", " + ", ")")
+
   private def duckSimhashSig(bits: Int) =
     s"""w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
@@ -216,6 +223,71 @@ object AnnQueries {
               |  FROM banded l JOIN banded r
               |  ON l.band = r.band AND l.key = r.key AND l.id < r.id)
               |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3""".stripMargin),
+    ),
+
+    // Product quantization + ADC search + exact rerank — the memory
+    // path for billion-vector ANN: 64 floats -> 8 codes; search reads
+    // only codes + an m*k lookup table, original vectors touched only
+    // for the rerank shortlist. The seeded-sample codebook (md5-hash
+    // order, like every deterministic draw here) makes the WHOLE
+    // pipeline hash-match the oracle: per-lookup distances quantize to
+    // DECIMAL(28,9) so the m-term ADC sums are exact integer
+    // arithmetic on both engines, and the subspace L2 folds spell the
+    // identical left-associated float sum.
+    QueryDef(
+      "q_sim_topk_pq",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        // m=16 (4-dim subspaces): the recall-bearing knob on this
+        // near-uniform fixture — AnnRecallSpec floors the config at
+        // 0.75 vs brute force where m=8/rerank=32 measures 0.38
+        val cb = Similarity.pqCodebook(e, "vec_id", "embedding", m = 16, k = 16)
+        Similarity.pqTopK(e, cb, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, m = 16, rerank = 64)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |seeds AS (SELECT CAST(vec_id AS VARCHAR) AS sid, v,
+              |  ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+              |  FROM e ORDER BY h, sid LIMIT 16),
+              |coded AS (SELECT ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS code, v
+              |  FROM seeds),
+              |subsq AS (SELECT unnest(range(0, 16)) AS sub),
+              |cb AS (SELECT sub, code,
+              |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS c
+              |  FROM coded CROSS JOIN subsq),
+              |csub AS (SELECT vec_id, sub,
+              |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS sv
+              |  FROM e CROSS JOIN subsq),
+              |dists AS (SELECT s.vec_id, s.sub, cb.code,
+              |  ${duckL2sq("s.sv", "cb.c", 4)} AS dd
+              |  FROM csub s JOIN cb ON s.sub = cb.sub),
+              |best AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+              |  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              |    ORDER BY dd ASC, code ASC) AS rn FROM dists) WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS query_id, sub,
+              |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS qs
+              |  FROM e CROSS JOIN subsq WHERE vec_id < 8),
+              |qtab AS (SELECT q.query_id, q.sub, cb.code,
+              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)}, 9) AS DECIMAL(28,9)) AS dq
+              |  FROM qsub q JOIN cb ON q.sub = cb.sub),
+              |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
+              |  CAST(sum(t.dq) AS DOUBLE) AS pq_dist
+              |  FROM best b JOIN qtab t ON b.sub = t.sub AND b.code = t.code
+              |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
+              |short AS (SELECT query_id, neighbor_id, pq_dist FROM (SELECT *,
+              |  ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY pq_dist ASC, neighbor_id ASC) AS ar FROM approx)
+              |  WHERE ar <= 64),
+              |rer AS (SELECT s.query_id, s.neighbor_id,
+              |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
+              |  FROM short s
+              |  JOIN e ne ON ne.vec_id = s.neighbor_id
+              |  JOIN e qe ON qe.vec_id = s.query_id)
+              |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
+              |  CAST(rnk AS BIGINT) AS rank, round(pq_dist, 6) + 0.0 AS pq_dist
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM rer)
+              |WHERE rnk <= 5""".stripMargin),
     ),
 
     // Salting is result-invariant: the salted join must equal the plain

@@ -67,6 +67,35 @@ class AnnRecallSpec extends SparkSpec {
       f"8 tables ($r8%.3f) must amplify recall well past 1 table ($r1%.3f)")
   }
 
+  test("PQ+ADC (m=16, k=16, rerank=64) recall@10 >= 0.75; rerank budget amplifies") {
+    def pqRecall(m: Int, rerank: Int): Double = {
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = m, k = 16)
+      val got = Similarity.pqTopK(emb, cb, queries, "vec_id", "embedding",
+          k = K, m = m, rerank = rerank)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    // the registered q_sim_topk_pq config
+    val r = pqRecall(m = 16, rerank = 64)
+    info(f"PQ recall@$K m=16 rerank=64: $r%.3f (measured 0.784; floor 0.75)")
+    assert(r >= 0.75, f"PQ recall@$K $r%.3f below 0.75 floor")
+    // coarse quantization (m=8) with a thin rerank budget must be the
+    // weaker config — the knob ordering that makes m/rerank REAL knobs
+    val weak = pqRecall(m = 8, rerank = 32)
+    info(f"PQ recall@$K m=8 rerank=32: $weak%.3f (measured 0.378)")
+    assert(r > weak + 0.2,
+      f"finer subspaces + deeper rerank ($r%.3f) must beat coarse ($weak%.3f)")
+  }
+
+  test("PQ codes honor the memory contract: m codes, each < k") {
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 16, k = 16)
+    val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 16)
+    val bad = codes.filter(size(col("codes")) =!= 16 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0, s"$bad vectors with malformed code arrays")
+  }
+
   test("IVF (nCells=8) recall@10: >= 0.70 at nProbe=4, >= 0.85 at nProbe=6") {
     val r4 = ivfRecall(nCells = 8, nProbe = 4)
     val r6 = ivfRecall(nCells = 8, nProbe = 6)
