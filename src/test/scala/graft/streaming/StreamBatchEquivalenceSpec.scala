@@ -215,4 +215,40 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         s"streamed ${streamed.size} docs vs batch ${batch.size}")
     } finally q.stop()
   }
+
+  test("stride windowing streams unchanged: replay equals q_chunk_overlap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // windowChunks is a per-document generate (explode over a pure
+    // function of the token count) — stateless, so the SAME operator
+    // runs append-mode on a streaming ingest: chunks emit as each
+    // document arrives, no watermark, no state store
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Corpus.windowChunks(
+        input.toDF().toDF("doc_id", "text")
+          .select($"doc_id",
+            graft.operators.TextAnalysis.bpeTokens($"text").as("toks")),
+        "doc_id", "toks", chunkTokens = 64, overlapTokens = 16)
+      .writeStream.format("memory").queryName("eq_chunks")
+      .outputMode("append").start()
+    try {
+      chunks(docs, 4).foreach { c =>
+        input.addData(c: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val streamed = spark.table("eq_chunks")
+        .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+        .collect().map(key).toSet
+      val batch = graft.SparkEntry.queries("q_chunk_overlap")(spark, sf)
+        .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} chunks vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
