@@ -414,25 +414,110 @@ object TextAnalysis {
       .cast("long")
   }
 
+  /** The DuckDB symbolizer mirror of [[bpeSymbolString]] (`expr` is
+    * the input SQL expression for the text). */
+  private def bpeSymbolSql(expr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |regexp_replace(regexp_replace(regexp_replace(lower($expr),
+       |  '\\s+', chr(30), 'g'),
+       |  '([^a-z0-9\\x1e])', chr(30) || '\\1' || chr(30), 'g'),
+       |  '([a-z])([0-9])', '\\1' || chr(30) || '\\2', 'g'),
+       |  '([0-9])([a-z])', '\\1' || chr(30) || '\\2', 'g'),
+       |  '\\x1e+', chr(30), 'g'),
+       |  '^\\x1e|\\x1e$$', '', 'g'),
+       |  '([^\\x1e])', chr(31) || '\\1' || chr(31), 'g')""".stripMargin
+
   /** The DuckDB mirror of [[bpeMerged]], generated from the same merge
     * table so both engines apply the identical tokenizer (`expr` is
     * the input SQL expression for the text). */
   def bpeMergedSql(expr: String, merges: Seq[(String, String)] = bpeMerges): String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
-    val sym =
-      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |regexp_replace(regexp_replace(regexp_replace(lower($expr),
-         |  '\\s+', chr(30), 'g'),
-         |  '([^a-z0-9\\x1e])', chr(30) || '\\1' || chr(30), 'g'),
-         |  '([a-z])([0-9])', '\\1' || chr(30) || '\\2', 'g'),
-         |  '([0-9])([a-z])', '\\1' || chr(30) || '\\2', 'g'),
-         |  '\\x1e+', chr(30), 'g'),
-         |  '^\\x1e|\\x1e$$', '', 'g'),
-         |  '([^\\x1e])', chr(31) || '\\1' || chr(31), 'g')""".stripMargin
-    merges.foldLeft(sym) { case (acc, (a, b)) =>
+    merges.foldLeft(bpeSymbolSql(expr)) { case (acc, (a, b)) =>
       s"replace($acc, chr(31)||${q(a)}||chr(31)||chr(31)||${q(b)}||chr(31), " +
         s"chr(31)||${q(a + b)}||chr(31))"
     }
+  }
+
+  /** Distributed BPE merge-table LEARNING — the training side of the
+    * tokenizer whose apply side is [[bpeMerged]]: `nMerges` rounds of
+    * (count adjacent symbol pairs across the whole corpus) -> (merge
+    * the most frequent pair everywhere), ties broken by (pair)
+    * lexicographic order so the learned table is deterministic.
+    * Later rounds merge previously-merged symbols — the hierarchy
+    * that makes BPE subwords real.
+    *
+    * Execution shape (the standard distributed tokenizer trainer):
+    * each round is ONE corpus pass — pair extraction is a scan-local
+    * explode over the per-word symbol arrays, the count is a map-side-
+    * combined groupBy whose shuffle carries (pair, count) rows (symbol
+    * pairs, never documents), and only the single argmax row reaches
+    * the driver. The corpus re-materializes per round via
+    * localCheckpoint (same eager-rounds pattern as the CC builds:
+    * without it round r would replay all r-1 prior replaces).
+    * Driver state is O(nMerges).
+    *
+    * Returns (rank, lhs, rhs, n) — feed `lhs -> rhs` pairs straight
+    * into [[bpeMerged]]/[[bpeTokens]] to tokenize with the corpus's
+    * own learned vocabulary. */
+  def learnBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges > 0 && nMerges <= 256, "nMerges out of (0, 256]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df.select(bpeSymbolString(col(textCol)).as("s"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      val pairs = cur
+        .select(explode(split(col("s"), RS)).as("w"))
+        .select(filter(split(col("w"), US), x => x =!= lit("")).as("syms"))
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, s"corpus exhausted at merge round $r")
+      val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      learned += ((r, a, b, n))
+      if (r < nMerges)
+        cur = cur.select(call_function("replace", col("s"),
+            lit(US + a + US + US + b + US), lit(US + a + b + US)).as("s"))
+          .localCheckpoint(true)
+    }
+    learned.toSeq.toDF("rank", "lhs", "rhs", "n")
+  }
+
+  /** The DuckDB mirror of [[learnBpeMerges]]: the same fixed-round
+    * learning loop as nested MATERIALIZED CTEs (inlining would replay
+    * the symbolize subtree 2^rounds times). Scalar subqueries carry
+    * each round's argmax pair into the next round's replace. */
+  def learnBpeMergesSql(nMerges: Int): String = {
+    def pairCte(src: String, k: Int) =
+      s"""p$k AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, count(*) AS n FROM (
+         |  SELECT unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
+         |    list_slice(syms, 2, len(syms)))) AS p
+         |  FROM (SELECT list_filter(string_split(w, chr(31)), x -> x != '') AS syms
+         |        FROM (SELECT unnest(string_split(s, chr(30))) AS w FROM $src))
+         | ) GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT a, b, n FROM p$k
+         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+    def mergeCte(src: String, dst: String, k: Int) =
+      s"""$dst AS MATERIALIZED (SELECT replace(s,
+         |  chr(31)||(SELECT a FROM m$k)||chr(31)||chr(31)||(SELECT b FROM m$k)||chr(31),
+         |  chr(31)||(SELECT a FROM m$k)||(SELECT b FROM m$k)||chr(31)) AS s FROM $src)""".stripMargin
+    val ctes = Seq(
+      s"c0 AS MATERIALIZED (SELECT ${bpeSymbolSql("text")} AS s FROM documents)") ++
+      (1 to nMerges).flatMap { k =>
+        Seq(pairCte(s"c${k - 1}", k)) ++
+          (if (k < nMerges) Seq(mergeCte(s"c${k - 1}", s"c$k", k)) else Nil)
+      }
+    val sel = (1 to nMerges)
+      .map(k => s"SELECT $k AS rank, a AS lhs, b AS rhs, CAST(n AS BIGINT) AS n FROM m$k")
+      .mkString("\n UNION ALL ")
+    "WITH " + ctes.mkString(",\n") + "\n" + sel
   }
 
   /** The DuckDB mirror of [[bpeTokenCount]]. */

@@ -179,6 +179,21 @@ object CorpusQueries {
               |FROM c""".stripMargin),
     ),
 
+    // BPE merge-table LEARNING on the corpus itself — the training
+    // side of the tokenizer the q_text_*_bpe queries apply: 8 rounds
+    // of corpus-wide pair counting + argmax merge, driver-coordinated
+    // like the CC builds (rounds execute at plan construction). The
+    // oracle replays the identical loop as materialized CTEs; counts
+    // are integers, ties lexicographic, so the learned table is exact
+    // on both engines — later rounds merging earlier rounds' symbols
+    // (hierarchical subwords) included.
+    QueryDef(
+      "q_bpe_learn",
+      (s, d) => TextAnalysis.learnBpeMerges(
+        QueryDef.load(s, d, "documents"), "text", nMerges = 8),
+      Some(TextAnalysis.learnBpeMergesSql(8)),
+    ),
+
     // Stride windowing over the REAL BPE token stream: fixed 64-token
     // training sequences with 16 tokens of overlap — the split-long-docs
     // complement to q_pack_chunks_bpe's pack-short-docs. Window layout
