@@ -490,11 +490,13 @@ object TextAnalysis {
     learned.toSeq.toDF("rank", "lhs", "rhs", "n")
   }
 
-  /** The DuckDB mirror of [[learnBpeMerges]]: the same fixed-round
-    * learning loop as nested MATERIALIZED CTEs (inlining would replay
-    * the symbolize subtree 2^rounds times). Scalar subqueries carry
-    * each round's argmax pair into the next round's replace. */
-  def learnBpeMergesSql(nMerges: Int): String = {
+  /** The shared learning-loop CTE chain: c0 = symbolized docs (doc_id
+    * carried), p_k/m_k = round-k pair counts + argmax, c_k = corpus
+    * after merge k. `mergeLast` controls whether c_nMerges exists
+    * (the learner never needs it; the learned TOKENIZER does). All
+    * MATERIALIZED — inlining would replay the symbolize subtree
+    * 2^rounds times. */
+  private def bpeLearnCtes(nMerges: Int, mergeLast: Boolean): Seq[String] = {
     def pairCte(src: String, k: Int) =
       s"""p$k AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, count(*) AS n FROM (
          |  SELECT unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
@@ -505,20 +507,33 @@ object TextAnalysis {
          |m$k AS MATERIALIZED (SELECT a, b, n FROM p$k
          |  ORDER BY n DESC, a ASC, b ASC LIMIT 1)""".stripMargin
     def mergeCte(src: String, dst: String, k: Int) =
-      s"""$dst AS MATERIALIZED (SELECT replace(s,
+      s"""$dst AS MATERIALIZED (SELECT doc_id, replace(s,
          |  chr(31)||(SELECT a FROM m$k)||chr(31)||chr(31)||(SELECT b FROM m$k)||chr(31),
          |  chr(31)||(SELECT a FROM m$k)||(SELECT b FROM m$k)||chr(31)) AS s FROM $src)""".stripMargin
-    val ctes = Seq(
-      s"c0 AS MATERIALIZED (SELECT ${bpeSymbolSql("text")} AS s FROM documents)") ++
+    Seq(s"c0 AS MATERIALIZED (SELECT doc_id, ${bpeSymbolSql("text")} AS s FROM documents)") ++
       (1 to nMerges).flatMap { k =>
         Seq(pairCte(s"c${k - 1}", k)) ++
-          (if (k < nMerges) Seq(mergeCte(s"c${k - 1}", s"c$k", k)) else Nil)
+          (if (k < nMerges || mergeLast) Seq(mergeCte(s"c${k - 1}", s"c$k", k)) else Nil)
       }
+  }
+
+  /** The DuckDB mirror of [[learnBpeMerges]]: the same fixed-round
+    * learning loop; scalar subqueries carry each round's argmax pair
+    * into the next round's replace. */
+  def learnBpeMergesSql(nMerges: Int): String = {
     val sel = (1 to nMerges)
       .map(k => s"SELECT $k AS rank, a AS lhs, b AS rhs, CAST(n AS BIGINT) AS n FROM m$k")
       .mkString("\n UNION ALL ")
-    "WITH " + ctes.mkString(",\n") + "\n" + sel
+    "WITH " + bpeLearnCtes(nMerges, mergeLast = false).mkString(",\n") + "\n" + sel
   }
+
+  /** Per-document token counts under the corpus's OWN learned
+    * `nMerges`-round vocabulary: the learning chain's final corpus
+    * state IS the tokenized corpus, so the count reads straight off
+    * c_nMerges. Mirrors learnBpeMerges + bpeTokenCount(learned). */
+  def learnedBpeTokenCountSql(nMerges: Int): String =
+    "WITH " + bpeLearnCtes(nMerges, mergeLast = true).mkString(",\n") +
+      s"\nSELECT doc_id, (len(s) - len(replace(s, chr(31), ''))) // 2 AS n_tokens FROM c$nMerges"
 
   /** The DuckDB mirror of [[bpeTokenCount]]. */
   def bpeTokenCountSql(expr: String, merges: Seq[(String, String)] = bpeMerges): String = {

@@ -194,6 +194,26 @@ object CorpusQueries {
       Some(TextAnalysis.learnBpeMergesSql(8)),
     ),
 
+    // Tokenize with the corpus's OWN learned vocabulary — the full
+    // train->apply loop as one oracle-gated query: learn 8 merges
+    // (plan-time rounds, as above), then count per-doc tokens under
+    // that table. The oracle's final corpus state after its own 8th
+    // merge IS the tokenized corpus, so engines agree exactly or not
+    // at all — any drift in either the trainer or the applier breaks
+    // the hash.
+    QueryDef(
+      "q_text_tokens_bpe_learned",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val merges = TextAnalysis.learnBpeMerges(docs, "text", nMerges = 8)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        docs.select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text"), merges).as("n_tokens"))
+      },
+      Some(TextAnalysis.learnedBpeTokenCountSql(8)),
+    ),
+
     // Stride windowing over the REAL BPE token stream: fixed 64-token
     // training sequences with 16 tokens of overlap — the split-long-docs
     // complement to q_pack_chunks_bpe's pack-short-docs. Window layout
