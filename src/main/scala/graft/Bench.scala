@@ -78,13 +78,23 @@ object Bench {
     // cache that other queries' identical sub-plans silently hit
     val dfs = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // DataFrame CONSTRUCTION time. Usually milliseconds, but the
+    // eager-build queries (CC clusters, canonical selection, the BPE
+    // trainer) run their iterative builds here — recording it stops
+    // the per-pass numbers understating those queries (ADVICE r5).
+    val buildSecs = scala.collection.mutable.Map.empty[String, Double]
     // whether the query's plan uses persist() — must be decided while
     // the phase-1 cache registration is still alive (after clearCache a
     // fresh optimize sees no InMemoryRelation); informs the rescue sweep
     val usesCacheMap = scala.collection.mutable.Map.empty[String, Boolean]
     names.foreach { n =>
       val built =
-        try { dfs(n) = SparkEntry.queries(n)(spark, sfDir); true }
+        try {
+          val b0 = System.nanoTime()
+          dfs(n) = SparkEntry.queries(n)(spark, sfDir)
+          buildSecs(n) = (System.nanoTime() - b0) / 1e9
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $n failed to build: ${e.getMessage}")
           false
@@ -148,7 +158,12 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
+    // builds that carry real work (the eager iterative builds); the
+    // millisecond-plan majority is noise and omitted from the record
+    val builds = buildSecs.filter(_._2 >= 0.5).toSeq.sortBy(-_._2)
+    val buildJson = builds.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build_seconds":$buildJson,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
     println(json)
     // Loss-proof copy: a stdout tail capture can truncate the (long)
     // single JSON line — persist it to a file as well so the headline
@@ -158,6 +173,18 @@ object Bench {
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outFile,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver captures only the last ~2000 chars of stdout, so the
+    // full per-query line above outgrew the window at 127 queries and
+    // BENCH_r05 recorded `parsed: null`. FINAL line = a compact
+    // summary that always fits: headline totals + the slowest queries;
+    // the complete per-query map lives in the file copy and the
+    // committed perf/ records (PerfRecordSpec-gated).
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val buildsCompact = builds.take(5)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_count":${names.size},"queries_slowest":$slowest,"build_seconds":$buildsCompact,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir","full_record":"${outFile.toString}"}""")
     spark.stop()
   }
 }

@@ -14,6 +14,19 @@ final case class DecodedMedia(
     feature: Array[Float],
 )
 
+/** Typed REAL-decode record ([[Multimodal.decodeImage]]): raster
+  * dimensions + channel count from the decoded image, pixel-derived
+  * feature stats. Top-level so Spark derives its Encoder. */
+final case class DecodedImage(
+    doc_id: Long,
+    media_type: String,
+    byte_len: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    feature: Array[Float],
+)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per partition in bounded
   * batches.
@@ -21,11 +34,12 @@ final case class DecodedMedia(
   * The Spark-side mechanics are real and tested — schema contracts,
   * partition-parallel batch iteration (the JVM analogue of
   * `mapInPandas`: one bounded batch of rows at a time, never the whole
-  * partition materialized), metadata propagation. The actual media
-  * decoding is STUBBED (`decodeStub`) because no image/audio codec
-  * library ships in this environment: it derives deterministic fake
-  * dimensions/features from the bytes. Swapping in a real decoder
-  * changes only that one function.
+  * partition materialized), metadata propagation. Image decoding is
+  * REAL: [[decodeImage]]/[[decodeImages]] decode actual PNG/JPEG/BMP/
+  * GIF byte streams via `javax.imageio` (JDK built-in — no external
+  * codec). [[decodeStub]] remains only for the DuckDB-oracle query
+  * over the synthetic (text-payload) testdata, where both engines must
+  * express the same deterministic fake.
   *
   * At 100 TB: media blobs dominate row size, so the batch size bounds
   * executor memory (`batchSize` rows per decode batch), and
@@ -64,10 +78,78 @@ object Multimodal {
         length(encode(col(payloadCol), "UTF-8")).cast(LongType).as("byte_len"),
         md5(col(payloadCol)).as("content_hash")).as("meta"))
 
-  /** ??? in spirit — a deterministic stand-in for the media decoder:
-    * width/height from byte-length, an 8-dim "feature" from the first
-    * bytes. Replace with a real codec call; the batching around it is
-    * the part that matters. */
+  /** REAL image decode — `javax.imageio` ships with the JDK, so
+    * PNG/JPEG/BMP/GIF need no external codec. Returns raster
+    * dimensions, the color model's channel count, and a pixel-derived
+    * feature: [meanR, meanG, meanB, meanLuma, stdLuma, aspect(w/h)],
+    * channel means in [0,1], luma = Rec.601. `None` for byte streams
+    * no installed reader accepts (corrupt/unknown container) — the
+    * caller decides drop vs quarantine; a decode failure must never
+    * kill a 100 TB job. Runs executor-side inside [[decodeImages]]'s
+    * bounded batches; `ImageIO` disk caching is off (a temp-file write
+    * per blob would turn a CPU-bound decode into an IO-bound one). */
+  def decodeImage(docId: Long, mediaType: String,
+      bytes: Array[Byte]): Option[DecodedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null } // IIOException on corrupt streams
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr, sg, sb, sy, syy = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = ((rgb >> 16) & 0xff) / 255.0
+          val g = ((rgb >> 8) & 0xff) / 255.0
+          val b = (rgb & 0xff) / 255.0
+          sr += r; sg += g; sb += b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          sy += luma; syy += luma * luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val meanY = sy / n
+      val stdY = math.sqrt(math.max(0.0, syy / n - meanY * meanY))
+      Some(DecodedImage(docId, mediaType, bytes.length.toLong, w, h,
+        img.getColorModel.getNumComponents,
+        Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+          meanY.toFloat, stdY.toFloat, w.toFloat / h)))
+    }
+  }
+
+  /** [[decode]] with the REAL codec: same bounded-batch typed
+    * `mapPartitions` shape, [[decodeImage]] per blob; undecodable blobs
+    * are dropped (count them upstream via an `is_decodable` pass if the
+    * drop rate matters). */
+  def decodeImages(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast(LongType).as("doc_id"),
+        col("meta.media_type").as("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, mt, bytes) =>
+            decodeImage(id, mt, bytes) }
+        }
+      }
+      .toDF()
+  }
+
+  /** A deterministic stand-in decoder, relegated to ORACLE-PARITY duty:
+    * the synthetic testdata carries text payloads, not real images, so
+    * the DuckDB-checked query (`q_multimodal_decode`) needs a decode
+    * both engines can express — width/height from byte-length, an
+    * 8-dim "feature" from the first bytes. Real byte streams go through
+    * [[decodeImage]]/[[decodeImages]] (spec-verified on real PNG/JPEG
+    * fixtures). */
   def decodeStub(docId: Long, mediaType: String, bytes: Array[Byte]): DecodedMedia = {
     val w = 16 + (bytes.length % 64)
     val h = 16 + ((bytes.length / 64) % 64)

@@ -230,6 +230,18 @@ object Similarity {
       .select(col("id1"), col("id2"), (round(cosine(col("v1"), col("v2")), 4) + lit(0.0)).as("cos"))
   }
 
+  /** SQL fragment slicing subvector `sub` (0-based) of width dims/m out
+    * of array column `v` — shared by the PQ codebook/encode/query
+    * paths. Fails LOUDLY (raise_error, scan-local) when dims % m != 0:
+    * a silent `div` would drop the trailing dims from every distance,
+    * skewing recall with no error (ADVICE r5). */
+  private def subSliceSql(v: String, sub: String, m: Int): String = {
+    val w = s"if(size($v) % $m = 0, size($v) div $m, " +
+      s"cast(raise_error(concat('PQ requires dims % m == 0: dims=', " +
+      s"cast(size($v) as string), ', m=$m')) as int))"
+    s"slice($v, $sub * ($w) + 1, $w)"
+  }
+
   /** Squared L2 between equal-length double arrays — sequential fold,
     * so the accumulation order is fixed and a SQL oracle spelling the
     * same left-associated sum produces bit-identical doubles. */
@@ -260,8 +272,7 @@ object Similarity {
     coded
       .select(col("code"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("__v"))
       .select(col("sub"), col("code"),
-        expr(s"slice(__v, sub * (size(__v) div $m) + 1, size(__v) div $m)")
-          .as("centroid"))
+        expr(subSliceSql("__v", "sub", m)).as("centroid"))
   }
 
   /** PQ encoding: each vector becomes `m` small codes (argmin-L2
@@ -273,18 +284,59 @@ object Similarity {
     * only (id, sub, code) triples cross the wire, and the reassembly
     * groupBy carries m tiny rows per vector. */
   def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
-      vecCol: String, m: Int = 8): DataFrame = {
-    val subs = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .select(col(idCol), explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("__v"))
-      .select(col(idCol), col("sub"),
-        expr(s"slice(__v, sub * (size(__v) div $m) + 1, size(__v) div $m)").as("__sv"))
+      vecCol: String, m: Int = 8, carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
+    val subs = corpus
+      .select(col(idCol) +: cs :+ asDouble(col(vecCol)).as("__v"): _*)
+      .select(col(idCol) +: cs :+
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub") :+ col("__v"): _*)
+      .select(col(idCol) +: cs :+ col("sub") :+
+        expr(subSliceSql("__v", "sub", m)).as("__sv"): _*)
     subs.join(broadcast(codebook), Seq("sub"))
       .withColumn("__d", l2sq(col("__sv"), col("centroid")))
-      .groupBy(col(idCol), col("sub"))
+      .groupBy(col(idCol) +: cs :+ col("sub"): _*)
       .agg(min(struct(col("__d"), col("code"))).getField("code").as("code"))
-      .groupBy(col(idCol))
+      .groupBy(col(idCol) +: cs: _*)
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
+  }
+
+  /** Per-query ADC lookup table (query_id, sub, code, __dq): the
+    * query's L2 distance to every (sub, code) centroid, quantized to
+    * DECIMAL(28,9) so downstream m-term sums are exact integer
+    * arithmetic — identical across partitionings and engines. m*k rows
+    * per query, made for broadcast. */
+  private def pqQueryTable(queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .select(col("query_id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+        col("__qv"))
+      .select(col("query_id"), col("sub"),
+        expr(subSliceSql("__qv", "sub", m)).as("__qs"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(l2sq(col("__qs"), col("centroid")), 9)
+          .cast(DecimalType(28, 9)).as("__dq"))
+  }
+
+  /** Exact-cosine rerank of an ADC shortlist (query_id, neighbor_id,
+    * pq_dist): original vectors are fetched for the shortlist only —
+    * the only place the full-precision corpus is read at search time. */
+  private def pqRerank(shortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val nv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__nv"))
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    shortlist.join(nv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", cosine(col("__qv2"), col("__nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"),
+        (round(col("pq_dist"), 6) + lit(0.0)).as("pq_dist"))
   }
 
   /** ADC (asymmetric-distance) search over PQ codes + exact rerank —
@@ -302,21 +354,11 @@ object Similarity {
   def pqTopK(corpus: DataFrame, codebook: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, m: Int = 8,
       rerank: Int = 32): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import org.apache.spark.sql.types.DoubleType
     val cand = pqEncode(corpus, codebook, idCol, vecCol, m)
       .select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
-    val qtab = queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .select(col("query_id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
-        col("__qv"))
-      .select(col("query_id"), col("sub"),
-        expr(s"slice(__qv, sub * (size(__qv) div $m) + 1, size(__qv) div $m)")
-          .as("__qs"))
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        round(l2sq(col("__qs"), col("centroid")), 9)
-          .cast(DecimalType(28, 9)).as("__dq"))
+    val qtab = pqQueryTable(queries, codebook, idCol, vecCol, m)
     // every (sub, code) exists in qtab, so each (query, neighbor)
     // group aggregates exactly m lookup rows
     val approx = cand.join(broadcast(qtab), Seq("sub", "code"))
@@ -327,17 +369,53 @@ object Similarity {
       .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
     val shortlist = approx.withColumn("__ar", row_number().over(wA))
       .filter(col("__ar") <= rerank)
-    val nv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__nv"))
-    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    shortlist.join(nv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos", cosine(col("__qv2"), col("__nv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"),
-        (round(col("pq_dist"), 6) + lit(0.0)).as("pq_dist"))
+      .select("query_id", "neighbor_id", "pq_dist")
+    pqRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** IVF-PQ — the composition that holds at 10⁹+ vectors (the FAISS
+    * IndexIVFPQ shape). [[pqTopK]] is FLAT ADC: every encoded vector
+    * is scored for every query, |corpus|×|queries| groups by
+    * construction. Here the ADC join is PRUNED by the IVF assignment:
+    * a query probes its `nProbe` nearest centroids' cells and
+    * ADC-scores only vectors assigned to those cells, so per-query
+    * work is ~|corpus|·nProbe/nCells code lookups instead of |corpus|.
+    * `assigned` is the [[assignCells]]/[[ivfIndex]] output (vectors +
+    * `cell`); codes encode raw subvectors per cell (residual encoding
+    * — subtract the cell centroid before [[pqEncode]] — drops in with
+    * the same shape). Original vectors are fetched only for the exact
+    * rerank of the `rerank`-deep shortlist. At scale the encoded
+    * (id, cell, codes) index is written once and probed many times. */
+  def ivfPqTopK(assigned: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
+      m: Int = 8, nProbe: Int = 4, rerank: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = pqEncode(assigned, codebook, idCol, vecCol, m, carry = Seq("cell"))
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val qtab = pqQueryTable(queries, codebook, idCol, vecCol, m)
+    // cell pruning FIRST (broadcast probe list) — vectors outside every
+    // probed cell never reach the ADC lookup; each surviving
+    // (query, neighbor) group then aggregates exactly m rows
+    val approx = cand.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qtab), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__dq")).cast(DoubleType).as("pq_dist"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
+    val shortlist = approx.withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= rerank)
+      .select("query_id", "neighbor_id", "pq_dist")
+    pqRerank(shortlist, assigned, queries, idCol, vecCol, k)
   }
 
   /** Per-group embedding centroids in LONG form (group, dimension,

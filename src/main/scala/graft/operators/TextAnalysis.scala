@@ -446,46 +446,74 @@ object TextAnalysis {
     * Later rounds merge previously-merged symbols — the hierarchy
     * that makes BPE subwords real.
     *
-    * Execution shape (the standard distributed tokenizer trainer):
-    * each round is ONE corpus pass — pair extraction is a scan-local
-    * explode over the per-word symbol arrays, the count is a map-side-
-    * combined groupBy whose shuffle carries (pair, count) rows (symbol
-    * pairs, never documents), and only the single argmax row reaches
-    * the driver. The corpus re-materializes per round via
-    * localCheckpoint (same eager-rounds pattern as the CC builds:
-    * without it round r would replay all r-1 prior replaces).
-    * Driver state is O(nMerges).
+    * Execution shape — the WORD-HISTOGRAM trainer (the classic
+    * optimization, and what lets the vocabulary scale past demo size):
+    * pairs never cross word boundaries, so after ONE corpus pass
+    * builds the (distinct word, freq) histogram, every round runs on
+    * the histogram alone — pair counts are per-word adjacent pairs
+    * weighted by `freq` (bit-identical totals to scanning the
+    * corpus), and the merge rewrites ONLY the histogram rows whose
+    * word contains the winning pair. Zipf makes |distinct words|
+    * orders of magnitude smaller than the corpus, so per-round cost
+    * is vocabulary-scoped, not corpus-scoped: merges 9..64 cost about
+    * what merges 1..8 cost at demo scale (see PERF.md). The histogram
+    * re-materializes per round via localCheckpoint (same eager-rounds
+    * pattern as the CC builds: without it round r would replay all
+    * r-1 prior replaces). Driver state is O(nMerges); only each
+    * round's single argmax row reaches the driver.
     *
     * Returns (rank, lhs, rhs, n) — feed `lhs -> rhs` pairs straight
     * into [[bpeMerged]]/[[bpeTokens]] to tokenize with the corpus's
-    * own learned vocabulary. */
+    * own learned vocabulary.
+    *
+    * Count semantics: `n` counts ADJACENT occurrences, which overlap —
+    * pair (x,x) appears twice in "xxx" — while the merge replaces
+    * left-to-right non-overlapping, so `n` is an upper bound on the
+    * replacements actually performed (equal unless the winning pair
+    * self-overlaps). The DuckDB oracle's `list_zip` counts the same
+    * way, so cross-engine parity is unaffected. Tie-break caveat: ties
+    * on `n` break by Spark's UTF-16 code-unit string order, DuckDB's
+    * by UTF-8 bytes — these agree on all of Unicode below the
+    * supplementary planes (and trivially on ASCII, which this corpus
+    * is after the punctuation split); an emoji-heavy corpus with a
+    * count tie on supplementary-plane symbols could pick different
+    * merges per engine. */
   def learnBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
       nMerges: Int): org.apache.spark.sql.DataFrame = {
-    require(nMerges > 0 && nMerges <= 256, "nMerges out of (0, 256]")
+    require(nMerges > 0 && nMerges <= 65536, "nMerges out of (0, 65536]")
     val spark = df.sparkSession
     import spark.implicits._
+    // ONE corpus scan -> word histogram; every round after runs on it
     var cur = df.select(bpeSymbolString(col(textCol)).as("s"))
+      .select(explode(split(col("s"), RS)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to nMerges) {
       val pairs = cur
-        .select(explode(split(col("s"), RS)).as("w"))
-        .select(filter(split(col("w"), US), x => x =!= lit("")).as("syms"))
+        .select(filter(split(col("w"), US), x => x =!= lit("")).as("syms"),
+          col("freq"))
         .select(explode(zip_with(
           slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
           slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("freq"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("freq")).as("n"))
       val top = pairs.orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       require(top.nonEmpty, s"corpus exhausted at merge round $r")
       val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       learned += ((r, a, b, n))
-      if (r < nMerges)
-        cur = cur.select(call_function("replace", col("s"),
-            lit(US + a + US + US + b + US), lit(US + a + b + US)).as("s"))
+      if (r < nMerges) {
+        // rewrite ONLY the words containing the winning pair — for a
+        // real corpus that is a small fraction of the vocabulary
+        val pat = US + a + US + US + b + US
+        cur = cur.withColumn("w",
+            when(col("w").contains(pat),
+              call_function("replace", col("w"), lit(pat), lit(US + a + b + US)))
+            .otherwise(col("w")))
           .localCheckpoint(true)
+      }
     }
     learned.toSeq.toDF("rank", "lhs", "rhs", "n")
   }

@@ -114,13 +114,24 @@ object AdvisoryQueries {
     QueryDef.load(s, d, "orders").filter("o_orderkey % 3 = 0")
       .selectExpr(prodCols("date_format(o_orderdate, 'yyyy-MM-dd')"): _*)
 
+  /** The exact dedup tiebreak q_advisory_merge runs with — shared with
+    * the scale rehearsal ([[graft.tools.BucketedMergeAtScale]]) so the
+    * bucketed and unbucketed variants time the identical computation. */
+  private[graft] def mergeTiebreak: Seq[org.apache.spark.sql.Column] =
+    Seq(col("l_linenumber").desc, col("l_returnflag").desc,
+      col("l_partkey").desc, col("l_suppkey").desc)
+
+  /** The merge's derived inputs (echo, normalized, prod) — exposed for
+    * the bucketed-at-scale rehearsal. */
+  private[graft] def mergeInputs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    (echoDf(s, d), normalizedDf(s, d), prodDf(s, d))
+
   private def mergeDf(s: SparkSession, d: String): DataFrame =
     // sorted=false: the reference's global ORDER BY is cosmetic (parquet
     // does not preserve it, the compare sorts rows) and costs a full
     // range-partition pass
     AdvisoryMerge.mapNewInfo(echoDf(s, d), normalizedDf(s, d), prodDf(s, d),
-      tiebreak = Seq(col("l_linenumber").desc, col("l_returnflag").desc,
-        col("l_partkey").desc, col("l_suppkey").desc),
+      tiebreak = mergeTiebreak,
       sorted = false)
 
   // ---- oracle CTE text (DuckDB date functions) ----

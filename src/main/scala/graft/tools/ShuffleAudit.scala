@@ -27,24 +27,8 @@ import org.apache.spark.sql.SparkSession
   */
 object ShuffleAudit {
 
-  private class Totals extends SparkListener {
-    @volatile var inputBytes = 0L
-    @volatile var shuffleWrite = 0L
-    @volatile var shuffleRead = 0L
-    @volatile var spillDisk = 0L
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) synchronized {
-        inputBytes += m.inputMetrics.bytesRead
-        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
-        shuffleRead += m.shuffleReadMetrics.totalBytesRead
-        spillDisk += m.diskBytesSpilled
-      }
-    }
-    def reset(): Unit = synchronized {
-      inputBytes = 0L; shuffleWrite = 0L; shuffleRead = 0L; spillDisk = 0L
-    }
-  }
+  // stage-metric accumulator shared with BucketedMergeAtScale
+  private type Totals = StageTotals
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,7 +50,12 @@ object ShuffleAudit {
     val t = new Totals
     spark.sparkContext.addSparkListener(t)
 
-    def settle(): Unit = Thread.sleep(800) // let the listener bus drain
+    // Drain the listener bus deterministically: waitUntilEmpty blocks
+    // until every queued SparkListenerStageCompleted has been delivered,
+    // so a loaded box cannot bleed one query's shuffle bytes into the
+    // next query's totals (a fixed sleep could).
+    def settle(): Unit =
+      org.apache.spark.graftspark.ListenerDrain.drain(spark.sparkContext)
 
     val rows = names.flatMap { n =>
       SparkEntry.queries.get(n) match {

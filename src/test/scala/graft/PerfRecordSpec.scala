@@ -45,6 +45,21 @@ class PerfRecordSpec extends AnyFunSuite {
       s"committed $prefix bench record out of lockstep with the registry — " +
         s"missing: ${missing.toSeq.sorted.mkString(",")}; " +
         s"stale: ${stale.toSeq.sorted.mkString(",")}")
+    // eager-build queries execute their iterative builds at plan
+    // construction, so per-pass seconds understate them; the record
+    // must carry their build cost (r5 verdict task #7). Bench emits
+    // build_seconds for any build >= 0.5 s — these four are iterative
+    // by construction and far above that at every recorded sf.
+    val eager = Seq("q_bpe_learn", "q_text_tokens_bpe_learned",
+      "q_dedup_clusters", "q_dedup_canonical")
+    val buildSection = txt.indexOf("\"build_seconds\"")
+    assert(buildSection >= 0,
+      s"$prefix record has no build_seconds section — rerun graft.Bench")
+    val after = txt.substring(buildSection)
+    val missingBuilds = eager.filterNot(q => after.contains("\"" + q + "\":"))
+    assert(missingBuilds.isEmpty,
+      s"$prefix record lacks build_seconds for eager queries: " +
+        missingBuilds.mkString(","))
   }
 
   test("latest committed sf0.1 bench record covers exactly the registry") {

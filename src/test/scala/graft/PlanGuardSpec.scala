@@ -17,6 +17,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_topk_brute", // brute-force baseline: corpus x broadcast queries
     "q_sim_topk_lsh", // probe set broadcast cross
     "q_sim_topk_ivf", // query x broadcast centroids
+    "q_sim_topk_ivfpq", // assign + probe: corpus/query x broadcast centroids
     "q_dedup_semantic", // reuses the brute/verify cross on candidates
     "q_text_tfidf", // single-row n_docs scalar
     "q_text_unigram", // single-row total-tokens scalar

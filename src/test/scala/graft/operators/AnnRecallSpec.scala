@@ -96,6 +96,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(bad == 0, s"$bad vectors with malformed code arrays")
   }
 
+  test("IVF-PQ (nCells=16, nProbe=8 = 50% of cells, m=16, rerank=128) recall@10 >= 0.70") {
+    val (assigned, centroids) =
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 16, k = 16)
+    def recallAt(nProbe: Int): Double = {
+      val got = Similarity.ivfPqTopK(assigned, centroids, cb, queries,
+          "vec_id", "embedding", k = K, m = 16, nProbe = nProbe, rerank = 128)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r8 = recallAt(8)
+    info(f"IVF-PQ recall@$K nProbe=8/16: $r8%.3f (measured 0.744; floor 0.70)")
+    assert(r8 >= 0.70, f"IVF-PQ recall@$K $r8%.3f below 0.70 floor")
+    // probing every cell recovers flat-PQ: cell pruning is the ONLY
+    // recall knob the composition adds on top of q_sim_topk_pq's config
+    val r16 = recallAt(16)
+    info(f"IVF-PQ recall@$K nProbe=16/16: $r16%.3f (= flat PQ)")
+    assert(r16 >= r8, "probing more cells must not lose recall")
+  }
+
   test("IVF (nCells=8) recall@10: >= 0.70 at nProbe=4, >= 0.85 at nProbe=6") {
     val r4 = ivfRecall(nCells = 8, nProbe = 4)
     val r6 = ivfRecall(nCells = 8, nProbe = 6)
