@@ -464,7 +464,9 @@ object TextAnalysis {
     *
     * Returns (rank, lhs, rhs, n) — feed `lhs -> rhs` pairs straight
     * into [[bpeMerged]]/[[bpeTokens]] to tokenize with the corpus's
-    * own learned vocabulary.
+    * own learned vocabulary. If the corpus exhausts (every word fully
+    * merged to one symbol) before `nMerges` rounds, training stops
+    * early and the table carries the merges actually learned.
     *
     * Count semantics: `n` counts ADJACENT occurrences, which overlap —
     * pair (x,x) appears twice in "xxx" — while the merge replaces
@@ -489,7 +491,9 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to nMerges) {
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
       val pairs = cur
         .select(filter(split(col("w"), US), x => x =!= lit("")).as("syms"),
           col("freq"))
@@ -501,19 +505,26 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("n"))
       val top = pairs.orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
-      require(top.nonEmpty, s"corpus exhausted at merge round $r")
-      val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      learned += ((r, a, b, n))
-      if (r < nMerges) {
-        // rewrite ONLY the words containing the winning pair — for a
-        // real corpus that is a small fraction of the vocabulary
-        val pat = US + a + US + US + b + US
-        cur = cur.withColumn("w",
-            when(col("w").contains(pat),
-              call_function("replace", col("w"), lit(pat), lit(US + a + b + US)))
-            .otherwise(col("w")))
-          .localCheckpoint(true)
+      if (top.isEmpty) {
+        // every word is a single symbol — nothing left to merge. Real
+        // trainers stop here; return the merges actually learned
+        // rather than failing a too-ambitious nMerges.
+        exhausted = true
+      } else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r, a, b, n))
+        if (r < nMerges) {
+          // rewrite ONLY the words containing the winning pair — for a
+          // real corpus that is a small fraction of the vocabulary
+          val pat = US + a + US + US + b + US
+          cur = cur.withColumn("w",
+              when(col("w").contains(pat),
+                call_function("replace", col("w"), lit(pat), lit(US + a + b + US)))
+              .otherwise(col("w")))
+            .localCheckpoint(true)
+        }
       }
+      r += 1
     }
     learned.toSeq.toDF("rank", "lhs", "rhs", "n")
   }
