@@ -35,8 +35,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the JVM + file-system metadata so the first timed query does
-    // not absorb session startup.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    // not absorb session startup. (docsOnly scale dirs carry no
+    // lineitem — fall back to documents.)
+    scala.util.Try(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count())
+      .getOrElse(spark.read.parquet(s"$sfDir/documents.parquet").limit(1).count())
 
     def runOnce(df: org.apache.spark.sql.DataFrame, name: String): Boolean =
       try { df.write.format("noop").mode("overwrite").save(); true }

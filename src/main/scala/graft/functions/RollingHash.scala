@@ -17,14 +17,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocation PLUS a hex parse per character position — at 100 TB that
   * is ~10^14 md5 invocations on 40-char copies. The rolling form pays
   * O(1) arithmetic per position in one pass (Rabin–Karp: h' =
-  * (h - c_out·B^(k-1))·B + c_in mod 2^32), and because selection happens
+  * (h - c_out·B^(k-1))·B + c_in mod 2^62), and because selection happens
   * INSIDE the expression, the downstream explode materializes only the
   * ~1/stride selected hashes instead of every position.
   *
   * Hash definition (mirrored verbatim by the DuckDB oracles via
-  * `list_reduce`): over Unicode CODEPOINTS of the input,
-  * `h = fold(acc, c => (acc·31 + c) mod 2^32)` starting at 0, i.e.
-  * `sum(c_j · 31^(k-1-j)) mod 2^32`, emitted as a non-negative long.
+  * `list_reduce` over HUGEINT): over Unicode CODEPOINTS of the input,
+  * `h = fold(acc, c => (acc·31 + c) mod 2^62)` starting at 0, i.e.
+  * `sum(c_j · 31^(k-1-j)) mod 2^62`, emitted as a non-negative long.
+  * WIDTH MATTERS AT SCALE: the original 32-bit hash saturates — the
+  * sf100d rehearsal (~4·10^8 selected windows) measured ~1.9·10^7
+  * birthday-collision pairs (n²/2³³), growing quadratically with the
+  * corpus, each one a false shared-window match that inflates the
+  * pair join and, worse, the decontamination verdicts. mod 2^62 cuts
+  * the collision rate by 2^30 while keeping the value a non-negative
+  * signed long on the Spark side and a BIGINT-representable value on
+  * the DuckDB side (intermediates there go through HUGEINT; here,
+  * natural 64-bit wraparound then `& (2^62-1)` is exact modular
+  * arithmetic because 2^62 divides 2^64).
   * Strings shorter than `k` contribute ONE window — the hash of the
   * whole string (the empty string hashes to 0) — matching the
   * positional-md5 form's `greatest(len-k+1, 1)` position range.
@@ -53,7 +63,7 @@ case class WindowHashExpr(child: Expression, k: Int, stride: Int)
 }
 
 object WindowHashExpr {
-  private final val Mask = 0xFFFFFFFFL
+  private final val Mask = (1L << 62) - 1
   private final val Base = 31L
 
   /** One-pass rolling-hash kernel. Static (a companion forwarder) so
@@ -82,7 +92,7 @@ object WindowHashExpr {
       val m = n - k + 1
       val out = new Array[Long](m)
       var cnt = 0
-      var pow = 1L // 31^(k-1) mod 2^32 — congruent under the masked roll
+      var pow = 1L // 31^(k-1) mod 2^62 — congruent under the masked roll
       var x = 0
       while (x < k - 1) { pow = (pow * Base) & Mask; x += 1 }
       var h = 0L
@@ -91,8 +101,9 @@ object WindowHashExpr {
       if (h % stride == 0) { out(cnt) = h; cnt += 1 }
       var p = 1
       while (p < m) {
-        // |h - cp·pow| < 2^53, ·31 < 2^58: no long overflow, and the
-        // final & mask is exactly mod 2^32 on the two's-complement value
+        // the multiplies overflow a long, but overflow IS mod 2^64 and
+        // 2^62 | 2^64, so wraparound followed by & mask is exactly the
+        // mod-2^62 roll — no widening needed
         h = ((h - cps(p - 1) * pow) * Base + cps(p + k - 1)) & Mask
         if (h % stride == 0) { out(cnt) = h; cnt += 1 }
         p += 1

@@ -35,17 +35,22 @@ object DataOpsQueries {
 
   /** DuckDB mirror of [[graft.functions.WindowHashExpr]]'s polynomial
     * window hash at character position `pos` of normalized text `t`:
-    * fold `(acc*31 + codepoint) mod 2^32` over the k-codepoint window
+    * fold `(acc*31 + codepoint) mod 2^62` over the k-codepoint window
     * (shorter at the tail only when the whole string is shorter than k;
     * the empty string hashes to 0 — list_reduce rejects empty lists, so
-    * that case is guarded explicitly). ONE generator-equivalent
-    * definition substituted into every substring oracle, so the oracles
-    * check the hash definition once, not three transcriptions. */
+    * that case is guarded explicitly). Codepoints cast to HUGEINT so
+    * `acc*31 + c` (< 2^67) never overflows DuckDB's checked BIGINT;
+    * the mod-2^62 result is BIGINT-representable, matching the
+    * kernel's non-negative long. 62 bits, not 32: the sf100d rehearsal
+    * measured quadratic birthday-collision growth in the 32-bit space
+    * (see RollingHash.scala). ONE generator-equivalent definition
+    * substituted into every substring oracle, so the oracles check the
+    * hash definition once, not three transcriptions. */
   private def duckRollHash(k: Int, t: String = "t", pos: String = "pos") =
-    s"CASE WHEN len($t) = 0 THEN 0 ELSE list_reduce(" +
+    s"CASE WHEN len($t) = 0 THEN 0 ELSE CAST(list_reduce(" +
       s"list_transform(range($pos, least($pos + $k, len($t) + 1)), " +
-      s"j -> CAST(unicode(substr($t, j, 1)) AS BIGINT)), " +
-      s"(acc, c) -> (acc * 31 + c) % 4294967296) END"
+      s"j -> CAST(unicode(substr($t, j, 1)) AS HUGEINT)), " +
+      s"(acc, c) -> (acc * 31 + c) % 4611686018427387904) AS BIGINT) END"
 
   /** MinHash signature CTE for any K — the coefficient list comes from
     * the SAME generator the Spark operator uses

@@ -47,7 +47,12 @@ object ScaleUp {
     // content divergence — see below). Default OFF: the full-registry
     // sf1 record keeps the fixed-corpus methodology of earlier rounds
     // so totals stay comparable; the dedup/ANN scale rehearsal opts in.
-    val scaleDocs = args.lift(3).contains("scaleDocs")
+    // "docsOnly": scale ONLY documents/embeddings (implies scaleDocs) —
+    // the third-docs-decade rehearsal needs a 1000x corpus but has no
+    // use for 600M relational rows.
+    val mode = args.lift(3)
+    val docsOnly = mode.contains("docsOnly")
+    val scaleDocs = docsOnly || mode.contains("scaleDocs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -57,16 +62,17 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, factor, scaleDocs)
+    run(spark, src, dst, factor, scaleDocs, docsOnly)
     spark.stop()
   }
 
   def run(spark: SparkSession, src: String, dst: String, factor: Int,
-      scaleDocs: Boolean): Unit = {
+      scaleDocs: Boolean, docsOnly: Boolean = false): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1L
+    if (docsOnly) { writeDocs(spark, read, maxOf, dst, factor); return }
 
     // strides shared across tables so FK relationships stay intact
     val orders = read("orders"); val lineitem = read("lineitem")
@@ -118,17 +124,25 @@ object ScaleUp {
         .foreach { case (t, p) => write(read(t), t, p) }
       return
     }
-    // documents/embeddings: the driver's generator keeps these constant
-    // across sf, but the dedup/ANN rehearsal is hollow if the corpus
-    // doesn't grow — so replicate WITH content divergence:
-    //   - documents: doc_id offset + a per-replica prefix on EVERY word,
-    //     so cross-replica shingle overlap is zero (within-replica
-    //     near-dup structure is preserved exactly; dup pairs scale
-    //     ~linearly with factor instead of quadratically, which is what
-    //     a genuinely larger crawl looks like);
-    //   - embeddings: vec_id offset + a deterministic per-replica,
-    //     per-dimension perturbation, so cross-replica vectors are
-    //     near-but-not-identical (ANN candidate structure scales).
+    writeDocs(spark, read, maxOf, dst, factor)
+  }
+
+  /** documents/embeddings replication with content divergence — shared
+    * by the full scale-up and the docsOnly third-decade path:
+    *   - documents: doc_id offset + a per-replica prefix on EVERY word,
+    *     so cross-replica shingle overlap is zero (within-replica
+    *     near-dup structure is preserved exactly; dup pairs scale
+    *     ~linearly with factor instead of quadratically, which is what
+    *     a genuinely larger crawl looks like);
+    *   - embeddings: vec_id offset + a deterministic per-replica,
+    *     per-dimension perturbation, so cross-replica vectors are
+    *     near-but-not-identical (ANN candidate structure scales). */
+  private def writeDocs(spark: SparkSession, read: String => DataFrame,
+      maxOf: (DataFrame, String) => Long, dst: String, factor: Int): Unit = {
+    def write(df: DataFrame, t: String, parts: Int): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t -> $dst/$t.parquet")
+    }
     val docs = read("documents")
     val dkS = maxOf(docs, "doc_id")
     val docsRep = replicate(docs, factor, Map("doc_id" -> dkS))

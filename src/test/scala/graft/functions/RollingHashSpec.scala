@@ -11,14 +11,14 @@ import org.apache.spark.sql.functions._
   * positional form's greatest(len-k+1, 1) window range. */
 class RollingHashSpec extends SparkSpec {
 
-  /** Direct (non-rolling) reference: fold (acc*31 + codepoint) mod 2^32
+  /** Direct (non-rolling) reference: fold (acc*31 + codepoint) mod 2^62
     * over each k-codepoint window — the definition the oracle mirrors. */
   private def reference(s: String, k: Int): Seq[Long] = {
     val cps = s.codePoints().toArray
     val windows =
       if (cps.length <= k) Seq(cps.toSeq)
       else cps.sliding(k).map(_.toSeq).toSeq
-    windows.map(_.foldLeft(0L)((acc, c) => (acc * 31L + c) & 0xFFFFFFFFL))
+    windows.map(_.foldLeft(0L)((acc, c) => (acc * 31L + c) & ((1L << 62) - 1)))
   }
 
   private def viaExpr(s: String, k: Int, stride: Int): Seq[Long] = {
@@ -51,7 +51,7 @@ class RollingHashSpec extends SparkSpec {
   }
 
   test("strings shorter than k emit ONE whole-string window; empty hashes to 0") {
-    assert(reference("abc", 40) == Seq("abc".foldLeft(0L)((a, c) => (a * 31 + c) & 0xFFFFFFFFL)))
+    assert(reference("abc", 40) == Seq("abc".foldLeft(0L)((a, c) => (a * 31 + c) & ((1L << 62) - 1))))
     assert(viaExpr("abc", 40, 1) == reference("abc", 40))
     assert(viaExpr("", 40, 1) == Seq(0L))
     // 0 % stride == 0: the empty-string window always passes selection,
