@@ -198,6 +198,65 @@ object Corpus {
       .withColumnRenamed("__rk", "sample_rank")
   }
 
+  /** Temperature-scaled domain mixing — the standard multinomial
+    * re-weighting for pre-training mixtures (Devlin et al.'s
+    * multilingual BERT exponent, the `alpha = 1/T` of XLM-R and
+    * mT5): raw domain shares `p_i` are re-weighted to
+    * `p_i^(1/T) / sum_j p_j^(1/T)`, flattening head domains and
+    * up-weighting tails as T grows (T=1 keeps natural proportions).
+    * Each domain then keeps a deterministic
+    * `min(1, target_i * N * budgetFrac / n_i)` fraction of its rows
+    * via the same md5 basis-point draw as [[stratifiedSample]] — no
+    * upsampling here, so a tail domain whose re-weighted target
+    * exceeds its size caps at keeping everything (compose with
+    * [[epochRepeat]] when tails must repeat to hit the mixture
+    * exactly).
+    *
+    * Cross-engine determinism: the only libm call is pow(), whose
+    * last-ulp rounding is not pinned by IEEE — so the re-weight
+    * quantizes to integer nano-units straight out of pow(), the
+    * normalizing sum runs on exact integers (order-independent), and
+    * every division after is a correctly-rounded double op on
+    * identical inputs. Membership is a pure function of
+    * (salt, id, corpus domain histogram).
+    *
+    * Scale shape: one tiny per-domain count aggregate (domain-count
+    * rows — the global-sum windows run on THAT, not the data), rates
+    * broadcast back, then a scan-local filter. One small shuffle for
+    * the histogram; the corpus itself never reshuffles. */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      temperature: Double,
+      budgetFrac: Double,
+      salt: String = "tmix",
+  ): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0: $temperature")
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac out of (0, 1]: $budgetFrac")
+    val wAll = Window.partitionBy() // domain-count rows only — bounded
+    // "__n"/"__tot", not "__n"/"__N": the default analyzer is
+    // case-insensitive, so withColumn("__N", ...) would silently
+    // REPLACE "__n" and every share would evaluate to 1.0 — in Spark
+    // AND in a mirroring DuckDB oracle, which is exactly the kind of
+    // consistent-but-meaningless result an oracle cannot catch.
+    val rates = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .withColumn("__wq",
+        round(pow(col("__n").cast("double") / col("__tot"),
+          lit(1.0 / temperature)) * 1e9).cast("long"))
+      .withColumn("__wsum", sum(col("__wq")).over(wAll))
+      .withColumn("rate_bp", least(lit(10000L),
+        round(col("__wq").cast("double") / col("__wsum") * col("__tot")
+          * budgetFrac / col("__n") * 10000).cast("long")))
+      .select(col(strataCol), col("rate_bp"))
+    val bucket =
+      Dedup.md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) % 10000
+    df.join(broadcast(rates), strataCol)
+      .filter(bucket < col("rate_bp"))
+  }
+
   /** Deterministic fractional-epoch repetition (data-mixture weights):
     * a document with weight 2.3 appears 2 times plus a 3rd with
     * probability 0.3, the extra copy decided by an md5 draw — and the

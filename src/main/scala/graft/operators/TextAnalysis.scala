@@ -240,6 +240,60 @@ object TextAnalysis {
           .as("avg_surprise"))
   }
 
+  /** Bigram-LM perplexity scoring (the CCNet-style quality filter,
+    * one order up from [[unigramSurprise]]'s stand-in): each
+    * document's average negative log-probability of its tokens under
+    * the corpus's own add-one-smoothed bigram model,
+    * p(b|a) = (c(a,b) + 1) / (ctx(a) + V), where c(a,b) is the corpus
+    * bigram count, ctx(a) the count of `a` as a left context, and V
+    * the corpus vocabulary size. Low score = fluent/common phrasing,
+    * high = rare or incoherent transitions — threshold on `nll` (the
+    * log-domain score; perplexity = e^nll is monotone in it, so
+    * filtering on nll is filtering on perplexity without the
+    * cross-engine exp()).
+    *
+    * Exactness recipe shared with [[unigramSurprise]]: per-bigram
+    * log-probs quantize to integer micro-nats BEFORE the per-doc sum,
+    * so aggregation is exact integer arithmetic — independent of
+    * partial-aggregation order and reproducible across engines (the
+    * inputs to ln() are ratios of exact integer counts, identical
+    * everywhere). Documents with fewer than two tokens have no
+    * bigrams and drop out — filter upstream if they must be kept.
+    *
+    * Scale shape: bigrams are extracted scan-locally from the words
+    * array (a generate, no window shuffle); then two hash joins — the
+    * bigram-count table keyed on (a,b) and the context table on (a),
+    * both corpus-vocabulary-sized, sharded across the cluster, never
+    * driver-resident — plus one broadcast single-row V scalar, then
+    * one per-doc sum. Nothing here is quadratic in anything. */
+  def bigramSurprise(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val ws = df
+      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
+    val toks = ws.select(col("doc_id"), explode_outer(col("__ws")).as("term"))
+    val vocab = toks.agg(countDistinct(col("term")).as("v"))
+    val bigrams = ws
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__ws")) - 2),
+          i => struct(element_at(col("__ws"), i + 1).as("a"),
+            element_at(col("__ws"), i + 2).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val pairCounts = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val ctxCounts = bigrams.groupBy("a").agg(count(lit(1)).as("ctx"))
+    bigrams.join(pairCounts, Seq("a", "b"))
+      .join(ctxCounts, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log((col("cab") + 1).cast("double") / (col("ctx") + col("v")))
+          * 1e6).cast("long").as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_micro").cast("double") / col("n_bigrams") / 1000000.0, 6)
+          .as("nll"))
+  }
+
   /** TF-IDF per (doc, term) over whitespace-normalized lowercased
     * tokens: tf = termCount/docLen, idf = ln(nDocs/docFreq). Two
     * shuffles (doc-term, then term) + one broadcast scalar — the

@@ -368,6 +368,86 @@ object AnnQueries {
               |WHERE rnk <= 5""".stripMargin),
     ),
 
+    // Residual-encoded IVF-PQ (full FAISS IndexIVFPQ recipe): codes
+    // quantize v - centroid(cell) against a residual-trained codebook;
+    // the ADC table is per-(query, probed cell). Same deterministic
+    // seeded codebook scheme, so the whole search is oracle-exact.
+    QueryDef(
+      "q_sim_topk_ivfpq_res",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"),
+            col("embedding").cast("array<double>").as("centroid"))
+        val assigned = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+        Similarity.ivfPqResidualTopK(assigned, centroids,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, m = 16, kCodes = 16, nProbe = 8, rerank = 128)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS cell, v AS centroid FROM e WHERE vec_id < 16),
+              |asg AS (SELECT vec_id, cell FROM (
+              |  SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |    ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rn
+              |  FROM e, cent c) WHERE rn = 1),
+              |rese AS (SELECT a.vec_id, a.cell,
+              |  list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.centroid[i]) AS rv
+              |  FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cent c ON c.cell = a.cell),
+              |seeds AS (SELECT CAST(vec_id AS VARCHAR) AS sid, rv,
+              |  ('0x' || substr(md5('pqres:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+              |  FROM rese ORDER BY h, sid LIMIT 16),
+              |coded AS (SELECT ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS code, rv
+              |  FROM seeds),
+              |subsq AS (SELECT unnest(range(0, 16)) AS sub),
+              |cb AS (SELECT sub, code,
+              |  list_slice(rv, sub * 4 + 1, sub * 4 + 4) AS c
+              |  FROM coded CROSS JOIN subsq),
+              |csub AS (SELECT vec_id, cell, sub,
+              |  list_slice(rv, sub * 4 + 1, sub * 4 + 4) AS sv
+              |  FROM rese CROSS JOIN subsq),
+              |dists AS (SELECT s.vec_id, s.cell, s.sub, cb.code,
+              |  ${duckL2sq("s.sv", "cb.c", 4)} AS dd
+              |  FROM csub s JOIN cb ON s.sub = cb.sub),
+              |best AS (SELECT vec_id, cell, sub, code FROM (
+              |  SELECT vec_id, cell, sub, code,
+              |  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              |    ORDER BY dd ASC, code ASC) AS rn FROM dists) WHERE rn = 1),
+              |probes AS (SELECT query_id, cell FROM (
+              |  SELECT q.vec_id AS query_id, c.cell,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cell ASC) AS pr
+              |  FROM e q, cent c WHERE q.vec_id < 8) WHERE pr <= 8),
+              |qres AS (SELECT p.query_id, p.cell,
+              |  list_transform(range(1, len(q.v) + 1), i -> q.v[i] - c.centroid[i]) AS qr
+              |  FROM probes p JOIN e q ON q.vec_id = p.query_id
+              |  JOIN cent c ON c.cell = p.cell),
+              |qsub AS (SELECT query_id, cell, sub,
+              |  list_slice(qr, sub * 4 + 1, sub * 4 + 4) AS qs
+              |  FROM qres CROSS JOIN subsq),
+              |qtab AS (SELECT q.query_id, q.cell, q.sub, cb.code,
+              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)}, 9) AS DECIMAL(28,9)) AS dq
+              |  FROM qsub q JOIN cb ON q.sub = cb.sub),
+              |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
+              |  CAST(sum(t.dq) AS DOUBLE) AS pq_dist
+              |  FROM best b JOIN qtab t ON t.cell = b.cell
+              |    AND b.sub = t.sub AND b.code = t.code
+              |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
+              |short AS (SELECT query_id, neighbor_id, pq_dist FROM (SELECT *,
+              |  ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY pq_dist ASC, neighbor_id ASC) AS ar FROM approx)
+              |  WHERE ar <= 128),
+              |rer AS (SELECT s.query_id, s.neighbor_id,
+              |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
+              |  FROM short s
+              |  JOIN e ne ON ne.vec_id = s.neighbor_id
+              |  JOIN e qe ON qe.vec_id = s.query_id)
+              |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
+              |  CAST(rnk AS BIGINT) AS rank, round(pq_dist, 6) + 0.0 AS pq_dist
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM rer)
+              |WHERE rnk <= 5""".stripMargin),
+    ),
+
     // Salting is result-invariant: the salted join must equal the plain
     // join (the oracle IS the plain join).
     // Per-label embedding centroids (k-means update / class prototype):

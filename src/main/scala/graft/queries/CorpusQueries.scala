@@ -130,6 +130,65 @@ object CorpusQueries {
              |FROM r WHERE n_reps >= 1""".stripMargin),
     ),
 
+    // Temperature-scaled domain mixing over the skewed language
+    // histogram (T=2 halves the exponent: en's 44% share flattens
+    // toward uniform, tail languages keep everything), half-size
+    // budget. Per-language keep rates derive from nano-quantized
+    // pow() weights so both engines normalize over identical
+    // integers; membership is the md5 basis-point draw. One tiny
+    // histogram shuffle + broadcast rates; the corpus filter is
+    // scan-local.
+    QueryDef(
+      "q_corpus_mix_temperature",
+      (s, d) => Corpus.temperatureMix(
+        QueryDef.load(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", temperature = 2.0, budgetFrac = 0.5)
+        .select(col("doc_id"), col("lang"), col("rate_bp")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n
+             |  FROM documents GROUP BY lang),
+             |t AS (SELECT lang, n, sum(n) OVER () AS tot FROM c),
+             |w AS (SELECT lang, n, tot,
+             |  CAST(round(pow(CAST(n AS DOUBLE) / tot, 1 / 2.0) * 1e9) AS BIGINT) AS wq
+             |  FROM t),
+             |r AS (SELECT lang, n, tot, wq, sum(wq) OVER () AS wsum FROM w),
+             |rb AS (SELECT lang, least(10000,
+             |    CAST(round(CAST(wq AS DOUBLE) / wsum * tot * 0.5 / n * 10000) AS BIGINT))
+             |  AS rate_bp FROM r)
+             |SELECT d.doc_id, d.lang, rb.rate_bp
+             |FROM documents d JOIN rb USING (lang)
+             |WHERE ('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+             |  < rate_bp""".stripMargin),
+    ),
+
+    // Bigram-LM perplexity scoring (CCNet-style quality filter): avg
+    // negative log-prob per doc under the corpus's own add-one-
+    // smoothed bigram model. Micro-nat quantization before the
+    // per-doc sum keeps the aggregation exact-integer on both
+    // engines.
+    QueryDef(
+      "q_lm_perplexity",
+      (s, d) => TextAnalysis.bigramSurprise(
+        QueryDef.load(s, d, "documents"), "text", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+             |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents),
+             |toks AS (SELECT doc_id, unnest(ws) AS term FROM w),
+             |v AS (SELECT count(DISTINCT term) AS v FROM toks),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             |    i -> struct_pack(a := ws[i], b := ws[i+1]))) AS p
+             |  FROM w WHERE len(ws) >= 2),
+             |b AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+             |cab AS (SELECT a, b, count(*) AS cab FROM b GROUP BY a, b),
+             |ctx AS (SELECT a, count(*) AS ctx FROM b GROUP BY a),
+             |scored AS (SELECT doc_id,
+             |  CAST(round(-ln(CAST(cab + 1 AS DOUBLE) / (ctx + v)) * 1e6) AS BIGINT)
+             |    AS micro
+             |  FROM b JOIN cab USING (a, b) JOIN ctx USING (a), v)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             | round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6) AS nll
+             |FROM scored GROUP BY doc_id""".stripMargin),
+    ),
+
     // Concat-and-chunk sequence packing into 512-token training
     // sequences, 8 shards packed independently.
     QueryDef(

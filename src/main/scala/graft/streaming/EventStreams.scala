@@ -210,6 +210,85 @@ object EventStreams {
           id, targetDir))
       .start()
 
+  final case class CandidatePair(id1: Long, id2: Long)
+  final case class BucketState(ids: List[Long])
+
+  /** Stream-vs-STREAM near-dup candidates: the LSH index itself lives
+    * in keyed state, so every arriving document is checked against the
+    * ENTIRE corpus seen so far — not just a static snapshot
+    * ([[incrementalNearDupSink]]'s regime). This is dedup-on-ingest
+    * for a growing corpus: state is keyed by LSH bucket
+    * (band, band-signature), each key holding the doc ids previously
+    * hashed there; a new arrival emits a candidate pair per co-bucketed
+    * prior member (and per same-batch member, in id order), then joins
+    * the bucket.
+    *
+    * The MinHash signature here is computed SCAN-LOCALLY as pure array
+    * expressions (array_min over the permuted shingle-hash array) —
+    * bit-identical to [[graft.operators.Dedup.minHashSignature]]'s
+    * explode+groupBy form (spec-pinned), but with no aggregation
+    * before the stateful operator, which is what lets the whole thing
+    * run as ONE flatMapGroupsWithState (Structured Streaming rejects
+    * most stateful-after-stateful chains).
+    *
+    * Scale/state posture: state size is one id-list per OCCUPIED
+    * bucket, sharded by group key across executors; `bucketCap` bounds
+    * the pathological ubiquitous-bucket case (boilerplate text landing
+    * 10^6 docs in one bucket would otherwise make that key's state —
+    * and its per-arrival emit fan-out — unbounded). Beyond the cap a
+    * bucket stops ACCUMULATING new members (arrivals still pair
+    * against the capped membership), trading recall on degenerate
+    * buckets for a hard state bound — the same df-cut compromise the
+    * batch substring profiler makes. Pairs may repeat across bands
+    * and batches (exactly like the batch self-join before its
+    * distinct); downstream dedups. */
+  def streamingNearDupCandidates(docs: DataFrame, textCol: String,
+      idCol: String, k: Int = 8, bands: Int = 4, n: Int = 3,
+      bucketCap: Int = 64): Dataset[CandidatePair] = {
+    require(k % bands == 0, "bands must divide k")
+    require(bucketCap > 1, "bucketCap must be > 1")
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val rowsPerBand = k / bands
+    val staged = docs
+      .select(col(idCol).cast("long").as("id"), Dedup.words(col(textCol)).as("__ws"))
+      .select(col("id"), Dedup.shinglesFromWords(col("__ws"), n).as("__s"))
+      .select(col("id"), transform(col("__s"), g => Dedup.md5Hash32(g)).as("__hs"))
+    val sigCols = Dedup.minHashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__hs"), h => (h * a + b) % Dedup.MinHashPrime))
+        .as(s"m$i")
+    }
+    val sig = staged.select(col("id") +: sigCols: _*)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("-", lit(b) +: (0 until rowsPerBand)
+        .map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
+      .as[(Long, String)]
+    buckets.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, String)],
+            state: GroupState[BucketState]) => {
+          val prior = state.getOption.map(_.ids).getOrElse(Nil)
+          // id order within a batch: deterministic emission no matter
+          // how the micro-batch's rows were partitioned upstream
+          val arrivals = rows.map(_._1).toArray.sorted.distinct
+          val out = Seq.newBuilder[CandidatePair]
+          var members = prior
+          arrivals.foreach { nid =>
+            members.foreach { m =>
+              if (m != nid)
+                out += (if (m < nid) CandidatePair(m, nid)
+                        else CandidatePair(nid, m))
+            }
+            if (members.size < bucketCap) members = nid :: members
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+        })
+  }
+
   final case class Proposal(cve_id: String, package_name: String, proposed: String)
   final case class KeyedState(cve_id: String, package_name: String, status: String,
       transitions: Long, blocked: Long)

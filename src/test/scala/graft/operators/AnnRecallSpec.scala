@@ -117,6 +117,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(r16 >= r8, "probing more cells must not lose recall")
   }
 
+  test("residual IVF-PQ (nCells=16, nProbe=8, m=16, rerank=128): recall floor, " +
+      "and residual encoding does not lose to raw at identical budgets") {
+    val (assigned, centroids) =
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+    val res = Similarity.ivfPqResidualTopK(assigned, centroids, queries,
+        "vec_id", "embedding", k = K, m = 16, kCodes = 16, nProbe = 8,
+        rerank = 128)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rRes = exact.intersect(res).size.toDouble / exact.size
+    val cbRaw = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 16, k = 16)
+    val raw = Similarity.ivfPqTopK(assigned, centroids, cbRaw, queries,
+        "vec_id", "embedding", k = K, m = 16, nProbe = 8, rerank = 128)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rRaw = exact.intersect(raw).size.toDouble / exact.size
+    info(f"IVF-PQ recall@$K nProbe=8/16: residual $rRes%.3f vs raw $rRaw%.3f")
+    assert(rRes >= 0.70, f"residual IVF-PQ recall@$K $rRes%.3f below 0.70 floor")
+    assert(rRes >= rRaw - 0.02,
+      f"residual codes ($rRes%.3f) must not lose to raw codes ($rRaw%.3f)")
+  }
+
   test("IVF (nCells=8) recall@10: >= 0.70 at nProbe=4, >= 0.85 at nProbe=6") {
     val r4 = ivfRecall(nCells = 8, nProbe = 4)
     val r6 = ivfRecall(nCells = 8, nProbe = 6)

@@ -368,4 +368,53 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(totalRows - totalWt) / totalWt < 0.10,
       s"total reps $totalRows vs total weight $totalWt")
   }
+
+  test("temperatureMix: T=1 keeps natural proportions at the budget") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang")
+    val r = Corpus.temperatureMix(docs, "lang", "doc_id",
+      temperature = 1.0, budgetFrac = 0.5)
+    // T=1: every language's keep rate IS the budget (the re-weighted
+    // target equals the natural share), modulo the 1e-9 weight
+    // quantization — allow 1 basis point
+    val rates = r.select($"lang", $"rate_bp").distinct()
+      .as[(String, Long)].collect().toMap
+    rates.foreach { case (lang, bp) =>
+      assert(math.abs(bp - 5000L) <= 1, s"$lang rate $bp != ~5000")
+    }
+    // kept fraction lands near the budget (md5 draws are uniform)
+    val frac = r.count().toDouble / docs.count()
+    assert(math.abs(frac - 0.5) < 0.07, s"kept fraction $frac")
+  }
+
+  test("temperatureMix: high T flattens — head capped below budget, tails above") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang")
+    val counts = docs.groupBy($"lang").count().as[(String, Long)].collect()
+    val head = counts.maxBy(_._2)._1
+    val tail = counts.minBy(_._2)._1
+    assert(counts.maxBy(_._2)._2 > 2 * counts.minBy(_._2)._2,
+      "fixture must be skewed for this test to mean anything")
+    val rates = Corpus.temperatureMix(docs, "lang", "doc_id",
+        temperature = 4.0, budgetFrac = 0.5)
+      .select($"lang", $"rate_bp").distinct().as[(String, Long)].collect().toMap
+    assert(rates(head) < 5000, s"head $head rate ${rates(head)} not flattened")
+    assert(rates(tail) > 5000, s"tail $tail rate ${rates(tail)} not up-weighted")
+  }
+
+  test("temperatureMix: membership is deterministic and repartition-stable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Corpus.temperatureMix(df, "lang", "doc_id", 2.0, 0.5)
+        .select($"doc_id").as[Long].collect().toSet
+    val a = ids(docs)
+    assert(a == ids(docs.repartition(13, $"doc_id")) && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMix(docs, "lang", "doc_id", 0.0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMix(docs, "lang", "doc_id", 1.0, 1.5)
+    }
+  }
 }

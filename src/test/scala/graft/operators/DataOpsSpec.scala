@@ -625,4 +625,36 @@ class DataOpsSpec extends SparkSpec {
     assert(got(2L) == "de")
     assert(got(3L) == "und")
   }
+
+  test("bigramSurprise: hand-computed nll on a 3-doc corpus; short docs drop") {
+    val df = Seq(
+      (1L, "a b a b"), // bigrams (a,b) (b,a) (a,b)
+      (2L, "a b c"),   // bigrams (a,b) (b,c)
+      (3L, "a"),       // no bigram -> dropped
+    ).toDF("doc_id", "text")
+    // corpus model: c(a,b)=3 c(b,a)=1 c(b,c)=1; ctx(a)=3 ctx(b)=2; V=3
+    def micro(cab: Long, ctx: Long) =
+      math.round(-math.log((cab + 1).toDouble / (ctx + 3)) * 1e6)
+    def nll(ms: Seq[Long]) =
+      BigDecimal(ms.sum.toDouble / ms.size / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = nll(Seq(micro(3, 3), micro(1, 2), micro(3, 3)))
+    val exp2 = nll(Seq(micro(3, 3), micro(1, 2)))
+    val got = TextAnalysis.bigramSurprise(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((3L, exp1)), s"${got(1L)} vs $exp1")
+    assert(got(2L) == ((2L, exp2)), s"${got(2L)} vs $exp2")
+  }
+
+  test("bigramSurprise: fluent phrasing scores below scrambled rare transitions") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = TextAnalysis.bigramSurprise(docs, "text", "doc_id")
+    // the corpus's own most common phrasing must be cheap relative to
+    // the spread: min < mean - and every score is positive and finite
+    val stats = scored.agg(min($"nll"), avg($"nll"), max($"nll")).head()
+    val (lo, mean, hi) = (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2))
+    assert(lo > 0 && hi < 50, s"nll range [$lo, $hi] implausible")
+    assert(lo < mean && mean < hi)
+  }
 }

@@ -251,4 +251,36 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         s"streamed ${streamed.size} chunks vs batch ${batch.size}")
     } finally q.stop()
   }
+
+  test("streamingNearDupCandidates replay equals batch minHashCandidates " +
+      "(the stateful LSH index accumulates across micro-batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    // cap far above any fixture bucket: this test pins EQUIVALENCE;
+    // the cap's recall trade is its own documented semantics
+    val q = EventStreams.streamingNearDupCandidates(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        bucketCap = 1 << 20)
+      .writeStream.format("memory").queryName("eq_neardup")
+      .outputMode("append").start()
+    try {
+      // 4 micro-batches: most candidate pairs must straddle a batch
+      // boundary, i.e. come from the STATE, not from within one batch
+      chunks(docs, 4).foreach { c =>
+        input.addData(c: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("eq_neardup")
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      val batch = graft.operators.Dedup.minHashCandidates(
+          spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
