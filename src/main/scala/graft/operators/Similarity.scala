@@ -275,6 +275,62 @@ object Similarity {
         expr(subSliceSql("__v", "sub", m)).as("centroid"))
   }
 
+  /** Lloyd-refined PQ codebook: per-subspace k-means iterations on top
+    * of [[pqCodebook]]'s deterministic seeded init — the trained
+    * codebook that closes the recall gap a seeded sample leaves (the
+    * seeded book is a uniform draw from the data; Lloyd pulls each
+    * code to the mean of the subvectors it actually quantizes).
+    * Everything stays oracle-exact: assignment is the same
+    * argmin-of-exact-L2 as [[pqEncode]] (ties to the lowest code), and
+    * the update step uses the [[centroids]] exact-mean recipe —
+    * element values quantize to integer micro-units before the sum, so
+    * the mean is order-independent integer arithmetic divided once and
+    * rounded to 6 dp. A code that captures no vectors keeps its
+    * previous centroid (never collapses to null/NaN).
+    *
+    * Iterations run at plan-construction time over a localCheckpointed
+    * subvector table (the eager-build regime of the CC/BPE builds —
+    * without it iteration r would replay all r-1 prior assignments);
+    * each round is one broadcast-join argmin + one (sub, code, pos)
+    * aggregation — both fully distributed, nothing driver-side except
+    * the m*k-row codebook itself. */
+  def pqCodebookTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2, salt: String = "pq"): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    var cb = pqCodebook(corpus, idCol, vecCol, m, k, salt)
+    if (iters == 0) return cb
+    val subs = corpus
+      .select(col(idCol).as("__tid"), asDouble(col(vecCol)).as("__v"))
+      .select(col("__tid"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+        col("__v"))
+      .select(col("__tid"), col("sub"),
+        expr(subSliceSql("__v", "sub", m)).as("__sv"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val assigned = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("__d", l2sq(col("__sv"), col("centroid")))
+        .groupBy(col("__tid"), col("sub"))
+        .agg(min(struct(col("__d"), col("code"))).getField("code").as("code"),
+          first(col("__sv")).as("__sv"))
+      val means = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("__sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(round(col("v") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            round(col("s").cast("double") / col("n") / 1000000.0, 6)
+              .as("cv")))),
+          x => x.getField("cv")).as("__newc"))
+      cb = cb.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("__newc"), col("centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
   /** PQ encoding: each vector becomes `m` small codes (argmin-L2
     * centroid per subspace, ties to the lowest code) — 64 floats
     * collapse to 8 bytes, the memory story that lets a billion-vector

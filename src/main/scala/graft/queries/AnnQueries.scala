@@ -37,6 +37,30 @@ object AnnQueries {
     (1 to dims).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
       .mkString("(", " + ", ")")
 
+  /** One Lloyd iteration over the PQ codebook `prev` -> `out`:
+    * argmin re-assignment of every subvector (exact L2, ties to the
+    * lowest code — ROW_NUMBER mirrors Spark's min(struct(d, code))),
+    * then per-(sub, code, pos) exact micro-unit means rebuilt into
+    * ordered centroid lists; codes that captured nothing keep their
+    * previous centroid. Width-4 subvectors (64 dims / m=16). */
+  private def duckLloydIter(prev: String, out: String, idx: Int): String =
+    s"""a$idx AS (SELECT vec_id, sub, sv, code FROM (
+       |  SELECT s.vec_id, s.sub, s.sv, $prev.code,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+       |      ORDER BY ${duckL2sq("s.sv", s"$prev.c", 4)} ASC, $prev.code ASC) AS rn
+       |  FROM csub s JOIN $prev ON s.sub = $prev.sub) WHERE rn = 1),
+       |m$idx AS (SELECT a$idx.sub, a$idx.code, p.pos,
+       |  round(CAST(sum(CAST(round(sv[p.pos] * 1e6) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1000000.0, 6) AS cv
+       |  FROM a$idx CROSS JOIN (SELECT unnest(range(1, 5)) AS pos) p
+       |  GROUP BY 1, 2, 3),
+       |n$idx AS (SELECT sub, code, list(cv ORDER BY pos) AS newc
+       |  FROM m$idx GROUP BY sub, code),
+       |$out AS (SELECT $prev.sub, $prev.code,
+       |  coalesce(n$idx.newc, $prev.c) AS c
+       |  FROM $prev LEFT JOIN n$idx
+       |    ON n$idx.sub = $prev.sub AND n$idx.code = $prev.code)""".stripMargin
+
   private def duckSimhashSig(bits: Int) =
     s"""w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
@@ -258,6 +282,68 @@ object AnnQueries {
               |csub AS (SELECT vec_id, sub,
               |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS sv
               |  FROM e CROSS JOIN subsq),
+              |dists AS (SELECT s.vec_id, s.sub, cb.code,
+              |  ${duckL2sq("s.sv", "cb.c", 4)} AS dd
+              |  FROM csub s JOIN cb ON s.sub = cb.sub),
+              |best AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+              |  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              |    ORDER BY dd ASC, code ASC) AS rn FROM dists) WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS query_id, sub,
+              |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS qs
+              |  FROM e CROSS JOIN subsq WHERE vec_id < 8),
+              |qtab AS (SELECT q.query_id, q.sub, cb.code,
+              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)}, 9) AS DECIMAL(28,9)) AS dq
+              |  FROM qsub q JOIN cb ON q.sub = cb.sub),
+              |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
+              |  CAST(sum(t.dq) AS DOUBLE) AS pq_dist
+              |  FROM best b JOIN qtab t ON b.sub = t.sub AND b.code = t.code
+              |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
+              |short AS (SELECT query_id, neighbor_id, pq_dist FROM (SELECT *,
+              |  ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY pq_dist ASC, neighbor_id ASC) AS ar FROM approx)
+              |  WHERE ar <= 64),
+              |rer AS (SELECT s.query_id, s.neighbor_id,
+              |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
+              |  FROM short s
+              |  JOIN e ne ON ne.vec_id = s.neighbor_id
+              |  JOIN e qe ON qe.vec_id = s.query_id)
+              |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
+              |  CAST(rnk AS BIGINT) AS rank, round(pq_dist, 6) + 0.0 AS pq_dist
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM rer)
+              |WHERE rnk <= 5""".stripMargin),
+    ),
+
+    // Flat PQ search with a Lloyd-TRAINED codebook: two per-subspace
+    // k-means iterations on the seeded init lift recall@10 from 0.784
+    // to 0.880 at identical m/k/rerank budgets (AnnRecallSpec). The
+    // training loop itself is oracle-replayed: exact-L2 argmin
+    // re-assignment + micro-unit exact means, both engines
+    // deterministic round for round.
+    QueryDef(
+      "q_sim_topk_pq_trained",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+          m = 16, k = 16, iters = 2)
+        Similarity.pqTopK(e, cb, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, m = 16, rerank = 64)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |seeds AS (SELECT CAST(vec_id AS VARCHAR) AS sid, v,
+              |  ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+              |  FROM e ORDER BY h, sid LIMIT 16),
+              |coded AS (SELECT ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS code, v
+              |  FROM seeds),
+              |subsq AS (SELECT unnest(range(0, 16)) AS sub),
+              |cb0 AS (SELECT sub, code,
+              |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS c
+              |  FROM coded CROSS JOIN subsq),
+              |csub AS (SELECT vec_id, sub,
+              |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS sv
+              |  FROM e CROSS JOIN subsq),
+              |${duckLloydIter("cb0", "cb1", 1)},
+              |${duckLloydIter("cb1", "cb", 2)},
               |dists AS (SELECT s.vec_id, s.sub, cb.code,
               |  ${duckL2sq("s.sv", "cb.c", 4)} AS dd
               |  FROM csub s JOIN cb ON s.sub = cb.sub),

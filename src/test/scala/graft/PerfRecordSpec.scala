@@ -51,7 +51,7 @@ class PerfRecordSpec extends AnyFunSuite {
     // build_seconds for any build >= 0.5 s — these four are iterative
     // by construction and far above that at every recorded sf.
     val eager = Seq("q_bpe_learn", "q_text_tokens_bpe_learned",
-      "q_dedup_clusters", "q_dedup_canonical")
+      "q_dedup_clusters", "q_dedup_canonical", "q_sim_topk_pq_trained")
     val buildSection = txt.indexOf("\"build_seconds\"")
     assert(buildSection >= 0,
       s"$prefix record has no build_seconds section — rerun graft.Bench")

@@ -88,6 +88,33 @@ class AnnRecallSpec extends SparkSpec {
       f"finer subspaces + deeper rerank ($r%.3f) must beat coarse ($weak%.3f)")
   }
 
+  test("Lloyd-trained PQ codebook lifts recall over the seeded init " +
+      "at identical m/k/rerank budgets") {
+    def recallWith(cb: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.pqTopK(emb, cb, queries, "vec_id", "embedding",
+          k = K, m = 16, rerank = 64)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val seeded = recallWith(
+      Similarity.pqCodebook(emb, "vec_id", "embedding", m = 16, k = 16))
+    val it1 = recallWith(
+      Similarity.pqCodebookTrained(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 1))
+    val it2 = recallWith(
+      Similarity.pqCodebookTrained(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 2))
+    info(f"PQ recall@$K m=16 rerank=64: seeded $seeded%.3f, " +
+      f"lloyd-1 $it1%.3f, lloyd-2 $it2%.3f")
+    // measured: seeded 0.784, lloyd-1 0.846, lloyd-2 0.880 — training
+    // must clearly beat the seeded init, and iterating must not regress
+    assert(it2 >= 0.85, f"lloyd-2 recall $it2%.3f below 0.85 floor")
+    assert(it2 > seeded + 0.05,
+      f"training ($it2%.3f) must clearly beat the seeded init ($seeded%.3f)")
+    assert(it2 >= it1 - 0.02, f"second iteration regressed: $it1%.3f -> $it2%.3f")
+  }
+
   test("PQ codes honor the memory contract: m codes, each < k") {
     val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 16, k = 16)
     val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding", m = 16)
