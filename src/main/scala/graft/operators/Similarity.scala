@@ -504,14 +504,20 @@ object Similarity {
   def ivfPqResidualTopK(assigned: DataFrame, centroids: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
       m: Int = 8, kCodes: Int = 16, nProbe: Int = 4, rerank: Int = 32,
-      salt: String = "pqres"): DataFrame = {
+      salt: String = "pqres", trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val resid = assigned
       .join(broadcast(centroids), Seq("cell"))
       .withColumn("__rv",
         zip_with(asDouble(col(vecCol)), col("centroid"), (x, c) => x - c))
       .select(col(idCol), col("cell"), col("__rv"))
-    val cb = pqCodebook(resid, idCol, "__rv", m, kCodes, salt)
+    // trainIters > 0: Lloyd-refine the residual codebook too — the
+    // full trained IndexIVFPQ (the registered oracle config stays at
+    // the seeded book; the composition's recall is spec-measured)
+    val cb =
+      if (trainIters > 0)
+        pqCodebookTrained(resid, idCol, "__rv", m, kCodes, trainIters, salt)
+      else pqCodebook(resid, idCol, "__rv", m, kCodes, salt)
     val cand = pqEncode(resid, cb, idCol, "__rv", m, carry = Seq("cell"))
       .select(col(idCol).as("neighbor_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "code")))

@@ -164,6 +164,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(rRes >= 0.70, f"residual IVF-PQ recall@$K $rRes%.3f below 0.70 floor")
     assert(rRes >= rRaw - 0.02,
       f"residual codes ($rRes%.3f) must not lose to raw codes ($rRaw%.3f)")
+    // the fully-trained composition (residual + Lloyd) — the complete
+    // IndexIVFPQ — must clearly beat the seeded residual book
+    val trained = Similarity.ivfPqResidualTopK(assigned, centroids, queries,
+        "vec_id", "embedding", k = K, m = 16, kCodes = 16, nProbe = 8,
+        rerank = 128, trainIters = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rTrained = exact.intersect(trained).size.toDouble / exact.size
+    info(f"IVF-PQ recall@$K nProbe=8/16 residual+lloyd-2: $rTrained%.3f")
+    assert(rTrained > rRes,
+      f"training the residual book ($rTrained%.3f) must beat seeded ($rRes%.3f)")
   }
 
   test("IVF (nCells=8) recall@10: >= 0.70 at nProbe=4, >= 0.85 at nProbe=6") {
