@@ -315,6 +315,67 @@ object TextAnalysis {
           log(col("n_docs").cast("double") / col("doc_freq")), 6).as("tfidf"))
   }
 
+  /** BM25 ranked retrieval (Okapi BM25, Robertson et al.): top-k
+    * documents per keyword query. The retrieval shape is an inverted
+    * index expressed relationally — the (doc, term, tf) table joined
+    * to the query-term list on `term`, so only documents containing at
+    * least one query term are ever scored; the corpus is never
+    * cross-joined against the query set.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (the non-negative
+    * RSJ-smoothed form), weight = tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)),
+    * query terms deduplicated (qtf = 1, the standard short-query
+    * simplification).
+    *
+    * Cross-engine determinism: the per-term contribution is quantized
+    * to integer micro-units BEFORE the per-(query, doc) sum, so the
+    * score is an order-independent integer sum (Spark's aggregation
+    * order is nondeterministic; double addition is not associative) —
+    * ranking ties break on doc_id over the exact integer score.
+    *
+    * At 100 TB: the tf/df tables are the classic two aggregations
+    * (doc-term, then term — partial-aggregated map-side); the query
+    * term list and the single-row corpus stats broadcast; the only
+    * full shuffle after that is the per-(query, doc) score sum, whose
+    * cardinality is bounded by postings actually matched. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).as("n_toks"),
+        explode_outer(col("__ws")).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf_cnt"), first(col("n_toks")).as("n_toks"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    // Exact integer corpus totals; avgdl is ONE double division.
+    val stats = docs
+      .select(size(Dedup.words(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+        explode(array_distinct(Dedup.words(col(qTextCol)))).as("term"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5)))
+    val w = col("tf_cnt").cast("double") * (k1 + 1) /
+      (col("tf_cnt") + lit(k1) * (lit(1.0 - b) + lit(b) * col("n_toks") / avgdl))
+    val contrib = tf.join(broadcast(qterms), "term")
+      .join(docFreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * w * 1e6).cast("long").as("c_micro"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("c_micro")).as("s_micro"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("s_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (round(col("s_micro") / 1e6, 6) + lit(0.0)).as("bm25"), col("rank"))
+  }
+
   // ------------------------------------------------------------------
   // Real merge-table BPE (Sennrich et al. 2016, "Neural Machine
   // Translation of Rare Words with Subword Units") — an actual merge

@@ -21,6 +21,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_topk_ivfpq_res", // same assign/probe crosses, residual codes
     "q_dedup_semantic", // reuses the brute/verify cross on candidates
     "q_text_tfidf", // single-row n_docs scalar
+    "q_text_bm25", // single-row corpus-stats scalar
     "q_text_unigram", // single-row total-tokens scalar
     "q_lm_perplexity", // single-row vocabulary-size scalar
     "q_corpus_stats", // single-row corpus totals
