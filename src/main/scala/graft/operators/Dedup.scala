@@ -276,6 +276,42 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** SEMANTIC decontamination: corpus documents whose embedding is a
+    * near-duplicate (cosine >= `tau`) of ANY eval-set embedding — the
+    * contamination n-gram matching cannot see (paraphrases,
+    * translations, templated rewrites). Multi-table random-hyperplane
+    * LSH blocks the pair space: both sides bucket under `tables`
+    * independent hyperplane families, candidates are bucket
+    * collisions in ANY table (recall amplification, exactly the
+    * [[Similarity.lshTopK]] trick), then exact cosine verifies.
+    * Returns one row per flagged corpus doc: (id, max_cos, n_matches).
+    * Anti-join the result to keep the clean remainder.
+    *
+    * At 100 TB: the eval side (a benchmark suite — thousands of
+    * vectors, not billions) broadcasts with its buckets precomputed;
+    * the corpus computes buckets scan-locally and broadcast-joins on
+    * (table, bucket) — the corpus never shuffles, and only
+    * bucket-colliding pairs reach the cosine. */
+  def embeddingDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tau: Double, bits: Int = 4,
+      tables: Int = 2): DataFrame = {
+    def buckets(df: DataFrame, outId: String, outVec: String): DataFrame =
+      (0 until tables).map { t =>
+        df.select(col(idCol).as(outId),
+          col(vecCol).cast("array<double>").as(outVec),
+          lit(t).as("tbl"),
+          Similarity.lshBucket(col(vecCol), bits, t).as("bucket"))
+      }.reduce(_ unionAll _)
+    buckets(corpus, "cid", "cv")
+      .join(broadcast(buckets(evalSet, "eid", "ev")), Seq("tbl", "bucket"))
+      .select(col("cid"), col("eid"),
+        Similarity.cosine(col("cv"), col("ev")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("cid").as(idCol))
+      .agg(max(col("cos")).as("max_cos"),
+        countDistinct(col("eid")).as("n_matches"))
+  }
+
   /** Cross-corpus exact dedup: which INCOMING documents duplicate a
     * document already in the existing corpus (by normalized-text
     * fingerprint). The incremental-ingest shape: the existing side

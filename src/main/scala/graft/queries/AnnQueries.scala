@@ -229,6 +229,40 @@ object AnnQueries {
         .stripMargin),
     ),
 
+    // SEMANTIC decontamination: corpus embeddings near-dup (cosine)
+    // to ANY eval-set embedding, blocked by 2-table LSH so the corpus
+    // never pairs against itself — the embedding-space analogue of
+    // q_decontaminate's n-gram matching (catches paraphrases n-grams
+    // miss). Eval set = vec_id % 25 == 0, disjoint from the corpus
+    // side by construction.
+    QueryDef(
+      "q_decontaminate_semantic",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        Dedup.embeddingDecontaminate(
+            e.filter(col("vec_id") % 25 =!= 0),
+            e.filter(col("vec_id") % 25 === 0),
+            "vec_id", "embedding", tau = 0.2, bits = 4, tables = 2)
+          .select(col("vec_id"),
+            (round(col("max_cos"), 4) + lit(0.0)).as("max_cos"),
+            col("n_matches"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |ev AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+              |co AS (SELECT * FROM e WHERE vec_id % 25 != 0),
+              |cb AS (SELECT vec_id AS cid, v AS cv, 0 AS tbl,
+              |    ${duckBucket("v", 4, 0)} AS bucket FROM co
+              |  UNION ALL SELECT vec_id, v, 1, ${duckBucket("v", 4, 1)} FROM co),
+              |eb AS (SELECT vec_id AS eid, v AS evv, 0 AS tbl,
+              |    ${duckBucket("v", 4, 0)} AS bucket FROM ev
+              |  UNION ALL SELECT vec_id, v, 1, ${duckBucket("v", 4, 1)} FROM ev),
+              |p AS (SELECT cid, eid, list_cosine_similarity(cv, evv) AS cos
+              |  FROM cb JOIN eb USING (tbl, bucket))
+              |SELECT cid AS vec_id, round(max(cos), 4) + 0.0 AS max_cos,
+              |  count(DISTINCT eid) AS n_matches
+              |FROM p WHERE cos >= 0.2 GROUP BY cid""".stripMargin),
+    ),
+
     // Multi-band SimHash near-dup pairs (hamming <= 3 over 32 bits in
     // 4 bands; pigeonhole makes recall exact). 32-bit signatures, not
     // 16: an 8-bit band key gives 256 buckets per band, keeping the
