@@ -186,10 +186,22 @@ object Similarity {
       .drop("__ccos", "__crank", "centroid")
   }
 
-  /** Approximate top-k over an IVF index: probe the `nProbe` cells
-    * whose centroids are nearest each query, exact-rerank inside. */
-  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int = 5, nProbe: Int = 4): DataFrame = {
+  /** The corpus-side cell-count rule for a growing corpus: cells ~
+    * sqrt(N) (the FAISS guideline). With nProbe held constant the
+    * per-query scored-candidate count is nProbe * N / cells =
+    * nProbe * sqrt(N) — SUB-linear in the corpus — while a fixed cell
+    * count degrades to linear (constant probed FRACTION). The
+    * registered oracle queries pin nCells for replayability;
+    * production indexes should size with this. */
+  def autoCells(n: Long, floor: Int = 16): Int =
+    math.max(floor, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** The probe+score stage of [[ivfTopK]], exposed for candidate-count
+    * instrumentation (the scale rehearsal's box-load-immune metric):
+    * every (query, neighbor) pair that reaches the exact cosine. */
+  private[graft] def ivfScored(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
@@ -200,10 +212,17 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cell"))
     val c = assigned.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("nv"), col("cell"))
-    val scored = c.join(broadcast(probes), "cell")
+    c.join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cos"))
+  }
+
+  /** Approximate top-k over an IVF index: probe the `nProbe` cells
+    * whose centroids are nearest each query, exact-rerank inside. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val scored = ivfScored(assigned, centroids, queries, idCol, vecCol, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
