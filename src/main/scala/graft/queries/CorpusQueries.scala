@@ -79,6 +79,35 @@ object CorpusQueries {
         .stripMargin),
     ),
 
+    // Exact-n deterministic uniform sample: the 100 docs with the
+    // smallest seeded md5 draw — a distributed top-n
+    // (TakeOrderedAndProject), not a global sort, and samples nest
+    // across n (the scaling-law ladder property).
+    QueryDef(
+      "q_sample_exact_n",
+      (s, d) => Corpus.sampleExactN(
+        QueryDef.load(s, d, "documents"), "doc_id", n = 100)
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+             |ORDER BY md5('exact:' || CAST(doc_id AS VARCHAR)), doc_id
+             |LIMIT 100""".stripMargin),
+    ),
+
+    // Size-balanced shard assignment: global descending-size
+    // round-robin over 8 shards (the LPT-style static balancer for
+    // writing near-equal-mass training shards). The global order
+    // rides GlobalRank's distributed rank — no single-task window.
+    QueryDef(
+      "q_corpus_shards",
+      (s, d) => Corpus.shardAssign(
+        QueryDef.load(s, d, "documents"), "doc_id", "n_chars", nShards = 8)
+        .select(col("doc_id"), col("n_chars"), col("shard")),
+      Some("""SELECT doc_id, n_chars,
+             |  CAST((ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1)
+             |    % 8 AS INT) AS shard
+             |FROM documents""".stripMargin),
+    ),
+
     // Weighted sampling without replacement (A-Res), 20 docs per
     // language with inclusion probability proportional to a weight:
     // rank by -ln(u)/w over an md5 uniform. u is a dyadic double

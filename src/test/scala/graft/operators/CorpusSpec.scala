@@ -417,4 +417,51 @@ class CorpusSpec extends SparkSpec {
       Corpus.temperatureMix(docs, "lang", "doc_id", 1.0, 1.5)
     }
   }
+
+  // ---- shardAssign / sampleExactN ----
+
+  test("shardAssign: round-robin on the exact descending-size order, balanced totals") {
+    val docs = (1L to 103L).map(i => (i, (i * 37 % 500) + 20)).toDF("id", "sz")
+    val out = Corpus.shardAssign(docs, "id", "sz", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 103)
+    // exact round-robin over (size desc, id asc)
+    val expected = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i % 8) }.toSet
+    assert(out.toSet == expected)
+    // balance: shard token totals within one max-document of each other
+    val totals = out.groupBy(_._3).map(_._2.map(_._2).sum)
+    val maxDoc = out.map(_._2).max
+    assert(totals.max - totals.min <= maxDoc,
+      s"imbalance ${totals.max - totals.min} vs max doc $maxDoc")
+  }
+
+  test("shardAssign: no single-task global window in the plan") {
+    val docs = (1L to 50L).map(i => (i, i % 7)).toDF("id", "sz")
+    val plan = Corpus.shardAssign(docs, "id", "sz", nShards = 4)
+      .queryExecution.executedPlan.toString
+    // GlobalRank's bucket-window shape: every Window partitions by __bkt
+    assert(!plan.contains("Window [row_number()") ||
+      plan.split("\\n").filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("__bkt")),
+      s"global-window fallback detected:\n$plan")
+  }
+
+  test("sampleExactN: exact count, deterministic, and nested across n") {
+    val docs = (1L to 400L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val s100 = Corpus.sampleExactN(docs, "doc_id", 100)
+      .collect().map(_.getLong(0)).toSet
+    val s100b = Corpus.sampleExactN(docs, "doc_id", 100)
+      .collect().map(_.getLong(0)).toSet
+    val s30 = Corpus.sampleExactN(docs, "doc_id", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(s100.size == 100 && s30.size == 30)
+    assert(s100 == s100b, "reruns identical")
+    assert(s30.subsetOf(s100), "smaller samples nest inside larger ones")
+    // a different salt draws a genuinely different sample
+    val alt = Corpus.sampleExactN(docs, "doc_id", 100, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(alt != s100)
+  }
 }
