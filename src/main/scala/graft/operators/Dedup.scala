@@ -301,7 +301,7 @@ object Dedup {
           col(vecCol).cast("array<double>").as(outVec),
           lit(t).as("tbl"),
           Similarity.lshBucket(col(vecCol), bits, t).as("bucket"))
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
     buckets(corpus, "cid", "cv")
       .join(broadcast(buckets(evalSet, "eid", "ev")), Seq("tbl", "bucket"))
       .select(col("cid"), col("eid"),

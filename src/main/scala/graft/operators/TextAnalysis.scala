@@ -376,6 +376,70 @@ object TextAnalysis {
         (round(col("s_micro") / 1e6, 6) + lit(0.0)).as("bm25"), col("rank"))
   }
 
+  /** The frozen half of streaming BM25: per standing query, its terms
+    * with PRE-RESOLVED idf (from a corpus snapshot's df table) plus
+    * the snapshot's avgdl — one broadcastable row per query. Index
+    * once, score forever: arriving documents never need the corpus. */
+  def bm25QueryTable(docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, qIdCol: String,
+      qTextCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), explode_outer(array_distinct(col("__ws"))).as("term"))
+    val docFreq = toks.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val stats = docs
+      .select(size(Dedup.words(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+        explode(array_distinct(Dedup.words(col(qTextCol)))).as("term"))
+      .join(docFreq, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term"),
+        // absent terms: df = 0 -> the max idf (they still score 0 via tf)
+        log(lit(1.0) + (col("n_docs") - coalesce(col("doc_freq"), lit(0L))
+          + lit(0.5)) / (coalesce(col("doc_freq"), lit(0L)) + lit(0.5)))
+          .as("idf"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    qterms.groupBy("query_id")
+      .agg(collect_list(struct(col("term"), col("idf"))).as("qterms"),
+        first(col("avgdl")).as("avgdl"))
+  }
+
+  /** Standing-query routing — the STREAMING face of [[bm25TopK]]:
+    * score each arriving document against every standing query using
+    * the frozen [[bm25QueryTable]] stats, emit matches above
+    * `minScore`. Entirely STATELESS (one scan-local expression per
+    * (doc, query) pair — tf via a filter over the materialized words
+    * array, the same integer micro-unit sum as the batch operator),
+    * so it runs identically on a batch or streaming DataFrame: no
+    * aggregation, no watermark, no state store. Global top-k is
+    * meaningless on an unbounded stream; the threshold is the
+    * streaming-native contract. Scores agree with [[bm25TopK]]
+    * EXACTLY when the snapshot equals the scored corpus
+    * (StreamBatchEquivalenceSpec). */
+  def bm25Route(docs: org.apache.spark.sql.DataFrame,
+      queryTable: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minScore: Double, k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val prepared = docs.select(col(idCol).as("doc_id"),
+        Dedup.words(col(textCol)).as("__ws"))
+      .withColumn("__dl", size(col("__ws")))
+    val sMicro = aggregate(col("qterms"), lit(0L), (acc, t) => {
+      val tf = size(filter(col("__ws"), w => w === t.getField("term")))
+        .cast("double")
+      val w = tf * (k1 + 1) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("avgdl")))
+      acc + when(tf > 0,
+        round(t.getField("idf") * w * 1e6).cast("long")).otherwise(lit(0L))
+    })
+    prepared.crossJoin(broadcast(queryTable))
+      .select(col("query_id"), col("doc_id"), sMicro.as("s_micro"))
+      .filter(col("s_micro") >= math.round(minScore * 1e6))
+      .withColumn("bm25", round(col("s_micro") / 1e6, 6) + lit(0.0))
+      .drop("s_micro")
+  }
+
   // ------------------------------------------------------------------
   // Real merge-table BPE (Sennrich et al. 2016, "Neural Machine
   // Translation of Rare Words with Subword Units") — an actual merge

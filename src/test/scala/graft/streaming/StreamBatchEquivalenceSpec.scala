@@ -283,4 +283,44 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         s"streamed ${streamed.size} pairs vs batch ${batch.size}")
     } finally q.stop()
   }
+
+  test("standing-query BM25 routing streams unchanged: replay equals batch bm25TopK") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the frozen-stats contract: when the snapshot that built the
+    // query table IS the scored corpus, the stateless streaming scorer
+    // must reproduce the batch inverted-index scores EXACTLY (both
+    // sum identical integer micro-units)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val queries = Seq((0L, "spark merge join"), (1L, "vector window stream"))
+      .toDF("query_id", "qtext")
+    val qtable = graft.operators.TextAnalysis.bm25QueryTable(
+      corpus, queries, "text", "doc_id", "query_id", "qtext")
+      .localCheckpoint() // freeze the snapshot stats
+    val docs = corpus.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.bm25Route(
+        input.toDF().toDF("doc_id", "text"), qtable, "text", "doc_id",
+        minScore = 1e-6)
+      .writeStream.format("memory").queryName("eq_bm25")
+      .outputMode("append").start()
+    try {
+      chunks(docs, 4).foreach { c =>
+        input.addData(c: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("eq_bm25").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.TextAnalysis.bm25TopK(
+          corpus, queries, "text", "doc_id", "query_id", "qtext",
+          k = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} pairs vs batch ${batch.size}; " +
+          s"diff ${(streamed.toSet -- batch.toSet).take(3)} | " +
+          s"${(batch.toSet -- streamed.toSet).take(3)}")
+    } finally q.stop()
+  }
 }
