@@ -58,6 +58,36 @@ object Similarity {
         (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine per-query
+    * rankings from heterogeneous retrieval systems (lexical BM25,
+    * embedding ANN, ...) by summing 1/(k + rank) — no score
+    * calibration needed, which is the whole point: BM25 scores and
+    * cosines are not comparable, ranks are. Each input must carry
+    * (query_id, doc_id, rank); a doc absent from a system contributes
+    * nothing (the standard convention). Contributions are quantized
+    * to integer micro-units before the sum — order-independent and
+    * exact cross-engine — and ties break on doc_id.
+    *
+    * Scale shape: each input ranking is already top-k-per-query
+    * (bounded: queries x k rows), so the union + one aggregation +
+    * one per-query window all run on candidate lists, never corpora. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val scored = rankings.map(_.select(col("query_id"), col("doc_id"),
+        round(lit(1e6) / (lit(k) + col("rank"))).cast("long").as("__c")))
+      .reduce(_ union _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("n_systems"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        (round(col("__s") / 1e6, 6) + lit(0.0)).as("rrf"),
+        col("n_systems"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim i): a +/-1 derived from a Weyl-sequence-style integer mix. */
   private def hyperplaneSign(j: Int, i: Column): Column =

@@ -341,7 +341,8 @@ object TextAnalysis {
   def bm25TopK(docs: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): org.apache.spark.sql.DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
       .select(col("doc_id"), size(col("__ws")).as("n_toks"),
@@ -365,8 +366,13 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         round(idf * w * 1e6).cast("long").as("c_micro"))
-    val scored = contrib.groupBy("query_id", "doc_id")
+    val scored0 = contrib.groupBy("query_id", "doc_id")
       .agg(sum(col("c_micro")).as("s_micro"))
+    // doc-as-query retrieval (hybrid fusion, near-dup mining): the
+    // query trivially retrieves itself — drop it BEFORE ranking
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("doc_id"))
+      else scored0
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("s_micro").desc, col("doc_id").asc)

@@ -229,6 +229,69 @@ object AnnQueries {
         .stripMargin),
     ),
 
+    // HYBRID retrieval: lexical BM25 and embedding-cosine rankings
+    // for the same 8 doc-as-query probes, fused by reciprocal-rank
+    // fusion (1/(60+rank) micro-unit sums) — the modern two-tower
+    // retrieval composition, and the reason rrfFuse exists: BM25
+    // scores and cosines are not calibrated against each other; ranks
+    // are. Both legs reuse registered, independently-oracled
+    // operators; the fusion layer itself is what this query gates.
+    QueryDef(
+      "q_hybrid_retrieval",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val e = QueryDef.load(s, d, "embeddings")
+        val q = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+        val lex = graft.operators.TextAnalysis.bm25TopK(docs, q, "text",
+            "doc_id", "query_id", "qtext", k = 20, excludeSelf = true)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val sem = Similarity.bruteForceTopK(e,
+            e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))
+        Similarity.rrfFuse(Seq(lex, sem), k = 60, topK = 10)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents),
+             |toks AS (SELECT doc_id, len(ws) AS n_toks, unnest(ws) AS term FROM w),
+             |tf AS (SELECT doc_id, term, count(*) AS tf_cnt, min(n_toks) AS n_toks
+             |  FROM toks GROUP BY doc_id, term),
+             |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+             |st AS (SELECT count(*) AS n_docs, CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM w),
+             |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term
+             |  FROM w WHERE doc_id < 8),
+             |c AS (SELECT qt.query_id, tf.doc_id,
+             |  CAST(round(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             |    * (tf_cnt * 2.2 / (tf_cnt + 1.2 * (0.25 + 0.75 * tf.n_toks
+             |        / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1e6) AS BIGINT) AS c_micro
+             |  FROM tf JOIN qt USING (term) JOIN dfq USING (term), st),
+             |sc AS (SELECT query_id, doc_id, CAST(sum(c_micro) AS BIGINT) AS s_micro
+             |  FROM c WHERE query_id != doc_id GROUP BY 1, 2),
+             |lex AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             |  ORDER BY s_micro DESC, doc_id ASC) AS rank FROM sc),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+             |  list_cosine_similarity(q.v, n.v) AS cos
+             |  FROM e q JOIN e n ON n.vec_id != q.vec_id WHERE q.vec_id < 8),
+             |sem AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             |  ORDER BY cos DESC, doc_id ASC) AS rank FROM pairs),
+             |uni AS (SELECT query_id, doc_id,
+             |    CAST(round(1e6 / (60 + rank)) AS BIGINT) AS cc
+             |  FROM lex WHERE rank <= 20
+             |  UNION ALL SELECT query_id, doc_id,
+             |    CAST(round(1e6 / (60 + rank)) AS BIGINT)
+             |  FROM sem WHERE rank <= 20),
+             |fused AS (SELECT query_id, doc_id, CAST(sum(cc) AS BIGINT) AS s,
+             |  count(*) AS n_systems FROM uni GROUP BY 1, 2),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |  ORDER BY s DESC, doc_id ASC) AS rank FROM fused)
+             |SELECT query_id, doc_id, round(s / 1e6, 6) + 0.0 AS rrf,
+             |  n_systems, rank
+             |FROM r WHERE rank <= 10""".stripMargin),
+    ),
+
     // SEMANTIC decontamination: corpus embeddings near-dup (cosine)
     // to ANY eval-set embedding, blocked by 2-table LSH so the corpus
     // never pairs against itself — the embedding-space analogue of

@@ -22,6 +22,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_dedup_semantic", // reuses the brute/verify cross on candidates
     "q_text_tfidf", // single-row n_docs scalar
     "q_text_bm25", // single-row corpus-stats scalar
+    "q_hybrid_retrieval", // brute leg's 8-query broadcast cross + bm25 scalar
     "q_text_unigram", // single-row total-tokens scalar
     "q_lm_perplexity", // single-row vocabulary-size scalar
     "q_corpus_stats", // single-row corpus totals
