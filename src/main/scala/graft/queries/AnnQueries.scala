@@ -296,23 +296,26 @@ object AnnQueries {
     // to ANY eval-set embedding, blocked by 2-table LSH so the corpus
     // never pairs against itself — the embedding-space analogue of
     // q_decontaminate's n-gram matching (catches paraphrases n-grams
-    // miss). Eval set = vec_id % 25 == 0, disjoint from the corpus
-    // side by construction.
+    // miss). Eval set = vec_id % 25 == 0 AND vec_id < 2000: a FIXED
+    // benchmark suite (<= 80 vectors at every sf) disjoint from the
+    // corpus side — deriving eval as a corpus fraction made the
+    // decade sweep quadratic (both join sides grew; see PERF.md /
+    // DecontamScaling), which is not the operator's contract.
     QueryDef(
       "q_decontaminate_semantic",
       (s, d) => {
         val e = QueryDef.load(s, d, "embeddings")
         Dedup.embeddingDecontaminate(
-            e.filter(col("vec_id") % 25 =!= 0),
-            e.filter(col("vec_id") % 25 === 0),
+            e.filter(col("vec_id") % 25 =!= 0 || col("vec_id") >= 2000),
+            e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000),
             "vec_id", "embedding", tau = 0.2, bits = 4, tables = 2)
           .select(col("vec_id"),
             (round(col("max_cos"), 4) + lit(0.0)).as("max_cos"),
             col("n_matches"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |ev AS (SELECT * FROM e WHERE vec_id % 25 = 0),
-              |co AS (SELECT * FROM e WHERE vec_id % 25 != 0),
+              |ev AS (SELECT * FROM e WHERE vec_id % 25 = 0 AND vec_id < 2000),
+              |co AS (SELECT * FROM e WHERE vec_id % 25 != 0 OR vec_id >= 2000),
               |cb AS (SELECT vec_id AS cid, v AS cv, 0 AS tbl,
               |    ${duckBucket("v", 4, 0)} AS bucket FROM co
               |  UNION ALL SELECT vec_id, v, 1, ${duckBucket("v", 4, 1)} FROM co),
