@@ -297,6 +297,61 @@ object Multimodal {
       sequence(lit(0), greatest((byteLen / chunk).cast("int") - 1, lit(0))),
       i => i % stride === 0)
 
+  /** REAL pixel resize — the execution half of [[resizeDims]]: decode
+    * via `javax.imageio`, resample with bilinear interpolation to the
+    * exact dimensions [[resizeDims]] plans (same rule: scale the long
+    * edge to `targetLongEdge`, never upscale, floor, clamp at 1px),
+    * re-encode as PNG (lossless — the training-data norm for
+    * intermediate storage). Returns (png bytes, out_w, out_h); `None`
+    * on undecodable input, same fail-soft contract as [[decodeImage]]. */
+  def resizeImage(bytes: Array[Byte],
+      targetLongEdge: Int): Option[(Array[Byte], Int, Int)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val mx = math.max(w, h)
+      val (ow, oh) =
+        if (mx <= targetLongEdge) (w, h)
+        else (math.max(1, (w.toLong * targetLongEdge / mx).toInt),
+          math.max(1, (h.toLong * targetLongEdge / mx).toInt))
+      val out = new java.awt.image.BufferedImage(ow, oh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some((bos.toByteArray, ow, oh))
+    }
+  }
+
+  /** Batched DataFrame resize: same bounded-batch typed mapPartitions
+    * shape as [[decodeImages]]; emits (doc_id, media_type, content =
+    * resized png, width, height), undecodable blobs dropped. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      targetLongEdge: Int, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast(LongType).as("doc_id"),
+        col("meta.media_type").as("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, mt, bytes) =>
+            resizeImage(bytes, targetLongEdge).map { case (b, w, h) =>
+              (id, mt, b, w, h) }
+          }
+        }
+      }
+      .toDF("doc_id", "media_type", "content", "width", "height")
+  }
+
   /** Aspect-preserving resize DIMENSIONS, as pure Column integer math
     * (no UDF — stays in whole-stage codegen): scale the long edge down
     * to `targetLongEdge` (never upscale), floor the short edge, clamp

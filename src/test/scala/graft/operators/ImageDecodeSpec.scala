@@ -150,4 +150,66 @@ class ImageDecodeSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("resizeImage: exact planned dimensions, bilinear content preserved") {
+    // 8x4 solid red -> long edge 4 -> 4x2, still solid red
+    val img = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, 0xff0000)
+    val (bytes, w, h) = Multimodal.resizeImage(png(img), 4).get
+    assert((w, h) == (4, 2))
+    val back = Multimodal.decodeImage(1L, "image/png", bytes).get
+    assert((back.width, back.height) == (4, 2))
+    assert(math.abs(back.feature(0) - 1.0f) < 1e-6 &&
+      back.feature(1) == 0.0f, "solid red survives the resample")
+    // no upscale: already within target -> identity dims
+    val (_, w2, h2) = Multimodal.resizeImage(png(img), 100).get
+    assert((w2, h2) == (8, 4))
+    // degenerate aspect clamps at 1px
+    val thin = new BufferedImage(64, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 64) thin.setRGB(x, y, 0x00ff00)
+    val (_, w3, h3) = Multimodal.resizeImage(png(thin), 16).get
+    assert((w3, h3) == (16, 1), s"got ${(w3, h3)}")
+  }
+
+  test("resizeImage dims agree with the resizeDims Column planner") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq((8, 4), (3, 5), (64, 2), (17, 17), (2, 2))
+    val target = 4
+    val planned = {
+      import spark.implicits._
+      cases.toDF("w", "h")
+        .select(Multimodal.resizeDims(col("w"), col("h"), target).as("d"))
+        .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1)))
+    }
+    val executed = cases.map { case (w, h) =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val (_, ow, oh) = Multimodal.resizeImage(png(img), target).get
+      (ow.toLong, oh.toLong)
+    }
+    assert(planned.toSeq == executed,
+      s"planner $planned vs codec $executed")
+  }
+
+  test("resizeImages: batched path resizes and re-encodes, corrupt rows drop") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val img = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, 0x0000ff)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType),
+      StructField("meta", Multimodal.mediaMetaSchema)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, png(img), Row("image/png", 0L, "h1")),
+        Row(2L, Array[Byte](7, 7), Row("image/png", 0L, "h2")),
+      ), 2), schema)
+    val out = Multimodal.resizeImages(spark, media, targetLongEdge = 4)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert((out.head.getInt(3), out.head.getInt(4)) == (4, 2))
+    val round = Multimodal.decodeImage(9L, "image/png",
+      out.head.getAs[Array[Byte]](2)).get
+    assert(math.abs(round.feature(2) - 1.0f) < 1e-6, "solid blue preserved")
+  }
 }
