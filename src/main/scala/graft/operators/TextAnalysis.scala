@@ -338,11 +338,16 @@ object TextAnalysis {
     * counted inside the materialized words array — so the corpus
     * never shuffles to build tf (a groupBy(doc, term) formulation
     * measured 173% of table bytes across the shuffle; this shape cut
-    * it to the matched postings). What does shuffle: per-partition
-    * term counts for df (map-side combined: one row per partition x
-    * term), and the per-(query, doc) score sum over postings that
-    * matched a query term. The query term list and the single-row
-    * corpus stats broadcast. */
+    * it to 1%). What does shuffle: per-partition term counts for df
+    * (map-side combined), and the per-(query, doc) score sum over
+    * postings that matched a query term. The query term list and the
+    * single-row corpus stats broadcast. (The [[bm25Route]] kernel —
+    * score every (doc, query) pair scan-locally — looks tempting
+    * here, but it pays O(query terms x words) per doc PER QUERY:
+    * measured 17x slower than the postings join on the doc-as-query
+    * hybrid workload, whose 8 queries carry ~80 terms each. Route is
+    * the SHORT-standing-query shape; postings is the retrieval
+    * shape.) */
   def bm25TopK(docs: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
@@ -386,6 +391,29 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         (round(col("s_micro") / 1e6, 6) + lit(0.0)).as("bm25"), col("rank"))
+  }
+
+  /** The shared scoring kernel of [[bm25TopK]] and [[bm25Route]]: one
+    * row per (doc, standing query) with the exact integer micro-unit
+    * BM25 sum, computed entirely scan-locally against the broadcast
+    * [[bm25QueryTable]] (tf = a filter-count inside the materialized
+    * words array, per term of the query). Stateless — streams. */
+  private def bm25ScoreMicro(docs: org.apache.spark.sql.DataFrame,
+      queryTable: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k1: Double, b: Double): org.apache.spark.sql.DataFrame = {
+    val prepared = docs.select(col(idCol).as("doc_id"),
+        Dedup.words(col(textCol)).as("__ws"))
+      .withColumn("__dl", size(col("__ws")))
+    val sMicro = aggregate(col("qterms"), lit(0L), (acc, t) => {
+      val tf = size(filter(col("__ws"), w => w === t.getField("term")))
+        .cast("double")
+      val w = tf * (k1 + 1) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("avgdl")))
+      acc + when(tf > 0,
+        round(t.getField("idf") * w * 1e6).cast("long")).otherwise(lit(0L))
+    })
+    prepared.crossJoin(broadcast(queryTable))
+      .select(col("query_id"), col("doc_id"), sMicro.as("s_micro"))
   }
 
   /** The frozen half of streaming BM25: per standing query, its terms
@@ -433,24 +461,11 @@ object TextAnalysis {
   def bm25Route(docs: org.apache.spark.sql.DataFrame,
       queryTable: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minScore: Double, k1: Double = 1.2,
-      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    val prepared = docs.select(col(idCol).as("doc_id"),
-        Dedup.words(col(textCol)).as("__ws"))
-      .withColumn("__dl", size(col("__ws")))
-    val sMicro = aggregate(col("qterms"), lit(0L), (acc, t) => {
-      val tf = size(filter(col("__ws"), w => w === t.getField("term")))
-        .cast("double")
-      val w = tf * (k1 + 1) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("avgdl")))
-      acc + when(tf > 0,
-        round(t.getField("idf") * w * 1e6).cast("long")).otherwise(lit(0L))
-    })
-    prepared.crossJoin(broadcast(queryTable))
-      .select(col("query_id"), col("doc_id"), sMicro.as("s_micro"))
+      b: Double = 0.75): org.apache.spark.sql.DataFrame =
+    bm25ScoreMicro(docs, queryTable, textCol, idCol, k1, b)
       .filter(col("s_micro") >= math.round(minScore * 1e6))
       .withColumn("bm25", round(col("s_micro") / 1e6, 6) + lit(0.0))
       .drop("s_micro")
-  }
 
   // ------------------------------------------------------------------
   // Real merge-table BPE (Sennrich et al. 2016, "Neural Machine
