@@ -315,6 +315,54 @@ object TextAnalysis {
           log(col("n_docs").cast("double") / col("doc_freq")), 6).as("tfidf"))
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, Appendix
+    * A — the literature-standard web-corpus filter): word-count
+    * bounds, mean-word-length band, symbol-to-word ratio, bullet /
+    * ellipsis line ratios, alphabetic-word fraction, minimum stopword
+    * hits. Every rule THRESHOLD compares in exact integer arithmetic
+    * (e.g. alpha >= 80% as `5*alpha_words >= 4*n_words`), so the keep
+    * verdict can never flip on a floating-point edge between engines;
+    * the reported ratios are rounded diagnostics only.
+    *
+    * Entirely scan-local Column math over one materialized words
+    * array (HOF-captured expressions re-evaluate per element — the
+    * array is bound as an attribute first, the repo-wide rule). */
+  def gopherQuality(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minWords: Int = 50,
+      maxWords: Int = 100000): org.apache.spark.sql.DataFrame = {
+    val stats = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        Dedup.words(col(textCol)).as("__ws"),
+        split(col(textCol), "\n").as("__ls"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        aggregate(col("__ws"), lit(0L), (a, w) => a + length(w)).as("sum_wlen"),
+        size(filter(col("__ws"), w => w.rlike("[a-z]")))
+          .cast("long").as("alpha_words"),
+        size(filter(col("__ws"),
+            w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+          .cast("long").as("stop_hits"),
+        matchCount(col("__t"), "#|\\.\\.\\.").cast("long").as("symbols"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(filter(col("__ls"), l => trim(l).rlike("^[-*•]")))
+          .cast("long").as("bullet_lines"),
+        size(filter(col("__ls"), l => l.rlike("\\.\\.\\.$")))
+          .cast("long").as("ellipsis_lines"))
+    stats.select(col("doc_id"), col("n_words"),
+      round(col("sum_wlen") / col("n_words"), 6).as("mean_wlen"),
+      round(col("symbols") / col("n_words"), 6).as("symbol_ratio"),
+      round(col("alpha_words") / col("n_words"), 6).as("alpha_ratio"),
+      col("stop_hits"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("sum_wlen") >= col("n_words") * 3 &&
+        col("sum_wlen") <= col("n_words") * 10 &&
+        col("symbols") * 10 < col("n_words") &&
+        col("alpha_words") * 5 >= col("n_words") * 4 &&
+        col("stop_hits") >= 2 &&
+        col("bullet_lines") * 10 <= col("n_lines") &&
+        col("ellipsis_lines") * 10 <= col("n_lines") * 3).as("keep"))
+  }
+
   /** BM25 ranked retrieval (Okapi BM25, Robertson et al.): top-k
     * documents per keyword query. The retrieval shape is an inverted
     * index expressed relationally — the (doc, term, tf) table joined

@@ -453,6 +453,42 @@ object CorpusQueries {
              |WHERE rn <= 10""".stripMargin),
     ),
 
+    // Gopher-rules quality verdict (Rae et al. 2021): the
+    // literature-standard rule battery, thresholds compared in exact
+    // integer arithmetic so keep can never flip on a float edge.
+    QueryDef(
+      "q_quality_gopher",
+      (s, d) => TextAnalysis.gopherQuality(
+        QueryDef.load(s, d, "documents"), "text", "doc_id"),
+      Some(s"""WITH sdocs AS (SELECT doc_id,
+              |  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws,
+              |  string_split(text, chr(10)) AS ls,
+              |  len(regexp_extract_all(text, '#|\\.\\.\\.')) AS symbols
+              |  FROM documents),
+              |t AS (SELECT doc_id,
+              |  CAST(len(ws) AS BIGINT) AS n_words,
+              |  CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS sum_wlen,
+              |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+              |  CAST(len(list_filter(ws, x -> x IN ($stopList))) AS BIGINT) AS stop_hits,
+              |  CAST(symbols AS BIGINT) AS symbols,
+              |  CAST(len(ls) AS BIGINT) AS n_lines,
+              |  CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*•]'))) AS BIGINT) AS bullet_lines,
+              |  CAST(len(list_filter(ls, x -> regexp_matches(x, '\\.\\.\\.$$'))) AS BIGINT) AS ellipsis_lines
+              |  FROM sdocs)
+              |SELECT doc_id, n_words,
+              |  round(sum_wlen / n_words, 6) AS mean_wlen,
+              |  round(symbols / n_words, 6) AS symbol_ratio,
+              |  round(alpha_words / n_words, 6) AS alpha_ratio,
+              |  stop_hits,
+              |  (n_words >= 50 AND n_words <= 100000
+              |   AND sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10
+              |   AND symbols * 10 < n_words
+              |   AND alpha_words * 5 >= n_words * 4 AND stop_hits >= 2
+              |   AND bullet_lines * 10 <= n_lines
+              |   AND ellipsis_lines * 10 <= n_lines * 3) AS keep
+              |FROM t""".stripMargin),
+    ),
+
     // Quantile-gated quality filter: keep docs at or above the 25th
     // percentile of quality WITHIN their language (per-stratum gating —
     // a global cut would empty out low-scoring languages). percent_rank

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[TextAnalysis.gopherQuality]]: each rule individually rejects a
+  * crafted violator while a compliant doc passes the whole battery. */
+class GopherQualitySpec extends SparkSpec {
+
+  private def verdicts(docs: (Long, String)*): Map[Long, Boolean] = {
+    import spark.implicits._
+    TextAnalysis.gopherQuality(docs.toDF("doc_id", "text"), "text", "doc_id",
+        minWords = 5, maxWords = 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+  }
+
+  private val good = "the quick brown fox and the lazy dog ran off in it"
+
+  test("compliant doc passes; each rule rejects its violator") {
+    val out = verdicts(
+      1L -> good,
+      2L -> "the of and", // too few words
+      3L -> ("the of " + Seq.fill(20)("x").mkString(" ")), // mean wlen < 3
+      4L -> ("the of in it " + Seq.fill(10)("####### ##########").mkString(" ")), // symbols + mean len
+      5L -> ("the of in it is " + Seq.fill(30)("123 456").mkString(" ")), // alpha < 80%
+      6L -> "quick brown foxes jump over lazy dogs every single day", // 0 stopword hits... 'over'? not in list
+      7L -> (good + " extra..." + "\nmore words here..."), // ellipsis lines > 30%
+      8L -> (good + "\n- bullet\n* bullet\n- bullet\n* b\n- b\n* b\n- b\n* b\n- b\n* b"), // bullets > 10%
+    )
+    assert(out(1L), "compliant doc must keep")
+    assert(!out(2L), "word-count floor")
+    assert(!out(3L), "mean word length floor")
+    assert(!out(4L), "symbol ratio")
+    assert(!out(5L), "alphabetic-word fraction")
+    assert(!out(6L), "stopword minimum")
+    assert(!out(7L), "ellipsis-line ratio")
+    assert(!out(8L), "bullet-line ratio")
+  }
+
+  test("diagnostic ratios are exact") {
+    import spark.implicits._
+    val row = TextAnalysis.gopherQuality(
+        Seq((1L, "aa bbbb cc 12")).toDF("doc_id", "text"),
+        "text", "doc_id", minWords = 1, maxWords = 10)
+      .collect().head
+    assert(row.getLong(1) == 4L) // n_words
+    assert(row.getDouble(2) == 2.5) // (2+4+2+2)/4
+    assert(row.getDouble(4) == 0.75) // 3 of 4 words alphabetic
+  }
+}
