@@ -101,6 +101,32 @@ object Corpus {
       .drop("__negsize", "rank")
   }
 
+  /** Budgeted greedy selection: take documents in descending
+    * `scoreCol` order until the cumulative `costCol` (tokens) spends
+    * `budget` — the data-selection shape ("best docs under a token
+    * budget") behind quality-ranked corpus curation. The global order
+    * AND the running cost both come from [[GlobalRank]]'s distributed
+    * bucket machinery ([[GlobalRank.withGroupRankAndRunningSum]]), so
+    * there is no single-task global cumsum window. Deterministic:
+    * score ties break on id; `running` is the inclusive spend, so the
+    * first doc that would overflow the budget is dropped (classic
+    * greedy, not best-fit). */
+  def selectUnderBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      costCol: String,
+      budget: Long,
+      buckets: Int = 32,
+  ): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val negated = df.withColumn("__negscore", -col(scoreCol))
+    GlobalRank.withGroupRankAndRunningSum(negated, Seq.empty, "__negscore",
+        Seq(idCol), costCol, buckets)
+      .filter(col("running") <= budget)
+      .drop("__negscore")
+  }
+
   /** Exact-size deterministic uniform sample: the `n` rows with the
     * smallest seeded md5 draw — "give me exactly 100k docs" where the
     * rate-based samplers give a binomial count. Executes as a

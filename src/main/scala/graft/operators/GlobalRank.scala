@@ -125,6 +125,53 @@ object GlobalRank {
       .drop("rank", "__n")
   }
 
+  /** [[withGroupRank]] plus an INCLUSIVE running sum of `weightCol`
+    * in rank order — the distributed prefix sum: within-(group,
+    * bucket) running sums in parallel, bucket-level weight offsets
+    * cumulated over the tiny slice table and broadcast back. The
+    * primitive behind budgeted greedy selection ("take in score order
+    * until the token budget is spent") at cluster scale — the naive
+    * form is a global-window cumsum, i.e. one task. */
+  def withGroupRankAndRunningSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tiebreak: Seq[String],
+      weightCol: String,
+      buckets: Int = 32,
+  ): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bs =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
+    val bucketCol =
+      when(col(valueCol).isNull, lit(bs.length + 1))
+        .otherwise(bs.map(b => when(col(valueCol) >= lit(b), 1).otherwise(0))
+          .foldLeft(lit(0): Column)(_ + _))
+    val bucketed = df.withColumn("__bkt", bucketCol)
+    val ordering = (col(valueCol).asc_nulls_last +: tiebreak.map(col(_).asc))
+    val wB = Window.partitionBy((groupCols :+ "__bkt").map(col): _*)
+      .orderBy(ordering: _*)
+    val ranked = bucketed
+      .withColumn("__rb", row_number().over(wB))
+      .withColumn("__runb", sum(col(weightCol)).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sliceAgg = bucketed.groupBy((groupCols :+ "__bkt").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(col(weightCol)).as("__wsum"))
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliceAgg
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .withColumn("__woff", coalesce(sum(col("__wsum")).over(wOff), lit(0L)))
+      .select((groupCols :+ "__bkt").map(col) :+ col("__off") :+ col("__woff"): _*)
+    ranked.join(broadcast(offsets), groupCols :+ "__bkt")
+      .withColumn("rank", col("__off") + col("__rb"))
+      .withColumn("running", col("__woff") + col("__runb"))
+      .drop("__bkt", "__rb", "__runb", "__off", "__woff")
+  }
+
   /** Exact nearest-rank (ceil(n*p)) per-group quantiles with
     * distributed ranking — the scalable twin of the
     * rank-window-per-group audit shape. Returns one row per group:

@@ -453,6 +453,38 @@ object CorpusQueries {
              |WHERE rn <= 10""".stripMargin),
     ),
 
+    // Budgeted greedy selection: best docs by quality until an 8k
+    // token budget is spent (binds mid-corpus at the driver's sf). Rank AND running cost ride GlobalRank's
+    // distributed buckets — the naive form is a one-task global
+    // cumsum window.
+    QueryDef(
+      "q_select_budget",
+      (s, d) => {
+        val base = QueryDef.load(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+        Corpus.selectUnderBudget(base, "doc_id", "q", "n_toks",
+            budget = 8000)
+          .select(col("doc_id"), col("q"), col("n_toks"),
+            col("running"), col("rank"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  round(least(1.0, n_words / 50.0) *
+              |    (1.0 - stop_hits / CAST(n_words AS DOUBLE)), 6) AS q,
+              |  CAST(n_words AS BIGINT) AS n_toks
+              |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+              |    len(list_filter(string_split(text, ' '),
+              |        x -> x IN ($stopList))) AS stop_hits
+              |    FROM documents)),
+              |r AS (SELECT doc_id, q, n_toks,
+              |  CAST(SUM(n_toks) OVER (ORDER BY q DESC, doc_id ASC
+              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running,
+              |  ROW_NUMBER() OVER (ORDER BY q DESC, doc_id ASC) AS rank
+              |  FROM t)
+              |SELECT doc_id, q, n_toks, running, rank FROM r
+              |WHERE running <= 8000""".stripMargin),
+    ),
+
     // Gopher-rules quality verdict (Rae et al. 2021): the
     // literature-standard rule battery, thresholds compared in exact
     // integer arithmetic so keep can never flip on a float edge.

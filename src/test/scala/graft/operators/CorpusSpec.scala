@@ -464,4 +464,46 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(alt != s100)
   }
+
+  test("selectUnderBudget: greedy by score, inclusive running cost, bucket-invariant") {
+    val docs = (1L to 200L)
+      .map(i => (i, ((i * 31) % 97).toDouble, (i % 40) + 10))
+      .toDF("id", "score", "cost")
+    val expected = docs.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0.0, 0L, 0L)) { case ((_, _, _, run), (id, s, c)) =>
+        (id, s, c, run + c) }
+      .drop(1).takeWhile(_._4 <= 3000L)
+      .map { case (id, _, _, run) => (id, run) }.toSet
+    for (buckets <- Seq(1, 7, 32)) {
+      val got = Corpus.selectUnderBudget(docs, "id", "score", "cost",
+          budget = 3000L, buckets = buckets)
+        .collect().map(r => (r.getLong(0),
+          r.getLong(r.fieldIndex("running")))).toSet
+      assert(got == expected, s"buckets=$buckets")
+    }
+    assert(expected.nonEmpty && expected.size < 200,
+      "budget must bind somewhere in the middle")
+  }
+
+  test("withGroupRankAndRunningSum equals the serial global window") {
+    val df = (1L to 500L).map(i => (i, (i * 17 % 101).toDouble, i % 13 + 1))
+      .toDF("id", "v", "w")
+    val serial = df.withColumn("rank", org.apache.spark.sql.functions
+        .row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"v".asc, $"id".asc)))
+      .withColumn("running", org.apache.spark.sql.functions.sum($"w")
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy($"v".asc, $"id".asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select($"id", $"rank", $"running").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dist = GlobalRank.withGroupRankAndRunningSum(df, Seq.empty, "v",
+        Seq("id"), "w", buckets = 8)
+      .select($"id", $"rank", $"running").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist.map(t => (t._1, t._2.toInt, t._3)) == serial)
+  }
 }
