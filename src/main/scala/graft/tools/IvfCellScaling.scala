@@ -53,8 +53,16 @@ object IvfCellScaling {
         val buildS = (System.nanoTime() - t0) / 1e9
         val candPerQ = Similarity.ivfScored(assigned, centroids, queries,
           "vec_id", "embedding", nProbe).count().toDouble / 32
-        def search() = Similarity.ivfTopK(assigned, centroids, queries,
-          "vec_id", "embedding", k = k, nProbe = nProbe)
+        // GRAFT_IVF_PQ=1: search through the full residual IVF-PQ
+        // composition instead of exact-cosine IVF — the question is
+        // whether the sqrt(N) cell rule carries over to ADC search
+        val pqMode = sys.env.get("GRAFT_IVF_PQ").contains("1")
+        def search() =
+          if (pqMode) Similarity.ivfPqResidualTopK(assigned, centroids,
+            queries, "vec_id", "embedding", k = k, m = 16, kCodes = 16,
+            nProbe = nProbe, rerank = 128)
+          else Similarity.ivfTopK(assigned, centroids, queries,
+            "vec_id", "embedding", k = k, nProbe = nProbe)
         search().count() // warm (plan + codegen)
         val searchS = (1 to 3).map { _ =>
           val s0 = System.nanoTime()
