@@ -323,4 +323,31 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
           s"${(batch.toSet -- streamed.toSet).take(3)}")
     } finally q.stop()
   }
+
+  test("Gopher quality rules stream unchanged: replay equals q_quality_gopher") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the rule battery is pure scan-local Column math -> append-mode
+    // streamable with zero state, like the BPE projection
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.gopherQuality(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("eq_gopher")
+      .outputMode("append").start()
+    try {
+      chunks(docs, 4).foreach { c =>
+        input.addData(c: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("eq_gopher").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val batch = graft.SparkEntry.queries("q_quality_gopher")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} docs vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
