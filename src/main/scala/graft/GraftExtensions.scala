@@ -27,6 +27,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineExpr(exprs(0), exprs(1)),
     ))
+    // the char kernels, SQL-callable: window_hashes(text, k, stride)
+    // (int args must be foldable literals — they parameterize codegen)
+    // and bpe_encode(text) with the engine's default 48-merge table
+    ext.injectFunction((
+      FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(
+        classOf[graft.functions.WindowHashExpr].getName, "window_hashes"),
+      (exprs: Seq[Expression]) => {
+        def intArg(i: Int, name: String): Int = {
+          require(i < exprs.length && exprs(i).foldable,
+            s"window_hashes: $name must be a literal integer")
+          exprs(i).eval().asInstanceOf[Number].intValue
+        }
+        graft.functions.WindowHashExpr(exprs(0),
+          intArg(1, "k"), intArg(2, "stride"))
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(
+        classOf[graft.functions.BpeEncodeExpr].getName, "bpe_encode"),
+      (exprs: Seq[Expression]) => graft.functions.BpeEncodeExpr(exprs(0),
+        graft.operators.TextAnalysis.bpeMerges),
+    ))
     // auto-accelerate the portable HOF dot-product pattern
     ext.injectOptimizerRule(_ => FuseDotProduct)
     // rewrite pure range joins (p >= s AND p < s + L, no equi key)

@@ -235,4 +235,46 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(saltedCount == plainCount)
   }
+
+  test("GraftExtensions injects the char kernels for SQL") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      // window_hashes: matches the Column-side kernel exactly
+      val viaSql = s2.sql("SELECT window_hashes('abcdef', 3, 1) AS h")
+        .head().getSeq[Long](0)
+      val viaCol = {
+        import s2.implicits._
+        Seq("abcdef").toDF("t")
+          .select(graft.functions.WindowHashExpr
+            .windowHashes($"t", 3, 1).as("h"))
+          .head().getSeq[Long](0)
+      }
+      assert(viaSql == viaCol && viaSql.length == 4)
+      // non-literal k must fail loudly, not silently misparameterize
+      val err = intercept[Exception] {
+        s2.sql("SELECT window_hashes(t, length(t), 1) FROM (SELECT 'ab' AS t)")
+          .collect()
+      }
+      assert(err.getMessage.contains("literal integer"))
+      // bpe_encode: default 48-merge table, same US-delimited encoding
+      val bpeSql = s2.sql("SELECT bpe_encode('the merge table') AS e")
+        .head().getString(0)
+      val bpeCol = {
+        import s2.implicits._
+        Seq("the merge table").toDF("t")
+          .select(graft.operators.TextAnalysis.bpeMerged($"t").as("e"))
+          .head().getString(0)
+      }
+      assert(bpeSql == bpeCol && bpeSql.nonEmpty)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
 }
