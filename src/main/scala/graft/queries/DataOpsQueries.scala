@@ -818,6 +818,31 @@ object DataOpsQueries {
              |FROM tf JOIN dfq USING (term), nd""".stripMargin),
     ),
 
+    // Tokenizer fertility (BPE tokens per whitespace word) by
+    // language — the standard tokenizer-quality metric; a language
+    // the merge table underserves shows fertility drift. Exact
+    // integer sums, ONE division at the end.
+    QueryDef(
+      "q_bpe_fertility",
+      (s, d) => QueryDef.load(s, d, "documents")
+        .select(col("lang"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("words"))
+        .groupBy("lang")
+        .agg(sum(col("bpe")).as("bpe_tokens"), sum(col("words")).as("words"))
+        .select(col("lang"), col("bpe_tokens"), col("words"),
+          round(col("bpe_tokens") / col("words"), 6).as("fertility")),
+      Some(s"""WITH t AS (SELECT lang,
+              |  ${TextAnalysis.bpeTokenCountSql("text")} AS bpe,
+              |  len(string_split(text, ' ')) AS words
+              |  FROM documents),
+              |g AS (SELECT lang, CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+              |  CAST(sum(words) AS BIGINT) AS words FROM t GROUP BY lang)
+              |SELECT lang, bpe_tokens, words,
+              |  round(bpe_tokens / words, 6) AS fertility FROM g"""
+        .stripMargin),
+    ),
+
     // BM25 ranked retrieval: top-k docs per keyword query, the
     // inverted-index join shape (only docs containing a query term are
     // scored). Scores are exact order-independent integer micro-unit
