@@ -464,6 +464,41 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), sMicro.as("s_micro"))
   }
 
+  /** The MERGEABLE index half of BM25: (df table, stats row) for a
+    * corpus slice. Both artifacts are commutative-monoid summaries —
+    * term counts and (n_docs, sum_dl) add — so an index over an
+    * appended corpus is [[bm25StatsMerge]] of the old index and the
+    * BATCH's index: no recompute over the historical corpus, the
+    * incremental-ingest property every growing deployment needs
+    * (sketch-merge discipline, same as the HLL/centroid operators). */
+  def bm25Stats(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val docFreq = docs
+      .select(Dedup.words(col(textCol)).as("__ws"))
+      .select(explode_outer(array_distinct(col("__ws"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val stats = docs
+      .select(size(Dedup.words(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (docFreq, stats)
+  }
+
+  /** Merge two [[bm25Stats]] indexes (disjoint corpus slices): df
+    * tables add per term, scalar totals add. Associative and
+    * commutative, so a corpus can fold up from any partitioning of
+    * its history. */
+  def bm25StatsMerge(
+      a: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+      b: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val df = a._1.union(b._1)
+      .groupBy("term").agg(sum(col("doc_freq")).as("doc_freq"))
+    val stats = a._2.union(b._2)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    (df, stats)
+  }
+
   /** The frozen half of streaming BM25: per standing query, its terms
     * with PRE-RESOLVED idf (from a corpus snapshot's df table) plus
     * the snapshot's avgdl — one broadcastable row per query. Index

@@ -78,4 +78,39 @@ class Bm25Spec extends SparkSpec {
     assert(out.count(_._1 == 1L) == 2, "banana matches docs 1 and 2")
     assert(out.filter(_._1 == 1L).map(_._2).toSet == Set(1L, 2L))
   }
+
+  test("bm25Stats merge: index over appended corpus == recompute, any split") {
+    import spark.implicits._
+    val all = (1L to 60L)
+      .map(i => (i, s"w${i % 7} w${i % 13} common doc number w${i % 3}"))
+      .toDF("doc_id", "text")
+    val (fullDf, fullStats) = TextAnalysis.bm25Stats(all, "text", "doc_id")
+    for (cut <- Seq(1L, 17L, 59L)) {
+      val (mdf, mstats) = TextAnalysis.bm25StatsMerge(
+        TextAnalysis.bm25Stats(all.filter($"doc_id" <= cut), "text", "doc_id"),
+        TextAnalysis.bm25Stats(all.filter($"doc_id" > cut), "text", "doc_id"))
+      val f = fullDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val m = mdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == f, s"df mismatch at cut $cut")
+      assert(mstats.collect().head.toSeq == fullStats.collect().head.toSeq,
+        s"stats mismatch at cut $cut")
+    }
+  }
+
+  test("bm25StatsMerge is associative across a 3-way fold") {
+    import spark.implicits._
+    val all = (1L to 30L).map(i => (i, s"a${i % 5} b${i % 4} c"))
+      .toDF("doc_id", "text")
+    def slice(lo: Long, hi: Long) = TextAnalysis.bm25Stats(
+      all.filter($"doc_id" >= lo && $"doc_id" <= hi), "text", "doc_id")
+    val leftFold = TextAnalysis.bm25StatsMerge(
+      TextAnalysis.bm25StatsMerge(slice(1, 10), slice(11, 20)), slice(21, 30))
+    val rightFold = TextAnalysis.bm25StatsMerge(
+      slice(1, 10), TextAnalysis.bm25StatsMerge(slice(11, 20), slice(21, 30)))
+    val l = leftFold._1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r = rightFold._1.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(l == r)
+    assert(leftFold._2.collect().head.toSeq ==
+      rightFold._2.collect().head.toSeq)
+  }
 }
