@@ -100,4 +100,34 @@ object Profile {
         round(max(col(valueCol)), 2).as("bin_max"))
       .withColumn("bin_lo", round(col("bin") * wc / 100.0, 2))
   }
+
+  /** Distribution drift between two corpus snapshots: per key, the
+    * smoothed probabilities and the per-key contribution to
+    * KL(A || B) — the standard data-monitoring check for "did the
+    * source/language mix shift between crawls". Add-one (Laplace)
+    * smoothing over the union key set keeps absent keys finite;
+    * contributions quantize to integer NANO-nats so any downstream
+    * total is an order-independent exact sum (negative contributions
+    * are legitimate — KL >= 0 only in total).
+    *
+    * At 100 TB: two map-side-combined key counts, a tiny key-set
+    * join, a single-row totals broadcast — nothing row-scale ever
+    * shuffles. */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+      keyCol: String): DataFrame = {
+    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("na"))
+    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("nb"))
+    val keys = ca.select(col(keyCol)).union(cb.select(col(keyCol))).distinct()
+    val t = keys.join(ca, Seq(keyCol), "left").join(cb, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = t.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+      count(lit(1)).as("kk"))
+    val pa = (col("na") + lit(1.0)) / (col("ta") + col("kk"))
+    val pb = (col("nb") + lit(1.0)) / (col("tb") + col("kk"))
+    t.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("na"), col("nb"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round(pa * log(pa / pb) * 1e9).cast("long").as("kl_nano"))
+  }
 }

@@ -485,6 +485,37 @@ object CorpusQueries {
               |WHERE running <= 8000""".stripMargin),
     ),
 
+    // Snapshot drift monitor: smoothed per-language KL(A || B)
+    // contributions between two corpus halves (the crawl-over-crawl
+    // mix-shift check). Nano-nat integer contributions; totals fold
+    // exactly.
+    QueryDef(
+      "q_corpus_drift",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        graft.operators.Profile.distributionDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang")
+      },
+      Some("""WITH a AS (SELECT lang, count(*) AS na FROM documents
+             |  WHERE doc_id % 2 = 0 GROUP BY lang),
+             |b AS (SELECT lang, count(*) AS nb FROM documents
+             |  WHERE doc_id % 2 = 1 GROUP BY lang),
+             |keys AS (SELECT lang FROM a UNION SELECT lang FROM b),
+             |t AS (SELECT keys.lang, CAST(coalesce(na, 0) AS BIGINT) AS na,
+             |    CAST(coalesce(nb, 0) AS BIGINT) AS nb
+             |  FROM keys LEFT JOIN a USING (lang) LEFT JOIN b USING (lang)),
+             |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+             |  CAST(sum(nb) AS BIGINT) AS tb, count(*) AS kk FROM t)
+             |SELECT lang, na, nb,
+             |  round((na + 1.0) / (ta + kk), 6) AS p_a,
+             |  round((nb + 1.0) / (tb + kk), 6) AS p_b,
+             |  CAST(round(((na + 1.0) / (ta + kk))
+             |    * ln(((na + 1.0) / (ta + kk)) / ((nb + 1.0) / (tb + kk)))
+             |    * 1e9) AS BIGINT) AS kl_nano
+             |FROM t, tot""".stripMargin),
+    ),
+
     // Gopher-rules quality verdict (Rae et al. 2021): the
     // literature-standard rule battery, thresholds compared in exact
     // integer arithmetic so keep can never flip on a float edge.

@@ -26,6 +26,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_unigram", // single-row total-tokens scalar
     "q_lm_perplexity", // single-row vocabulary-size scalar
     "q_corpus_stats", // single-row corpus totals
+    "q_corpus_drift", // single-row totals broadcast cross
   )
 
   test("no accidental nested-loop or cartesian joins in any query") {

@@ -46,4 +46,26 @@ class GopherQualitySpec extends SparkSpec {
     assert(row.getDouble(2) == 2.5) // (2+4+2+2)/4
     assert(row.getDouble(4) == 0.75) // 3 of 4 words alphabetic
   }
+
+  test("distributionDrift: zero on identical mixes, signed shift, finite on absent keys") {
+    import spark.implicits._
+    def df(xs: (Long, String)*) = xs.toDF("id", "k")
+    val same = Profile.distributionDrift(
+        df((1L, "en"), (2L, "de"), (3L, "en")),
+        df((4L, "en"), (5L, "de"), (6L, "en")), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(same.values.forall(_ == 0L), s"identical mixes drift: $same")
+    val shifted = Profile.distributionDrift(
+        df((1L, "en"), (2L, "en"), (3L, "en"), (4L, "de")),
+        df((5L, "en"), (6L, "de"), (7L, "de"), (8L, "de")), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(shifted("en") > 0L, "A-heavy key contributes positively to KL(A||B)")
+    assert(shifted("de") < 0L, "A-light key contributes negatively")
+    assert(shifted.values.sum > 0L, "total KL positive under a real shift")
+    val absent = Profile.distributionDrift(
+        df((1L, "en"), (2L, "zz")), df((3L, "en")), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(absent.contains("zz") && absent("zz") != Long.MaxValue,
+      "smoothing keeps a B-absent key finite")
+  }
 }
