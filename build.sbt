@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tail-scrapes this build's stdout for the bench
+// summary JSON and parses the LAST line. Two sbt defaults break that:
+// LoggedOutput prefixes every forked-process line with "[info] ", and
+// sbt appends "[success] Total time..." after the task. Route forked
+// stdout straight through and drop the success banner so the bench
+// main's final println IS the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, ThisBuild / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
