@@ -35,10 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.WindowHashExpr].getName, "window_hashes"),
       (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"window_hashes(text, k, stride) takes exactly 3 arguments, got ${exprs.length}")
         def intArg(i: Int, name: String): Int = {
-          require(i < exprs.length && exprs(i).foldable,
+          require(exprs(i).foldable,
             s"window_hashes: $name must be a literal integer")
-          exprs(i).eval().asInstanceOf[Number].intValue
+          exprs(i).eval() match {
+            case n: Number => n.intValue
+            case other => throw new IllegalArgumentException(
+              s"window_hashes: $name must be a literal integer, got $other")
+          }
         }
         graft.functions.WindowHashExpr(exprs(0),
           intArg(1, "k"), intArg(2, "stride"))

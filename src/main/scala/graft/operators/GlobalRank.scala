@@ -34,13 +34,22 @@ object GlobalRank {
   /** Core: (ranked rows incl. `rank`, per-slice count table). The
     * slice-count table (groups x buckets rows) also serves as the
     * group-total source for callers — deriving totals from it avoids a
-    * third scan of the fact table. */
+    * third scan of the fact table.
+    *
+    * With `weightCol` set, the ranked rows additionally carry
+    * `running` — the INCLUSIVE running sum of the weight in rank
+    * order, computed by the same bucket decomposition (within-slice
+    * running sums in parallel, weight offsets cumulated over the tiny
+    * slice table). One core so the exactness-critical bucketing
+    * (sketch boundaries, boundary-tie handling, offset cumsum) cannot
+    * drift between the rank-only and running-sum variants. */
   private def rankedWithSliceCounts(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       tiebreak: Seq[String],
       buckets: Int,
+      weightCol: Option[String] = None,
   ): (DataFrame, DataFrame) = {
     require(buckets >= 1, "buckets must be >= 1")
     // GLOBAL boundaries of the order key (cheap sketch; per-group
@@ -57,24 +66,38 @@ object GlobalRank {
           .foldLeft(lit(0): Column)(_ + _))
     val bucketed = df.withColumn("__bkt", bucketCol)
     val ordering = (col(valueCol).asc_nulls_last +: tiebreak.map(col(_).asc))
-    // parallel part: rank inside each (group, bucket) slice
+    // parallel part: rank (and running weight sum) inside each
+    // (group, bucket) slice
     val wB = Window.partitionBy((groupCols :+ "__bkt").map(col): _*)
       .orderBy(ordering: _*)
-    val ranked = bucketed.withColumn("__rb", row_number().over(wB))
+    val rankedBase = bucketed.withColumn("__rb", row_number().over(wB))
+    val ranked = weightCol.fold(rankedBase)(w =>
+      rankedBase.withColumn("__runb", sum(col(w)).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     // tiny part: per-slice counts -> running offset per group. The agg
     // is map-side combined; the cumsum window runs over groups x
     // (buckets + 2) rows, not data rows.
+    val sliceAggs = count(lit(1)).as("__cnt") +:
+      weightCol.toSeq.map(w => sum(col(w)).as("__wsum"))
     val sliceCounts = bucketed.groupBy((groupCols :+ "__bkt").map(col): _*)
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(sliceAggs.head, sliceAggs.tail: _*)
     val wOff = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sliceCounts
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-      .select((groupCols :+ "__bkt").map(col) :+ col("__off"): _*)
-    val withRank = ranked.join(broadcast(offsets), groupCols :+ "__bkt")
+    val offsetsAll = weightCol.fold(
+      sliceCounts.withColumn("__off",
+        coalesce(sum(col("__cnt")).over(wOff), lit(0L))))(_ =>
+      sliceCounts
+        .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+        .withColumn("__woff", coalesce(sum(col("__wsum")).over(wOff), lit(0L))))
+    val offCols = col("__off") +: weightCol.toSeq.map(_ => col("__woff"))
+    val offsets = offsetsAll
+      .select((groupCols :+ "__bkt").map(col) ++ offCols: _*)
+    val joined = ranked.join(broadcast(offsets), groupCols :+ "__bkt")
       .withColumn("rank", col("__off") + col("__rb"))
-      .drop("__bkt", "__rb", "__off")
+    val withRank = weightCol.fold(joined)(_ =>
+        joined.withColumn("running", col("__woff") + col("__runb")))
+      .drop("__bkt", "__rb", "__off", "__runb", "__woff")
     (withRank, sliceCounts)
   }
 
@@ -139,38 +162,9 @@ object GlobalRank {
       tiebreak: Seq[String],
       weightCol: String,
       buckets: Int = 32,
-  ): DataFrame = {
-    require(buckets >= 1, "buckets must be >= 1")
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bs =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
-    val bucketCol =
-      when(col(valueCol).isNull, lit(bs.length + 1))
-        .otherwise(bs.map(b => when(col(valueCol) >= lit(b), 1).otherwise(0))
-          .foldLeft(lit(0): Column)(_ + _))
-    val bucketed = df.withColumn("__bkt", bucketCol)
-    val ordering = (col(valueCol).asc_nulls_last +: tiebreak.map(col(_).asc))
-    val wB = Window.partitionBy((groupCols :+ "__bkt").map(col): _*)
-      .orderBy(ordering: _*)
-    val ranked = bucketed
-      .withColumn("__rb", row_number().over(wB))
-      .withColumn("__runb", sum(col(weightCol)).over(
-        wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val sliceAgg = bucketed.groupBy((groupCols :+ "__bkt").map(col): _*)
-      .agg(count(lit(1)).as("__cnt"), sum(col(weightCol)).as("__wsum"))
-    val wOff = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("__bkt").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sliceAgg
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-      .withColumn("__woff", coalesce(sum(col("__wsum")).over(wOff), lit(0L)))
-      .select((groupCols :+ "__bkt").map(col) :+ col("__off") :+ col("__woff"): _*)
-    ranked.join(broadcast(offsets), groupCols :+ "__bkt")
-      .withColumn("rank", col("__off") + col("__rb"))
-      .withColumn("running", col("__woff") + col("__runb"))
-      .drop("__bkt", "__rb", "__runb", "__off", "__woff")
-  }
+  ): DataFrame =
+    rankedWithSliceCounts(df, groupCols, valueCol, tiebreak, buckets,
+      weightCol = Some(weightCol))._1
 
   /** Exact nearest-rank (ceil(n*p)) per-group quantiles with
     * distributed ranking — the scalable twin of the

@@ -318,7 +318,9 @@ object TextAnalysis {
   /** Gopher-style document-quality rules (Rae et al. 2021, Appendix
     * A — the literature-standard web-corpus filter): word-count
     * bounds, mean-word-length band, symbol-to-word ratio, bullet /
-    * ellipsis line ratios, alphabetic-word fraction, minimum stopword
+    * ellipsis line ratios (remove when MORE than 90% of lines start
+    * with a bullet / more than 30% end in an ellipsis, the paper's
+    * thresholds), alphabetic-word fraction, minimum stopword
     * hits. Every rule THRESHOLD compares in exact integer arithmetic
     * (e.g. alpha >= 80% as `5*alpha_words >= 4*n_words`), so the keep
     * verdict can never flip on a floating-point edge between engines;
@@ -359,7 +361,7 @@ object TextAnalysis {
         col("symbols") * 10 < col("n_words") &&
         col("alpha_words") * 5 >= col("n_words") * 4 &&
         col("stop_hits") >= 2 &&
-        col("bullet_lines") * 10 <= col("n_lines") &&
+        col("bullet_lines") * 10 <= col("n_lines") * 9 &&
         col("ellipsis_lines") * 10 <= col("n_lines") * 3).as("keep"))
   }
 

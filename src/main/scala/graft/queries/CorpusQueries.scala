@@ -547,7 +547,7 @@ object CorpusQueries {
               |   AND sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10
               |   AND symbols * 10 < n_words
               |   AND alpha_words * 5 >= n_words * 4 AND stop_hits >= 2
-              |   AND bullet_lines * 10 <= n_lines
+              |   AND bullet_lines * 10 <= n_lines * 9
               |   AND ellipsis_lines * 10 <= n_lines * 3) AS keep
               |FROM t""".stripMargin),
     ),

@@ -38,7 +38,10 @@ object DecontamScaling {
       // FIXED eval suite: the sf0.1-range ids (80 vectors) at every scale
       val evalSet = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
         .localCheckpoint()
-      val corpus = e.filter(col("vec_id") % 25 =!= 0)
+      // hold out ONLY the fixed 80-vector eval suite — the production
+      // corpus shape of q_decontaminate_semantic (ids %25==0 at >= 2000
+      // are corpus, not eval)
+      val corpus = e.filter(col("vec_id") % 25 =!= 0 || col("vec_id") >= 2000)
       val n = corpus.count()
       for (bits <- Seq(4, 8)) {
         // warm pass, then best of 2 (quick-mode methodology)

@@ -24,7 +24,12 @@ class GopherQualitySpec extends SparkSpec {
       5L -> ("the of in it is " + Seq.fill(30)("123 456").mkString(" ")), // alpha < 80%
       6L -> "quick brown foxes jump over lazy dogs every single day", // 0 stopword hits... 'over'? not in list
       7L -> (good + " extra..." + "\nmore words here..."), // ellipsis lines > 30%
-      8L -> (good + "\n- bullet\n* bullet\n- bullet\n* b\n- b\n* b\n- b\n* b\n- b\n* b"), // bullets > 10%
+      // bullets 10/11 lines = 90.9% > the paper's 90% removal bar,
+      // while every other rule passes (mean wlen 3.37, alpha 83.9%)
+      8L -> (good + Seq.fill(10)("\n- the quick brown fox").mkString),
+      // list-heavy but legitimate: 1/2 lines bulleted (50%) — the
+      // Rae et al. rule KEEPS this; the pre-fix 10% cap wrongly dropped it
+      9L -> (good + "\n- the quick brown fox"),
     )
     assert(out(1L), "compliant doc must keep")
     assert(!out(2L), "word-count floor")
@@ -33,7 +38,8 @@ class GopherQualitySpec extends SparkSpec {
     assert(!out(5L), "alphabetic-word fraction")
     assert(!out(6L), "stopword minimum")
     assert(!out(7L), "ellipsis-line ratio")
-    assert(!out(8L), "bullet-line ratio")
+    assert(!out(8L), "bullet-line ratio (>90% bullet lines)")
+    assert(out(9L), "a 50% bullet-line doc is list-heavy, not spam — keep")
   }
 
   test("diagnostic ratios are exact") {
