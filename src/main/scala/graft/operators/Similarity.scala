@@ -361,6 +361,12 @@ object Similarity {
         .groupBy(col("__tid"), col("sub"))
         .agg(min(struct(col("__d"), col("code"))).getField("code").as("code"),
           first(col("__sv")).as("__sv"))
+      // the 6-dp mean is derived in INTEGER arithmetic — half-away-
+      // from-zero on the micro sum ((2|s| + n) div 2n, signed), then
+      // one exact division. round(s/n/1e6, 6) on the double diverges
+      // between engines when the mean lands on a 5e-7 boundary
+      // (decimal-string HALF_UP vs multiply-then-round) — observed as
+      // a single 1e-6 centroid flip in the sf0.01 residual book.
       val means = assigned
         .select(col("sub"), col("code"),
           posexplode(col("__sv")).as(Seq("pos", "v")))
@@ -369,8 +375,8 @@ object Similarity {
           count(lit(1)).as("n"))
         .groupBy(col("sub"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("pos"),
-            round(col("s").cast("double") / col("n") / 1000000.0, 6)
-              .as("cv")))),
+            (expr("if(s >= 0, (2*s + n) div (2*n), -((-2*s + n) div (2*n)))")
+              / 1e6).as("cv")))),
           x => x.getField("cv")).as("__newc"))
       cb = cb.join(means, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
@@ -408,12 +414,18 @@ object Similarity {
 
   /** Per-query ADC lookup table (query_id, sub, code, __dq): the
     * query's L2 distance to every (sub, code) centroid, quantized to
-    * DECIMAL(28,9) so downstream m-term sums are exact integer
-    * arithmetic — identical across partitionings and engines. m*k rows
-    * per query, made for broadcast. */
+    * integer NANO-units (round(d * 1e9) as BIGINT) so downstream
+    * m-term sums are exact integer arithmetic — identical across
+    * partitionings and engines. Integer quantization (not a 9-dp
+    * decimal round): rounding an identical double to a 9th DECIMAL
+    * digit diverges between engines (decimal-string HALF_UP vs
+    * multiply-then-round) on digit-boundary values, whereas
+    * round-to-integer of the same double is deterministic everywhere
+    * (a non-tie double's shortest decimal form sits on the same side
+    * of n.5 as its binary value; exact ties break away from zero in
+    * both engines). m*k rows per query, made for broadcast. */
   private def pqQueryTable(queries: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, m: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .select(col("query_id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
@@ -422,8 +434,8 @@ object Similarity {
         expr(subSliceSql("__qv", "sub", m)).as("__qs"))
       .join(broadcast(codebook), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
-        round(l2sq(col("__qs"), col("centroid")), 9)
-          .cast(DecimalType(28, 9)).as("__dq"))
+        round(l2sq(col("__qs"), col("centroid")) * 1e9)
+          .cast("long").as("__dq"))
   }
 
   /** Exact-cosine rerank of an ADC shortlist (query_id, neighbor_id,
@@ -450,8 +462,8 @@ object Similarity {
     * approximate distance is the SUM of m table lookups over its codes
     * (never touching the original vectors), the `rerank` closest by
     * approximate distance are re-scored with exact cosine, and top-k
-    * of those is returned. Per-lookup distances quantize to
-    * DECIMAL(28,9) before the sum, so the m-term accumulation is exact
+    * of those is returned. Per-lookup distances quantize to integer
+    * nano-units before the sum, so the m-term accumulation is exact
     * integer arithmetic — identical across partitionings and engines
     * (a raw double sum would tie-break rankings differently per run).
     * At scale: codes are the only per-vector state the search reads;
@@ -459,22 +471,26 @@ object Similarity {
   def pqTopK(corpus: DataFrame, codebook: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 5, m: Int = 8,
       rerank: Int = 32): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
     val cand = pqEncode(corpus, codebook, idCol, vecCol, m)
       .select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
     val qtab = pqQueryTable(queries, codebook, idCol, vecCol, m)
     // every (sub, code) exists in qtab, so each (query, neighbor)
-    // group aggregates exactly m lookup rows
+    // group aggregates exactly m lookup rows; the shortlist ranks on
+    // the exact integer nano-unit sum, pq_dist divides once at the end
     val approx = cand.join(broadcast(qtab), Seq("sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__dq")).cast(DoubleType).as("pq_dist"))
+      .agg(sum(col("__dq")).as("__ds"))
     val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
+      .orderBy(col("__ds").asc, col("neighbor_id").asc)
     val shortlist = approx.withColumn("__ar", row_number().over(wA))
       .filter(col("__ar") <= rerank)
-      .select("query_id", "neighbor_id", "pq_dist")
+      .select(col("query_id"), col("neighbor_id"),
+        // 6-dp output rounding done in INTEGER arithmetic (half-up on
+        // the nano sum), then one exact division — a double round(x, 6)
+        // diverges between engines when the nano sum ends in ...500
+        (expr("(__ds + 500) div 1000") / 1e6).as("pq_dist"))
     pqRerank(shortlist, corpus, queries, idCol, vecCol, k)
   }
 
@@ -494,7 +510,6 @@ object Similarity {
   def ivfPqTopK(assigned: DataFrame, centroids: DataFrame, codebook: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
       m: Int = 8, nProbe: Int = 4, rerank: Int = 32): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
@@ -514,12 +529,16 @@ object Similarity {
       .join(broadcast(qtab), Seq("query_id", "sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__dq")).cast(DoubleType).as("pq_dist"))
+      .agg(sum(col("__dq")).as("__ds"))
     val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
+      .orderBy(col("__ds").asc, col("neighbor_id").asc)
     val shortlist = approx.withColumn("__ar", row_number().over(wA))
       .filter(col("__ar") <= rerank)
-      .select("query_id", "neighbor_id", "pq_dist")
+      .select(col("query_id"), col("neighbor_id"),
+        // 6-dp output rounding done in INTEGER arithmetic (half-up on
+        // the nano sum), then one exact division — a double round(x, 6)
+        // diverges between engines when the nano sum ends in ...500
+        (expr("(__ds + 500) div 1000") / 1e6).as("pq_dist"))
     pqRerank(shortlist, assigned, queries, idCol, vecCol, k)
   }
 
@@ -554,15 +573,15 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
       m: Int = 8, kCodes: Int = 16, nProbe: Int = 4, rerank: Int = 32,
       salt: String = "pqres", trainIters: Int = 0): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val resid = assigned
       .join(broadcast(centroids), Seq("cell"))
       .withColumn("__rv",
         zip_with(asDouble(col(vecCol)), col("centroid"), (x, c) => x - c))
       .select(col(idCol), col("cell"), col("__rv"))
     // trainIters > 0: Lloyd-refine the residual codebook too — the
-    // full trained IndexIVFPQ (the registered oracle config stays at
-    // the seeded book; the composition's recall is spec-measured)
+    // full trained IndexIVFPQ (registered, oracle-replayed, as
+    // q_sim_topk_ivfpq_trained; q_sim_topk_ivfpq_res keeps the seeded
+    // book as the baseline)
     val cb =
       if (trainIters > 0)
         pqCodebookTrained(resid, idCol, "__rv", m, kCodes, trainIters, salt)
@@ -586,17 +605,21 @@ object Similarity {
         expr(subSliceSql("__qr", "sub", m)).as("__qs"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
-        round(l2sq(col("__qs"), col("centroid")), 9)
-          .cast(DecimalType(28, 9)).as("__dq"))
+        round(l2sq(col("__qs"), col("centroid")) * 1e9)
+          .cast("long").as("__dq"))
     val approx = cand.join(broadcast(qres), Seq("cell", "sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__dq")).cast(DoubleType).as("pq_dist"))
+      .agg(sum(col("__dq")).as("__ds"))
     val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("pq_dist").asc, col("neighbor_id").asc)
+      .orderBy(col("__ds").asc, col("neighbor_id").asc)
     val shortlist = approx.withColumn("__ar", row_number().over(wA))
       .filter(col("__ar") <= rerank)
-      .select("query_id", "neighbor_id", "pq_dist")
+      .select(col("query_id"), col("neighbor_id"),
+        // 6-dp output rounding done in INTEGER arithmetic (half-up on
+        // the nano sum), then one exact division — a double round(x, 6)
+        // diverges between engines when the nano sum ends in ...500
+        (expr("(__ds + 500) div 1000") / 1e6).as("pq_dist"))
     pqRerank(shortlist, assigned, queries, idCol, vecCol, k)
   }
 
@@ -614,7 +637,9 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(sum(round(col("v") * 1e6).cast("long")).as("s"),
         count(lit(1)).as("n"))
+      // 6-dp mean in integer arithmetic (see pqCodebookTrained) — a
+      // double round(s/n/1e6, 6) is engine-divergent on boundaries
       .select(col("label"), col("pos"),
-        round(col("s").cast("double") / col("n") / 1000000.0, 6)
-          .as("centroid_val"))
+        (expr("if(s >= 0, (2*s + n) div (2*n), -((-2*s + n) div (2*n)))")
+          / 1e6).as("centroid_val"))
 }

@@ -49,11 +49,14 @@ object AnnQueries {
        |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
        |      ORDER BY ${duckL2sq("s.sv", s"$prev.c", 4)} ASC, $prev.code ASC) AS rn
        |  FROM csub s JOIN $prev ON s.sub = $prev.sub) WHERE rn = 1),
-       |m$idx AS (SELECT a$idx.sub, a$idx.code, p.pos,
-       |  round(CAST(sum(CAST(round(sv[p.pos] * 1e6) AS BIGINT)) AS DOUBLE)
-       |    / count(*) / 1000000.0, 6) AS cv
-       |  FROM a$idx CROSS JOIN (SELECT unnest(range(1, 5)) AS pos) p
-       |  GROUP BY 1, 2, 3),
+       |m$idx AS (SELECT sub, code, pos,
+       |  CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+       |       ELSE -((-2 * s + n) // (2 * n)) END / 1e6 AS cv
+       |  FROM (SELECT a$idx.sub, a$idx.code, p.pos,
+       |    CAST(sum(CAST(round(sv[p.pos] * 1e6) AS BIGINT)) AS BIGINT) AS s,
+       |    count(*) AS n
+       |    FROM a$idx CROSS JOIN (SELECT unnest(range(1, 5)) AS pos) p
+       |    GROUP BY 1, 2, 3)),
        |n$idx AS (SELECT sub, code, list(cv ORDER BY pos) AS newc
        |  FROM m$idx GROUP BY sub, code),
        |$out AS (SELECT $prev.sub, $prev.code,
@@ -355,7 +358,7 @@ object AnnQueries {
     // for the rerank shortlist. The seeded-sample codebook (md5-hash
     // order, like every deterministic draw here) makes the WHOLE
     // pipeline hash-match the oracle: per-lookup distances quantize to
-    // DECIMAL(28,9) so the m-term ADC sums are exact integer
+    // integer nano-units so the m-term ADC sums are exact integer
     // arithmetic on both engines, and the subspace L2 folds spell the
     // identical left-associated float sum.
     QueryDef(
@@ -392,15 +395,15 @@ object AnnQueries {
               |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS qs
               |  FROM e CROSS JOIN subsq WHERE vec_id < 8),
               |qtab AS (SELECT q.query_id, q.sub, cb.code,
-              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)}, 9) AS DECIMAL(28,9)) AS dq
+              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)} * 1e9) AS BIGINT) AS dq
               |  FROM qsub q JOIN cb ON q.sub = cb.sub),
               |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
-              |  CAST(sum(t.dq) AS DOUBLE) AS pq_dist
+              |  CAST(sum(t.dq) AS BIGINT) AS ds
               |  FROM best b JOIN qtab t ON b.sub = t.sub AND b.code = t.code
               |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
-              |short AS (SELECT query_id, neighbor_id, pq_dist FROM (SELECT *,
+              |short AS (SELECT query_id, neighbor_id, (ds + 500) // 1000 / 1e6 AS pq_dist FROM (SELECT *,
               |  ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY pq_dist ASC, neighbor_id ASC) AS ar FROM approx)
+              |    ORDER BY ds ASC, neighbor_id ASC) AS ar FROM approx)
               |  WHERE ar <= 64),
               |rer AS (SELECT s.query_id, s.neighbor_id,
               |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
@@ -454,15 +457,15 @@ object AnnQueries {
               |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS qs
               |  FROM e CROSS JOIN subsq WHERE vec_id < 8),
               |qtab AS (SELECT q.query_id, q.sub, cb.code,
-              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)}, 9) AS DECIMAL(28,9)) AS dq
+              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)} * 1e9) AS BIGINT) AS dq
               |  FROM qsub q JOIN cb ON q.sub = cb.sub),
               |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
-              |  CAST(sum(t.dq) AS DOUBLE) AS pq_dist
+              |  CAST(sum(t.dq) AS BIGINT) AS ds
               |  FROM best b JOIN qtab t ON b.sub = t.sub AND b.code = t.code
               |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
-              |short AS (SELECT query_id, neighbor_id, pq_dist FROM (SELECT *,
+              |short AS (SELECT query_id, neighbor_id, (ds + 500) // 1000 / 1e6 AS pq_dist FROM (SELECT *,
               |  ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY pq_dist ASC, neighbor_id ASC) AS ar FROM approx)
+              |    ORDER BY ds ASC, neighbor_id ASC) AS ar FROM approx)
               |  WHERE ar <= 64),
               |rer AS (SELECT s.query_id, s.neighbor_id,
               |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
@@ -529,18 +532,18 @@ object AnnQueries {
               |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS qs
               |  FROM e CROSS JOIN subsq WHERE vec_id < 8),
               |qtab AS (SELECT q.query_id, q.sub, cb.code,
-              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)}, 9) AS DECIMAL(28,9)) AS dq
+              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)} * 1e9) AS BIGINT) AS dq
               |  FROM qsub q JOIN cb ON q.sub = cb.sub),
               |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
-              |  CAST(sum(t.dq) AS DOUBLE) AS pq_dist
+              |  CAST(sum(t.dq) AS BIGINT) AS ds
               |  FROM best b JOIN asg a ON a.vec_id = b.vec_id
               |  JOIN probes p ON p.cell = a.cell
               |  JOIN qtab t ON t.query_id = p.query_id
               |    AND b.sub = t.sub AND b.code = t.code
               |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
-              |short AS (SELECT query_id, neighbor_id, pq_dist FROM (SELECT *,
+              |short AS (SELECT query_id, neighbor_id, (ds + 500) // 1000 / 1e6 AS pq_dist FROM (SELECT *,
               |  ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY pq_dist ASC, neighbor_id ASC) AS ar FROM approx)
+              |    ORDER BY ds ASC, neighbor_id ASC) AS ar FROM approx)
               |  WHERE ar <= 128),
               |rer AS (SELECT s.query_id, s.neighbor_id,
               |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
@@ -611,16 +614,112 @@ object AnnQueries {
               |  list_slice(qr, sub * 4 + 1, sub * 4 + 4) AS qs
               |  FROM qres CROSS JOIN subsq),
               |qtab AS (SELECT q.query_id, q.cell, q.sub, cb.code,
-              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)}, 9) AS DECIMAL(28,9)) AS dq
+              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)} * 1e9) AS BIGINT) AS dq
               |  FROM qsub q JOIN cb ON q.sub = cb.sub),
               |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
-              |  CAST(sum(t.dq) AS DOUBLE) AS pq_dist
+              |  CAST(sum(t.dq) AS BIGINT) AS ds
               |  FROM best b JOIN qtab t ON t.cell = b.cell
               |    AND b.sub = t.sub AND b.code = t.code
               |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
-              |short AS (SELECT query_id, neighbor_id, pq_dist FROM (SELECT *,
+              |short AS (SELECT query_id, neighbor_id, (ds + 500) // 1000 / 1e6 AS pq_dist FROM (SELECT *,
               |  ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY pq_dist ASC, neighbor_id ASC) AS ar FROM approx)
+              |    ORDER BY ds ASC, neighbor_id ASC) AS ar FROM approx)
+              |  WHERE ar <= 128),
+              |rer AS (SELECT s.query_id, s.neighbor_id,
+              |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
+              |  FROM short s
+              |  JOIN e ne ON ne.vec_id = s.neighbor_id
+              |  JOIN e qe ON qe.vec_id = s.query_id)
+              |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
+              |  CAST(rnk AS BIGINT) AS rank, round(pq_dist, 6) + 0.0 AS pq_dist
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM rer)
+              |WHERE rnk <= 5""".stripMargin),
+    ),
+
+    // The DEPLOYED IVF-PQ configuration, fully trained and fully
+    // sized — residual encoding + 2 Lloyd iterations on the residual
+    // codebook (the complete FAISS IndexIVFPQ recipe), with the index
+    // sized by the executed scale rules instead of pinned small:
+    // nCells = autoCells(N) ~ sqrt(N) (per-query candidates stay
+    // ~nProbe*sqrt(N), sub-linear — IvfCellScaling measured fixed-16
+    // cells at 36x more candidates AND recall loss at 200k vectors)
+    // and nProbe = ceil(nCells/2), holding the 50% probe fraction the
+    // seeded config ships. Everything remains oracle-exact: cell count
+    // and probe depth are scalar subqueries over count(*), the Lloyd
+    // rounds replay argmin + micro-unit means, ADC lookups quantize to
+    // integer nano-units.
+    QueryDef(
+      "q_sim_topk_ivfpq_trained",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        val nCells = Similarity.autoCells(e.count())
+        val nProbe = (nCells + 1) / 2
+        val centroids = e.filter(col("vec_id") < nCells)
+          .select(col("vec_id").as("cell"),
+            col("embedding").cast("array<double>").as("centroid"))
+        val assigned = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+        Similarity.ivfPqResidualTopK(assigned, centroids,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, m = 16, kCodes = 16, nProbe = nProbe, rerank = 128,
+          trainIters = 2)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |par AS (SELECT GREATEST(16, CAST(round(sqrt(count(*))) AS BIGINT)) AS ncells FROM e),
+              |cent AS (SELECT vec_id AS cell, v AS centroid FROM e
+              |  WHERE vec_id < (SELECT ncells FROM par)),
+              |asg AS (SELECT vec_id, cell FROM (
+              |  SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |    ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rn
+              |  FROM e, cent c) WHERE rn = 1),
+              |rese AS (SELECT a.vec_id, a.cell,
+              |  list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.centroid[i]) AS rv
+              |  FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cent c ON c.cell = a.cell),
+              |seeds AS (SELECT CAST(vec_id AS VARCHAR) AS sid, rv,
+              |  ('0x' || substr(md5('pqres:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+              |  FROM rese ORDER BY h, sid LIMIT 16),
+              |coded AS (SELECT ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS code, rv
+              |  FROM seeds),
+              |subsq AS (SELECT unnest(range(0, 16)) AS sub),
+              |cb0 AS (SELECT sub, code,
+              |  list_slice(rv, sub * 4 + 1, sub * 4 + 4) AS c
+              |  FROM coded CROSS JOIN subsq),
+              |csub AS (SELECT vec_id, cell, sub,
+              |  list_slice(rv, sub * 4 + 1, sub * 4 + 4) AS sv
+              |  FROM rese CROSS JOIN subsq),
+              |${duckLloydIter("cb0", "cb1", 1)},
+              |${duckLloydIter("cb1", "cb", 2)},
+              |dists AS (SELECT s.vec_id, s.cell, s.sub, cb.code,
+              |  ${duckL2sq("s.sv", "cb.c", 4)} AS dd
+              |  FROM csub s JOIN cb ON s.sub = cb.sub),
+              |best AS (SELECT vec_id, cell, sub, code FROM (
+              |  SELECT vec_id, cell, sub, code,
+              |  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              |    ORDER BY dd ASC, code ASC) AS rn FROM dists) WHERE rn = 1),
+              |probes AS (SELECT query_id, cell FROM (
+              |  SELECT q.vec_id AS query_id, c.cell,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cell ASC) AS pr
+              |  FROM e q, cent c WHERE q.vec_id < 8)
+              |  WHERE pr <= (SELECT (ncells + 1) // 2 FROM par)),
+              |qres AS (SELECT p.query_id, p.cell,
+              |  list_transform(range(1, len(q.v) + 1), i -> q.v[i] - c.centroid[i]) AS qr
+              |  FROM probes p JOIN e q ON q.vec_id = p.query_id
+              |  JOIN cent c ON c.cell = p.cell),
+              |qsub AS (SELECT query_id, cell, sub,
+              |  list_slice(qr, sub * 4 + 1, sub * 4 + 4) AS qs
+              |  FROM qres CROSS JOIN subsq),
+              |qtab AS (SELECT q.query_id, q.cell, q.sub, cb.code,
+              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)} * 1e9) AS BIGINT) AS dq
+              |  FROM qsub q JOIN cb ON q.sub = cb.sub),
+              |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
+              |  CAST(sum(t.dq) AS BIGINT) AS ds
+              |  FROM best b JOIN qtab t ON t.cell = b.cell
+              |    AND b.sub = t.sub AND b.code = t.code
+              |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
+              |short AS (SELECT query_id, neighbor_id, (ds + 500) // 1000 / 1e6 AS pq_dist FROM (SELECT *,
+              |  ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY ds ASC, neighbor_id ASC) AS ar FROM approx)
               |  WHERE ar <= 128),
               |rer AS (SELECT s.query_id, s.neighbor_id,
               |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
@@ -648,11 +747,13 @@ object AnnQueries {
              |  unnest(embedding::DOUBLE[]) AS v
              |  FROM embeddings),
              |q AS (SELECT label, pos,
-             |  CAST(round(v * 1000000) AS BIGINT) AS micro FROM t)
+             |  CAST(round(v * 1000000) AS BIGINT) AS micro FROM t),
+             |a AS (SELECT label, pos, CAST(sum(micro) AS BIGINT) AS s,
+             |  count(*) AS n FROM q GROUP BY label, pos)
              |SELECT label, pos,
-             | round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6)
-             |   AS centroid_val
-             |FROM q GROUP BY label, pos""".stripMargin),
+             |  CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+             |       ELSE -((-2 * s + n) // (2 * n)) END / 1e6 AS centroid_val
+             |FROM a""".stripMargin),
     ),
 
     QueryDef(

@@ -19,6 +19,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_topk_ivf", // query x broadcast centroids
     "q_sim_topk_ivfpq", // assign + probe: corpus/query x broadcast centroids
     "q_sim_topk_ivfpq_res", // same assign/probe crosses, residual codes
+    "q_sim_topk_ivfpq_trained", // same crosses; centroids ~ sqrt(N) rows, still broadcast-tiny
     "q_dedup_semantic", // reuses the brute/verify cross on candidates
     "q_text_tfidf", // single-row n_docs scalar
     "q_text_bm25", // single-row corpus-stats scalar

@@ -177,6 +177,34 @@ class AnnRecallSpec extends SparkSpec {
       f"training the residual book ($rTrained%.3f) must beat seeded ($rRes%.3f)")
   }
 
+  test("registered q_sim_topk_ivfpq_trained config (autoCells, 50% probe, " +
+      "residual + lloyd-2) holds the recall floor and beats the seeded config") {
+    // mirrors the REGISTERED composition exactly: fixed first-N
+    // centroids (oracle parity), nCells = autoCells(N), nProbe = 50%
+    def registered(trainIters: Int): Set[(Long, Long)] = {
+      val nCells = Similarity.autoCells(emb.count())
+      val nProbe = (nCells + 1) / 2
+      val cents = emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"),
+          col("embedding").cast("array<double>").as("centroid"))
+      val assigned = Similarity.assignCells(emb, cents, "vec_id", "embedding")
+      Similarity.ivfPqResidualTopK(assigned, cents, queries, "vec_id",
+          "embedding", k = K, m = 16, kCodes = 16, nProbe = nProbe,
+          rerank = 128, trainIters = trainIters)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val trained = registered(2)
+    val seeded = registered(0)
+    val rTrained = exact.intersect(trained).size.toDouble / exact.size
+    val rSeeded = exact.intersect(seeded).size.toDouble / exact.size
+    info(f"registered IVF-PQ recall@$K: trained $rTrained%.3f vs seeded $rSeeded%.3f")
+    assert(rTrained >= 0.75,
+      f"deployed trained config recall $rTrained%.3f below 0.75 floor")
+    assert(rTrained >= rSeeded - 0.02,
+      f"trained ($rTrained%.3f) must not lose to seeded ($rSeeded%.3f)")
+  }
+
   test("IVF (nCells=8) recall@10: >= 0.70 at nProbe=4, >= 0.85 at nProbe=6") {
     val r4 = ivfRecall(nCells = 8, nProbe = 4)
     val r6 = ivfRecall(nCells = 8, nProbe = 6)
