@@ -762,18 +762,46 @@ object TextAnalysis {
     * Count semantics: `n` counts ADJACENT occurrences, which overlap —
     * pair (x,x) appears twice in "xxx" — while the merge replaces
     * left-to-right non-overlapping, so `n` is an upper bound on the
-    * replacements actually performed (equal unless the winning pair
-    * self-overlaps). The DuckDB oracle's `list_zip` counts the same
-    * way, so cross-engine parity is unaffected. Tie-break caveat: ties
-    * on `n` break by Spark's UTF-16 code-unit string order, DuckDB's
-    * by UTF-8 bytes — these agree on all of Unicode below the
-    * supplementary planes (and trivially on ASCII, which this corpus
-    * is after the punctuation split); an emoji-heavy corpus with a
-    * count tie on supplementary-plane symbols could pick different
-    * merges per engine. */
+    * replacements actually performed. For a pair with lhs != rhs the
+    * bound is TIGHT (a two-symbol pattern can only self-overlap when
+    * both symbols are equal), which BpeLearnSpec pins exactly; only a
+    * self-pair (x,x) over-counts, by floor(run/2) per symbol run. The
+    * DuckDB oracle's `list_zip` counts the same way, so cross-engine
+    * parity is unaffected either way. Ties on `n` break on the UTF-8
+    * BYTE order of (lhs, rhs) — `encode(_, 'UTF-8')` on the Spark
+    * side, DuckDB's native memcmp collation on the oracle side — so a
+    * count tie on supplementary-plane symbols (where UTF-16 code-unit
+    * order diverges from byte order) still picks the same merge in
+    * both engines.
+    *
+    * `batch` > 1 amortizes the per-round driver barrier (one argmax
+    * job per merge, the cost wall at 32k vocabularies): each round
+    * collects the head of the count table and greedily accepts up to
+    * `batch` mutually-SAFE pairs, applied by one histogram rewrite.
+    * Safety is the exact invalidation set of a merge, not blanket
+    * symbol-disjointness: merging (a, b) only changes counts of pairs
+    * whose SECOND symbol is `a` ((x,a) at "x a b" sites) or whose
+    * FIRST symbol is `b` ((b,y) at "a b y" sites) — a later candidate
+    * (c,d) stays exact iff d != a and c != b (plus no aliasing with
+    * the concatenated "ab" text), and the same condition makes the
+    * chained replace patterns unable to create or destroy each
+    * other's match sites. The standard batched-BPE deviation remains:
+    * a pair CREATED by an earlier merge in the batch could out-rank a
+    * later batch member in the strict sequential order, so batch > 1
+    * is the scale path while batch = 1 (the default, and the
+    * registered oracle path) reproduces textbook BPE exactly. */
   def learnBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-      nMerges: Int): org.apache.spark.sql.DataFrame = {
+      nMerges: Int, batch: Int = 1): org.apache.spark.sql.DataFrame =
+    learnBpeMergesWithRounds(df, textCol, nMerges, batch)._1
+
+  /** [[learnBpeMerges]] plus the number of driver-barrier rounds the
+    * training actually ran — the quantity the batched mode exists to
+    * shrink (BpeTrainCost measures it; sequential = one per merge). */
+  def learnBpeMergesWithRounds(df: org.apache.spark.sql.DataFrame,
+      textCol: String, nMerges: Int, batch: Int = 1)
+      : (org.apache.spark.sql.DataFrame, Int) = {
     require(nMerges > 0 && nMerges <= 65536, "nMerges out of (0, 65536]")
+    require(batch >= 1, "batch must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     // ONE corpus scan -> word histogram; every round after runs on it
@@ -782,9 +810,10 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
+    var rounds = 0
     var exhausted = false
-    while (r <= nMerges && !exhausted) {
+    while (learned.size < nMerges && !exhausted) {
+      rounds += 1
       val pairs = cur
         .select(filter(split(col("w"), US), x => x =!= lit("")).as("syms"),
           col("freq"))
@@ -794,30 +823,65 @@ object TextAnalysis {
           (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("freq"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("n"))
-      val top = pairs.orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
+      val want = math.min(batch, nMerges - learned.size)
+      // candidate pool: 8x the batch covers the symbol-conflict skips
+      val top = pairs.orderBy(col("n").desc,
+          encode(col("a"), "UTF-8").asc, encode(col("b"), "UTF-8").asc)
+        .limit(want * 8).collect()
       if (top.isEmpty) {
         // every word is a single symbol — nothing left to merge. Real
         // trainers stop here; return the merges actually learned
         // rather than failing a too-ambitious nMerges.
         exhausted = true
       } else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += ((r, a, b, n))
-        if (r < nMerges) {
-          // rewrite ONLY the words containing the winning pair — for a
-          // real corpus that is a small fraction of the vocabulary
-          val pat = US + a + US + US + b + US
-          cur = cur.withColumn("w",
-              when(col("w").contains(pat),
-                call_function("replace", col("w"), lit(pat), lit(US + a + b + US)))
-              .otherwise(col("w")))
-            .localCheckpoint(true)
+        // greedy acceptance in count order under the exact safety
+        // condition (see docstring): candidate (c, d) is stale-free
+        // against accepted (a, b) iff d != a and c != b; the alias
+        // checks keep an existing symbol with the same text as a
+        // freshly merged "ab" out of this batch's replace patterns.
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val seconds = scala.collection.mutable.Set.empty[String] // accepted b's
+        val firsts = scala.collection.mutable.Set.empty[String] // accepted a's
+        val aliases = scala.collection.mutable.Set.empty[String] // accepted a+b texts
+        top.iterator.takeWhile(_ => accepted.size < want).foreach { row =>
+          val (c, d, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!firsts.contains(d) && !seconds.contains(c) &&
+              !aliases.contains(c) && !aliases.contains(d)) {
+            accepted += ((c, d, n))
+            firsts += c; seconds += d; aliases += (c + d)
+          }
+        }
+        accepted.foreach { case (a, b, n) =>
+          learned += ((learned.size + 1, a, b, n))
+        }
+        if (learned.size < nMerges) {
+          if (accepted.size == 1) {
+            // rewrite ONLY the words containing the winning pair — for
+            // a real corpus that is a small fraction of the vocabulary
+            val (a, b, _) = accepted.head
+            val pat = US + a + US + US + b + US
+            cur = cur.withColumn("w",
+                when(col("w").contains(pat),
+                  call_function("replace", col("w"), lit(pat), lit(US + a + b + US)))
+                .otherwise(col("w")))
+              .localCheckpoint(true)
+          } else {
+            // one rewrite applies the whole batch: the patterns are
+            // symbol-disjoint (and alias-free), so the chained replaces
+            // cannot create or destroy each other's match sites. A
+            // plain chain, not per-merge CASE guards — nesting
+            // when(contains).otherwise doubles the expression tree per
+            // level (2^batch codegen blowup)
+            val w = accepted.foldLeft(col("w")) { case (c, (a, b, _)) =>
+              call_function("replace", c,
+                lit(US + a + US + US + b + US), lit(US + a + b + US))
+            }
+            cur = cur.withColumn("w", w).localCheckpoint(true)
+          }
         }
       }
-      r += 1
     }
-    learned.toSeq.toDF("rank", "lhs", "rhs", "n")
+    (learned.toSeq.toDF("rank", "lhs", "rhs", "n"), rounds)
   }
 
   /** The shared learning-loop CTE chain: c0 = symbolized docs (doc_id

@@ -22,15 +22,20 @@ object BpeTrainCost {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.limit(1).count() // session warmup outside the timings
+    // SPARK_GRAFT_BPE_BATCH: merges accepted per driver barrier
+    // (default 1 = textbook sequential, the oracle path)
+    val batch = sys.env.getOrElse("SPARK_GRAFT_BPE_BATCH", "1").toInt
     merges.foreach { n =>
       val t0 = System.nanoTime()
       // the trainer is eager (one argmax collect per round); collect()
       // of the n-row result forces nothing extra
-      val rows = graft.operators.TextAnalysis.learnBpeMerges(docs, "text", n)
-        .orderBy("rank").collect()
+      val (df, rounds) = graft.operators.TextAnalysis
+        .learnBpeMergesWithRounds(docs, "text", n, batch)
+      val rows = df.orderBy("rank").collect()
       val t = (System.nanoTime() - t0) / 1e9
       val last = rows.last
-      println(f"BPETRAIN sf=$sfDir merges=$n seconds=$t%.2f " +
+      println(f"BPETRAIN sf=$sfDir merges=$n batch=$batch rounds=$rounds " +
+        f"seconds=$t%.2f " +
         s"last_merge=${last.getString(1)}+${last.getString(2)} n=${last.getLong(3)}")
     }
     spark.stop()

@@ -47,9 +47,42 @@ class BpeLearnSpec extends SparkSpec {
     // counts ADJACENT occurrences (overlapping: pair (x,x) appears
     // twice in 'xxx') while the apply side replaces left-to-right
     // non-overlapping — so the reported count is an upper bound on
-    // the actual reduction, equal unless the top pair self-overlaps
+    // the actual reduction. The bound is TIGHT unless the pair
+    // self-overlaps, which needs lhs == rhs (a 2-symbol pattern only
+    // overlaps itself when both symbols are equal) — pin the exact
+    // semantics, not just the range.
     val drop = untok - totals.head
-    assert(drop > 0 && drop <= learned.head._4,
-      s"round-1 reduction $drop must be in (0, ${learned.head._4}]")
+    val (_, lhs, rhs, n1) = learned.head
+    if (lhs != rhs)
+      assert(drop == n1,
+        s"lhs != rhs pair cannot self-overlap: reduction $drop must equal count $n1")
+    else
+      assert(drop > 0 && drop <= n1,
+        s"round-1 reduction $drop must be in (0, $n1]")
+  }
+
+  test("batched training: batch=1 is bit-identical to the default; " +
+      "batch=8 cuts driver barriers ~8x and stays a structural BPE run") {
+    val (seq1, seqRounds) =
+      TextAnalysis.learnBpeMergesWithRounds(docs, "text", nMerges = 8, batch = 1)
+    assert(seqRounds == 8, s"sequential mode must pay one barrier per merge, got $seqRounds")
+    val s1 = seq1.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(s1.toSeq == learned.toSeq, "batch=1 must equal the default path exactly")
+
+    val (batched, bRounds) =
+      TextAnalysis.learnBpeMergesWithRounds(docs, "text", nMerges = 8, batch = 8)
+    val bt = batched.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(bRounds < seqRounds,
+      s"batching must reduce barriers: $bRounds vs $seqRounds")
+    assert(bt.length == 8 && bt.map(_._1).toSeq == (1 to 8),
+      s"batched table must carry contiguous ranks: ${bt.mkString(" ")}")
+    // counts non-increasing within the accepted order, and every
+    // accepted pair's count is exact (symbol-disjointness): the
+    // round-1 winner is identical to sequential by construction
+    assert(bt.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      s"batched counts must be non-increasing: ${bt.map(_._4).mkString(",")}")
+    assert(bt.head == s1.head, "the top merge must match the sequential run")
   }
 }
