@@ -27,6 +27,21 @@ final case class DecodedImage(
     feature: Array[Float],
 )
 
+/** Typed REAL multi-frame decode record ([[Multimodal.decodeFrames]]):
+  * one row per sampled frame of an animated container (GIF — the one
+  * multi-frame format the JDK decodes natively). Top-level so Spark
+  * derives its Encoder. */
+final case class DecodedFrame(
+    doc_id: Long,
+    media_type: String,
+    byte_len: Long,
+    n_frames: Int,
+    frame_index: Int,
+    width: Int,
+    height: Int,
+    feature: Array[Float],
+)
+
 /** Typed REAL audio-decode record ([[Multimodal.decodeAudio]]): PCM
   * stream parameters + sample-derived feature stats. Top-level so
   * Spark derives its Encoder. */
@@ -52,9 +67,13 @@ final case class DecodedAudio(
   * partition materialized), metadata propagation. Image decoding is
   * REAL: [[decodeImage]]/[[decodeImages]] decode actual PNG/JPEG/BMP/
   * GIF byte streams via `javax.imageio` (JDK built-in — no external
-  * codec). [[decodeStub]] remains only for the DuckDB-oracle query
-  * over the synthetic (text-payload) testdata, where both engines must
-  * express the same deterministic fake.
+  * codec), and [[decodeFrames]]/[[decodeVideoFrames]] extract REAL
+  * per-frame rasters from multi-frame containers (animated GIF — the
+  * one the JDK ships a decoder for; MP4/WebM take an FFmpeg-backed
+  * decoder behind the same signature in production). [[decodeStub]]
+  * remains only for the DuckDB-oracle query over the synthetic
+  * (text-payload) testdata, where both engines must express the same
+  * deterministic fake.
   *
   * At 100 TB: media blobs dominate row size, so the batch size bounds
   * executor memory (`batchSize` rows per decode batch), and
@@ -111,32 +130,103 @@ object Multimodal {
       catch { case _: Exception => null } // IIOException on corrupt streams
     if (img == null) None
     else {
-      val w = img.getWidth
-      val h = img.getHeight
-      var sr, sg, sb, sy, syy = 0.0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = ((rgb >> 16) & 0xff) / 255.0
-          val g = ((rgb >> 8) & 0xff) / 255.0
-          val b = (rgb & 0xff) / 255.0
-          sr += r; sg += g; sb += b
-          val luma = 0.299 * r + 0.587 * g + 0.114 * b
-          sy += luma; syy += luma * luma
-          x += 1
-        }
-        y += 1
-      }
-      val n = w.toDouble * h
-      val meanY = sy / n
-      val stdY = math.sqrt(math.max(0.0, syy / n - meanY * meanY))
-      Some(DecodedImage(docId, mediaType, bytes.length.toLong, w, h,
-        img.getColorModel.getNumComponents,
-        Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
-          meanY.toFloat, stdY.toFloat, w.toFloat / h)))
+      val feature = pixelFeature(img)
+      Some(DecodedImage(docId, mediaType, bytes.length.toLong,
+        img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, feature))
     }
+  }
+
+  /** The shared pixel-stat pass: [meanR, meanG, meanB, meanLuma,
+    * stdLuma, aspect(w/h)], channel means in [0,1], luma = Rec.601. */
+  private def pixelFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr, sg, sb, sy, syy = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = ((rgb >> 16) & 0xff) / 255.0
+        val g = ((rgb >> 8) & 0xff) / 255.0
+        val b = (rgb & 0xff) / 255.0
+        sr += r; sg += g; sb += b
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sy += luma; syy += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    val meanY = sy / n
+    val stdY = math.sqrt(math.max(0.0, syy / n - meanY * meanY))
+    Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+      meanY.toFloat, stdY.toFloat, w.toFloat / h)
+  }
+
+  /** REAL multi-frame decode — the video pillar's frame-extraction
+    * path, exercised on the one multi-frame container the JDK decodes
+    * natively (animated GIF; MP4/WebM need codecs the JDK does not
+    * ship, so those containers return None here and a production
+    * deployment drops in an FFmpeg-backed decoder behind this same
+    * signature). `ImageIO.getImageReaders` picks the container's
+    * reader, `getNumImages(true)` counts frames, and every `stride`-th
+    * frame (capped at `maxFrames`) decodes through the same pixel-stat
+    * pass as [[decodeImage]] — one [[DecodedFrame]] row per sampled
+    * frame, carrying (n_frames, frame_index) so downstream sampling is
+    * auditable. Frames decode as STORED: GIF frames may be smaller
+    * than the logical screen (frame rects) — width/height are the
+    * frame's own raster dims. Fail-soft like every decoder here:
+    * corrupt or single-image-only streams yield what they can, never
+    * an exception. */
+  def decodeFrames(docId: Long, mediaType: String, bytes: Array[Byte],
+      stride: Int = 1, maxFrames: Int = Int.MaxValue): Seq[DecodedFrame] = {
+    require(stride >= 1, "stride must be >= 1")
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (iis == null) return Nil
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Nil
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true) // full scan; exact for GIF
+        (0 until n by stride).take(maxFrames).flatMap { i =>
+          val img =
+            try reader.read(i)
+            catch { case _: Exception => null } // corrupt frame: skip it
+          if (img == null) None
+          else Some(DecodedFrame(docId, mediaType, bytes.length.toLong,
+            n, i, img.getWidth, img.getHeight, pixelFeature(img)))
+        }
+      } finally reader.dispose()
+    } catch { case _: Exception => Nil }
+    finally iis.close()
+  }
+
+  /** [[decodeImages]]'s multi-frame twin: bounded-batch typed
+    * `mapPartitions`, [[decodeFrames]] per blob — each blob fans out
+    * to its sampled frames, so cap the fan-out with `stride`/
+    * `maxFrames` (a 10k-frame clip at stride 1 is 10k rows). */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame,
+      stride: Int = 1, maxFrames: Int = Int.MaxValue,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast(LongType).as("doc_id"),
+        col("meta.media_type").as("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, mt, bytes) =>
+            decodeFrames(id, mt, bytes, stride, maxFrames) }
+        }
+      }
+      .toDF()
   }
 
   /** [[decode]] with the REAL codec: same bounded-batch typed
@@ -290,7 +380,10 @@ object Multimodal {
   }
 
   /** Deterministic frame sampling plumbing for video-like payloads:
-    * pick every `stride`-th chunk index of the payload. */
+    * pick every `stride`-th chunk index of the payload. This is the
+    * pure-Column PLANNING shape (and the oracle-expressible one —
+    * `q_multimodal_frames` runs it over the text-payload testdata);
+    * real frame extraction is [[decodeFrames]]. */
   def frameSampleIndexes(byteLen: org.apache.spark.sql.Column, chunk: Int,
       stride: Int): org.apache.spark.sql.Column =
     filter(
