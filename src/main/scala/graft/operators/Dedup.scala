@@ -491,9 +491,11 @@ object Dedup {
     *   - small-star: every node attaches itself and its smaller
     *     neighbors to that minimum — collapses local chains into stars.
     *
-    * The edge set is stable exactly when every component is a star
-    * centered at its minimum id, so the final labels equal
-    * `dupClusters`'s (cluster = min reachable id) and the same
+    * Terminates when the per-node LABEL map (min neighbor) converges —
+    * provably equivalent to full edge-set stability but often a round
+    * or two earlier, since a settled star can still be shedding
+    * redundant edges (see the in-loop soundness note). Final labels
+    * equal `dupClusters`'s (cluster = min reachable id) and the same
     * recursive-CTE oracle gates both. Each round shuffles only the
     * (canonical-direction) edge list; text/signatures never shuffle. */
   def dupClustersStar(pairs: DataFrame, nodes: DataFrame,
@@ -511,8 +513,21 @@ object Dedup {
         least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+    def labelMap(e: DataFrame): DataFrame =
+      e.groupBy("u").agg(min(col("v")).as("lbl"))
     var rounds = 0
     var done = edges.isEmpty
+    // Early termination on LABEL convergence, not edge-set stability:
+    // the edge set can keep shedding redundant links for a round after
+    // every node's min-neighbor label has already settled. Sound
+    // because (1) a node's label is monotone non-increasing — its edge
+    // to old-min w is rewritten to m(w) <= w each round — and (2) if
+    // any node u were still mislabeled after a no-change round, the
+    // same rewrite through its parent p would have delivered
+    // m(p) <= L(p) < L(u) and decreased u's label, a contradiction; a
+    // no-change round therefore certifies every parent is a self-rooted
+    // component minimum.
+    var curLabels = labelMap(edges).localCheckpoint()
     while (!done) {
       rounds += 1
       // large-star over both directions: attach v > u to min(N+(u)).
@@ -532,15 +547,20 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       val next = vEdges.union(minS.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      // both sides are distinct sets, so equal counts + one-sided
-      // containment is full equality — one except instead of two
-      done = next.count() == edges.count() && next.except(edges).isEmpty
+      val nextLabels = labelMap(next).localCheckpoint()
+      // full join: a node APPEARING as a non-center (label drops from
+      // self) is a change; monotonicity forbids disappearing
+      done = nextLabels.as("n")
+        .join(curLabels.as("o"), Seq("u"), "full")
+        .filter(!(col("n.lbl") <=> col("o.lbl"))).isEmpty
       edges = next
+      curLabels = nextLabels
     }
-    // stable => stars centered at component minima; centers and
-    // isolated nodes label themselves
+    // converged labels: non-centers carry their min pointer (the map,
+    // NOT the raw edge list — pre-stability a node can still hold
+    // several edges); centers and isolated nodes label themselves
     val labels = nodes.select(col(idCol).as("id")).distinct()
-      .join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .join(curLabels.select(col("u").as("id"), col("lbl")), Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("cluster"))
     (labels, rounds)
   }

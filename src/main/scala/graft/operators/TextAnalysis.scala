@@ -261,11 +261,20 @@ object TextAnalysis {
     * bigrams and drop out — filter upstream if they must be kept.
     *
     * Scale shape: bigrams are extracted scan-locally from the words
-    * array (a generate, no window shuffle); then two hash joins — the
-    * bigram-count table keyed on (a,b) and the context table on (a),
-    * both corpus-vocabulary-sized, sharded across the cluster, never
-    * driver-resident — plus one broadcast single-row V scalar, then
-    * one per-doc sum. Nothing here is quadratic in anything. */
+    * array (a generate, no window shuffle); building the bigram-count
+    * and context tables is two map-side-combined aggregations, and
+    * the per-occurrence stream then joins them as EXPLICIT broadcasts
+    * — both tables are VOCABULARY-sized (they plateau by Heaps' law
+    * while the corpus grows), and without the hint the third docs
+    * decade (5M docs, 923k distinct bigrams) tipped Catalyst's
+    * size estimate past the auto-broadcast threshold into
+    * SortMergeJoin, shuffling the 265M-row occurrence stream twice.
+    * With the broadcasts the stream never leaves its scan pipeline
+    * and the final per-doc sum is map-side partial-aggregated, so the
+    * only shuffle carries one row per (doc, partition). If a corpus's
+    * trimmed bigram vocabulary outgrows executor memory (CCNet-style
+    * deployments floor rare counts first), drop the hints and take
+    * the shuffle join — same results, same code path. */
   def bigramSurprise(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame = {
     val ws = df
@@ -281,8 +290,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val pairCounts = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
     val ctxCounts = bigrams.groupBy("a").agg(count(lit(1)).as("ctx"))
-    bigrams.join(pairCounts, Seq("a", "b"))
-      .join(ctxCounts, Seq("a"))
+    bigrams.join(broadcast(pairCounts), Seq("a", "b"))
+      .join(broadcast(ctxCounts), Seq("a"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         round(-log((col("cab") + 1).cast("double") / (col("ctx") + col("v")))
