@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   /** Replicate `df` `factor` times, adding `r * stride(col)` to each
-    * key column — one crossJoin plan, no driver-side unions. */
+    * key column — one crossJoin plan, no driver-side unions. The
+    * source is repartitioned FIRST: testdata tables are single small
+    * parquet files (one input split), so without it the factor-x
+    * explode runs as ONE task — at factor 1000 that is a 600M-row
+    * single-threaded map side (observed: 15 CPU-minutes at 1 core). */
   private def replicate(df: DataFrame, factor: Int,
       strides: Map[String, Long]): DataFrame = {
     val r = explode(array((0 until factor).map(i => lit(i.toLong)): _*)).as("__r")
@@ -36,7 +40,7 @@ object ScaleUp {
         case None => col(c)
       }
     }
-    df.withColumn("__r", r).select(cols: _*)
+    df.repartition(32).withColumn("__r", r).select(cols: _*)
   }
 
   def main(args: Array[String]): Unit = {
@@ -91,7 +95,13 @@ object ScaleUp {
     val ukS = maxOf(events, "user_id")
 
     def write(df: DataFrame, t: String, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // replicate() already spreads the source over 32 partitions, so a
+      // post-explode repartition would shuffle the full replicated
+      // table (30+ GB at factor 1000) just to rebalance already-even
+      // files — only repartition when the count actually differs
+      val out =
+        if (df.rdd.getNumPartitions == parts) df else df.repartition(parts)
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t -> $dst/$t.parquet")
     }
 
@@ -140,7 +150,13 @@ object ScaleUp {
   private def writeDocs(spark: SparkSession, read: String => DataFrame,
       maxOf: (DataFrame, String) => Long, dst: String, factor: Int): Unit = {
     def write(df: DataFrame, t: String, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // replicate() already spreads the source over 32 partitions, so a
+      // post-explode repartition would shuffle the full replicated
+      // table (30+ GB at factor 1000) just to rebalance already-even
+      // files — only repartition when the count actually differs
+      val out =
+        if (df.rdd.getNumPartitions == parts) df else df.repartition(parts)
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t -> $dst/$t.parquet")
     }
     val docs = read("documents")
