@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -924,6 +924,31 @@ object DataOpsQueries {
              | round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
              |FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5"""
         .stripMargin),
+    ),
+
+    // Mergeable HLL distinct-count sketches (DataSketches, Spark-native
+    // aggregates): per-(lang, shard) sketches unioned per lang — the
+    // incremental-ingest cardinality shape, here counting distinct
+    // SOURCES per language (the domain-diversity profile metric).
+    // Oracle-EXACT, not approximate-by-luck: below the sketch's
+    // sparse-mode threshold DataSketches HLL stores every coupon and
+    // the estimate IS the exact distinct count; the source domain is
+    // bounded (~20 values) at EVERY sf, so the equality holds at any
+    // scale (doc_id-level cardinality crosses into dense estimation at
+    // sf0.1 — 2059 en docs estimated as 1999 — which is exactly why
+    // the oracle-gated query counts the bounded column). Accuracy at
+    // large cardinalities, shard-order invariance, and the merge
+    // monoid law are SketchesSpec's job.
+    QueryDef(
+      "q_sketch_distinct",
+      (s, d) => Sketches.shardedDistinct(
+        QueryDef.load(s, d, "documents")
+          .withColumn("shard", col("doc_id") % 4),
+        Seq("lang"), "source", "shard"),
+      Some("""SELECT lang,
+             |  CAST(count(DISTINCT doc_id % 4) AS BIGINT) AS n_shards,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS est_distinct
+             |FROM documents GROUP BY lang""".stripMargin),
     ),
   )
 }
