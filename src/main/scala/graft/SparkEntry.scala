@@ -14,7 +14,7 @@ object SparkEntry {
   val registry: Seq[QueryDef] =
     CoreQueries.all ++ FsmQueries.all ++ AdvisoryQueries.all ++
       DataOpsQueries.all ++ AnnQueries.all ++ AnalyticsQueries.all ++
-      CorpusQueries.all ++ SqlBreadthQueries.all
+      CorpusQueries.all ++ SqlBreadthQueries.all ++ ClassifierQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

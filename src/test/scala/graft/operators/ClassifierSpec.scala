@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The trained quality classifier: learnability (accuracy floors on
+  * the held-out split), determinism, and the scan-local deploy plan. */
+class ClassifierSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val train = docs.where(col("doc_id") % 5 =!= 0)
+  private lazy val eval = docs.where(col("doc_id") % 5 === 0)
+  private lazy val w = QualityClassifier.train(train)
+
+  private def confAcc(df: org.apache.spark.sql.DataFrame): Double = {
+    val sc = QualityClassifier.score(df, w).where(col("y") >= 0)
+    sc.where(col("pred") === col("y")).count().toDouble / sc.count()
+  }
+
+  test("margin labels split into confident tails and an ambiguous band") {
+    val counts = docs.select(QualityClassifier.marginLabel(col("text")).as("y"))
+      .groupBy("y").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(-1L, 0L, 1L), s"expected all three bands: $counts")
+    // both confident classes must be populated or the fit is vacuous
+    assert(counts(1L) > 20 && counts(0L) > 20, counts.toString)
+  }
+
+  test("closed-form fit beats the majority baseline with room to spare") {
+    val base = eval.select(QualityClassifier.marginLabel(col("text")).as("y"))
+      .where(col("y") >= 0).groupBy("y").count()
+      .collect().map(_.getLong(1))
+    val majority = base.max.toDouble / base.sum
+    val trainAcc = confAcc(train)
+    val evalAcc = confAcc(eval)
+    // measured 0.834 / 0.900 at sf0.001 and 0.921 / 0.840 at sf0.01
+    // (linear ceiling 0.94); floors leave slack for testdata
+    // regeneration, not for regression
+    assert(trainAcc >= 0.80, f"train accuracy $trainAcc%.3f below floor")
+    assert(evalAcc >= 0.75, f"eval accuracy $evalAcc%.3f below floor")
+    assert(evalAcc > majority + 0.1,
+      f"eval $evalAcc%.3f does not clear majority $majority%.3f")
+  }
+
+  test("fit is deterministic across runs") {
+    val w2 = QualityClassifier.train(train)
+    assert(w.toSeq == w2.toSeq)
+  }
+
+  test("weights are bounded and the stop-dominated bucket is positive") {
+    // ratio weights are clamped to [-1e6, 1e6] by construction
+    assert(w.init.forall(v => math.abs(v) <= 1000000L))
+    // the bucket holding 'the' must carry positive weight — the single
+    // strongest signal for the stopword-density label
+    val theBucket = spark.range(1)
+      .select(QualityClassifier.featureId(lit("the"))).head().getInt(0)
+    assert(w(theBucket) > 0, s"bucket $theBucket of 'the' not positive")
+  }
+
+  test("scoring is one scan-local projection — no shuffle in the plan") {
+    val plan = QualityClassifier.score(eval, w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"deploy path must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"deploy path must not join:\n$plan")
+  }
+
+  test("every doc is scored, ambiguous included") {
+    val sc = QualityClassifier.score(eval, w)
+    assert(sc.count() == eval.count())
+    assert(sc.where(col("y") === -1).count() > 0)
+    // p_micro within the clamp range
+    val mm = sc.agg(min("p_micro"), max("p_micro")).head()
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) <= 1000000L)
+  }
+}
