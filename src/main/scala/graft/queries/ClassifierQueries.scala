@@ -111,5 +111,121 @@ object ClassifierQueries {
               |  CAST(lab.y AS BIGINT) AS y
               |FROM ps JOIN lab USING (doc_id)""".stripMargin),
     ),
+
+    // Threshold sweep on the held-out confident docs: the
+    // precision/recall operating table a deployment picks its filter
+    // threshold from. Counts are exact integers; the ppm ratios are
+    // integer divisions, so the whole table is hash-stable.
+    QueryDef(
+      "q_quality_clf_pr",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val w = QualityClassifier.train(docs.where(col("doc_id") % 5 =!= 0))
+        val scored = QualityClassifier
+          .score(docs.where(col("doc_id") % 5 === 0), w)
+          .where(col("y") >= 0)
+        scored
+          .select(explode(typedlit(ClfParams.PrThresholds)).as("threshold"),
+            col("p_micro"), col("y"))
+          .groupBy("threshold").agg(
+            sum(when(col("p_micro") >= col("threshold") && col("y") === 1, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("p_micro") >= col("threshold") && col("y") === 0, 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("p_micro") < col("threshold") && col("y") === 1, 1L)
+              .otherwise(0L)).as("fn"))
+          .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+            when(col("tp") + col("fp") > 0,
+              (lit(1000000L) * col("tp") - (lit(1000000L) * col("tp"))
+                % (col("tp") + col("fp"))) / (col("tp") + col("fp")))
+              .otherwise(lit(0L)).cast("long").as("precision_ppm"),
+            when(col("tp") + col("fn") > 0,
+              (lit(1000000L) * col("tp") - (lit(1000000L) * col("tp"))
+                % (col("tp") + col("fn"))) / (col("tp") + col("fn")))
+              .otherwise(lit(0L)).cast("long").as("recall_ppm"))
+      },
+      Some(s"""WITH $fitCtes,
+              |evd AS (SELECT doc_id, text,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+              |  FROM documents WHERE doc_id % 5 = 0),
+              |evc AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % $D AS INT) AS f,
+              |    CAST(count(*) AS BIGINT) AS c
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM evd)
+              |  GROUP BY 1, 2),
+              |zs AS (SELECT evc.doc_id,
+              |    ${sdiv("sum(wf.wv * evc.c) + (SELECT b FROM bias)", "any_value(evd.n_words)")} AS z
+              |  FROM evc JOIN wf USING (f) JOIN evd USING (doc_id)
+              |  GROUP BY evc.doc_id),
+              |sc AS (SELECT ps.doc_id,
+              |    CAST(least(1000000, greatest(0, 500000 + ${sdiv("z", "4")})) AS BIGINT) AS p_micro,
+              |    lab.y
+              |  FROM zs ps JOIN lab USING (doc_id) WHERE lab.y >= 0),
+              |th AS (SELECT CAST(unnest(${ClfParams.PrThresholds.mkString("[", ", ", "]")}) AS BIGINT) AS threshold),
+              |agg AS (SELECT threshold,
+              |    CAST(sum(CASE WHEN p_micro >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |    CAST(sum(CASE WHEN p_micro >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |    CAST(sum(CASE WHEN p_micro < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              |  FROM sc CROSS JOIN th GROUP BY threshold)
+              |SELECT threshold, tp, fp, fn,
+              |  CAST(CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) ELSE 0 END AS BIGINT) AS precision_ppm,
+              |  CAST(CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) ELSE 0 END AS BIGINT) AS recall_ppm
+              |FROM agg""".stripMargin),
+    ),
+
+    // Classifier-driven corpus selection — the GPT-3 recipe
+    // (high-scoring docs kept outright, the rest importance-sampled
+    // with probability proportional to score), determinized: the
+    // "coin" is a per-doc md5 hash compared against p_micro, so the
+    // same doc always draws the same fate and the oracle replays it.
+    // Composes the deploy-path scoring with corpus construction; the
+    // whole query stays scan-local per doc (no shuffle before the
+    // final projection).
+    QueryDef(
+      "q_corpus_filter_clf",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val w = QualityClassifier.train(docs.where(col("doc_id") % 5 =!= 0))
+        val u = pmod(graft.operators.Dedup.md5Hash32(
+          concat(lit("sel:"), col("doc_id").cast("string"))), lit(1000000L))
+        QualityClassifier.score(docs, w)
+          .select(col("doc_id"), col("p_micro"),
+            when(col("p_micro") >= ClfParams.KeepThreshold, lit("kept"))
+              .when(u < col("p_micro"), lit("sampled"))
+              .otherwise(lit("dropped")).as("fate"))
+          .where(col("fate") =!= "dropped")
+      },
+      Some(s"""WITH $fitCtes,
+              |alld AS (SELECT doc_id, text,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+              |  FROM documents),
+              |alc AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % $D AS INT) AS f,
+              |    CAST(count(*) AS BIGINT) AS c
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM alld)
+              |  GROUP BY 1, 2),
+              |zs AS (SELECT alc.doc_id,
+              |    ${sdiv("sum(wf.wv * alc.c) + (SELECT b FROM bias)", "any_value(alld.n_words)")} AS z
+              |  FROM alc JOIN wf USING (f) JOIN alld USING (doc_id)
+              |  GROUP BY alc.doc_id),
+              |sc AS (SELECT doc_id,
+              |    CAST(least(1000000, greatest(0, 500000 + ${sdiv("z", "4")})) AS BIGINT) AS p_micro
+              |  FROM zs),
+              |sel AS (SELECT doc_id, p_micro,
+              |    CASE WHEN p_micro >= ${ClfParams.KeepThreshold} THEN 'kept'
+              |         WHEN ('0x' || substr(md5('sel:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < p_micro
+              |         THEN 'sampled' ELSE 'dropped' END AS fate
+              |  FROM sc)
+              |SELECT doc_id, p_micro, fate FROM sel WHERE fate != 'dropped'""".stripMargin),
+    ),
   )
+}
+
+/** Sweep/selection constants shared by the queries and the oracle. */
+object ClfParams {
+  /** PR-curve operating points (micro-units). */
+  val PrThresholds: Seq[Long] =
+    Seq(100000L, 300000L, 500000L, 700000L, 900000L)
+
+  /** Docs at or above this score are kept outright; below it they are
+    * importance-sampled with probability p_micro / 1e6. */
+  val KeepThreshold = 700000L
 }

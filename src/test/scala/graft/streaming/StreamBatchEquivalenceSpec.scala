@@ -350,4 +350,36 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         s"streamed ${streamed.size} docs vs batch ${batch.size}")
     } finally q.stop()
   }
+
+  test("trained quality classifier scores stream unchanged: replay equals q_quality_clf_score") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // deploy shape for a growing corpus: fit once in batch, score every
+    // arriving doc with the literal-weight scan-local projection —
+    // stateless, so append-mode streamable with zero state
+    val w = graft.operators.QualityClassifier.train(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .where($"doc_id" % 5 =!= 0))
+    val evalDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .where($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.QualityClassifier.score(
+        input.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("eq_clf")
+      .outputMode("append").start()
+    try {
+      chunks(evalDocs, 4).foreach { c =>
+        input.addData(c: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("eq_clf").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val batch = graft.SparkEntry.queries("q_quality_clf_score")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} docs vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
