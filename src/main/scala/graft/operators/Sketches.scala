@@ -61,4 +61,40 @@ object Sketches {
         round(hll_sketch_estimate(col("hll"))).cast("long")
           .as("est_distinct")): _*)
   }
+
+  /** Sharded KLL quantiles (graft.functions.SketchAggregates — native
+    * TypedImperativeAggregates): per-(group, shard) KLL(doubles)
+    * sketches of `valueCol`, unioned per group, quantiles extracted at
+    * `ranks` as columns named by the caller. Exact while each group's
+    * n <= k; the published ~1.65/sqrt(k) rank error beyond. */
+  def shardedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, shardCol: String, ranks: Seq[(Double, String)],
+      k: Int = 400): DataFrame = {
+    import graft.functions.SketchAggregates
+    val perShard = df.groupBy((groupCols :+ shardCol).map(col): _*)
+      .agg(SketchAggregates.kllSketch(col(valueCol).cast("double"), k).as("qsk"))
+    val merged = perShard.groupBy(groupCols.map(col): _*)
+      .agg(SketchAggregates.kllMerge(col("qsk"), k).as("qsk"))
+      .withColumn("__qs", SketchAggregates.kllQuantiles(col("qsk"), ranks.map(_._1)))
+    merged.select(groupCols.map(col) ++ ranks.zipWithIndex.map {
+      case ((_, name), i) => element_at(col("__qs"), i + 1).as(name)
+    }: _*)
+  }
+
+  /** Sharded frequent-items top-k: per-(group, shard) sketches over
+    * string `itemCol`, unioned per group, exploded to (groupCols...,
+    * item, est) rows — estimate desc, item asc. Exact while each
+    * group's distinct items fit `maxMapSize`. */
+  def shardedTopK(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      shardCol: String, topK: Int, maxMapSize: Int = 128): DataFrame = {
+    import graft.functions.SketchAggregates
+    val perShard = df.groupBy((groupCols :+ shardCol).map(col): _*)
+      .agg(SketchAggregates.freqSketch(col(itemCol), maxMapSize).as("fsk"))
+    perShard.groupBy(groupCols.map(col): _*)
+      .agg(SketchAggregates.freqMerge(col("fsk"), maxMapSize).as("fsk"))
+      .select(groupCols.map(col) :+
+        explode(SketchAggregates.freqTopK(col("fsk"), topK)).as("t"): _*)
+      .select(groupCols.map(col) ++ Seq(col("t.item").as("item"),
+        col("t.est").as("est")): _*)
+  }
 }

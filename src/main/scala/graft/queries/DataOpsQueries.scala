@@ -950,5 +950,51 @@ object DataOpsQueries {
              |  CAST(count(DISTINCT source) AS BIGINT) AS est_distinct
              |FROM documents GROUP BY lang""".stripMargin),
     ),
+
+    // Mergeable KLL quantile sketches per language over doc length —
+    // per-shard sketches union per group; oracle-exact because each
+    // group's n sits inside the sketch's exactness window (n <= k
+    // retains every value; KLL INCLUSIVE rule == nearest-rank
+    // "smallest value at cumulative position >= ceil(rank * n)").
+    QueryDef(
+      "q_sketch_quantiles",
+      (s, d) => Sketches.shardedQuantiles(
+        QueryDef.load(s, d, "documents")
+          .withColumn("shard", col("doc_id") % 4),
+        Seq("lang"), "n_chars", "shard",
+        Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.95 -> "q95")),
+      Some("""WITH o AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+             |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS n
+             |  FROM documents)
+             |SELECT lang,
+             |  min(CASE WHEN rn >= ceil(0.25 * n) THEN x END) AS q25,
+             |  min(CASE WHEN rn >= ceil(0.50 * n) THEN x END) AS q50,
+             |  min(CASE WHEN rn >= ceil(0.75 * n) THEN x END) AS q75,
+             |  min(CASE WHEN rn >= ceil(0.95 * n) THEN x END) AS q95
+             |FROM o GROUP BY lang""".stripMargin),
+    ),
+
+    // Mergeable frequent-items sketches: top-5 tokens per language
+    // with exact counts (distinct items fit the sketch map, so
+    // getMaximumError == 0 and NO_FALSE_POSITIVES returns the true
+    // counts; ties break item-ascending in both engines).
+    QueryDef(
+      "q_sketch_topk",
+      (s, d) => Sketches.shardedTopK(
+        QueryDef.load(s, d, "documents")
+          .withColumn("shard", col("doc_id") % 4)
+          .select(col("lang"), col("shard"),
+            explode(split(col("text"), " ")).as("item")),
+        Seq("lang"), "item", "shard", topK = 5),
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS item
+             |  FROM documents),
+             |c AS (SELECT lang, item, CAST(count(*) AS BIGINT) AS est
+             |  FROM t GROUP BY 1, 2),
+             |r AS (SELECT lang, item, est,
+             |    row_number() OVER (PARTITION BY lang ORDER BY est DESC, item ASC) AS rn
+             |  FROM c)
+             |SELECT lang, item, est FROM r WHERE rn <= 5""".stripMargin),
+    ),
   )
 }

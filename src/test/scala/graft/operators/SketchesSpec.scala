@@ -69,4 +69,89 @@ class SketchesSpec extends SparkSpec {
     assert(out.map(t => t._1 -> t._3).toMap == exact,
       s"sub-threshold estimates exact: $out vs $exact")
   }
+
+  // ---- KLL quantile sketches ----
+
+  test("KLL: sharded quantiles equal exact nearest-rank inside the window, " +
+      "shard-count invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // exact nearest-rank (inclusive) per lang, computed directly
+    val ranks = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75")
+    val byLang = docs.select(col("lang"), col("n_chars"))
+      .collect().groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        val vs = rows.map(_.getLong(1).toDouble).sorted
+        l -> ranks.map { case (r, _) =>
+          vs(math.ceil(r * vs.length).toInt - 1)
+        }
+      }
+    for (shards <- Seq(2, 8)) {
+      val got = Sketches.shardedQuantiles(
+        docs.withColumn("shard", col("doc_id") % shards),
+        Seq("lang"), "n_chars", "shard", ranks)
+        .collect().map(r => r.getString(0) ->
+          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got == byLang,
+        s"$shards-shard KLL quantiles must be exact in-window: $got vs $byLang")
+    }
+  }
+
+  test("KLL: beyond the exactness window the rank error stays inside " +
+      "the published bound") {
+    import spark.implicits._
+    // 50k values with k=200 -> estimation mode; rank error ~1.65/sqrt(k)
+    val n = 50000
+    val df = (1 to n).map(_.toLong).toDF("v").withColumn("g", lit("all"))
+      .withColumn("shard", col("v") % 8)
+    val got = Sketches.shardedQuantiles(df, Seq("g"), "v", "shard",
+      Seq(0.5 -> "q50"), k = 200).head().getDouble(1)
+    val rankErr = math.abs(got / n - 0.5)
+    info(f"kll median estimate=$got%.0f rank_err=$rankErr%.4f")
+    assert(rankErr <= 2.0 * 1.65 / math.sqrt(200.0),
+      f"rank error $rankErr%.4f beyond 2x the published bound")
+  }
+
+  // ---- frequent-items sketches ----
+
+  test("frequent items: sharded top-k equals exact counts in-window, " +
+      "shard-count invariant") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("item"))
+    val exact = toks.groupBy("lang", "item").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (shards <- Seq(2, 8)) {
+      val got = Sketches.shardedTopK(
+        toks.withColumn("shard", col("doc_id") % shards),
+        Seq("lang"), "item", "shard", topK = 5)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      assert(got.nonEmpty && got.forall { case (k, est) => exact(k) == est },
+        s"in-window frequent-item counts must be exact: $got")
+      // and the 5 per group really are the top 5
+      got.groupBy(_._1._1).foreach { case (lang, items) =>
+        val top5 = exact.collect { case ((l, i), c) if l == lang => (c, i) }
+          .toSeq.sortBy { case (c, i) => (-c, i) }.take(5).map(_._1).toSet
+        assert(items.map(_._2).toSet.subsetOf(top5),
+          s"$lang: returned items are not the true top-5")
+      }
+    }
+  }
+
+  test("frequent items: an undersized union target degrades loudly, " +
+      "not silently — estimates carry a nonzero error offset") {
+    import spark.implicits._
+    // 500 distinct items into a capacity-8 union: maximumError > 0
+    val df = (1 to 5000).map(i => (s"item${i % 500}", i % 4))
+      .toDF("item", "shard").withColumn("g", lit("all"))
+    val sk = df.groupBy("g", "shard")
+      .agg(graft.functions.SketchAggregates.freqSketch(col("item"), 1024).as("fsk"))
+      .groupBy("g")
+      .agg(graft.functions.SketchAggregates.freqMerge(col("fsk"), 8).as("fsk"))
+      .select(col("fsk")).head().getAs[Array[Byte]](0)
+    val parsed = org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+      org.apache.datasketches.memory.Memory.wrap(sk),
+      new org.apache.datasketches.common.ArrayOfStringsSerDe)
+    assert(parsed.getMaximumError > 0,
+      "undersized union must report its error offset")
+  }
 }
