@@ -382,4 +382,42 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         s"streamed ${streamed.size} docs vs batch ${batch.size}")
     } finally q.stop()
   }
+
+  test("sketch-on-ingest: streaming frequent-items union equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the incremental-profile shape: each micro-batch contributes
+    // token observations; the custom TypedImperativeAggregate unions
+    // them in complete-mode streaming aggregation state, so the
+    // standing result after N batches must equal one batch build over
+    // everything ingested — the monoid law under the state store
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"lang", explode(split($"text", " ")).as("item"))
+      .as[(String, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("lang", "item")
+      .groupBy("lang")
+      .agg(graft.functions.SketchAggregates.freqSketch($"item", 128).as("fsk"))
+      .select($"lang",
+        graft.functions.SketchAggregates.freqTopK($"fsk", 5).as("top"))
+      .writeStream.format("memory").queryName("eq_sketch")
+      .outputMode("complete").start()
+    try {
+      chunks(toks, 3).foreach { c =>
+        input.addData(c: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("eq_sketch").collect()
+        .map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+      val batch = spark.read.parquet(s"$sf/documents.parquet")
+        .select($"lang", explode(split($"text", " ")).as("item"))
+        .groupBy("lang")
+        .agg(graft.functions.SketchAggregates.freqSketch($"item", 128).as("fsk"))
+        .select($"lang",
+          graft.functions.SketchAggregates.freqTopK($"fsk", 5).as("top"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+      assert(batch.nonEmpty && streamed == batch,
+        s"streaming union diverged: $streamed vs $batch")
+    } finally q.stop()
+  }
 }
