@@ -57,6 +57,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.BpeEncodeExpr(exprs(0),
         graft.operators.TextAnalysis.bpeMerges),
     ))
+    // the mergeable sketch family, SQL-callable (capacity/rank args
+    // must be foldable literals — they parameterize the aggregation
+    // buffers): kll_sketch_agg(x, k), kll_merge_agg(sk, k),
+    // kll_quantiles(sk, array(r...)), freq_sketch_agg(s, maxMapSize),
+    // freq_merge_agg(sk, maxMapSize), freq_topk(sk, k)
+    def litInt(e: Expression, fn: String, name: String): Int = {
+      require(e.foldable, s"$fn: $name must be a literal integer")
+      e.eval() match {
+        case n: Number => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"$fn: $name must be a literal integer, got $other")
+      }
+    }
+    def inject2(name: String, clazz: Class[_],
+        mk: (Expression, Int) => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"$name takes exactly 2 arguments")
+          mk(exprs(0), litInt(exprs(1), name, "arg 2"))
+        },
+      ))
+    inject2("kll_sketch_agg", classOf[graft.functions.KllSketchAgg],
+      (c, k) => graft.functions.KllSketchAgg(c, k).toAggregateExpression())
+    inject2("kll_merge_agg", classOf[graft.functions.KllMergeAgg],
+      (c, k) => graft.functions.KllMergeAgg(c, k).toAggregateExpression())
+    inject2("freq_sketch_agg", classOf[graft.functions.FreqSketchAgg],
+      (c, m) => graft.functions.FreqSketchAgg(c, m).toAggregateExpression())
+    inject2("freq_merge_agg", classOf[graft.functions.FreqMergeAgg],
+      (c, m) => graft.functions.FreqMergeAgg(c, m).toAggregateExpression())
+    inject2("freq_topk", classOf[graft.functions.FreqTopKExpr],
+      (c, k) => graft.functions.FreqTopKExpr(c, k))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(
+        classOf[graft.functions.KllQuantilesExpr].getName, "kll_quantiles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "kll_quantiles(sketch, array(ranks...)) takes exactly 2 arguments")
+        require(exprs(1).foldable,
+          "kll_quantiles: ranks must be a literal array of doubles")
+        val ranks = exprs(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray().toSeq
+          case other => throw new IllegalArgumentException(
+            s"kll_quantiles: ranks must be a literal array of doubles, got $other")
+        }
+        graft.functions.KllQuantilesExpr(exprs(0), ranks)
+      },
+    ))
     // auto-accelerate the portable HOF dot-product pattern
     ext.injectOptimizerRule(_ => FuseDotProduct)
     // rewrite pure range joins (p >= s AND p < s + L, no equi key)

@@ -277,4 +277,45 @@ class ExtensionsSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
     }
   }
+
+  test("sketch aggregates register for SQL: build/merge/extract round trip") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      s2.range(1, 101).selectExpr("id", "id % 4 AS shard",
+        "CAST(id AS DOUBLE) AS x", "concat('i', id % 7) AS s")
+        .createOrReplaceTempView("sk_src")
+      // KLL: shard, union, extract — exact window (n=100 <= k=200)
+      val q = s2.sql(
+        """SELECT kll_quantiles(kll_merge_agg(sk, 200),
+          |         CAST(array(0.5) AS ARRAY<DOUBLE>))[0] AS med
+          |FROM (SELECT shard, kll_sketch_agg(x, 200) AS sk
+          |      FROM sk_src GROUP BY shard)""".stripMargin)
+        .head().getDouble(0)
+      assert(q == 50.0, s"inclusive median of 1..100 must be 50, got $q")
+      // frequent items: exact counts, top-1 is the 15-count residue
+      val top = s2.sql(
+        """SELECT freq_topk(freq_merge_agg(sk, 64), 1) AS t
+          |FROM (SELECT shard, freq_sketch_agg(s, 64) AS sk
+          |      FROM sk_src GROUP BY shard)""".stripMargin)
+        .selectExpr("t[0].item", "t[0].est").head()
+      // ids 1..100 mod 7: residues 1 and 2 hit 15 times; item asc tie-break
+      assert(top.getString(0) == "i1" && top.getLong(1) == 15L,
+        s"top item must be i1 x15, got $top")
+      // non-literal capacity must fail loudly
+      val err = intercept[Exception] {
+        s2.sql("SELECT kll_sketch_agg(x, CAST(shard AS INT)) FROM sk_src")
+          .collect()
+      }
+      assert(err.getMessage.contains("literal integer"))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
 }
