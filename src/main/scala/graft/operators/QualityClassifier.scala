@@ -124,19 +124,35 @@ object QualityClassifier {
     * shared with the Lloyd/BPE trainers): one token-aggregation job
     * (D rows collected) + one bias job (2 rows). Returns the
     * micro-unit weight vector, bias last. */
+  /** Int64-headroom bound on the fitted sample (counts times 1e9 must
+    * stay inside Long): corpora past it are down-sampled by a
+    * deterministic doc-hash (power-of-two modulus), so the fit cost is
+    * bounded at ANY corpus size and the same doc always lands in or
+    * out of the sample — the oracle can replay the selection. */
+  val FitCap = 1000000L
+
   def train(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
   ): Array[Long] = {
     // confident weak labels only — the ambiguous band trains nothing
-    val confident = docs.where(marginLabel(col(textCol)) >= 0)
+    val allConfident = docs.where(marginLabel(col(textCol)) >= 0)
+    val nAll = allConfident.count()
+    require(nAll > 0, "empty training sample")
+    // smallest power of two that brings the sample under the cap
+    var mod = 1L
+    while (nAll / mod > FitCap) mod *= 2
+    val confident =
+      if (mod == 1L) allConfident
+      else allConfident.where(
+        pmod(Dedup.md5Hash32(concat(lit("fit:"), col(idCol).cast("string"))),
+          lit(mod)) === 0)
     val base = confident.select(col(idCol).as("doc_id"),
       toks(col(textCol)).as("__toks"), marginLabel(col(textCol)).as("y"))
       .persist()
     val n = base.count()
-    require(n > 0, "empty training sample")
-    require(n <= 1000000L, "fit on a bounded sample (int64 headroom)")
+    require(n > 0, "sampled training set is empty")
 
     // ---- closed-form fit: one token aggregation, D rows collected
     val cls = base

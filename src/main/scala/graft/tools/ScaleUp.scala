@@ -168,7 +168,12 @@ object ScaleUp {
           regexp_replace(col("text"), lit("(^|\\s)([^\\s])"),
             concat(lit("$1r"), col("__r").cast("string"), lit("x$2")))))
       .drop("__r")
-    write(docsRep, "documents", math.max(2, 2 * factor / 10))
+    // floor at 32: decade dirs are built by CHAINING x10 runs, where
+    // 2*factor/10 = 2 files — at 5M docs that is ~476 MB per file and
+    // the scan parallelizes to ~8 splits on 32 cores (measured: a
+    // scan-local projection read 2.4x slower per token than the same
+    // corpus decade below it, purely from layout)
+    write(docsRep, "documents", math.max(32, 2 * factor / 10))
 
     val emb = read("embeddings")
     val vkS = maxOf(emb, "vec_id")
