@@ -90,6 +90,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (c, m) => graft.functions.FreqMergeAgg(c, m).toAggregateExpression())
     inject2("freq_topk", classOf[graft.functions.FreqTopKExpr],
       (c, k) => graft.functions.FreqTopKExpr(c, k))
+    def inject1(name: String, clazz: Class[_],
+        mk: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"$name takes exactly 1 argument")
+          mk(exprs(0))
+        },
+      ))
+    inject1("theta_sketch_agg", classOf[graft.functions.ThetaSketchAgg],
+      c => graft.functions.ThetaSketchAgg(c).toAggregateExpression())
+    inject1("theta_union_agg", classOf[graft.functions.ThetaUnionAgg],
+      c => graft.functions.ThetaUnionAgg(c).toAggregateExpression())
+    inject1("theta_estimate", classOf[graft.functions.ThetaSetCountExpr],
+      c => graft.functions.ThetaSetCountExpr(c, c, "estimate"))
+    def injectTheta2(name: String, op: String): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(
+          classOf[graft.functions.ThetaSetCountExpr].getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"$name takes exactly 2 arguments")
+          graft.functions.ThetaSetCountExpr(exprs(0), exprs(1), op)
+        },
+      ))
+    injectTheta2("theta_intersect_count", "intersect")
+    injectTheta2("theta_a_not_b_count", "a_not_b")
     ext.injectFunction((
       FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(

@@ -5,6 +5,7 @@ import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Sketches => ThetaSketches, Union}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
@@ -69,7 +70,163 @@ object SketchAggregates {
     GraftSqlBridge.column(
       FreqTopKExpr(GraftSqlBridge.expression(sketch), k))
 
+  def thetaSketch(s: Column): Column =
+    GraftSqlBridge.column(
+      ThetaSketchAgg(GraftSqlBridge.expression(s)).toAggregateExpression())
+
+  def thetaUnion(sketch: Column): Column =
+    GraftSqlBridge.column(
+      ThetaUnionAgg(GraftSqlBridge.expression(sketch)).toAggregateExpression())
+
+  def thetaEstimate(sketch: Column): Column =
+    GraftSqlBridge.column(
+      ThetaSetCountExpr(GraftSqlBridge.expression(sketch),
+        GraftSqlBridge.expression(sketch), "estimate"))
+
+  def thetaIntersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      ThetaSetCountExpr(GraftSqlBridge.expression(a),
+        GraftSqlBridge.expression(b), "intersect"))
+
+  def thetaDiffCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      ThetaSetCountExpr(GraftSqlBridge.expression(a),
+        GraftSqlBridge.expression(b), "a_not_b"))
+
   private[functions] val stringSerDe = new ArrayOfStringsSerDe
+}
+
+/** Per-group Theta sketch of string `child` — the DISTINCT-SET member
+  * of the sketch family: unlike HLL (cardinality only), Theta sketches
+  * support set ALGEBRA (union / intersection / difference) over the
+  * retained hash samples, so cross-segment overlap questions ("how
+  * much vocabulary do two language corpora share", "what fraction of
+  * this crawl's doc fingerprints already exist in last month's")
+  * answer from KB sketches instead of a distinct-join of the raw sets.
+  * Exact while retained entries sit under the sketch's nominal 4096;
+  * standard Theta error bounds beyond. */
+@ExpressionDescription(usage = "theta_sketch_agg(s) - mergeable Theta set sketch")
+case class ThetaSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union]
+  with UnaryLike[Expression] {
+
+  // buffer is a Union: accepts raw value updates AND sketch merges,
+  // which makes update/merge/serialize uniform
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().buildUnion()
+
+  override def update(b: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) b.update(v.asInstanceOf[UTF8String].toString)
+    b
+  }
+
+  override def merge(b: Union, o: Union): Union = {
+    b.union(o.getResult); b
+  }
+
+  override def eval(b: Union): Any = b.getResult.toByteArray
+  override def serialize(b: Union): Array[Byte] = b.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(ThetaSketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaSketchAgg =
+    copy(child = c)
+}
+
+/** Union of serialized Theta shard sketches (monoid merge; Theta
+  * unions have no capacity-matching requirement — the theta value
+  * adapts). */
+@ExpressionDescription(usage = "theta_union_agg(sketch) - union of Theta sketches")
+case class ThetaUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().buildUnion()
+
+  override def update(b: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) b.union(ThetaSketches.wrapSketch(
+      Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    b
+  }
+
+  override def merge(b: Union, o: Union): Union = {
+    b.union(o.getResult); b
+  }
+
+  override def eval(b: Union): Any = b.getResult.toByteArray
+  override def serialize(b: Union): Array[Byte] = b.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(ThetaSketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaUnionAgg =
+    copy(child = c)
+}
+
+/** Set-algebra counts over serialized Theta sketches: rounded estimate
+  * of |A| ("estimate", b ignored), |A ∩ B| ("intersect"), or |A \ B|
+  * ("a_not_b") — exact whenever the operand sketches are exact. */
+case class ThetaSetCountExpr(left: Expression, right: Expression, op: String)
+  extends Expression with BinaryLike[Expression] with CodegenFallback {
+
+  require(Set("estimate", "intersect", "a_not_b").contains(op),
+    s"unknown theta op: $op")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def wrap(v: Any): CompactSketch =
+    ThetaSketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      .compact()
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val est: Double = op match {
+      case "estimate" => wrap(a).getEstimate
+      case "intersect" =>
+        val b = right.eval(input)
+        if (b == null) return null
+        val i: Intersection = SetOperation.builder().buildIntersection()
+        i.intersect(wrap(a)); i.intersect(wrap(b))
+        i.getResult.getEstimate
+      case "a_not_b" =>
+        val b = right.eval(input)
+        if (b == null) return null
+        SetOperation.builder().buildANotB()
+          .aNotB(wrap(a), wrap(b)).getEstimate
+    }
+    math.round(est)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaSetCountExpr = copy(left = l, right = r)
 }
 
 /** Per-group KLL(doubles) sketch of `child`. `k` controls both the

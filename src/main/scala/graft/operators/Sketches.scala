@@ -97,4 +97,27 @@ object Sketches {
       .select(groupCols.map(col) ++ Seq(col("t.item").as("item"),
         col("t.est").as("est")): _*)
   }
+
+  /** Pairwise distinct-set overlap between segments via Theta
+    * sketches: one sketch per `groupCol` value over `itemCol`
+    * (sharded build + union — the incremental shape), then set
+    * algebra on the KB sketch pairs: (seg_a, seg_b, common, only_a,
+    * only_b). The raw item sets never meet in a join — at 100 TB the
+    * per-segment sketches are a few KB each and the pair matrix is
+    * segment-count-sized, not data-sized. */
+  def segmentOverlap(df: DataFrame, groupCol: String, itemCol: String,
+      shardCol: String): DataFrame = {
+    import graft.functions.SketchAggregates
+    val perShard = df.groupBy(col(groupCol), col(shardCol))
+      .agg(SketchAggregates.thetaSketch(col(itemCol)).as("tsk"))
+    val sk = perShard.groupBy(col(groupCol))
+      .agg(SketchAggregates.thetaUnion(col("tsk")).as("tsk"))
+    val a = sk.select(col(groupCol).as("seg_a"), col("tsk").as("ta"))
+    val b = sk.select(col(groupCol).as("seg_b"), col("tsk").as("tb"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        SketchAggregates.thetaIntersectCount(col("ta"), col("tb")).as("common"),
+        SketchAggregates.thetaDiffCount(col("ta"), col("tb")).as("only_a"),
+        SketchAggregates.thetaDiffCount(col("tb"), col("ta")).as("only_b"))
+  }
 }

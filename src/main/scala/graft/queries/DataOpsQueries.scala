@@ -996,5 +996,32 @@ object DataOpsQueries {
              |  FROM c)
              |SELECT lang, item, est FROM r WHERE rn <= 5""".stripMargin),
     ),
+
+    // Theta-sketch set algebra: pairwise vocabulary overlap between
+    // language corpora — |A ∩ B| and the asymmetric differences from
+    // KB sketches, never a raw distinct-join. Exact here because every
+    // per-lang vocabulary sits far under the sketch's nominal entry
+    // count (the same bounded-exactness pattern as the other sketch
+    // oracles).
+    QueryDef(
+      "q_sketch_overlap",
+      (s, d) => Sketches.segmentOverlap(
+        QueryDef.load(s, d, "documents")
+          .withColumn("shard", col("doc_id") % 4)
+          .select(col("lang"), col("shard"),
+            explode(split(col("text"), " ")).as("item")),
+        "lang", "item", "shard"),
+      Some("""WITH t AS (SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |v AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY lang),
+             |c AS (SELECT x.lang AS seg_a, y.lang AS seg_b,
+             |    CAST(count(*) AS BIGINT) AS common
+             |  FROM t x JOIN t y ON x.w = y.w AND x.lang < y.lang
+             |  GROUP BY 1, 2)
+             |SELECT c.seg_a, c.seg_b, c.common,
+             |  va.n - c.common AS only_a, vb.n - c.common AS only_b
+             |FROM c JOIN v va ON va.lang = c.seg_a
+             |       JOIN v vb ON vb.lang = c.seg_b""".stripMargin),
+    ),
   )
 }

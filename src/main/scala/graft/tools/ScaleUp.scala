@@ -184,6 +184,6 @@ object ScaleUp {
           (x.cast("double") + col("__r").cast("double") * 0.003 *
             cos(i.cast("double") + col("__r").cast("double"))).cast("float")))
       .drop("__r")
-    write(embRep, "embeddings", math.max(2, 2 * factor / 10))
+    write(embRep, "embeddings", math.max(32, 2 * factor / 10))
   }
 }

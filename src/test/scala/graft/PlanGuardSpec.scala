@@ -28,6 +28,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_lm_perplexity", // single-row vocabulary-size scalar
     "q_corpus_stats", // single-row corpus totals
     "q_corpus_drift", // single-row totals broadcast cross
+    "q_sketch_overlap", // segment pair matrix: one KB sketch row per
+    // segment, O(segments^2) pairs by design — data-sized sets never join
   )
 
   test("no accidental nested-loop or cartesian joins in any query") {

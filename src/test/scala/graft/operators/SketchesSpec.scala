@@ -154,4 +154,42 @@ class SketchesSpec extends SparkSpec {
     assert(parsed.getMaximumError > 0,
       "undersized union must report its error offset")
   }
+
+  // ---- Theta set-algebra sketches ----
+
+  test("theta: segment overlap equals exact set algebra in-window, " +
+      "shard-count invariant") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("item"))
+    val sets = toks.select("lang", "item").distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getString(1)).toSet }
+    val want = (for {
+      (la, sa) <- sets; (lb, sb) <- sets if la < lb
+    } yield (la, lb) -> ((sa & sb).size.toLong,
+      (sa -- sb).size.toLong, (sb -- sa).size.toLong)).toMap
+    for (shards <- Seq(2, 8)) {
+      val got = Sketches.segmentOverlap(
+        toks.withColumn("shard", col("doc_id") % shards),
+        "lang", "item", "shard")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == want,
+        s"$shards-shard theta overlap must be exact in-window")
+    }
+  }
+
+  test("theta: intersection estimate within 5% at 100k-element sets") {
+    import spark.implicits._
+    // A = 0..99999, B = 50000..149999 -> |A ∩ B| = 50000
+    val df = ((0 until 100000).map(i => ("a", s"v$i")) ++
+      (50000 until 150000).map(i => ("b", s"v$i")))
+      .toDF("seg", "item").withColumn("shard", lit(0))
+    val row = Sketches.segmentOverlap(df, "seg", "item", "shard").head()
+    val common = row.getLong(2)
+    val err = math.abs(common - 50000.0) / 50000.0
+    info(f"theta intersection estimate=$common rel_err=$err%.4f")
+    assert(err <= 0.05, f"estimate $common off by $err%.4f (> 5%%)")
+  }
 }
