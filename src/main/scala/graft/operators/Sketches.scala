@@ -98,6 +98,28 @@ object Sketches {
         col("t.est").as("est")): _*)
   }
 
+  /** Rolling-window distinct counts — the sketch family composed with
+    * window frames: one HLL per hour (the data-sized aggregation,
+    * map-side combined), then a trailing-frame UNION over the
+    * hour-level sketches ("distinct users in the last `trailing`+1
+    * hours", per hour). The window operates on the PRE-AGGREGATED
+    * hour table — bounded by hours, not rows — so the unpartitioned
+    * ordering is a non-issue at any corpus size, and no per-event
+    * state is ever re-scanned: exactly how an incremental dashboard
+    * maintains trailing uniques. */
+  def rollingDistinct(df: DataFrame, tsCol: String, idCol: String,
+      trailing: Int = 2, lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .groupBy(date_format(date_trunc("hour", col(tsCol)),
+        "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(hll_sketch_agg(col(idCol), lit(lgK)).as("hll"))
+    val w = Window.orderBy("hour").rowsBetween(-trailing, 0)
+    hourly.select(col("hour"),
+      round(hll_sketch_estimate(hll_union_agg(col("hll")).over(w)))
+        .cast("long").as("est_distinct"))
+  }
+
   /** Pairwise distinct-set overlap between segments via Theta
     * sketches: one sketch per `groupCol` value over `itemCol`
     * (sharded build + union — the incremental shape), then set

@@ -1023,5 +1023,25 @@ object DataOpsQueries {
              |FROM c JOIN v va ON va.lang = c.seg_a
              |       JOIN v vb ON vb.lang = c.seg_b""".stripMargin),
     ),
+
+    // Sketches composed with window frames: trailing-3-hour distinct
+    // users per hour, from per-hour HLLs unioned over a rows frame —
+    // the incremental-dashboard shape (sub-threshold cardinalities,
+    // so the estimates are exact against the oracle's true distinct
+    // counts; rows-frame semantics mirrored via row_number in SQL).
+    QueryDef(
+      "q_sketch_rolling_distinct",
+      (s, d) => Sketches.rollingDistinct(
+        QueryDef.loadEvents(s, d), "ts", "user_id"),
+      Some("""WITH e AS (SELECT strftime(date_trunc('hour', ts),
+             |    '%Y-%m-%d %H:%M:%S') AS hour, user_id FROM events),
+             |h AS (SELECT hour, row_number() OVER (ORDER BY hour) AS rn
+             |  FROM (SELECT DISTINCT hour FROM e)),
+             |p AS (SELECT c.hour AS chour, ph.hour AS phour
+             |  FROM h c JOIN h ph ON ph.rn BETWEEN c.rn - 2 AND c.rn)
+             |SELECT p.chour AS hour,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS est_distinct
+             |FROM p JOIN e ON e.hour = p.phour GROUP BY 1""".stripMargin),
+    ),
   )
 }
