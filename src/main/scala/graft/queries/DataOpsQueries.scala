@@ -1043,5 +1043,54 @@ object DataOpsQueries {
              |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS est_distinct
              |FROM p JOIN e ON e.hour = p.phour GROUP BY 1""".stripMargin),
     ),
+
+    // The whole sketch family in ONE profile row per source — how a
+    // 100 TB ingest actually profiles itself: one pass builds counts +
+    // HLL(langs) + KLL(doc length) in a single aggregate, a second
+    // token-grain pass builds the frequent-items sketch, and the two
+    // meet in a source-count-sized join. Exact against the oracle by
+    // the usual bounded windows.
+    QueryDef(
+      "q_profile_sketch",
+      (s, d) => {
+        import graft.functions.SketchAggregates
+        val docs = QueryDef.load(s, d, "documents")
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          round(hll_sketch_estimate(hll_sketch_agg(col("lang"), lit(12))))
+            .cast("long").as("distinct_langs"),
+          element_at(SketchAggregates.kllQuantiles(
+            SketchAggregates.kllSketch(col("n_chars").cast("double"), 800),
+            Seq(0.5)), 1).as("median_chars"))
+        val top = docs
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source")
+          .agg(SketchAggregates.freqSketch(col("w"), 256).as("fsk"))
+          .select(col("source"),
+            element_at(SketchAggregates.freqTopK(col("fsk"), 1), 1).as("t"))
+          .select(col("source"), col("t.item").as("top_token"),
+            col("t.est").as("top_token_count"))
+        base.join(top, "source")
+      },
+      Some("""WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS distinct_langs
+             |  FROM documents GROUP BY 1),
+             |m AS (SELECT source, x AS median_chars FROM (
+             |    SELECT source, CAST(n_chars AS DOUBLE) AS x,
+             |      row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+             |      count(*) OVER (PARTITION BY source) AS n
+             |    FROM documents) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+             |t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM t GROUP BY 1, 2),
+             |tk AS (SELECT source, w AS top_token, cnt AS top_token_count
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+             |          ORDER BY cnt DESC, w ASC) AS rn FROM c)
+             |  WHERE rn = 1)
+             |SELECT b.source, b.n_docs, b.distinct_langs, m.median_chars,
+             |  tk.top_token, tk.top_token_count
+             |FROM b JOIN m USING (source) JOIN tk USING (source)""".stripMargin),
+    ),
   )
 }
