@@ -1062,12 +1062,20 @@ object DataOpsQueries {
           element_at(SketchAggregates.kllQuantiles(
             SketchAggregates.kllSketch(col("n_chars").cast("double"), 800),
             Seq(0.5)), 1).as("median_chars"))
+        // size-guarded: a saturated sketch over a FLAT vocabulary (the
+        // synthetic decade corpora rewrite tokens per replica, so no
+        // item dominates) can return an EMPTY confident list — then
+        // the profile carries NULLs instead of throwing. On Zipfian
+        // real corpora the heavy hitters survive any epsilon*n error
+        // bound, which is the frequent-items contract.
         val top = docs
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
           .groupBy("source")
           .agg(SketchAggregates.freqSketch(col("w"), 256).as("fsk"))
           .select(col("source"),
-            element_at(SketchAggregates.freqTopK(col("fsk"), 1), 1).as("t"))
+            SketchAggregates.freqTopK(col("fsk"), 1).as("tk"))
+          .select(col("source"),
+            when(size(col("tk")) > 0, element_at(col("tk"), 1)).as("t"))
           .select(col("source"), col("t.item").as("top_token"),
             col("t.est").as("top_token_count"))
         base.join(top, "source")
