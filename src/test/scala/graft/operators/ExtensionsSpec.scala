@@ -307,6 +307,24 @@ class ExtensionsSpec extends SparkSpec {
       // ids 1..100 mod 7: residues 1 and 2 hit 15 times; item asc tie-break
       assert(top.getString(0) == "i1" && top.getLong(1) == 15L,
         s"top item must be i1 x15, got $top")
+      // theta: build + estimate + pair set algebra in SQL text — two
+      // segments sharing exactly 3 items (v47, v48, v49)
+      s2.sql("""SELECT seg, s FROM (
+                |  SELECT 'a' AS seg, concat('v', id) AS s FROM range(0, 50)
+                |  UNION ALL
+                |  SELECT 'b' AS seg, concat('v', id + 47) AS s FROM range(0, 50))""".stripMargin)
+        .createOrReplaceTempView("th_src")
+      val est = s2.sql(
+        """SELECT theta_estimate(theta_sketch_agg(s)) AS n
+          |FROM th_src WHERE seg = 'a'""".stripMargin).head().getLong(0)
+      assert(est == 50L, s"theta SQL estimate must be exact in-window: $est")
+      val pair = s2.sql(
+        """WITH sk AS (SELECT seg, theta_sketch_agg(s) AS sk FROM th_src GROUP BY seg)
+          |SELECT theta_intersect_count(a.sk, b.sk) AS common,
+          |       theta_a_not_b_count(a.sk, b.sk) AS only_a
+          |FROM sk a JOIN sk b ON a.seg = 'a' AND b.seg = 'b'""".stripMargin).head()
+      assert(pair.getLong(0) == 3L && pair.getLong(1) == 47L,
+        s"theta SQL pair ops must be exact: $pair")
       // non-literal capacity must fail loudly
       val err = intercept[Exception] {
         s2.sql("SELECT kll_sketch_agg(x, CAST(shard AS INT)) FROM sk_src")
