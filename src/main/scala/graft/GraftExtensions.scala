@@ -126,12 +126,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           "kll_quantiles(sketch, array(ranks...)) takes exactly 2 arguments")
         require(exprs(1).foldable,
-          "kll_quantiles: ranks must be a literal array of doubles")
-        val ranks = exprs(1).eval() match {
-          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-            a.toDoubleArray().toSeq
+          "kll_quantiles: ranks must be a literal array of numbers")
+        // convert per the literal's ELEMENT type: a bare
+        // `array(0.25, 0.5)` parses as ARRAY<DECIMAL> in Spark SQL, so
+        // assuming doubles here threw an opaque ClassCastException
+        import org.apache.spark.sql.types.{ArrayType, Decimal, DataType => SDT}
+        def toDouble(v: Any): Double = v match {
+          case d: java.lang.Double => d
+          case f: java.lang.Float => f.toDouble
+          case dec: Decimal => dec.toDouble
+          case n: java.lang.Number => n.doubleValue()
           case other => throw new IllegalArgumentException(
-            s"kll_quantiles: ranks must be a literal array of doubles, got $other")
+            s"kll_quantiles: ranks must be a literal array of numbers, got element $other")
+        }
+        val ranks = (exprs(1).dataType, exprs(1).eval()) match {
+          case (ArrayType(et: SDT, _),
+              a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+            (0 until a.numElements()).map { i =>
+              val v = a.get(i, et)
+              if (v == null) throw new IllegalArgumentException(
+                "kll_quantiles: ranks must not contain NULL")
+              toDouble(v)
+            }
+          case (t, _) => throw new IllegalArgumentException(
+            s"kll_quantiles: ranks must be a literal array of numbers, got type $t")
         }
         graft.functions.KllQuantilesExpr(exprs(0), ranks)
       },

@@ -11,6 +11,13 @@ import org.apache.spark.sql.execution.SparkStrategy
   * inside the package — the standard extension idiom, no internals
   * copied. */
 object GraftSqlBridge {
+  /** The `NumericType` abstract-type companion is `private[spark]`;
+    * expose it so the engine's native aggregates can declare numeric
+    * inputTypes (analysis-time rejection instead of a runtime
+    * ClassCastException). */
+  val numericType: org.apache.spark.sql.types.AbstractDataType =
+    org.apache.spark.sql.types.NumericType
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 

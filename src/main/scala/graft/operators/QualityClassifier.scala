@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   *     monotone in the ratio and saturating like the log form. The
   *     bias is the class-mean midpoint: b = -tdiv(mean_z1 + mean_z0,
   *     2) with z_d the bias-free normalized dot product.
-  *   - forward: z = tdiv(sum_occurrences w_h(t) + w_D, n_words) — one
+  *   - forward: z = tdiv(sum_occurrences w_h(t), n_words) + w_D — one
   *     truncating division per doc, so scoring decomposes into a
-  *     per-token fold (scan-local).
+  *     per-token fold (scan-local). The bias is added AFTER the
+  *     normalizing division: it was fitted as the midpoint of the
+  *     class means of the NORMALIZED logit, so it must shift z in
+  *     those same units (inside the division its effect would scale
+  *     as b/n_words — vanishing for long docs).
   *
   * Why closed-form and NOT gradient descent: full-batch integer GD on
   * this feature space ping-pongs between the constant predictors at
@@ -103,15 +107,18 @@ object QualityClassifier {
     ((a - a % b) / b).cast("long")
 
   /** Scan-local logit: fold the token array through the literal weight
-    * vector, bias inside the single normalizing division. `tokArr`
-    * MUST be a materialized attribute (HOF lambdas re-evaluate
-    * captured expressions per element). */
+    * vector, then normalize and shift by the bias — z = tdiv(occSum,
+    * n_words) + b. The bias lives OUTSIDE the division so its effect
+    * on the decision boundary is length-independent, matching the
+    * units it was fitted in (class-midpoint of the normalized logit).
+    * `tokArr` MUST be a materialized attribute (HOF lambdas
+    * re-evaluate captured expressions per element). */
   def logit(w: Array[Long], tokArr: Column): Column = {
     require(w.length == D + 1, s"weights must be D+1 = ${D + 1} longs")
     val wl = typedlit(w.init.toSeq)
     val occSum = aggregate(tokArr, lit(0L),
       (acc, t) => acc + element_at(wl, featureId(t) + 1))
-    tdiv(occSum + lit(w.last), size(tokArr).cast("long"))
+    tdiv(occSum, size(tokArr).cast("long")) + lit(w.last)
   }
 
   /** Hard-sigmoid probability in micro-units from a micro-logit

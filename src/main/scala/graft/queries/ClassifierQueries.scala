@@ -35,10 +35,17 @@ object ClassifierQueries {
        |          len(list_filter(string_split(text, ' '),
        |            x -> x IN ($stopList))) AS s
        |        FROM documents)),
-       |conf AS (SELECT d.doc_id, d.text, lab.y,
+       |conf0 AS (SELECT d.doc_id, d.text, lab.y,
        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
        |  FROM documents d JOIN lab USING (doc_id)
        |  WHERE d.doc_id % 5 != 0 AND lab.y >= 0),
+       |modv AS (SELECT min(CAST(1 AS BIGINT) << k) AS m
+       |  FROM range(0, 41) t(k)
+       |  WHERE (SELECT count(*) FROM conf0) // (CAST(1 AS BIGINT) << k)
+       |        <= ${QualityClassifier.FitCap}),
+       |conf AS (SELECT conf0.* FROM conf0
+       |  WHERE ('0x' || substr(md5('fit:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % (SELECT m FROM modv) = 0),
        |tok AS (SELECT doc_id, y, unnest(string_split(text, ' ')) AS w
        |  FROM conf),
        |clsraw AS (SELECT CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % $D AS INT) AS f,
@@ -100,7 +107,7 @@ object ClassifierQueries {
               |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM evd)
               |  GROUP BY 1, 2),
               |zs AS (SELECT evc.doc_id,
-              |    ${sdiv("sum(wf.wv * evc.c) + (SELECT b FROM bias)", "any_value(evd.n_words)")} AS z
+              |    ${sdiv("sum(wf.wv * evc.c)", "any_value(evd.n_words)")} + (SELECT b FROM bias) AS z
               |  FROM evc JOIN wf USING (f) JOIN evd USING (doc_id)
               |  GROUP BY evc.doc_id),
               |ps AS (SELECT doc_id,
@@ -153,7 +160,7 @@ object ClassifierQueries {
               |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM evd)
               |  GROUP BY 1, 2),
               |zs AS (SELECT evc.doc_id,
-              |    ${sdiv("sum(wf.wv * evc.c) + (SELECT b FROM bias)", "any_value(evd.n_words)")} AS z
+              |    ${sdiv("sum(wf.wv * evc.c)", "any_value(evd.n_words)")} + (SELECT b FROM bias) AS z
               |  FROM evc JOIN wf USING (f) JOIN evd USING (doc_id)
               |  GROUP BY evc.doc_id),
               |sc AS (SELECT ps.doc_id,
@@ -203,7 +210,7 @@ object ClassifierQueries {
               |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM alld)
               |  GROUP BY 1, 2),
               |zs AS (SELECT alc.doc_id,
-              |    ${sdiv("sum(wf.wv * alc.c) + (SELECT b FROM bias)", "any_value(alld.n_words)")} AS z
+              |    ${sdiv("sum(wf.wv * alc.c)", "any_value(alld.n_words)")} + (SELECT b FROM bias) AS z
               |  FROM alc JOIN wf USING (f) JOIN alld USING (doc_id)
               |  GROUP BY alc.doc_id),
               |sc AS (SELECT doc_id,
