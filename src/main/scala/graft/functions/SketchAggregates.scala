@@ -9,7 +9,7 @@ import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation,
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionDescription}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
@@ -111,7 +111,11 @@ case class ThetaSketchAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Union]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ExpectsInputTypes {
+
+  // analysis-time typing: updates hash STRING items (a BIGINT child
+  // would ClassCastException at execution otherwise)
+  override def inputTypes = Seq(StringType)
 
   // buffer is a Union: accepts raw value updates AND sketch merges,
   // which makes update/merge/serialize uniform
@@ -155,7 +159,9 @@ case class ThetaUnionAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Union]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().buildUnion()
@@ -193,10 +199,14 @@ case class ThetaUnionAgg(
   * of |A| ("estimate", b ignored), |A ∩ B| ("intersect"), or |A \ B|
   * ("a_not_b") — exact whenever the operand sketches are exact. */
 case class ThetaSetCountExpr(left: Expression, right: Expression, op: String)
-  extends Expression with BinaryLike[Expression] with CodegenFallback {
+  extends Expression with BinaryLike[Expression] with CodegenFallback
+  with ExpectsInputTypes {
 
   require(Set("estimate", "intersect", "a_not_b").contains(op),
     s"unknown theta op: $op")
+
+  // both operands are serialized sketches
+  override def inputTypes = Seq(BinaryType, BinaryType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -239,7 +249,12 @@ case class KllSketchAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ExpectsInputTypes {
+
+  // any numeric child (update widens through Number); the companion
+  // NumericType AbstractDataType is private[spark], exposed via the
+  // bridge — rejects strings/binaries at analysis time
+  override def inputTypes = Seq(GraftSqlBridge.numericType)
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -282,7 +297,9 @@ case class KllMergeAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -319,8 +336,10 @@ case class KllMergeAgg(
   * quantile_disc when the sketch is in its exactness window). NULL for
   * an empty sketch. Scalar, few rows — CodegenFallback is fine. */
 case class KllQuantilesExpr(child: Expression, ranks: Seq[Double])
-  extends Expression with UnaryLike[Expression] with CodegenFallback {
+  extends Expression with UnaryLike[Expression] with CodegenFallback
+  with ExpectsInputTypes {
 
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -351,7 +370,9 @@ case class FreqSketchAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ItemsSketch[String]]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
 
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
@@ -396,7 +417,9 @@ case class FreqMergeAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ItemsSketch[String]]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
 
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
@@ -436,8 +459,10 @@ case class FreqMergeAgg(
   * NO_FALSE_POSITIVES: every returned item's true count is >= its
   * lower bound — under exactness the list is the true top-k. */
 case class FreqTopKExpr(child: Expression, k: Int)
-  extends Expression with UnaryLike[Expression] with CodegenFallback {
+  extends Expression with UnaryLike[Expression] with CodegenFallback
+  with ExpectsInputTypes {
 
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("item", StringType, nullable = false),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -17,10 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * codegen is off.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
-  // no ExpectsInputTypes (AbstractDataType is private[sql]); callers
-  // pass array<double> — dotNative casts, SQL users cast explicitly
+  // strict analysis-time typing (no implicit casts): dotNative casts
+  // on the Column side, SQL users cast explicitly — a non-double array
+  // is rejected at analysis instead of ClassCastException at execution
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
@@ -98,8 +100,9 @@ case class DotProductExpr(left: Expression, right: Expression)
   * exactly like the composed form (NaN/Infinity, never a fabricated
   * value). */
 case class CosineExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override def nullable: Boolean = true

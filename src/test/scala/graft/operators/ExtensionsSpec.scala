@@ -290,14 +290,24 @@ class ExtensionsSpec extends SparkSpec {
       s2.range(1, 101).selectExpr("id", "id % 4 AS shard",
         "CAST(id AS DOUBLE) AS x", "concat('i', id % 7) AS s")
         .createOrReplaceTempView("sk_src")
-      // KLL: shard, union, extract — exact window (n=100 <= k=200)
+      // KLL: shard, union, extract — exact window (n=100 <= k=200).
+      // The ranks are a BARE decimal literal (parses as ARRAY<DECIMAL>):
+      // the builder converts per element type, so no CAST is needed
       val q = s2.sql(
-        """SELECT kll_quantiles(kll_merge_agg(sk, 200),
-          |         CAST(array(0.5) AS ARRAY<DOUBLE>))[0] AS med
+        """SELECT kll_quantiles(kll_merge_agg(sk, 200), array(0.5))[0] AS med
           |FROM (SELECT shard, kll_sketch_agg(x, 200) AS sk
           |      FROM sk_src GROUP BY shard)""".stripMargin)
         .head().getDouble(0)
       assert(q == 50.0, s"inclusive median of 1..100 must be 50, got $q")
+      // multi-rank bare decimal literal: p25/p50/p75 of 1..100 (inclusive
+      // nearest-rank rule on exact data)
+      val qs = s2.sql(
+        """SELECT kll_quantiles(kll_merge_agg(sk, 200),
+          |         array(0.25, 0.5, 0.75)) AS qs
+          |FROM (SELECT shard, kll_sketch_agg(x, 200) AS sk
+          |      FROM sk_src GROUP BY shard)""".stripMargin)
+        .head().getSeq[Double](0)
+      assert(qs == Seq(25.0, 50.0, 75.0), s"bare-decimal ranks: $qs")
       // frequent items: exact counts, top-1 is the 15-count residue
       val top = s2.sql(
         """SELECT freq_topk(freq_merge_agg(sk, 64), 1) AS t
@@ -331,6 +341,89 @@ class ExtensionsSpec extends SparkSpec {
           .collect()
       }
       assert(err.getMessage.contains("literal integer"))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("kll_quantiles rejects malformed rank literals with a descriptive error") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      s2.range(1, 11).selectExpr("CAST(id AS DOUBLE) AS x")
+        .createOrReplaceTempView("kq_src")
+      def messages(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      // NULL rank element: rejected with the descriptive message, not NPE
+      val nullErr = intercept[Exception] {
+        s2.sql(
+          """SELECT kll_quantiles(kll_sketch_agg(x, 200), array(0.25, NULL))
+            |FROM kq_src""".stripMargin).collect()
+      }
+      assert(messages(nullErr).contains("must not contain NULL"),
+        s"unexpected: ${messages(nullErr)}")
+      // non-array ranks literal: rejected with the descriptive message
+      val scalarErr = intercept[Exception] {
+        s2.sql(
+          """SELECT kll_quantiles(kll_sketch_agg(x, 200), 0.5)
+            |FROM kq_src""".stripMargin).collect()
+      }
+      assert(messages(scalarErr).contains("must be a literal array"),
+        s"unexpected: ${messages(scalarErr)}")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("sketch SQL surface rejects wrong input types at analysis time") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      s2.range(1, 21).selectExpr("id", "CAST(id AS DOUBLE) AS x",
+        "concat('i', id % 3) AS s")
+        .createOrReplaceTempView("ty_src")
+      // each misuse used to surface as a runtime ClassCastException deep
+      // in an executor; with declared inputTypes it is an
+      // AnalysisException BEFORE any job runs
+      def analysisFails(sql: String): Unit = {
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          s2.sql(sql).collect()
+        }
+        assert(e.getMessage.toLowerCase.contains("mismatch") ||
+          e.getCondition != null, s"expected type mismatch for: $sql\n$e")
+      }
+      analysisFails("SELECT theta_sketch_agg(id) FROM ty_src")
+      analysisFails("SELECT theta_union_agg(s) FROM ty_src")
+      analysisFails("SELECT theta_estimate(s) FROM ty_src")
+      analysisFails("SELECT theta_intersect_count(s, s) FROM ty_src")
+      analysisFails("SELECT kll_sketch_agg(s, 200) FROM ty_src")
+      analysisFails("SELECT kll_merge_agg(s, 200) FROM ty_src")
+      analysisFails("SELECT kll_quantiles(s, array(0.5)) FROM ty_src")
+      analysisFails("SELECT freq_sketch_agg(x, 64) FROM ty_src")
+      analysisFails("SELECT freq_merge_agg(s, 64) FROM ty_src")
+      analysisFails("SELECT freq_topk(s, 3) FROM ty_src")
+      analysisFails("SELECT dot_product(array(x), array('a')) FROM ty_src")
+      analysisFails("SELECT cosine_sim(x, x) FROM ty_src")
+      // positive control: correctly-typed calls still analyze and run
+      val ok = s2.sql(
+        """SELECT theta_estimate(theta_sketch_agg(s)) AS n,
+          |       kll_quantiles(kll_sketch_agg(x, 200), array(0.5))[0] AS med,
+          |       freq_topk(freq_sketch_agg(s, 64), 1)[0].item AS top
+          |FROM ty_src""".stripMargin).head()
+      assert(ok.getLong(0) == 3L && ok.getDouble(1) == 10.0)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
