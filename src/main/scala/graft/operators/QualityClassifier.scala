@@ -126,11 +126,6 @@ object QualityClassifier {
   def probMicro(z: Column): Column =
     least(lit(1000000L), greatest(lit(0L), lit(500000L) + sdiv4(z)))
 
-  /** Fit the model: closed-form count-ratio weights + class-midpoint
-    * bias. Runs at plan-construction time (the eager-build regime
-    * shared with the Lloyd/BPE trainers): one token-aggregation job
-    * (D rows collected) + one bias job (2 rows). Returns the
-    * micro-unit weight vector, bias last. */
   /** Int64-headroom bound on the fitted sample (counts times 1e9 must
     * stay inside Long): corpora past it are down-sampled by a
     * deterministic doc-hash (power-of-two modulus), so the fit cost is
@@ -138,23 +133,47 @@ object QualityClassifier {
     * out of the sample — the oracle can replay the selection. */
   val FitCap = 1000000L
 
-  def train(
+  /** Smallest power-of-two modulus that brings `nAll` docs under the
+    * cap (mod == 1 means no down-sampling). */
+  def fitMod(nAll: Long, fitCap: Long): Long = {
+    var mod = 1L
+    while (nAll / mod > fitCap) mod *= 2
+    mod
+  }
+
+  /** The confident fit sample: confident weak labels, down-sampled by
+    * the deterministic doc-hash when they exceed `fitCap`. Exposed so
+    * the selection itself is oracle-checkable (q_quality_clf_sample
+    * replays it in DuckDB with a forced small cap). */
+  def fitSample(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-  ): Array[Long] = {
+      fitCap: Long = FitCap,
+  ): DataFrame = {
     // confident weak labels only — the ambiguous band trains nothing
     val allConfident = docs.where(marginLabel(col(textCol)) >= 0)
     val nAll = allConfident.count()
     require(nAll > 0, "empty training sample")
-    // smallest power of two that brings the sample under the cap
-    var mod = 1L
-    while (nAll / mod > FitCap) mod *= 2
-    val confident =
-      if (mod == 1L) allConfident
-      else allConfident.where(
-        pmod(Dedup.md5Hash32(concat(lit("fit:"), col(idCol).cast("string"))),
-          lit(mod)) === 0)
+    val mod = fitMod(nAll, fitCap)
+    if (mod == 1L) allConfident
+    else allConfident.where(
+      pmod(Dedup.md5Hash32(concat(lit("fit:"), col(idCol).cast("string"))),
+        lit(mod)) === 0)
+  }
+
+  /** Fit the model: closed-form count-ratio weights + class-midpoint
+    * bias. Runs at plan-construction time (the eager-build regime
+    * shared with the Lloyd/BPE trainers): one token-aggregation job
+    * (D rows collected) + one bias job (2 rows). Returns the
+    * micro-unit weight vector, bias last. */
+  def train(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      fitCap: Long = FitCap,
+  ): Array[Long] = {
+    val confident = fitSample(docs, textCol, idCol, fitCap)
     val base = confident.select(col(idCol).as("doc_id"),
       toks(col(textCol)).as("__toks"), marginLabel(col(textCol)).as("y"))
       .persist()

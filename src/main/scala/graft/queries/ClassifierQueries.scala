@@ -25,8 +25,11 @@ object ClassifierQueries {
 
   /** The full fit, as CTEs ending in `wall (f, wv)` = the D+1 weight
     * rows (bias at f = D). Mirrors [[QualityClassifier.train]] with
-    * refineIters = 0 step for step. */
-  private def fitCtes: String =
+    * refineIters = 0 step for step. `cap` mirrors the fitCap argument:
+    * the default leaves mod = 1 at gate scales; the capped queries
+    * force mod > 1 so the down-sampling branch executes in BOTH
+    * engines (never-run parity is no parity). */
+  private def fitCtes(cap: Long = QualityClassifier.FitCap): String =
     s"""lab AS (SELECT doc_id,
        |    CASE WHEN s * 12 >= n AND n >= 20 THEN 1
        |         WHEN s * 24 <= n OR n < 20 THEN 0
@@ -42,7 +45,7 @@ object ClassifierQueries {
        |modv AS (SELECT min(CAST(1 AS BIGINT) << k) AS m
        |  FROM range(0, 41) t(k)
        |  WHERE (SELECT count(*) FROM conf0) // (CAST(1 AS BIGINT) << k)
-       |        <= ${QualityClassifier.FitCap}),
+       |        <= $cap),
        |conf AS (SELECT conf0.* FROM conf0
        |  WHERE ('0x' || substr(md5('fit:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        |        % (SELECT m FROM modv) = 0),
@@ -87,7 +90,40 @@ object ClassifierQueries {
         w.zipWithIndex.map { case (wv, f) => (f, wv) }.toSeq
           .toDF("f", "weight_micro")
       },
-      Some(s"""WITH $fitCtes
+      Some(s"""WITH ${fitCtes()}
+              |SELECT f, wv AS weight_micro FROM wall""".stripMargin),
+    ),
+
+    // FitCap down-sampling, EXECUTED: at gate scales the confident
+    // count sits far under the production cap (mod = 1, branch dead in
+    // both engines), so these two force cap = 64 — mod = 4 at
+    // sf0.001/sf0.01, mod = 64 at sf0.1 — and oracle-check first the
+    // selected sample itself, then the weights fitted from it. A branch
+    // both engines merely CLAIM to share is not parity until it runs.
+    QueryDef(
+      "q_quality_clf_sample",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+          .where(col("doc_id") % 5 =!= 0)
+        QualityClassifier.fitSample(docs, fitCap = ClfParams.ForcedFitCap)
+          .select(col("doc_id"),
+            QualityClassifier.marginLabel(col("text")).cast("long").as("y"))
+      },
+      Some(s"""WITH ${fitCtes(ClfParams.ForcedFitCap)}
+              |SELECT doc_id, CAST(y AS BIGINT) AS y FROM conf""".stripMargin),
+    ),
+
+    QueryDef(
+      "q_quality_clf_train_capped",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+          .where(col("doc_id") % 5 =!= 0)
+        val w = QualityClassifier.train(docs, fitCap = ClfParams.ForcedFitCap)
+        import s.implicits._
+        w.zipWithIndex.map { case (wv, f) => (f, wv) }.toSeq
+          .toDF("f", "weight_micro")
+      },
+      Some(s"""WITH ${fitCtes(ClfParams.ForcedFitCap)}
               |SELECT f, wv AS weight_micro FROM wall""".stripMargin),
     ),
 
@@ -98,7 +134,7 @@ object ClassifierQueries {
         val w = QualityClassifier.train(docs.where(col("doc_id") % 5 =!= 0))
         QualityClassifier.score(docs.where(col("doc_id") % 5 === 0), w)
       },
-      Some(s"""WITH $fitCtes,
+      Some(s"""WITH ${fitCtes()},
               |evd AS (SELECT doc_id, text,
               |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
               |  FROM documents WHERE doc_id % 5 = 0),
@@ -151,7 +187,7 @@ object ClassifierQueries {
                 % (col("tp") + col("fn"))) / (col("tp") + col("fn")))
               .otherwise(lit(0L)).cast("long").as("recall_ppm"))
       },
-      Some(s"""WITH $fitCtes,
+      Some(s"""WITH ${fitCtes()},
               |evd AS (SELECT doc_id, text,
               |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
               |  FROM documents WHERE doc_id % 5 = 0),
@@ -201,7 +237,7 @@ object ClassifierQueries {
               .otherwise(lit("dropped")).as("fate"))
           .where(col("fate") =!= "dropped")
       },
-      Some(s"""WITH $fitCtes,
+      Some(s"""WITH ${fitCtes()},
               |alld AS (SELECT doc_id, text,
               |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
               |  FROM documents),
@@ -235,4 +271,12 @@ object ClfParams {
   /** Docs at or above this score are kept outright; below it they are
     * importance-sampled with probability p_micro / 1e6. */
   val KeepThreshold = 700000L
+
+  /** Tiny cap for the q_quality_clf_sample/_train_capped queries: small
+    * enough to force mod > 1 at every gate scale (confident-train
+    * counts: 217 at sf0.001 -> mod 4, 227 at sf0.01 -> mod 4, 2414 at
+    * sf0.1 -> mod 64), large enough that both classes survive sampling
+    * at each (31/30, 15/34, 11/17 pos/neg — a one-class sample would
+    * NULL the oracle's bias midpoint). */
+  val ForcedFitCap = 64L
 }

@@ -33,9 +33,9 @@ class ClassifierSpec extends SparkSpec {
     val majority = base.max.toDouble / base.sum
     val trainAcc = confAcc(train)
     val evalAcc = confAcc(eval)
-    // measured 0.834 / 0.900 at sf0.001 and 0.921 / 0.840 at sf0.01
-    // (linear ceiling 0.94); floors leave slack for testdata
-    // regeneration, not for regression
+    // measured (post r8 bias-unit fix) 0.825 / 0.820 at sf0.001 and
+    // 0.925 / 0.860 at sf0.01 (linear ceiling 0.94); floors leave
+    // slack for testdata regeneration, not for regression
     assert(trainAcc >= 0.80, f"train accuracy $trainAcc%.3f below floor")
     assert(evalAcc >= 0.75, f"eval accuracy $evalAcc%.3f below floor")
     assert(evalAcc > majority + 0.1,
@@ -62,6 +62,43 @@ class ClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"deploy path must not shuffle:\n$plan")
     assert(!plan.contains("Join"), s"deploy path must not join:\n$plan")
+  }
+
+  test("fitMod picks the smallest power-of-two modulus under the cap") {
+    assert(QualityClassifier.fitMod(217L, 64L) == 4L)
+    assert(QualityClassifier.fitMod(64L, 64L) == 1L)
+    assert(QualityClassifier.fitMod(65L, 64L) == 2L)
+    assert(QualityClassifier.fitMod(1000000L, QualityClassifier.FitCap) == 1L)
+    assert(QualityClassifier.fitMod(1000001L, QualityClassifier.FitCap) == 2L)
+    assert(QualityClassifier.fitMod(100L * 1000000L, QualityClassifier.FitCap) == 128L)
+  }
+
+  test("forced FitCap executes the down-sampling branch deterministically") {
+    val confident = train.where(QualityClassifier.marginLabel(col("text")) >= 0)
+    val nConf = confident.count()
+    val cap = graft.queries.ClfParams.ForcedFitCap
+    val mod = QualityClassifier.fitMod(nConf, cap)
+    assert(mod > 1L, s"cap $cap must force sampling on $nConf confident docs")
+    val sampled = QualityClassifier.fitSample(train, fitCap = cap)
+    val n = sampled.count()
+    // the sample is the exact md5-rule subset, not an approximation
+    val expected = confident.where(
+      pmod(graft.operators.Dedup.md5Hash32(
+        concat(lit("fit:"), col("doc_id").cast("string"))), lit(mod)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && n < nConf && n > 0)
+    // both classes survive sampling (a one-class fit would be vacuous
+    // and would NULL the oracle's bias midpoint)
+    val classes = sampled
+      .select(QualityClassifier.marginLabel(col("text")).as("y"))
+      .groupBy("y").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(classes.getOrElse(1L, 0L) > 0 && classes.getOrElse(0L, 0L) > 0, classes.toString)
+    // capped training is deterministic and well-formed end to end
+    val w1 = QualityClassifier.train(train, fitCap = cap)
+    val w2 = QualityClassifier.train(train, fitCap = cap)
+    assert(w1.toSeq == w2.toSeq && w1.length == QualityClassifier.D + 1)
+    assert(w1.init.forall(v => math.abs(v) <= 1000000L))
   }
 
   test("every doc is scored, ambiguous included") {
