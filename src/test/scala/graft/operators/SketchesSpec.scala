@@ -192,4 +192,56 @@ class SketchesSpec extends SparkSpec {
     info(f"theta intersection estimate=$common rel_err=$err%.4f")
     assert(err <= 0.05, f"estimate $common off by $err%.4f (> 5%%)")
   }
+
+  // ---- rolling-window distinct (trailing HLL union) ----
+
+  test("rollingDistinct equals the exact trailing union on the events " +
+      "fixture, for several trailing widths") {
+    val events = graft.queries.QueryDef.loadEvents(spark, sf)
+    // driver-side exact: per-hour user sets, then trailing unions over
+    // the SORTED hour sequence (row frame, like the operator)
+    val byHour = events
+      .select(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("user_id"))
+      .collect().groupBy(_.getString(0))
+      .map { case (h, rs) => h -> rs.map(_.getLong(1)).toSet }
+    val hours = byHour.keys.toSeq.sorted
+    for (trailing <- Seq(0, 2, 5)) {
+      val want = hours.zipWithIndex.map { case (h, i) =>
+        h -> hours.slice(math.max(0, i - trailing), i + 1)
+          .map(byHour).reduce(_ ++ _).size.toLong
+      }.toMap
+      val got = Sketches.rollingDistinct(events, "ts", "user_id", trailing)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"trailing=$trailing rolling distinct must be exact sub-threshold")
+    }
+  }
+
+  test("rollingDistinct plan: sketches never enter a window, and the " +
+      "rank subtree's scan is pruned to the timestamp column") {
+    val events = graft.queries.QueryDef.loadEvents(spark, sf)
+    val plan = Sketches.rollingDistinct(events, "ts", "user_id")
+      .queryExecution.executedPlan.toString
+    // the only Window is the hour-string ranking — if an hll column
+    // ever rides through it, the single-partition sort becomes
+    // GB-scale again (721k hours = 1.29 GB / 493 MB spill, measured)
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toList
+    assert(windowLines.nonEmpty, "expected the hour-rank window")
+    windowLines.foreach { l =>
+      assert(!l.toLowerCase.contains("hll"),
+        s"sketch column must not enter a window: $l")
+    }
+    // rank subtree: Catalyst must collapse the pruned aggregate to a
+    // distinct over ts alone (a full-width second scan doubles the
+    // events bytes read at 100 TB)
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan") || l.contains("Scan parquet"))
+      .toList
+    assert(scans.size == 2, s"expected 2 events scans, got:\n$scans")
+    assert(scans.exists(l => l.contains("[ts#") && !l.contains("user_id")),
+      s"one scan must be pruned to ts-only:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("user_id")),
+      s"one scan must feed the sketch aggregate:\n${scans.mkString("\n")}")
+  }
 }
