@@ -123,7 +123,20 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // Late-row filtering lags the watermark by ONE batch
+              // (rows the previous batch's watermark accepted must
+              // still be accepted), but timeout registration is
+              // validated against the CURRENT watermark — so a
+              // watermark jump wider than the gap (a far-future event
+              // or a backfill replay in the prior batch; hit by the
+              // 100M-event time-random replay rehearsal) hands this
+              // function legally-accepted rows whose gap horizon lies
+              // below the watermark, and registering that timeout
+              // throws and kills the query. Clamp to wm+1: the
+              // session keeps its true bounds and closes at the next
+              // watermark tick.
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.reverseIterator
           }

@@ -178,6 +178,76 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize survives a watermark jump wider than the gap: " +
+      "lag-window rows fold and close at the next tick instead of crashing") {
+    // Found by the 100M-event time-random replay rehearsal
+    // (StreamBench): Spark's late filter lags the watermark by one
+    // batch, so after a far-future event jumps the watermark, the NEXT
+    // batch still hands the state function old rows whose entire gap
+    // window lies below the current watermark — and registering their
+    // below-watermark timeout used to throw and kill the query. The
+    // lag window only exists between back-to-back DATA batches (a
+    // no-data batch advances the lagged filter), so this uses a file
+    // source at one file per trigger, the replay shape that hit it.
+    import spark.implicits._
+    val watch = java.nio.file.Files.createTempDirectory("sessionize-jump")
+    def stage(name: String, mtimeMin: Long, e: Event): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("one").toString
+      Seq(e).toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(watch.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMin * 60000L)
+    }
+    stage("a.parquet", 1, Event(1, ts(10000), 2, "view", 0)) // jumps watermark
+    stage("b.parquet", 2, Event(2, ts(20), 1, "click", 0)) // lag-window row
+    stage("c.parquet", 3, Event(3, ts(20000), 2, "view", 0)) // next tick
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(watch.toString).as[Event]
+    val q = sessionize(stream, gapMs = 10 * 60000L).writeStream
+      .format("memory").queryName("jump_sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable() // pre-fix: StreamingQueryException at batch 2
+      val u1 = spark.table("jump_sessions").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1,
+        s"the lag-window session must close exactly once: ${u1.toList}")
+      assert(u1.head.getAs[Long]("n_events") == 1)
+      assert(u1.head.getAs[Timestamp]("first_ts") == ts(20) &&
+        u1.head.getAs[Timestamp]("last_ts") == ts(20),
+        "the clamped close must keep the session's true bounds")
+      assert(u1.head.getAs[Boolean]("closed"))
+    } finally q.stop()
+  }
+
+  test("sessionize: rows below the lagged late filter are dropped by " +
+      "Spark itself and cannot resurrect a closed session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 10 * 60000L).writeStream
+      .format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(10), 1, "click", 0), Event(2, ts(12), 1, "click", 0),
+        Event(3, ts(10000), 2, "view", 0)) // far future: advances the watermark
+      q.processAllAvailable() // extra batch closes user 1 via timeout
+      // by now the LAGGED late filter has caught up to ts(10000)-2h:
+      // this row is dropped before the state function sees it
+      input.addData(Event(4, ts(20), 1, "click", 0))
+      q.processAllAvailable()
+      val u1 = spark.table("late_sessions").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1,
+        s"user 1's expired session must close exactly once: ${u1.toList}")
+      assert(u1.head.getAs[Long]("n_events") == 2,
+        "the late row must not extend or resurrect the session")
+      assert(u1.head.getAs[Boolean]("closed"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
