@@ -36,14 +36,24 @@ object StreamBench {
     val docsDir = sys.env.getOrElse("SPARK_GRAFT_DOCS_DIR", sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val perTrigger = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE_STORE=rocksdb swaps the state backend: the
+    // default HDFS-backed provider keeps every state row on-heap
+    // (state is bounded by executor memory), RocksDB keeps it
+    // off-heap/on-disk (state bounded by local disk — the 100 TB
+    // posture for linearly-growing state like the LSH bucket index)
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ui.enabled", "false")
       .config("spark.ui.enabled", "false")
       .appName("graft-stream-bench")
-      .getOrCreate()
+    if (stateStore == "rocksdb") {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
