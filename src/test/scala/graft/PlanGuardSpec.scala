@@ -44,4 +44,36 @@ class PlanGuardSpec extends SparkSpec {
         "either give the join an equi key (explode the window offsets, " +
         "bin the range) or add it to the allowlist with a justification")
   }
+
+  test("no unpartitioned window carries wide payloads (array/binary/" +
+      "struct) unless its input is limit-bounded") {
+    // An unpartitioned Window funnels ALL rows through one task's
+    // sort. That is fine for narrow rows on a bounded axis (per-day
+    // scalars, bare hour strings) but a serial GB-scale stage the
+    // moment the payload is a sketch/vector/struct column and the
+    // ordering axis grows with the data: q_sketch_rolling_distinct
+    // planned exactly that and cost 1.29 GB through one thread at the
+    // 100x decade before its r9 rewrite. Guard the whole registry:
+    // wide-typed columns may only enter an unpartitioned window below
+    // an explicit Limit (e.g. the k<=256 PQ codebook seed ranking).
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, StructType}
+    def wide(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: ArrayType | _: StructType | BinaryType => true
+      case _ => false
+    }
+    val offenders = SparkEntry.registry.flatMap { q =>
+      q.run(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.output.exists(a => wide(a.dataType)) &&
+            w.child.collectFirst { case l: GlobalLimit => l }.isEmpty =>
+          s"${q.name}[${w.child.output.filter(a => wide(a.dataType))
+            .map(_.name).mkString(",")}]"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"wide payload through a single-partition window in: " +
+        s"${offenders.mkString(", ")} — rank the bare keys instead and " +
+        "regroup the payload by target rank (see Sketches.rollingDistinct)")
+  }
 }
