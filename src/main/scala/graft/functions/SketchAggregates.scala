@@ -251,17 +251,24 @@ case class KllSketchAgg(
   extends TypedImperativeAggregate[KllDoublesSketch]
   with UnaryLike[Expression] with ExpectsInputTypes {
 
-  // any numeric child (update widens through Number); the companion
-  // NumericType AbstractDataType is private[spark], exposed via the
-  // bridge — rejects strings/binaries at analysis time
+  // any numeric child; the companion NumericType AbstractDataType is
+  // private[spark], exposed via the bridge — rejects strings/binaries
+  // at analysis time. NumericType ALSO admits decimals, whose internal
+  // value is spark's Decimal (not a java.lang.Number) — update matches
+  // it explicitly so an accepted type cannot still fail at execution.
   override def inputTypes = Seq(GraftSqlBridge.numericType)
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
   override def update(b: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
-    val v = child.eval(input)
-    if (v != null) b.update(v.asInstanceOf[Number].doubleValue())
+    child.eval(input) match {
+      case null => ()
+      case d: org.apache.spark.sql.types.Decimal => b.update(d.toDouble)
+      case n: Number => b.update(n.doubleValue())
+      case other => throw new IllegalStateException(
+        s"kll_sketch_agg: unexpected input ${other.getClass.getName}")
+    }
     b
   }
 

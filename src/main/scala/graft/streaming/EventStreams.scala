@@ -91,6 +91,11 @@ object EventStreams {
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       watermark: String = "2 hours"): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // the clamp below may only consult the watermark when one exists:
+    // in BATCH execution the analyzer eliminates the watermark node
+    // and getCurrentWatermarkMs() throws (and batch timeouts are
+    // no-ops anyway, so there is nothing to clamp)
+    val clampToWatermark = events.isStreaming
     // event-time timeouts require a watermark; it also bounds state for
     // late data on an unbounded feed
     events.withWatermark("ts", watermark).groupByKey(_.user_id)
@@ -135,8 +140,10 @@ object EventStreams {
               // throws and kills the query. Clamp to wm+1: the
               // session keeps its true bounds and closes at the next
               // watermark tick.
-              state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              val floor =
+                if (clampToWatermark) state.getCurrentWatermarkMs() + 1
+                else Long.MinValue
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, floor))
             }
             out.reverseIterator
           }

@@ -48,6 +48,13 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ui.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // metrics below sum over recentProgress, which retains only
+      // this many batches — keep it above any plausible drain length
+      // or rows/rate silently undercount on fine-grained triggers
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
+      // same legacy-nanos handling as QueryDef.loadEvents: some
+      // testdata ships ts as parquet TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .appName("graft-stream-bench")
     if (stateStore == "rocksdb") {
       builder.config("spark.sql.streaming.stateStore.providerClass",

@@ -56,17 +56,26 @@ class PlanGuardSpec extends SparkSpec {
     // 100x decade before its r9 rewrite. Guard the whole registry:
     // wide-typed columns may only enter an unpartitioned window below
     // an explicit Limit (e.g. the k<=256 PQ codebook seed ranking).
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan, UnaryNode, Window => LWindow}
     import org.apache.spark.sql.types.{ArrayType, BinaryType, StructType}
     def wide(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: ArrayType | _: StructType | BinaryType => true
+      case _ => false
+    }
+    // the limit must bound the window's OWN row count: walk the direct
+    // unary input chain only — a limit buried under one side of a join
+    // below the window does not bound the other side's rows
+    @scala.annotation.tailrec
+    def limitBounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true
+      case u: UnaryNode => limitBounded(u.child)
       case _ => false
     }
     val offenders = SparkEntry.registry.flatMap { q =>
       q.run(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty &&
             w.child.output.exists(a => wide(a.dataType)) &&
-            w.child.collectFirst { case l: GlobalLimit => l }.isEmpty =>
+            !limitBounded(w.child) =>
           s"${q.name}[${w.child.output.filter(a => wide(a.dataType))
             .map(_.name).mkString(",")}]"
       }

@@ -424,6 +424,14 @@ class ExtensionsSpec extends SparkSpec {
           |       freq_topk(freq_sketch_agg(s, 64), 1)[0].item AS top
           |FROM ty_src""".stripMargin).head()
       assert(ok.getLong(0) == 3L && ok.getDouble(1) == 10.0)
+      // DECIMAL input: NumericType accepts it at analysis, so update
+      // must too (spark's Decimal is NOT a java.lang.Number — this
+      // used to pass analysis and then CCE on the executor)
+      val dec = s2.sql(
+        """SELECT kll_quantiles(
+          |  kll_sketch_agg(CAST(id AS DECIMAL(18,2)), 200),
+          |  array(0.5))[0] AS med FROM ty_src""".stripMargin).head()
+      assert(dec.getDouble(0) == 10.0, s"decimal-fed KLL median: $dec")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)

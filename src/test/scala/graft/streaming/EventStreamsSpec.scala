@@ -222,6 +222,21 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize also runs in BATCH execution (the watermark clamp " +
+      "must not consult the missing batch watermark)") {
+    // the analyzer eliminates the watermark node on a batch child and
+    // GroupState.getCurrentWatermarkMs() then throws — the clamp must
+    // only consult it when the input is actually streaming
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, ts(10), 1, "click", 0), Event(2, ts(15), 1, "click", 0),
+      Event(3, ts(60), 1, "click", 0)).toDS() // 45 min of silence mid-burst
+    val out = sessionize(batch, gapMs = 10 * 60000L).collect()
+    assert(out.count(_.closed) == 1,
+      s"the first burst must close in batch mode: ${out.toList}")
+    assert(out.find(_.closed).get.n_events == 2)
+  }
+
   test("sessionize: rows below the lagged late filter are dropped by " +
       "Spark itself and cannot resurrect a closed session") {
     implicit val sqlCtx = spark.sqlContext
