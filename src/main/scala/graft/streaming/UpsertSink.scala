@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Keyed UPSERT sink: maintains a live latest-state parquet table from
+  * a stream of row versions — the streaming deployment shape of the
+  * reference's advisory upsert (reference:
+  * src/advisory_pipeline/state_machine/pipeline.py:120-145, which
+  * rewrites the whole prod table per batch run). The batch registry
+  * already oracle-checks the merge semantics (`q_advisory_upsert`);
+  * this module is the INCREMENTAL table-maintenance form, verified by
+  * spec (I/O is not DuckDB-expressible).
+  *
+  * Layout: the table is hive-partitioned by a hash bucket of the key
+  * (`kb = pmod(xxhash64(keys), nBuckets)`), so one micro-batch rewrites
+  * ONLY the buckets its keys touch (dynamic partition overwrite):
+  * per-batch cost is O(batch keys / nBuckets x table) — bounded by the
+  * touched partitions, never the table. This is copy-on-write at
+  * bucket granularity, the same tradeoff a lakehouse table format
+  * makes; at 100 TB, size nBuckets so a bucket ~= a comfortable
+  * rewrite unit (hundreds of MB), and the partition filter below
+  * prunes the target scan to exactly the touched buckets.
+  *
+  * Merge rule (mirrors `AdvisoryMerge.upsert`): per key, the row with
+  * the highest `orderCol` wins; on an exact `orderCol` tie the
+  * INCOMING row beats the existing one (an upsert re-stating a row
+  * must take effect), and ties inside one batch break on a
+  * deterministic whole-row hash so a replayed batch reproduces the
+  * identical table.
+  *
+  * Exactly-once: Structured Streaming replays a failed micro-batch
+  * from the checkpoint with the same offsets, and this merge is
+  * IDEMPOTENT — re-merging rows the table already absorbed selects the
+  * same winners and overwrites the same buckets with identical
+  * content. A crash mid-write can leave touched buckets torn, but the
+  * replay overwrites exactly those buckets before the query advances.
+  * (Readers racing a rewrite can see a torn snapshot — serve reads
+  * from a downstream copy or a table format with commit atomicity if
+  * that matters.)
+  */
+object UpsertSink {
+
+  /** Deterministic hash bucket of the key columns. */
+  def bucketOf(keys: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
+
+  /** Merge one batch of row versions into the target table (see object
+    * doc for the rule). Safe to call directly for scheduled batch
+    * ingest; [[upsertSink]] wires it under foreachBatch. */
+  def upsertBatch(batch: DataFrame, targetDir: String, keys: Seq[String],
+      orderCol: String, nBuckets: Int = 64): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val spark = batch.sparkSession
+    val dataCols = batch.columns.toSeq
+    require(!dataCols.contains("kb") && !dataCols.contains("__src"),
+      "batch must not carry reserved columns kb/__src")
+
+    val withBucket = batch.withColumn("kb", bucketOf(keys, nBuckets))
+    // touched bucket ids: <= nBuckets ints, a driver-bounded collect
+    val touched = withBucket.select("kb").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "table exists" = has at least one bucket partition (a pre-created
+    // empty directory is still a first write)
+    val hasData = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("kb="))
+    val existing =
+      if (hasData)
+        // the kb filter is a PARTITION filter: the scan prunes to the
+        // touched buckets, so the merge never reads the rest of the
+        // table
+        spark.read.parquet(targetDir)
+          .where(col("kb").isin(touched: _*))
+          .select((dataCols :+ "kb").map(col): _*)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          withBucket.schema)
+
+    val rank = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col("__src").desc,
+        xxhash64(struct(dataCols.map(col): _*)).asc)
+    val merged = existing.withColumn("__src", lit(0))
+      .unionByName(withBucket.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(rank))
+      .where(col("__rn") === 1)
+      .select((dataCols :+ "kb").map(col): _*)
+      // write clustering: each rewritten bucket lands as ONE file
+      // instead of one file per shuffle partition — without this every
+      // merge scatters each touched bucket across up to
+      // spark.sql.shuffle.partitions small files (size nBuckets so a
+      // bucket is a comfortable single parquet file; raise
+      // maxRecordsPerFile-style splitting only if a bucket outgrows it)
+      .repartition(touched.length, col("kb"))
+      // truncate lineage: the write below overwrites partitions of the
+      // path the plan reads, which Spark's overwrite check (rightly)
+      // rejects for a lazy plan. Materialized size is bounded by the
+      // touched buckets, not the table.
+      .localCheckpoint(true)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite").partitionBy("kb").parquet(targetDir)
+  }
+
+  /** Continuous upsert: every micro-batch merges into `targetDir`
+    * under the checkpoint's replay guarantee. */
+  def upsertSink(stream: DataFrame, targetDir: String, checkpoint: String,
+      keys: Seq[String], orderCol: String, nBuckets: Int = 64): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => upsertBatch(b.toDF(), targetDir, keys, orderCol, nBuckets))
+      .start()
+
+  /** Current table state (the `kb` layout column dropped). */
+  def readLatest(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir).drop("kb")
+}
