@@ -110,14 +110,20 @@ object UpsertSink {
   }
 
   /** Continuous upsert: every micro-batch merges into `targetDir`
-    * under the checkpoint's replay guarantee. */
+    * under the checkpoint's replay guarantee. `drainOnce` = process the
+    * backlog in rate-limited micro-batches then stop (the scheduled
+    * table-maintenance shape, same as [[EventStreams.parquetSink]]). */
   def upsertSink(stream: DataFrame, targetDir: String, checkpoint: String,
-      keys: Seq[String], orderCol: String, nBuckets: Int = 64): StreamingQuery =
-    stream.writeStream
+      keys: Seq[String], orderCol: String, nBuckets: Int = 64,
+      drainOnce: Boolean = false): StreamingQuery = {
+    var w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) => upsertBatch(b.toDF(), targetDir, keys, orderCol, nBuckets))
-      .start()
+    if (drainOnce)
+      w = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    w.start()
+  }
 
   /** Current table state (the `kb` layout column dropped). */
   def readLatest(spark: SparkSession, targetDir: String): DataFrame =

@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * Env: SPARK_GRAFT_SF_DIR (events side, needs a multi-file
   * events.parquet DIRECTORY — sf1+), SPARK_GRAFT_DOCS_DIR (near-dup
   * side, defaults to the events dir), SPARK_GRAFT_FILES_PER_TRIGGER.
-  * Args: subset of {rollup, dedup, sessionize, attribution, neardup}.
+  * Args: subset of {rollup, dedup, sessionize, attribution, neardup,
+  * upsert}.
   */
 object StreamBench {
 
@@ -111,18 +112,31 @@ object StreamBench {
 
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("rollup", "dedup", "sessionize", "attribution", "neardup")
+      else Seq("rollup", "dedup", "sessionize", "attribution", "neardup",
+        "upsert")
 
     val results = names.map { name =>
-      val (df, mode) = streams(name)()
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft-sb-$name").toString
       val t0 = System.nanoTime()
-      val q = df.writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = if (name == "upsert") {
+        // keyed latest-state table maintenance: per-user latest event,
+        // merged incrementally with bucket-granular rewrites (state is
+        // the TABLE, not the state store — peak_state reads 0)
+        val target = java.nio.file.Files
+          .createTempDirectory("graft-sb-upsert-table").toString
+        graft.streaming.UpsertSink.upsertSink(
+          eventsStream().select(col("user_id"), col("event_type"), col("ts")),
+          target, ckpt, Seq("user_id"), "ts", nBuckets = 64,
+          drainOnce = true)
+      } else {
+        val (df, mode) = streams(name)()
+        df.writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       val secs = (System.nanoTime() - t0) / 1e9
       val progress = q.recentProgress.toSeq
