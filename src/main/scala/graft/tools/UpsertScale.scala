@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.streaming.UpsertSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** At-scale rehearsal for the upsert sink's PRUNED regime — the claim
+  * that per-batch merge cost tracks the BATCH (touched buckets), not
+  * the table. StreamBench's drain measures the worst case (every batch
+  * spans all keys -> all buckets rewritten); this tool measures the
+  * intended CDC-shaped case: seed the latest-state table from the full
+  * events history at a production-shaped bucket count, then time small
+  * update batches whose keys touch only a sliver of the buckets.
+  *
+  * Env: SPARK_GRAFT_SF_DIR. Args: [nBuckets] [smallKeys] [broadKeys].
+  * Prints one JSON line: seed build seconds, small/broad batch merge
+  * seconds and their touched-bucket counts.
+  */
+object UpsertScale {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
+    val nBuckets = args.headOption.map(_.toInt).getOrElse(4096)
+    val smallKeys = args.lift(1).map(_.toInt).getOrElse(100)
+    val broadKeys = args.lift(2).map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ui.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-upsert-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = (raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }).select(col("user_id"), col("event_type"), col("ts"))
+
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-upsert-scale").toString
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // seed: the full history folds to per-user latest (worst case — one
+    // batch touching every bucket)
+    val seedSecs = timed {
+      UpsertSink.upsertBatch(events, target, Seq("user_id"), "ts", nBuckets)
+    }
+    val tableRows = UpsertSink.readLatest(spark, target).count()
+
+    // update batch: `k` users re-stated one hour later than their
+    // current latest — the CDC shape
+    def updateBatch(k: Int): DataFrame = events
+      .groupBy("user_id").agg(max("ts").as("ts"))
+      .limit(k)
+      .select(col("user_id"), lit("updated").as("event_type"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"))
+
+    def touched(df: DataFrame): Long = df
+      .select(UpsertSink.bucketOf(Seq("user_id"), nBuckets)).distinct().count()
+
+    val small = updateBatch(smallKeys).localCheckpoint(true)
+    val smallTouched = touched(small)
+    val smallSecs = timed {
+      UpsertSink.upsertBatch(small, target, Seq("user_id"), "ts", nBuckets)
+    }
+
+    val broad = updateBatch(broadKeys).localCheckpoint(true)
+    val broadTouched = touched(broad)
+    val broadSecs = timed {
+      UpsertSink.upsertBatch(broad, target, Seq("user_id"), "ts", nBuckets)
+    }
+
+    System.err.println(f"[upsert-scale] table=$tableRows seed=$seedSecs%.1fs " +
+      f"small($smallKeys keys, $smallTouched buckets)=$smallSecs%.1fs " +
+      f"broad($broadKeys keys, $broadTouched buckets)=$broadSecs%.1fs")
+    println(s"""{"metric":"upsert_scale","sf":"$sfDir","n_buckets":$nBuckets,""" +
+      f""""table_rows":$tableRows,"seed_secs":$seedSecs%.1f,""" +
+      s""""small_keys":$smallKeys,"small_touched":$smallTouched,""" +
+      f""""small_secs":$smallSecs%.1f,""" +
+      s""""broad_keys":$broadKeys,"broad_touched":$broadTouched,""" +
+      f""""broad_secs":$broadSecs%.1f}""")
+    spark.stop()
+  }
+}
