@@ -36,11 +36,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * from the checkpoint with the same offsets, and this merge is
   * IDEMPOTENT — re-merging rows the table already absorbed selects the
   * same winners and overwrites the same buckets with identical
-  * content. A crash mid-write can leave touched buckets torn, but the
-  * replay overwrites exactly those buckets before the query advances.
-  * (Readers racing a rewrite can see a torn snapshot — serve reads
-  * from a downstream copy or a table format with commit atomicity if
-  * that matters.)
+  * content. A crash around the write leaves each touched bucket either
+  * at its pre-batch or its post-batch content (per-bucket commit is a
+  * directory swap), and the replay re-merges BOTH states to the same
+  * result, so any mix repairs. The honest caveat of plain-filesystem
+  * dynamic overwrite: inside the commit itself there is a narrow
+  * delete-before-rename window in which a bucket's PRIOR rows can be
+  * lost on a store without atomic rename — for byte-durable commits
+  * put the table behind a transactional table format or a filesystem
+  * with atomic directory rename. (Readers racing a rewrite can see a
+  * torn snapshot — serve reads from a downstream copy if that
+  * matters.)
   */
 object UpsertSink {
 
@@ -113,8 +119,12 @@ object UpsertSink {
       // touched buckets, not the table.
       .localCheckpoint(true)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy("kb").parquet(targetDir)
+    // writer-scoped dynamic overwrite (no session-conf mutation): only
+    // the partitions present in `merged` — exactly the touched buckets
+    // — are replaced
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb").parquet(targetDir)
   }
 
   /** Continuous upsert: every micro-batch merges into `targetDir`

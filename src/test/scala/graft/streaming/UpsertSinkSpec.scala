@@ -108,6 +108,43 @@ class UpsertSinkSpec extends SparkSpec {
       ((1L to 5L).map(v => (100L + v, "other", 1L)).toSet + ((5L, "v5", 5L))))
   }
 
+  test("a partially-committed batch is repaired by replaying it " +
+      "(per-bucket pre/post mix converges)") {
+    import java.nio.file.{Files => JFiles, Path => JPath, StandardCopyOption}
+    def snapshot(dir: String): Map[String, Array[(String, Array[Byte])]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("kb="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> JFiles.readAllBytes(f.toPath))).toMap
+    def restoreBucket(dir: String, kb: String,
+        saved: Map[String, Array[(String, Array[Byte])]]): Unit = {
+      val d = new java.io.File(dir, kb)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+      saved(kb).foreach { case (name, bytes) =>
+        JFiles.write(JPath.of(d.getPath, name), bytes)
+      }
+    }
+    val dir = tmp()
+    UpsertSink.upsertBatch(df((0L to 63L).map(i => (i, "seed", 1L)): _*),
+      dir, Seq("id"), "v", nBuckets = 8)
+    val pre = snapshot(dir)
+    // two keys in DIFFERENT buckets so the batch commit spans buckets
+    val keyBuckets = df((0L to 63L).map(i => (i, "x", 1L)): _*)
+      .select(col("id"), UpsertSink.bucketOf(Seq("id"), 8).as("kb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    val Seq((k1, kb1), (k2, _)) = keyBuckets.distinctBy(_._2).take(2)
+    val b2 = df((k1, "upd", 2L), (k2, "upd", 2L))
+    UpsertSink.upsertBatch(b2, dir, Seq("id"), "v", nBuckets = 8)
+    val healthy = latestSet(dir)
+    // crash mid-commit: ONE touched bucket reverts to its pre-batch
+    // content, the other kept the post-batch content (per-bucket
+    // commit is a directory swap, so pre/post is the crash state
+    // space); the checkpoint then replays the SAME batch
+    restoreBucket(dir, s"kb=$kb1", pre)
+    assert(latestSet(dir) != healthy, "the tear should be observable")
+    UpsertSink.upsertBatch(b2, dir, Seq("id"), "v", nBuckets = 8)
+    assert(latestSet(dir) == healthy, "replay must repair the partial commit")
+  }
+
   test("real-data drive: sf0.001 events fold to per-user latest state, " +
       "incrementally equal to the one-shot merge") {
     // end-to-end on real testdata: the table maintained by two
