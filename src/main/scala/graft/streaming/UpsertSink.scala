@@ -133,8 +133,12 @@ object UpsertSink {
     * table-maintenance shape, same as [[EventStreams.parquetSink]]). */
   def upsertSink(stream: DataFrame, targetDir: String, checkpoint: String,
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
-      drainOnce: Boolean = false): StreamingQuery = {
+      drainOnce: Boolean = false, outputMode: String = "append"): StreamingQuery = {
+    // outputMode "update" is the fit for stateful upstreams that emit
+    // per-key revisions (mapGroupsWithState): each micro-batch carries
+    // the keys whose state changed, which is exactly an upsert feed
     var w = stream.writeStream
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) => upsertBatch(b.toDF(), targetDir, keys, orderCol, nBuckets))

@@ -108,6 +108,37 @@ class UpsertSinkSpec extends SparkSpec {
       ((1L to 5L).map(v => (100L + v, "other", 1L)).toSet + ((5L, "v5", 5L))))
   }
 
+  test("streaming FSM revisions flow through the sink into a live prod table") {
+    // the reference's end state: a prod advisory table holding each
+    // key's LATEST fsm state. streamingFsm emits per-key revisions in
+    // update mode; `transitions` is non-decreasing per key, so it is
+    // the upsert order column (ties - e.g. a blocked proposal - resolve
+    // incoming-wins, which is the newer revision)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.Proposal
+    val dir = tmp()
+    val input = MemoryStream[Proposal]
+    val q = UpsertSink.upsertSink(
+      EventStreams.streamingFsm(input.toDS()).toDF(), dir, tmp(),
+      Seq("cve_id", "package_name"), "transitions", nBuckets = 8,
+      outputMode = "update")
+    try {
+      input.addData(Proposal("C1", "p", "pending_upstream"),
+        Proposal("C2", "p", "bogus"))
+      q.processAllAvailable()
+      input.addData(Proposal("C1", "p", "fixed"),
+        Proposal("C2", "p", "pending_upstream"))
+      q.processAllAvailable()
+      val live = UpsertSink.readLatest(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(live == Set(
+        ("C1", "fixed", 2L, 0L), // unknown -> pending_upstream -> fixed
+        ("C2", "pending_upstream", 1L, 1L))) // bogus blocked, then valid
+    } finally q.stop()
+  }
+
   test("a partially-committed batch is repaired by replaying it " +
       "(per-bucket pre/post mix converges)") {
     import java.nio.file.{Files => JFiles, Path => JPath, StandardCopyOption}
