@@ -54,6 +54,39 @@ object UpsertSink {
   def bucketOf(keys: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
+  /** Marker file pinning the table's bucket count. The bucket is a
+    * FUNCTION of nBuckets, so merging with a different count than the
+    * table was built with would leave each key's old row in a bucket
+    * the merge neither reads nor overwrites — silent duplicate keys.
+    * First write records the layout; every later merge must match it.
+    * (Underscore-prefixed, so parquet readers ignore it.) */
+  private val LayoutMarker = "_graft_buckets"
+
+  private def pinLayout(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      nBuckets: Int): Unit = {
+    val marker = new Path(root, LayoutMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded = try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+      } finally in.close()
+      require(recorded == nBuckets.toString,
+        s"upsert: table at $root is laid out with nBuckets=$recorded; " +
+          s"merging with nBuckets=$nBuckets would strand rows in stale buckets")
+    } else {
+      // marker lands BEFORE data: a crash in between leaves an empty
+      // table whose layout is already pinned, which replays cleanly
+      fs.mkdirs(root)
+      val tmp = new Path(root, s".$LayoutMarker.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, marker))
+        sys.error(s"upsert: cannot commit layout marker $marker")
+    }
+  }
+
   /** Merge one batch of row versions into the target table (see object
     * doc for the rule). Safe to call directly for scheduled batch
     * ingest; [[upsertSink]] wires it under foreachBatch. */
@@ -62,10 +95,29 @@ object UpsertSink {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val spark = batch.sparkSession
     val dataCols = batch.columns.toSeq
-    require(!dataCols.contains("kb") && !dataCols.contains("__src"),
-      "batch must not carry reserved columns kb/__src")
+    require(Seq("kb", "__src", "__rn").forall(!dataCols.contains(_)),
+      "batch must not carry reserved columns kb/__src/__rn")
 
+    // materialize the batch ONCE, eagerly: the merge runs two actions
+    // (the touched-bucket collect and the write), and re-evaluating a
+    // non-deterministic upstream between them could emit a row into a
+    // bucket absent from `touched` — a bucket the overwrite then
+    // replaces WITHOUT having read its existing rows. The checkpoint
+    // also halves per-batch compute under foreachBatch (the upstream —
+    // file re-read, stateful operator output — no longer runs per
+    // action), at the cost of batch-sized block storage freed below.
     val withBucket = batch.withColumn("kb", bucketOf(keys, nBuckets))
+      .localCheckpoint(true)
+    try {
+      upsertMaterialized(withBucket, targetDir, dataCols, keys, orderCol,
+        nBuckets)
+    } finally withBucket.unpersist(false)
+  }
+
+  private def upsertMaterialized(withBucket: DataFrame, targetDir: String,
+      dataCols: Seq[String], keys: Seq[String], orderCol: String,
+      nBuckets: Int): Unit = {
+    val spark = withBucket.sparkSession
     // touched bucket ids: <= nBuckets ints, a driver-bounded collect
     val touched = withBucket.select("kb").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -73,6 +125,7 @@ object UpsertSink {
 
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pinLayout(fs, root, nBuckets)
     // one listing of the table root = the set of populated buckets (a
     // pre-created empty directory is still a first write)
     val populated: Set[Int] =
@@ -119,12 +172,14 @@ object UpsertSink {
       // touched buckets, not the table.
       .localCheckpoint(true)
 
-    // writer-scoped dynamic overwrite (no session-conf mutation): only
-    // the partitions present in `merged` — exactly the touched buckets
-    // — are replaced
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("kb").parquet(targetDir)
+    try
+      // writer-scoped dynamic overwrite (no session-conf mutation): only
+      // the partitions present in `merged` — exactly the touched buckets
+      // — are replaced
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb").parquet(targetDir)
+    finally merged.unpersist(false)
   }
 
   /** Continuous upsert: every micro-batch merges into `targetDir`

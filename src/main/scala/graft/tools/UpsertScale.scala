@@ -3,7 +3,6 @@ package graft.tools
 import graft.streaming.UpsertSink
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** At-scale rehearsal for the upsert sink's PRUNED regime — the claim
   * that per-batch merge cost tracks the BATCH (touched buckets), not
@@ -35,12 +34,8 @@ object UpsertScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val events = (raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }).select(col("user_id"), col("event_type"), col("ts"))
+    val events = graft.queries.QueryDef.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
 
     val target = java.nio.file.Files
       .createTempDirectory("graft-upsert-scale").toString

@@ -202,6 +202,51 @@ class UpsertSinkSpec extends SparkSpec {
     assert(inc == one, "incremental vs one-shot latest-ts mismatch")
   }
 
+  test("reserved columns (kb/__src/__rn) in the batch are rejected, not clobbered") {
+    // __rn in particular would otherwise be silently REPLACED by the
+    // merge's row_number and come out as all-1s in the table
+    for (reserved <- Seq("kb", "__src", "__rn")) {
+      val bad = df((1L, "a", 1L)).withColumn(reserved, lit(9))
+      val e = intercept[IllegalArgumentException] {
+        UpsertSink.upsertBatch(bad, tmp(), Seq("id"), "v", nBuckets = 8)
+      }
+      assert(e.getMessage.contains("reserved"), s"$reserved: ${e.getMessage}")
+    }
+  }
+
+  test("merging with a different nBuckets than the table layout is refused") {
+    // the bucket is a function of nBuckets: a mismatched merge would
+    // leave each key's old row in a bucket it neither reads nor
+    // overwrites — duplicate keys with NO error. The layout marker
+    // written on first merge pins the count.
+    val dir = tmp()
+    UpsertSink.upsertBatch(df((1L, "a", 1L)), dir, Seq("id"), "v", nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      UpsertSink.upsertBatch(df((1L, "b", 2L)), dir, Seq("id"), "v", nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets=8"), e.getMessage)
+    // same count still merges, and the marker is invisible to readers
+    UpsertSink.upsertBatch(df((1L, "b", 2L)), dir, Seq("id"), "v", nBuckets = 8)
+    assert(latestSet(dir) == Set((1L, "b", 2L)))
+  }
+
+  test("the input batch is evaluated exactly once per merge") {
+    // the merge runs two actions (touched-bucket collect + write); an
+    // un-materialized batch would recompute its upstream per action —
+    // 2x compute under foreachBatch, and for a non-deterministic batch
+    // a second evaluation can emit rows into buckets absent from
+    // `touched`, which the overwrite then replaces unread (data loss)
+    val acc = spark.sparkContext.longAccumulator("batch-evals")
+    val counted = udf { (s: String) => acc.add(1L); s }.asNondeterministic()
+    val batch = df((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .withColumn("status", counted(col("status")))
+    val dir = tmp()
+    UpsertSink.upsertBatch(batch, dir, Seq("id"), "v", nBuckets = 8)
+    assert(acc.value == 3L,
+      s"3-row batch evaluated ${acc.value / 3.0}x (expected exactly once)")
+    assert(latestSet(dir).size == 3)
+  }
+
   test("the merge scan PRUNES to the touched buckets (partition filter, not a full read)") {
     val dir = tmp()
     UpsertSink.upsertBatch(
