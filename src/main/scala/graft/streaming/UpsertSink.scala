@@ -98,42 +98,46 @@ object UpsertSink {
     require(Seq("kb", "__src", "__rn").forall(!dataCols.contains(_)),
       "batch must not carry reserved columns kb/__src/__rn")
 
-    // materialize the batch ONCE, eagerly: the merge runs two actions
-    // (the touched-bucket collect and the write), and re-evaluating a
-    // non-deterministic upstream between them could emit a row into a
-    // bucket absent from `touched` — a bucket the overwrite then
-    // replaces WITHOUT having read its existing rows. The checkpoint
-    // also halves per-batch compute under foreachBatch (the upstream —
-    // file re-read, stateful operator output — no longer runs per
-    // action), at the cost of batch-sized block storage freed below.
-    val withBucket = batch.withColumn("kb", bucketOf(keys, nBuckets))
-      .localCheckpoint(true)
-    try {
-      upsertMaterialized(withBucket, targetDir, dataCols, keys, orderCol,
-        nBuckets)
-    } finally withBucket.unpersist(false)
-  }
-
-  private def upsertMaterialized(withBucket: DataFrame, targetDir: String,
-      dataCols: Seq[String], keys: Seq[String], orderCol: String,
-      nBuckets: Int): Unit = {
-    val spark = withBucket.sparkSession
-    // touched bucket ids: <= nBuckets ints, a driver-bounded collect
-    val touched = withBucket.select("kb").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     pinLayout(fs, root, nBuckets)
     // one listing of the table root = the set of populated buckets (a
     // pre-created empty directory is still a first write)
     val populated: Set[Int] =
-      if (fs.exists(root))
-        fs.listStatus(root).iterator
-          .map(_.getPath.getName).filter(_.startsWith("kb="))
-          .map(_.stripPrefix("kb=").toInt).toSet
-      else Set.empty
+      fs.listStatus(root).iterator
+        .map(_.getPath.getName).filter(_.startsWith("kb="))
+        .map(_.stripPrefix("kb=").toInt).toSet
+
+    // Once the table holds rows, materialize the batch ONCE, eagerly:
+    // the merge runs two actions (the touched-bucket collect and the
+    // write), and re-evaluating a non-deterministic upstream between
+    // them could emit a row into a bucket absent from `touched` — a
+    // bucket the overwrite then replaces WITHOUT having read its
+    // existing rows. Incremental batches are the small side by design,
+    // so the snapshot is cheap. A FIRST write has no existing rows to
+    // lose — every emitted row lands whether or not its bucket was in
+    // `touched` — so the seed batch (the one table-sized input this
+    // sink ever sees) stays lazy: the collect pass column-prunes to the
+    // keys, which measures ~2x cheaper than materializing every column
+    // (seed of 100M rows: 70.5 s snapshotted vs 34-40 s lazy).
+    val withBucket0 = batch.withColumn("kb", bucketOf(keys, nBuckets))
+    val snapshot = populated.nonEmpty
+    val withBucket =
+      if (snapshot) withBucket0.localCheckpoint(true) else withBucket0
+    try {
+      upsertInto(withBucket, targetDir, populated, dataCols, keys, orderCol,
+        nBuckets)
+    } finally if (snapshot) withBucket.unpersist(false)
+  }
+
+  private def upsertInto(withBucket: DataFrame, targetDir: String,
+      populated: Set[Int], dataCols: Seq[String], keys: Seq[String],
+      orderCol: String, nBuckets: Int): Unit = {
+    val spark = withBucket.sparkSession
+    // touched bucket ids: <= nBuckets ints, a driver-bounded collect
+    val touched = withBucket.select("kb").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
     // structural pruning: hand the reader ONLY the touched partition
     // directories (basePath keeps kb a partition column) instead of
     // discovering the whole table and filtering — at a production

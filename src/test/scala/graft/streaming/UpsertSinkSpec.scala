@@ -230,21 +230,30 @@ class UpsertSinkSpec extends SparkSpec {
     assert(latestSet(dir) == Set((1L, "b", 2L)))
   }
 
-  test("the input batch is evaluated exactly once per merge") {
+  test("the input batch is evaluated exactly once when merging into a populated table") {
     // the merge runs two actions (touched-bucket collect + write); an
     // un-materialized batch would recompute its upstream per action —
     // 2x compute under foreachBatch, and for a non-deterministic batch
     // a second evaluation can emit rows into buckets absent from
-    // `touched`, which the overwrite then replaces unread (data loss)
+    // `touched`, which the overwrite then replaces unread (data loss).
+    // A FIRST write has no existing rows to lose, so the seed batch —
+    // the one table-sized input — deliberately skips the snapshot.
     val acc = spark.sparkContext.longAccumulator("batch-evals")
     val counted = udf { (s: String) => acc.add(1L); s }.asNondeterministic()
-    val batch = df((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
-      .withColumn("status", counted(col("status")))
+    def counting(rows: (Long, String, Long)*) =
+      df(rows: _*).withColumn("status", counted(col("status")))
     val dir = tmp()
-    UpsertSink.upsertBatch(batch, dir, Seq("id"), "v", nBuckets = 8)
+    UpsertSink.upsertBatch(counting((10L, "seed", 1L)), dir, Seq("id"), "v",
+      nBuckets = 8)
+    val seedEvals = acc.value // lazy seed path: one eval per action
+    acc.reset()
+    UpsertSink.upsertBatch(
+      counting((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
+      dir, Seq("id"), "v", nBuckets = 8)
     assert(acc.value == 3L,
-      s"3-row batch evaluated ${acc.value / 3.0}x (expected exactly once)")
-    assert(latestSet(dir).size == 3)
+      s"3-row incremental batch evaluated ${acc.value / 3.0}x " +
+        s"(expected exactly once; seed path had used $seedEvals evals/row)")
+    assert(latestSet(dir).size == 4)
   }
 
   test("the merge scan PRUNES to the touched buckets (partition filter, not a full read)") {
