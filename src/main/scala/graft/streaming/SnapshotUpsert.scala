@@ -1,0 +1,270 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import scala.collection.immutable.SortedMap
+
+/** Snapshot-committed variant of [[UpsertSink]]: same keyed latest-state
+  * merge (rule shared via [[UpsertSink.selectWinners]]), but each batch
+  * commits by ATOMIC MANIFEST SWAP instead of dynamic partition
+  * overwrite — the lakehouse table-format idea (immutable data files +
+  * a versioned manifest), reduced to what a latest-state table needs.
+  *
+  * Why: the overwrite commit has two honest caveats at 100 TB. Inside
+  * the per-partition overwrite there is a delete-before-rename window
+  * in which a bucket's prior rows exist nowhere durable (data loss on a
+  * store without atomic rename), and a reader racing the rewrite can
+  * see a torn snapshot (some buckets pre-batch, some post). Here data
+  * files are IMMUTABLE — each merge writes its output to a fresh
+  * `batches/v{N}` directory and never deletes a live file — and
+  * the only mutation readers observe is one rename of a manifest file
+  * listing exactly which files make up version N. Readers pin a
+  * manifest and get a consistent point-in-time snapshot regardless of
+  * concurrent commits; old versions stay readable (time travel) until
+  * `keepVersions` ages them out.
+  *
+  * Layout under `targetDir`:
+  *   - `batches/v{N}/kb={b}/part-*.parquet` — the buckets version N
+  *     rewrote (untouched buckets are carried forward BY REFERENCE in
+  *     the manifest, so incremental merges write only the touched
+  *     slice, same cost shape as the overwrite sink's pruned regime)
+  *   - `_manifests/v{N}.txt` — lines `<bucket>\t<relative file path>`;
+  *     the rename of this file IS the commit point
+  *   - `_graft_buckets` — the shared nBuckets layout pin
+  * Do NOT read `targetDir` with a bare `spark.read.parquet` — it would
+  * mix every retained version; go through [[readSnapshot]] /
+  * [[readVersion]], which read the manifest's file list.
+  *
+  * Crash contract (single writer, e.g. one streaming query): a crash
+  * BEFORE the manifest rename leaves readers on the old version and the
+  * replayed batch recomputes the same version number, deletes the
+  * orphaned `batches/v{N}` directory and redoes it — convergent. A
+  * crash AFTER the rename means the batch is durably applied and the
+  * replay re-merges it idempotently as version N+1 with identical
+  * logical content. There is no state in which a reader can observe a
+  * half-committed batch, and no point where a live file is deleted
+  * before its replacement is referenced — the two failure modes the
+  * overwrite commit documents are gone, at the cost of a GC pass
+  * (bounded by the dropped version's touched buckets, computed from
+  * manifest diffs — never a full table listing).
+  */
+object SnapshotUpsert {
+
+  private val ManifestDir = "_manifests"
+  private val BatchesDir = "batches"
+
+  /** A committed version: bucket -> relative file paths. */
+  case class Snapshot(version: Long, files: Map[Int, Seq[String]])
+
+  private def manifestPath(root: Path, v: Long): Path =
+    new Path(root, f"$ManifestDir/v$v%012d.txt")
+
+  /** Committed versions, ascending (empty for a fresh table). */
+  def versions(spark: SparkSession, targetDir: String): Seq[Long] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, root)
+  }
+
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toLong
+      }.toSeq.sorted
+  }
+
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Snapshot = {
+    val in = fs.open(manifestPath(root, v))
+    val lines = try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+    val files = lines.filter(_.nonEmpty).map { line =>
+      val Array(b, rel) = line.split('\t')
+      b.toInt -> rel
+    }.groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
+    Snapshot(v, files)
+  }
+
+  private def currentSnapshot(fs: FileSystem, root: Path): Option[Snapshot] =
+    listVersions(fs, root).lastOption.map(readManifest(fs, root, _))
+
+  /** Merge one batch of row versions as a new committed version. Same
+    * semantics as [[UpsertSink.upsertBatch]]; see object doc for the
+    * commit difference. `keepVersions` >= 1 controls how many committed
+    * versions stay readable (older files are garbage-collected). */
+  def upsertBatchSnapshot(batch: DataFrame, targetDir: String,
+      keys: Seq[String], orderCol: String, nBuckets: Int = 64,
+      keepVersions: Int = 2): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val spark = batch.sparkSession
+    val dataCols = batch.columns.toSeq
+    require(Seq("kb", "__src", "__rn").forall(!dataCols.contains(_)),
+      "batch must not carry reserved columns kb/__src/__rn")
+
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    UpsertSink.pinLayout(fs, root, nBuckets)
+    val cur = currentSnapshot(fs, root)
+    val populated: Set[Int] = cur.map(_.files.keySet).getOrElse(Set.empty)
+
+    // same single-evaluation rule as the overwrite sink: once the table
+    // holds rows, snapshot the batch so the touched set and the written
+    // rows come from ONE evaluation (a re-evaluated non-deterministic
+    // batch could otherwise stage a bucket whose existing rows were
+    // never merged); a first write has nothing to lose and stays lazy
+    val withBucket0 = batch.withColumn("kb",
+      UpsertSink.bucketOf(keys, nBuckets))
+    val snapshot = populated.nonEmpty
+    val withBucket =
+      if (snapshot) withBucket0.localCheckpoint(true) else withBucket0
+    try {
+      commitVersion(withBucket, root, fs, cur, populated, dataCols, keys,
+        orderCol, nBuckets, keepVersions)
+    } finally if (snapshot) withBucket.unpersist(false)
+  }
+
+  private def commitVersion(withBucket: DataFrame, root: Path,
+      fs: FileSystem, cur: Option[Snapshot], populated: Set[Int],
+      dataCols: Seq[String], keys: Seq[String], orderCol: String,
+      nBuckets: Int, keepVersions: Int): Unit = {
+    val spark = withBucket.sparkSession
+    val touched = withBucket.select("kb").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+
+    // existing rows of the touched buckets, by explicit manifest paths
+    // (structural pruning: no directory discovery at all); kb is not
+    // stored in the files (partitionBy strips it) but is a pure
+    // function of the keys, so re-derive it
+    val toRead = touched.filter(populated)
+      .flatMap(b => cur.get.files(b)).map(rel => s"$root/$rel")
+    val existing =
+      if (toRead.nonEmpty)
+        spark.read.parquet(toRead: _*)
+          .select(dataCols.map(col): _*)
+          .withColumn("kb", UpsertSink.bucketOf(keys, nBuckets))
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          withBucket.schema)
+
+    val version = cur.map(_.version + 1).getOrElse(1L)
+    val versionDir = new Path(root, s"$BatchesDir/v$version")
+    // a leftover directory is a crashed predecessor's orphan (its
+    // manifest never committed, so nothing references it): redo cleanly
+    if (fs.exists(versionDir)) fs.delete(versionDir, true)
+
+    // one clustered file per touched bucket, written to an immutable
+    // fresh directory — no live path is read and overwritten, so no
+    // lineage truncation is needed and the merge is evaluated ONCE
+    UpsertSink.selectWinners(existing, withBucket, dataCols, keys, orderCol)
+      .repartition(touched.length, col("kb"))
+      .write.partitionBy("kb").parquet(versionDir.toString)
+
+    // staged buckets from the job's committed output (authoritative:
+    // with the single-evaluation rule this equals `touched` on a
+    // populated table, and on a first write it covers every row)
+    val staged: Map[Int, Seq[String]] =
+      fs.listStatus(versionDir).iterator
+        .filter(_.getPath.getName.startsWith("kb="))
+        .map { d =>
+          val b = d.getPath.getName.stripPrefix("kb=").toInt
+          b -> fs.listStatus(d.getPath).iterator.map(_.getPath.getName)
+            .filter(_.endsWith(".parquet"))
+            .map(n => s"$BatchesDir/v$version/kb=$b/$n").toSeq
+        }.toMap
+
+    val carried = cur.map(_.files).getOrElse(Map.empty)
+      .filterNot { case (b, _) => staged.contains(b) }
+    val manifest = SortedMap.from(carried ++ staged)
+
+    // the commit point: write-then-rename of the manifest file
+    fs.mkdirs(new Path(root, ManifestDir))
+    val tmp = new Path(root, s"$ManifestDir/.v$version.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val body = manifest.iterator
+        .flatMap { case (b, files) => files.map(f => s"$b\t$f") }
+        .mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    if (!fs.rename(tmp, manifestPath(root, version)))
+      sys.error(s"snapshot upsert: cannot commit manifest v$version")
+
+    gc(fs, root, version, manifest, keepVersions)
+  }
+
+  /** Drop manifests older than the retention window and delete the
+    * files only they referenced. Everything is computed from manifest
+    * CONTENTS — cost is bounded by the dropped versions' touched
+    * buckets, never by a table listing. */
+  private def gc(fs: FileSystem, root: Path, version: Long,
+      newManifest: Map[Int, Seq[String]], keepVersions: Int): Unit = {
+    val oldest = version - keepVersions + 1
+    val dropped = listVersions(fs, root).filter(_ < oldest)
+    if (dropped.isEmpty) return
+    val kept: Set[String] =
+      (listVersions(fs, root).filter(_ >= oldest).filter(_ != version)
+        .flatMap(v => readManifest(fs, root, v).files.valuesIterator.flatten)
+        ++ newManifest.valuesIterator.flatten.toSeq).toSet
+    dropped.foreach { d =>
+      val stale = readManifest(fs, root, d).files.valuesIterator.flatten
+        .filterNot(kept).toSeq
+      stale.foreach(rel => fs.delete(new Path(root, rel), false))
+      // drop now-empty bucket/version directories the stale files lived in
+      stale.map(rel => new Path(root, rel).getParent).distinct.foreach { d =>
+        if (fs.exists(d) && fs.listStatus(d).forall(
+            _.getPath.getName.startsWith("_")))
+          fs.delete(d, true)
+        val vdir = d.getParent
+        if (fs.exists(vdir) && fs.listStatus(vdir).forall(
+            _.getPath.getName.startsWith("_")))
+          fs.delete(vdir, true)
+      }
+      fs.delete(manifestPath(root, d), false)
+    }
+  }
+
+  /** The table as of a committed `version` — a consistent point-in-time
+    * snapshot (time travel within the retention window). */
+  def readVersion(spark: SparkSession, targetDir: String,
+      version: Long): DataFrame = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = readManifest(fs, root, version)
+    val paths = snap.files.valuesIterator.flatten.map(rel => s"$root/$rel").toSeq
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Current table state (same contract as [[UpsertSink.readLatest]]). */
+  def readSnapshot(spark: SparkSession, targetDir: String): DataFrame = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentSnapshot(fs, root).getOrElse(
+      sys.error(s"snapshot upsert: no committed version at $targetDir"))
+    readVersion(spark, targetDir, cur.version)
+  }
+
+  /** Continuous snapshot-committed upsert under the streaming
+    * checkpoint's replay guarantee (mirror of [[UpsertSink.upsertSink]]). */
+  def sink(stream: DataFrame, targetDir: String, checkpoint: String,
+      keys: Seq[String], orderCol: String, nBuckets: Int = 64,
+      keepVersions: Int = 2, drainOnce: Boolean = false,
+      outputMode: String = "append"): StreamingQuery = {
+    var w = stream.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => upsertBatchSnapshot(b.toDF(), targetDir, keys, orderCol,
+        nBuckets, keepVersions))
+    if (drainOnce)
+      w = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    w.start()
+  }
+}

@@ -42,11 +42,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * result, so any mix repairs. The honest caveat of plain-filesystem
   * dynamic overwrite: inside the commit itself there is a narrow
   * delete-before-rename window in which a bucket's PRIOR rows can be
-  * lost on a store without atomic rename — for byte-durable commits
-  * put the table behind a transactional table format or a filesystem
-  * with atomic directory rename. (Readers racing a rewrite can see a
-  * torn snapshot — serve reads from a downstream copy if that
-  * matters.)
+  * lost on a store without atomic rename, and readers racing a rewrite
+  * can see a torn snapshot. When either matters, use [[SnapshotUpsert]]
+  * — the same merge committed by atomic manifest swap over immutable
+  * files (consistent snapshot reads + time travel, measured at commit
+  * parity in the CDC regime).
   */
 object UpsertSink {
 
@@ -62,8 +62,8 @@ object UpsertSink {
     * (Underscore-prefixed, so parquet readers ignore it.) */
   private val LayoutMarker = "_graft_buckets"
 
-  private def pinLayout(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      nBuckets: Int): Unit = {
+  private[streaming] def pinLayout(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, nBuckets: Int): Unit = {
     val marker = new Path(root, LayoutMarker)
     if (fs.exists(marker)) {
       val in = fs.open(marker)
@@ -155,14 +155,7 @@ object UpsertSink {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           withBucket.schema)
 
-    val rank = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc, col("__src").desc,
-        xxhash64(struct(dataCols.map(col): _*)).asc)
-    val merged = existing.withColumn("__src", lit(0))
-      .unionByName(withBucket.withColumn("__src", lit(1)))
-      .withColumn("__rn", row_number().over(rank))
-      .where(col("__rn") === 1)
-      .select((dataCols :+ "kb").map(col): _*)
+    val merged = selectWinners(existing, withBucket, dataCols, keys, orderCol)
       // write clustering: each rewritten bucket lands as ONE file
       // instead of one file per shuffle partition — without this every
       // merge scatters each touched bucket across up to
@@ -184,6 +177,23 @@ object UpsertSink {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("kb").parquet(targetDir)
     finally merged.unpersist(false)
+  }
+
+  /** The merge rule, shared with [[SnapshotUpsert]]: per key the
+    * highest `orderCol` wins, incoming (`__src`=1) beats existing on an
+    * exact tie, in-batch ties break on a deterministic whole-row hash.
+    * Both inputs carry `dataCols` plus `kb`. */
+  private[streaming] def selectWinners(existing: DataFrame,
+      incoming: DataFrame, dataCols: Seq[String], keys: Seq[String],
+      orderCol: String): DataFrame = {
+    val rank = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col("__src").desc,
+        xxhash64(struct(dataCols.map(col): _*)).asc)
+    existing.withColumn("__src", lit(0))
+      .unionByName(incoming.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(rank))
+      .where(col("__rn") === 1)
+      .select((dataCols :+ "kb").map(col): _*)
   }
 
   /** Continuous upsert: every micro-batch merges into `targetDir`

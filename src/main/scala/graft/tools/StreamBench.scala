@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * events.parquet DIRECTORY — sf1+), SPARK_GRAFT_DOCS_DIR (near-dup
   * side, defaults to the events dir), SPARK_GRAFT_FILES_PER_TRIGGER.
   * Args: subset of {rollup, dedup, sessionize, attribution, neardup,
-  * upsert}.
+  * upsert, upsert-snapshot}.
   */
 object StreamBench {
 
@@ -119,16 +119,22 @@ object StreamBench {
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft-sb-$name").toString
       val t0 = System.nanoTime()
-      val q = if (name == "upsert") {
+      val q = if (name == "upsert" || name == "upsert-snapshot") {
         // keyed latest-state table maintenance: per-user latest event,
         // merged incrementally with bucket-granular rewrites (state is
-        // the TABLE, not the state store — peak_state reads 0)
+        // the TABLE, not the state store — peak_state reads 0);
+        // `upsert-snapshot` drains the same feed through the
+        // manifest-committed variant
         val target = java.nio.file.Files
           .createTempDirectory("graft-sb-upsert-table").toString
-        graft.streaming.UpsertSink.upsertSink(
-          eventsStream().select(col("user_id"), col("event_type"), col("ts")),
-          target, ckpt, Seq("user_id"), "ts", nBuckets = 64,
-          drainOnce = true)
+        val feed = eventsStream()
+          .select(col("user_id"), col("event_type"), col("ts"))
+        if (name == "upsert-snapshot")
+          graft.streaming.SnapshotUpsert.sink(feed, target, ckpt,
+            Seq("user_id"), "ts", nBuckets = 64, drainOnce = true)
+        else
+          graft.streaming.UpsertSink.upsertSink(feed, target, ckpt,
+            Seq("user_id"), "ts", nBuckets = 64, drainOnce = true)
       } else {
         val (df, mode) = streams(name)()
         df.writeStream.format("noop")

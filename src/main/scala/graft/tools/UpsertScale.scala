@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.UpsertSink
+import graft.streaming.{SnapshotUpsert, UpsertSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * events history at a production-shaped bucket count, then time small
   * update batches whose keys touch only a sliver of the buckets.
   *
-  * Env: SPARK_GRAFT_SF_DIR. Args: [nBuckets] [smallKeys] [broadKeys].
-  * Prints one JSON line: seed build seconds, small/broad batch merge
-  * seconds and their touched-bucket counts.
+  * Env: SPARK_GRAFT_SF_DIR. Args: [nBuckets] [smallKeys] [broadKeys]
+  * [mode: overwrite|snapshot] — `snapshot` routes the same merges
+  * through [[SnapshotUpsert]]'s manifest commit for a like-for-like
+  * comparison of the two commit paths. Prints one JSON line: seed
+  * build seconds, small/broad batch merge seconds and their
+  * touched-bucket counts.
   */
 object UpsertScale {
 
@@ -23,6 +26,8 @@ object UpsertScale {
     val nBuckets = args.headOption.map(_.toInt).getOrElse(4096)
     val smallKeys = args.lift(1).map(_.toInt).getOrElse(100)
     val broadKeys = args.lift(2).map(_.toInt).getOrElse(100000)
+    val mode = args.lift(3).getOrElse("overwrite")
+    require(Seq("overwrite", "snapshot").contains(mode), s"bad mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -44,12 +49,21 @@ object UpsertScale {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    def merge(batch: DataFrame): Unit =
+      if (mode == "snapshot")
+        SnapshotUpsert.upsertBatchSnapshot(batch, target, Seq("user_id"),
+          "ts", nBuckets)
+      else
+        UpsertSink.upsertBatch(batch, target, Seq("user_id"), "ts", nBuckets)
+
+    def readTable(): DataFrame =
+      if (mode == "snapshot") SnapshotUpsert.readSnapshot(spark, target)
+      else UpsertSink.readLatest(spark, target)
+
     // seed: the full history folds to per-user latest (worst case — one
     // batch touching every bucket)
-    val seedSecs = timed {
-      UpsertSink.upsertBatch(events, target, Seq("user_id"), "ts", nBuckets)
-    }
-    val tableRows = UpsertSink.readLatest(spark, target).count()
+    val seedSecs = timed { merge(events) }
+    val tableRows = readTable().count()
 
     // update batch: `k` users re-stated one hour later than their
     // current latest — the CDC shape
@@ -64,20 +78,18 @@ object UpsertScale {
 
     val small = updateBatch(smallKeys).localCheckpoint(true)
     val smallTouched = touched(small)
-    val smallSecs = timed {
-      UpsertSink.upsertBatch(small, target, Seq("user_id"), "ts", nBuckets)
-    }
+    val smallSecs = timed { merge(small) }
 
     val broad = updateBatch(broadKeys).localCheckpoint(true)
     val broadTouched = touched(broad)
-    val broadSecs = timed {
-      UpsertSink.upsertBatch(broad, target, Seq("user_id"), "ts", nBuckets)
-    }
+    val broadSecs = timed { merge(broad) }
 
-    System.err.println(f"[upsert-scale] table=$tableRows seed=$seedSecs%.1fs " +
+    System.err.println(f"[upsert-scale] mode=$mode table=$tableRows " +
+      f"seed=$seedSecs%.1fs " +
       f"small($smallKeys keys, $smallTouched buckets)=$smallSecs%.1fs " +
       f"broad($broadKeys keys, $broadTouched buckets)=$broadSecs%.1fs")
-    println(s"""{"metric":"upsert_scale","sf":"$sfDir","n_buckets":$nBuckets,""" +
+    println(s"""{"metric":"upsert_scale","sf":"$sfDir","mode":"$mode",""" +
+      s""""n_buckets":$nBuckets,""" +
       f""""table_rows":$tableRows,"seed_secs":$seedSecs%.1f,""" +
       s""""small_keys":$smallKeys,"small_touched":$smallTouched,""" +
       f""""small_secs":$smallSecs%.1f,""" +

@@ -1,0 +1,225 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class SnapshotUpsertSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  private def df(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("id", "status", "v")
+  }
+
+  private def snapSet(dir: String): Set[(Long, String, Long)] =
+    SnapshotUpsert.readSnapshot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  private def versionSet(dir: String, v: Long): Set[(Long, String, Long)] =
+    SnapshotUpsert.readVersion(spark, dir, v).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  private def manifestFiles(dir: String, v: Long): Map[Int, Seq[String]] = {
+    val lines = scala.io.Source.fromFile(
+      f"$dir/_manifests/v$v%012d.txt", "UTF-8").getLines().toVector
+    lines.map { l => val Array(b, rel) = l.split('\t'); b.toInt -> rel }
+      .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
+  }
+
+  test("merge semantics match the overwrite sink across a batch sequence") {
+    val snapDir = tmp()
+    val owDir = tmp()
+    val batches = Seq(
+      df((1L, "new", 1L), (2L, "new", 1L)),
+      df((1L, "fixed", 2L), (2L, "revised", 1L), (3L, "new", 1L)),
+      df((1L, "stale", 1L), (4L, "new", 1L)))
+    batches.foreach { b =>
+      SnapshotUpsert.upsertBatchSnapshot(b, snapDir, Seq("id"), "v", nBuckets = 8)
+      UpsertSink.upsertBatch(b, owDir, Seq("id"), "v", nBuckets = 8)
+    }
+    val ow = UpsertSink.readLatest(spark, owDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(snapSet(snapDir) == ow)
+    assert(snapSet(snapDir).contains((1L, "fixed", 2L))) // stale rejected
+  }
+
+  test("untouched buckets are carried forward BY REFERENCE, not rewritten") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L to 63L).map(i => (i, "seed", 1L)): _*), dir, Seq("id"), "v",
+      nBuckets = 8)
+    val v1 = manifestFiles(dir, 1L)
+    assert(v1.size == 8, s"all 8 buckets seeded: ${v1.keySet}")
+    // one key -> one touched bucket; the other 7 buckets' manifest
+    // entries must be the SAME physical files as v1's
+    SnapshotUpsert.upsertBatchSnapshot(df((5L, "upd", 2L)), dir,
+      Seq("id"), "v", nBuckets = 8)
+    val v2 = manifestFiles(dir, 2L)
+    val touchedKb = df((5L, "x", 1L))
+      .select(UpsertSink.bucketOf(Seq("id"), 8)).head().getInt(0)
+    assert(v2(touchedKb) != v1(touchedKb))
+    assert(v2(touchedKb).forall(_.startsWith("batches/v2/")))
+    (v1.keySet - touchedKb).foreach(b => assert(v2(b) == v1(b),
+      s"bucket $b should be carried by reference"))
+    assert(snapSet(dir).contains((5L, "upd", 2L)))
+  }
+
+  test("time travel: prior versions stay readable within the retention window") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L), (2L, "b", 1L)),
+      dir, Seq("id"), "v", nBuckets = 4)
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a2", 2L)),
+      dir, Seq("id"), "v", nBuckets = 4)
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L))
+    assert(versionSet(dir, 1L) == Set((1L, "a", 1L), (2L, "b", 1L)))
+    assert(versionSet(dir, 2L) == Set((1L, "a2", 2L), (2L, "b", 1L)))
+  }
+
+  test("a reader pinned to an old version survives a concurrent commit") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L), (2L, "b", 1L)),
+      dir, Seq("id"), "v", nBuckets = 4)
+    // pin the plan (NOT collected yet) to version 1's file list
+    val pinned = SnapshotUpsert.readVersion(spark, dir, 1L)
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a2", 2L), (2L, "b2", 2L)),
+      dir, Seq("id"), "v", nBuckets = 4)
+    // the commit rewrote both buckets, but v1's files are immutable and
+    // retained (keepVersions=2): the pinned reader sees a consistent
+    // point-in-time snapshot, not a torn or failing read
+    assert(pinned.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("crash before the manifest rename is invisible and the replay converges") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L), (2L, "b", 1L)),
+      dir, Seq("id"), "v", nBuckets = 4)
+    val before = snapSet(dir)
+    // simulate: batch v2's data files fully written, manifest never
+    // committed (the only multi-file window in the commit path)
+    val b2 = df((1L, "a2", 2L), (3L, "c", 1L))
+    b2.withColumn("kb", UpsertSink.bucketOf(Seq("id"), 4))
+      .write.partitionBy("kb").parquet(s"$dir/batches/v2")
+    assert(snapSet(dir) == before, "uncommitted files must be invisible")
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L))
+    // the streaming replay re-runs the SAME batch: it must reclaim the
+    // orphaned v2 directory and commit cleanly
+    SnapshotUpsert.upsertBatchSnapshot(b2, dir, Seq("id"), "v", nBuckets = 4)
+    assert(snapSet(dir) ==
+      Set((1L, "a2", 2L), (2L, "b", 1L), (3L, "c", 1L)))
+  }
+
+  test("replay after a committed batch is idempotent in content") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"), "v")
+    val b2 = df((1L, "a2", 2L), (2L, "b", 1L))
+    SnapshotUpsert.upsertBatchSnapshot(b2, dir, Seq("id"), "v")
+    val after = snapSet(dir)
+    SnapshotUpsert.upsertBatchSnapshot(b2, dir, Seq("id"), "v")
+    assert(snapSet(dir) == after)
+  }
+
+  test("GC deletes exactly the files only dropped versions reference") {
+    val dir = tmp()
+    def liveFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/batches"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getPath.stripPrefix(s"$dir/")).toSet
+    }
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L to 15L).map(i => (i, "seed", 1L)): _*), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 2)
+    val v1Files = manifestFiles(dir, 1L)
+    SnapshotUpsert.upsertBatchSnapshot(df((5L, "u2", 2L)), dir,
+      Seq("id"), "v", nBuckets = 4, keepVersions = 2)
+    SnapshotUpsert.upsertBatchSnapshot(df((5L, "u3", 3L)), dir,
+      Seq("id"), "v", nBuckets = 4, keepVersions = 2)
+    // v1 dropped: its touched-bucket file (superseded at v2) must be
+    // gone, its carried files (still referenced by v2/v3) must survive
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(2L, 3L))
+    val touchedKb = df((5L, "x", 1L))
+      .select(UpsertSink.bucketOf(Seq("id"), 4)).head().getInt(0)
+    val superseded = v1Files(touchedKb).toSet
+    val carried = (v1Files - touchedKb).values.flatten.toSet
+    val live = liveFiles()
+    assert(superseded.forall(!live.contains(_)),
+      s"superseded files must be GC'd: ${superseded.intersect(live)}")
+    assert(carried.forall(live.contains),
+      s"carried files must survive: ${carried.diff(live)}")
+    assert(!new java.io.File(f"$dir/_manifests/v${1L}%012d.txt").exists())
+    // content intact across the GC
+    assert(snapSet(dir).contains((5L, "u3", 3L)))
+    assert(snapSet(dir).size == 16)
+  }
+
+  test("nBuckets layout pin is shared with the overwrite sink") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"), "v",
+      nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotUpsert.upsertBatchSnapshot(df((1L, "b", 2L)), dir,
+        Seq("id"), "v", nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets=8"))
+  }
+
+  test("the input batch is evaluated exactly once when merging into a populated table") {
+    val acc = spark.sparkContext.longAccumulator("snap-evals")
+    val counted = udf { (s: String) => acc.add(1L); s }.asNondeterministic()
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((10L, "seed", 1L)), dir,
+      Seq("id"), "v", nBuckets = 8)
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((1L, "a", 1L), (2L, "b", 1L)).withColumn("status",
+        counted(col("status"))),
+      dir, Seq("id"), "v", nBuckets = 8)
+    assert(acc.value == 2L,
+      s"2-row incremental batch evaluated ${acc.value / 2.0}x")
+  }
+
+  test("streaming end-to-end: MemoryStream feed maintains the versioned table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp()
+    val input = MemoryStream[(Long, String, Long)]
+    val q = SnapshotUpsert.sink(input.toDF().toDF("id", "status", "v"),
+      dir, tmp(), Seq("id"), "v", nBuckets = 8)
+    try {
+      input.addData((1L, "new", 1L), (2L, "new", 1L))
+      q.processAllAvailable()
+      input.addData((1L, "fixed", 2L), (3L, "new", 1L))
+      q.processAllAvailable()
+      assert(snapSet(dir) ==
+        Set((1L, "fixed", 2L), (2L, "new", 1L), (3L, "new", 1L)))
+      assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("real-data drive: incremental snapshot merges equal the one-shot merge") {
+    val all = graft.queries.QueryDef.loadEvents(spark, sf)
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_type"), col("ts"))
+    val (first, second) = (proj(all.where(col("event_id") % 2 === 0)),
+      proj(all.where(col("event_id") % 2 === 1)))
+    val incDir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(first, incDir, Seq("user_id"), "ts",
+      nBuckets = 16)
+    SnapshotUpsert.upsertBatchSnapshot(second, incDir, Seq("user_id"), "ts",
+      nBuckets = 16)
+    val oneDir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(proj(all), oneDir, Seq("user_id"), "ts",
+      nBuckets = 16)
+    val inc = SnapshotUpsert.readSnapshot(spark, incDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2))).toMap
+    val one = SnapshotUpsert.readSnapshot(spark, oneDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2))).toMap
+    assert(inc.nonEmpty && inc == one)
+  }
+}
