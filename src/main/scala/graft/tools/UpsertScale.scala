@@ -51,8 +51,10 @@ object UpsertScale {
 
     def merge(batch: DataFrame): Unit =
       if (mode == "snapshot")
+        // retain every version so the change feed can be timed across
+        // both the small and the broad merge below
         SnapshotUpsert.upsertBatchSnapshot(batch, target, Seq("user_id"),
-          "ts", nBuckets)
+          "ts", nBuckets, keepVersions = 8)
       else
         UpsertSink.upsertBatch(batch, target, Seq("user_id"), "ts", nBuckets)
 
@@ -84,6 +86,25 @@ object UpsertScale {
     val broadTouched = touched(broad)
     val broadSecs = timed { merge(broad) }
 
+    // snapshot mode: time the change feed across the small (CDC-shaped,
+    // bounded by the changed buckets) and broad (worst-case, every
+    // bucket changed) merges
+    val feedSecs = if (mode == "snapshot") {
+      def feed(from: Long, to: Long): (Long, Double) = {
+        var n = 0L
+        val s = timed {
+          n = SnapshotUpsert.changesBetween(spark, target, from, to,
+            Seq("user_id")).count()
+        }
+        (n, s)
+      }
+      val (smallN, smallFeed) = feed(1L, 2L)
+      val (broadN, broadFeed) = feed(2L, 3L)
+      System.err.println(f"[upsert-scale] change feed " +
+        f"small(rows=$smallN)=$smallFeed%.1fs broad(rows=$broadN)=$broadFeed%.1fs")
+      Some((smallFeed, broadFeed))
+    } else None
+
     System.err.println(f"[upsert-scale] mode=$mode table=$tableRows " +
       f"seed=$seedSecs%.1fs " +
       f"small($smallKeys keys, $smallTouched buckets)=$smallSecs%.1fs " +
@@ -94,7 +115,10 @@ object UpsertScale {
       s""""small_keys":$smallKeys,"small_touched":$smallTouched,""" +
       f""""small_secs":$smallSecs%.1f,""" +
       s""""broad_keys":$broadKeys,"broad_touched":$broadTouched,""" +
-      f""""broad_secs":$broadSecs%.1f}""")
+      f""""broad_secs":$broadSecs%.1f""" +
+      feedSecs.map { case (s, b) =>
+        f""","feed_small_secs":$s%.1f,"feed_broad_secs":$b%.1f}"""
+      }.getOrElse("}"))
     spark.stop()
   }
 }

@@ -184,6 +184,48 @@ class SnapshotUpsertSpec extends SparkSpec {
       s"2-row incremental batch evaluated ${acc.value / 2.0}x")
   }
 
+  test("change feed: inserts and updates between versions, unchanged co-located rows filtered") {
+    val dir = tmp()
+    // nBuckets=1 forces EVERY key into one bucket, so each merge
+    // rewrites rows whose keys did not change — the change feed must
+    // still report only the logically changed rows
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)), dir, Seq("id"), "v",
+      nBuckets = 1, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((1L, "a2", 2L), (4L, "d", 1L)), dir, Seq("id"), "v",
+      nBuckets = 1, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((2L, "b", 2L)), dir, Seq("id"), "v", nBuckets = 1, keepVersions = 10)
+    def changes(from: Long, to: Long): Set[(Long, String, Long, String)] =
+      SnapshotUpsert.changesBetween(spark, dir, from, to, Seq("id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSet
+    assert(changes(1L, 2L) ==
+      Set((1L, "a2", 2L, "update"), (4L, "d", 1L, "insert")))
+    // version-skipping diff composes the intervening merges
+    assert(changes(1L, 3L) == Set((1L, "a2", 2L, "update"),
+      (4L, "d", 1L, "insert"), (2L, "b", 2L, "update")))
+    assert(changes(2L, 3L) == Set((2L, "b", 2L, "update")))
+  }
+
+  test("change feed reads only the buckets the manifests disagree on") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L to 63L).map(i => (i, "seed", 1L)): _*), dir, Seq("id"), "v",
+      nBuckets = 8, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(df((5L, "upd", 2L)), dir,
+      Seq("id"), "v", nBuckets = 8, keepVersions = 10)
+    val feed = SnapshotUpsert.changesBetween(spark, dir, 1L, 2L, Seq("id"))
+    // 1 of 8 buckets changed: the feed must read only that bucket's
+    // file from each side, never the carried 7
+    val scanned = feed.inputFiles.toSet
+    assert(scanned.size == 2,
+      s"expected 2 files (one per side), scanned ${scanned.size}: $scanned")
+    assert(feed.collect().map(r => (r.getLong(0), r.getString(3))).toSet ==
+      Set((5L, "update")))
+  }
+
   test("streaming end-to-end: MemoryStream feed maintains the versioned table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
