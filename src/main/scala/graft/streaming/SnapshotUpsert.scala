@@ -95,45 +95,37 @@ object SnapshotUpsert {
 
   /** Merge one batch of row versions as a new committed version. Same
     * semantics as [[UpsertSink.upsertBatch]]; see object doc for the
-    * commit difference. `keepVersions` >= 1 controls how many committed
-    * versions stay readable (older files are garbage-collected). */
+    * commit difference. `keepVersions` >= 2 controls how many committed
+    * versions stay readable (older files are garbage-collected); the
+    * minimum is 2 because a reader pinned to the CURRENT version must
+    * survive the next commit's GC — retention of 1 would let that GC
+    * delete files out from under an in-flight scan, re-introducing the
+    * torn-read race this commit protocol exists to remove. */
   def upsertBatchSnapshot(batch: DataFrame, targetDir: String,
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
       keepVersions: Int = 2): Unit = {
-    require(keys.nonEmpty, "upsert needs at least one key column")
-    require(keepVersions >= 1, "keepVersions must be >= 1")
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2: the next commit's GC must not delete " +
+        "files a reader pinned to the current version may still be scanning")
     val spark = batch.sparkSession
     val dataCols = batch.columns.toSeq
-    require(Seq("kb", "__src", "__rn").forall(!dataCols.contains(_)),
-      "batch must not carry reserved columns kb/__src/__rn")
-
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     UpsertSink.pinLayout(fs, root, nBuckets)
     val cur = currentSnapshot(fs, root)
-    val populated: Set[Int] = cur.map(_.files.keySet).getOrElse(Set.empty)
-
-    // same single-evaluation rule as the overwrite sink: once the table
-    // holds rows, snapshot the batch so the touched set and the written
-    // rows come from ONE evaluation (a re-evaluated non-deterministic
-    // batch could otherwise stage a bucket whose existing rows were
-    // never merged); a first write has nothing to lose and stays lazy
-    val withBucket0 = batch.withColumn("kb",
-      UpsertSink.bucketOf(keys, nBuckets))
-    val snapshot = populated.nonEmpty
-    val withBucket =
-      if (snapshot) withBucket0.localCheckpoint(true) else withBucket0
-    try {
-      commitVersion(withBucket, root, fs, cur, populated, dataCols, keys,
-        orderCol, nBuckets, keepVersions)
-    } finally if (snapshot) withBucket.unpersist(false)
+    UpsertSink.withPreparedBatch(batch, keys, nBuckets,
+      populatedTable = cur.exists(_.files.nonEmpty)) { withBucket =>
+      commitVersion(withBucket, root, fs, cur, dataCols, keys, orderCol,
+        nBuckets, keepVersions)
+    }
   }
 
   private def commitVersion(withBucket: DataFrame, root: Path,
-      fs: FileSystem, cur: Option[Snapshot], populated: Set[Int],
+      fs: FileSystem, cur: Option[Snapshot],
       dataCols: Seq[String], keys: Seq[String], orderCol: String,
       nBuckets: Int, keepVersions: Int): Unit = {
     val spark = withBucket.sparkSession
+    val populated: Set[Int] = cur.map(_.files.keySet).getOrElse(Set.empty)
     val touched = withBucket.select("kb").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
@@ -197,21 +189,28 @@ object SnapshotUpsert {
     if (!fs.rename(tmp, manifestPath(root, version)))
       sys.error(s"snapshot upsert: cannot commit manifest v$version")
 
-    gc(fs, root, version, manifest, keepVersions)
+    gc(fs, root, version, manifest, cur, keepVersions)
   }
 
   /** Drop manifests older than the retention window and delete the
     * files only they referenced. Everything is computed from manifest
     * CONTENTS — cost is bounded by the dropped versions' touched
-    * buckets, never by a table listing. */
+    * buckets, never by a table listing. One directory listing; the
+    * previous snapshot is reused from memory, so a steady-state
+    * keepVersions=2 commit reads no manifest at all here. */
   private def gc(fs: FileSystem, root: Path, version: Long,
-      newManifest: Map[Int, Seq[String]], keepVersions: Int): Unit = {
+      newManifest: Map[Int, Seq[String]], prev: Option[Snapshot],
+      keepVersions: Int): Unit = {
     val oldest = version - keepVersions + 1
-    val dropped = listVersions(fs, root).filter(_ < oldest)
+    val all = listVersions(fs, root)
+    val dropped = all.filter(_ < oldest)
     if (dropped.isEmpty) return
     val kept: Set[String] =
-      (listVersions(fs, root).filter(_ >= oldest).filter(_ != version)
-        .flatMap(v => readManifest(fs, root, v).files.valuesIterator.flatten)
+      (all.filter(_ >= oldest).filter(_ != version)
+        .flatMap { v =>
+          val m = prev.filter(_.version == v).getOrElse(readManifest(fs, root, v))
+          m.files.valuesIterator.flatten
+        }
         ++ newManifest.valuesIterator.flatten.toSeq).toSet
     dropped.foreach { d =>
       val stale = readManifest(fs, root, d).files.valuesIterator.flatten
@@ -275,21 +274,34 @@ object SnapshotUpsert {
     val changedBuckets = to.files.collect {
       case (b, files) if !from.files.get(b).contains(files) => b
     }.toSeq
-    // schema from one footer; both sides share it (same table)
-    val sample = spark.read.parquet(
-      s"$root/${to.files.valuesIterator.flatten.next()}")
-    val dataCols = sample.columns.toSeq
-    def side(m: Snapshot, buckets: Seq[Int]): DataFrame = {
-      val paths = buckets.filter(m.files.contains)
-        .flatMap(m.files).map(rel => s"$root/$rel")
-      if (paths.nonEmpty) spark.read.parquet(paths: _*)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sample.schema)
+    def paths(m: Snapshot): Seq[String] = changedBuckets
+      .filter(m.files.contains).flatMap(m.files).map(rel => s"$root/$rel")
+    if (changedBuckets.isEmpty) {
+      // identical manifests: empty feed with the table's schema (one
+      // footer read — the only case that needs a sample)
+      val schema = spark.read
+        .parquet(s"$root/${to.files.valuesIterator.flatten.next()}").schema
+      return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("_change", lit(""))
     }
-    val newSide = side(to, changedBuckets)
-    val oldSide = side(from, changedBuckets)
-      .select(keys.map(col) :+ struct(dataCols.map(col): _*).as("__old"): _*)
-    newSide.join(oldSide, keys, "left")
+    // `to` holds every changed bucket, so newSide is never empty and
+    // supplies the schema; `from` may lack buckets first seen later
+    val newSide = spark.read.parquet(paths(to): _*)
+    val dataCols = newSide.columns.toSeq
+    val oldPaths = paths(from)
+    val oldSide = (
+      if (oldPaths.nonEmpty) spark.read.parquet(oldPaths: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSide.schema))
+      .select(keys.map(k => col(k).as(s"__old_$k")) :+
+        struct(dataCols.map(col): _*).as("__old"): _*)
+    // null-SAFE key equality: the merge groups null keys like any other
+    // value (bucketOf hashes them, the window partitions them), so the
+    // feed must match them too or a null-keyed row would be re-reported
+    // as a spurious insert on every diff that rewrites its bucket
+    val joinCond = keys.map(k => col(k) <=> col(s"__old_$k")).reduce(_ && _)
+    newSide.join(oldSide, joinCond, "left")
       .where(col("__old").isNull ||
         !(struct(dataCols.map(col): _*) <=> col("__old")))
       .withColumn("_change",
@@ -302,15 +314,8 @@ object SnapshotUpsert {
   def sink(stream: DataFrame, targetDir: String, checkpoint: String,
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
       keepVersions: Int = 2, drainOnce: Boolean = false,
-      outputMode: String = "append"): StreamingQuery = {
-    var w = stream.writeStream
-      .outputMode(outputMode)
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) => upsertBatchSnapshot(b.toDF(), targetDir, keys, orderCol,
-        nBuckets, keepVersions))
-    if (drainOnce)
-      w = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    w.start()
-  }
+      outputMode: String = "append"): StreamingQuery =
+    UpsertSink.startForeachBatch(stream, checkpoint, outputMode, drainOnce)(
+      b => upsertBatchSnapshot(b, targetDir, keys, orderCol, nBuckets,
+        keepVersions))
 }

@@ -87,17 +87,46 @@ object UpsertSink {
     }
   }
 
+  /** Column names both upsert sinks own: `kb` (layout), `__src`/`__rn`
+    * (merge internals), `__old`/`_change` (change-feed internals —
+    * reserved here too so a table is always feed-compatible). */
+  private[streaming] val Reserved = Seq("kb", "__src", "__rn", "__old", "_change")
+
+  /** Shared batch preamble: validates columns, then runs `use` on the
+    * bucket-stamped batch under the single-evaluation rule — once the
+    * table holds rows (`populatedTable`), the batch is materialized
+    * eagerly so the touched-bucket collect and the write see ONE
+    * evaluation (a re-evaluated non-deterministic batch could emit a
+    * row into a bucket absent from `touched`, which the commit then
+    * replaces/omits without having merged its existing rows).
+    * Incremental batches are the small side by design, so the snapshot
+    * is cheap. A FIRST write has no existing rows to lose — every
+    * emitted row lands whether or not its bucket was pre-collected —
+    * so the seed batch (the one table-sized input an upsert table ever
+    * sees) stays lazy: its extra collect pass column-prunes to the
+    * keys, measured ~2x cheaper than materializing every column (seed
+    * of 100M rows: 70.5 s snapshotted vs 34-40 s lazy). */
+  private[streaming] def withPreparedBatch(batch: DataFrame,
+      keys: Seq[String], nBuckets: Int, populatedTable: Boolean)(
+      use: DataFrame => Unit): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val dataCols = batch.columns.toSeq
+    require(Reserved.forall(!dataCols.contains(_)),
+      s"batch must not carry reserved columns ${Reserved.mkString("/")}")
+    val withBucket0 = batch.withColumn("kb", bucketOf(keys, nBuckets))
+    val withBucket =
+      if (populatedTable) withBucket0.localCheckpoint(true) else withBucket0
+    try use(withBucket)
+    finally if (populatedTable) withBucket.unpersist(false)
+  }
+
   /** Merge one batch of row versions into the target table (see object
     * doc for the rule). Safe to call directly for scheduled batch
     * ingest; [[upsertSink]] wires it under foreachBatch. */
   def upsertBatch(batch: DataFrame, targetDir: String, keys: Seq[String],
       orderCol: String, nBuckets: Int = 64): Unit = {
-    require(keys.nonEmpty, "upsert needs at least one key column")
     val spark = batch.sparkSession
     val dataCols = batch.columns.toSeq
-    require(Seq("kb", "__src", "__rn").forall(!dataCols.contains(_)),
-      "batch must not carry reserved columns kb/__src/__rn")
-
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     pinLayout(fs, root, nBuckets)
@@ -107,27 +136,11 @@ object UpsertSink {
       fs.listStatus(root).iterator
         .map(_.getPath.getName).filter(_.startsWith("kb="))
         .map(_.stripPrefix("kb=").toInt).toSet
-
-    // Once the table holds rows, materialize the batch ONCE, eagerly:
-    // the merge runs two actions (the touched-bucket collect and the
-    // write), and re-evaluating a non-deterministic upstream between
-    // them could emit a row into a bucket absent from `touched` — a
-    // bucket the overwrite then replaces WITHOUT having read its
-    // existing rows. Incremental batches are the small side by design,
-    // so the snapshot is cheap. A FIRST write has no existing rows to
-    // lose — every emitted row lands whether or not its bucket was in
-    // `touched` — so the seed batch (the one table-sized input this
-    // sink ever sees) stays lazy: the collect pass column-prunes to the
-    // keys, which measures ~2x cheaper than materializing every column
-    // (seed of 100M rows: 70.5 s snapshotted vs 34-40 s lazy).
-    val withBucket0 = batch.withColumn("kb", bucketOf(keys, nBuckets))
-    val snapshot = populated.nonEmpty
-    val withBucket =
-      if (snapshot) withBucket0.localCheckpoint(true) else withBucket0
-    try {
-      upsertInto(withBucket, targetDir, populated, dataCols, keys, orderCol,
-        nBuckets)
-    } finally if (snapshot) withBucket.unpersist(false)
+    withPreparedBatch(batch, keys, nBuckets, populated.nonEmpty) {
+      withBucket =>
+        upsertInto(withBucket, targetDir, populated, dataCols, keys,
+          orderCol, nBuckets)
+    }
   }
 
   private def upsertInto(withBucket: DataFrame, targetDir: String,
@@ -202,15 +215,22 @@ object UpsertSink {
     * table-maintenance shape, same as [[EventStreams.parquetSink]]). */
   def upsertSink(stream: DataFrame, targetDir: String, checkpoint: String,
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
-      drainOnce: Boolean = false, outputMode: String = "append"): StreamingQuery = {
-    // outputMode "update" is the fit for stateful upstreams that emit
-    // per-key revisions (mapGroupsWithState): each micro-batch carries
-    // the keys whose state changed, which is exactly an upsert feed
+      drainOnce: Boolean = false, outputMode: String = "append"): StreamingQuery =
+    startForeachBatch(stream, checkpoint, outputMode, drainOnce)(
+      b => upsertBatch(b, targetDir, keys, orderCol, nBuckets))
+
+  /** Shared foreachBatch wiring for the upsert sinks. outputMode
+    * "update" is the fit for stateful upstreams that emit per-key
+    * revisions (mapGroupsWithState): each micro-batch carries the keys
+    * whose state changed, which is exactly an upsert feed. */
+  private[streaming] def startForeachBatch(stream: DataFrame,
+      checkpoint: String, outputMode: String, drainOnce: Boolean)(
+      f: DataFrame => Unit): StreamingQuery = {
     var w = stream.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) => upsertBatch(b.toDF(), targetDir, keys, orderCol, nBuckets))
+          _: Long) => f(b.toDF()))
     if (drainOnce)
       w = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     w.start()

@@ -209,6 +209,40 @@ class SnapshotUpsertSpec extends SparkSpec {
     assert(changes(2L, 3L) == Set((2L, "b", 2L, "update")))
   }
 
+  test("change feed matches null keys null-safely (no spurious inserts on bucket rewrites)") {
+    import spark.implicits._
+    val dir = tmp()
+    // nullable string key; the merge stores a null-keyed row like any
+    // other (bucketOf hashes it, the window groups it)
+    def kdf(rows: (Option[String], String, Long)*) =
+      rows.toDF("k", "status", "v").select(
+        col("k"), col("status"), col("v"))
+    SnapshotUpsert.upsertBatchSnapshot(
+      kdf((None, "null-key", 1L), (Some("a"), "x", 1L)), dir, Seq("k"), "v",
+      nBuckets = 1, keepVersions = 10)
+    // rewrite the bucket WITHOUT touching the null-keyed row
+    SnapshotUpsert.upsertBatchSnapshot(kdf((Some("a"), "x2", 2L)), dir,
+      Seq("k"), "v", nBuckets = 1, keepVersions = 10)
+    def changes(from: Long, to: Long) =
+      SnapshotUpsert.changesBetween(spark, dir, from, to, Seq("k")).collect()
+        .map(r => (Option(r.getString(0)), r.getString(1), r.getString(3)))
+        .toSet
+    assert(changes(1L, 2L) == Set((Some("a"), "x2", "update")),
+      "the unchanged null-keyed row must NOT be re-reported as an insert")
+    // a genuine update to the null-keyed row IS reported as an update
+    SnapshotUpsert.upsertBatchSnapshot(kdf((None, "null-key2", 2L)), dir,
+      Seq("k"), "v", nBuckets = 1, keepVersions = 10)
+    assert(changes(2L, 3L) == Set((None, "null-key2", "update")))
+  }
+
+  test("keepVersions below 2 is refused (a pinned reader must survive the next GC)") {
+    val e = intercept[IllegalArgumentException] {
+      SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), tmp(),
+        Seq("id"), "v", nBuckets = 4, keepVersions = 1)
+    }
+    assert(e.getMessage.contains("keepVersions"))
+  }
+
   test("change feed reads only the buckets the manifests disagree on") {
     val dir = tmp()
     SnapshotUpsert.upsertBatchSnapshot(

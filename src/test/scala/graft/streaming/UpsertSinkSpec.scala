@@ -202,10 +202,11 @@ class UpsertSinkSpec extends SparkSpec {
     assert(inc == one, "incremental vs one-shot latest-ts mismatch")
   }
 
-  test("reserved columns (kb/__src/__rn) in the batch are rejected, not clobbered") {
+  test("reserved columns in the batch are rejected, not clobbered") {
     // __rn in particular would otherwise be silently REPLACED by the
-    // merge's row_number and come out as all-1s in the table
-    for (reserved <- Seq("kb", "__src", "__rn")) {
+    // merge's row_number and come out as all-1s in the table; __old and
+    // _change are reserved so any upsert table stays change-feed-safe
+    for (reserved <- Seq("kb", "__src", "__rn", "__old", "_change")) {
       val bad = df((1L, "a", 1L)).withColumn(reserved, lit(9))
       val e = intercept[IllegalArgumentException] {
         UpsertSink.upsertBatch(bad, tmp(), Seq("id"), "v", nBuckets = 8)
