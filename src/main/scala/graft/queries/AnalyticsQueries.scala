@@ -119,6 +119,53 @@ object AnalyticsQueries {
              |FROM f""".stripMargin),
     ),
 
+    // Change feed between two latest-state table IMAGES — the oracle
+    // gate for SnapshotUpsert.diffImages, the exact expression logic
+    // changesBetween applies to its manifest-pruned reads: rows of the
+    // new image whose key is new ("insert") or whose row differs
+    // ("update"), unchanged rows dropped by null-safe struct equality.
+    // The "old" image is the per-user latest over the even-event_id
+    // half of the stream; the "new" image over the whole stream — the
+    // same shape an incremental consumer sees across two commits. One
+    // shuffle per image (user_id window) + the user_id diff join.
+    QueryDef(
+      "q_change_feed",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        def image(in: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc_nulls_last, col("event_id").desc)
+          in.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("user_id"), col("event_type"),
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        }
+        graft.streaming.SnapshotUpsert.diffImages(
+          image(ev), image(ev.where(col("event_id") % 2 === 0)),
+          Seq("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img_new AS (SELECT user_id, event_type,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+             |        FROM e) WHERE rn = 1),
+             |img_old AS (SELECT user_id, event_type,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, 1 AS present
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+             |        FROM e WHERE event_id % 2 = 0) WHERE rn = 1)
+             |SELECT n.user_id, n.event_type, n.ts,
+             | CASE WHEN o.present IS NULL THEN 'insert' ELSE 'update' END
+             |   AS _change
+             |FROM img_new n
+             |LEFT JOIN img_old o ON n.user_id IS NOT DISTINCT FROM o.user_id
+             |WHERE o.present IS NULL
+             |   OR NOT (n.event_type IS NOT DISTINCT FROM o.event_type
+             |           AND n.ts IS NOT DISTINCT FROM o.ts)""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(

@@ -288,20 +288,32 @@ object SnapshotUpsert {
     // `to` holds every changed bucket, so newSide is never empty and
     // supplies the schema; `from` may lack buckets first seen later
     val newSide = spark.read.parquet(paths(to): _*)
-    val dataCols = newSide.columns.toSeq
     val oldPaths = paths(from)
-    val oldSide = (
+    val oldSide =
       if (oldPaths.nonEmpty) spark.read.parquet(oldPaths: _*)
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSide.schema))
-      .select(keys.map(k => col(k).as(s"__old_$k")) :+
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSide.schema)
+    diffImages(newSide, oldSide, keys)
+  }
+
+  /** The change-feed diff over two table IMAGES — the expression logic
+    * [[changesBetween]] applies to its manifest-pruned reads, exposed
+    * for use on arbitrary DataFrames (and oracle-gated as
+    * `q_change_feed`): rows of `newImage` whose key is absent from
+    * `oldImage` ("insert") or whose row differs ("update"); unchanged
+    * rows are dropped by exact null-safe struct comparison. Keys match
+    * null-SAFELY: the merge groups null keys like any other value
+    * (bucketOf hashes them, the window partitions them), so the feed
+    * must match them too or a null-keyed row would be re-reported as a
+    * spurious insert on every diff that rewrites its bucket. */
+  def diffImages(newImage: DataFrame, oldImage: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = newImage.columns.toSeq
+    val old = oldImage.select(
+      keys.map(k => col(k).as(s"__old_$k")) :+
         struct(dataCols.map(col): _*).as("__old"): _*)
-    // null-SAFE key equality: the merge groups null keys like any other
-    // value (bucketOf hashes them, the window partitions them), so the
-    // feed must match them too or a null-keyed row would be re-reported
-    // as a spurious insert on every diff that rewrites its bucket
     val joinCond = keys.map(k => col(k) <=> col(s"__old_$k")).reduce(_ && _)
-    newSide.join(oldSide, joinCond, "left")
+    newImage.join(old, joinCond, "left")
       .where(col("__old").isNull ||
         !(struct(dataCols.map(col): _*) <=> col("__old")))
       .withColumn("_change",
