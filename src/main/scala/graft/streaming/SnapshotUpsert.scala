@@ -56,8 +56,13 @@ object SnapshotUpsert {
   private val ManifestDir = "_manifests"
   private val BatchesDir = "batches"
 
-  /** A committed version: bucket -> relative file paths. */
-  case class Snapshot(version: Long, files: Map[Int, Seq[String]])
+  /** A committed version: its bucket layout and bucket -> relative
+    * file paths. The bucket count travels IN the manifest so a
+    * [[rebucket]] changes layout and files in the same atomic commit —
+    * a side marker could disagree with the file set after a crash
+    * between two writes. */
+  case class Snapshot(version: Long, nBuckets: Int,
+      files: Map[Int, Seq[String]])
 
   private def manifestPath(root: Path, v: Long): Path =
     new Path(root, f"$ManifestDir/v$v%012d.txt")
@@ -83,11 +88,55 @@ object SnapshotUpsert {
     val lines = try
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     finally in.close()
-    val files = lines.filter(_.nonEmpty).map { line =>
+    val header = lines.headOption.getOrElse("")
+    require(header.startsWith("#nbuckets="),
+      s"malformed manifest v$v at $root: missing #nbuckets header")
+    val files = lines.drop(1).filter(_.nonEmpty).map { line =>
       val Array(b, rel) = line.split('\t')
       b.toInt -> rel
     }.groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
-    Snapshot(v, files)
+    Snapshot(v, header.stripPrefix("#nbuckets=").toInt, files)
+  }
+
+  /** Write-then-rename of a manifest file — THE commit point of every
+    * snapshot operation. */
+  private def commitManifest(fs: FileSystem, root: Path, version: Long,
+      nBuckets: Int, files: Map[Int, Seq[String]]): Unit = {
+    fs.mkdirs(new Path(root, ManifestDir))
+    val tmp = new Path(root, s"$ManifestDir/.v$version.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (Iterator(s"#nbuckets=$nBuckets") ++
+        SortedMap.from(files).iterator.flatMap { case (b, fs0) =>
+          fs0.map(f => s"$b\t$f")
+        }).mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    if (!fs.rename(tmp, manifestPath(root, version)))
+      sys.error(s"snapshot upsert: cannot commit manifest v$version")
+  }
+
+  /** Enumerate the bucket files a just-written version directory holds
+    * (authoritative for the manifest entry). */
+  private def stagedFiles(fs: FileSystem, versionDir: Path,
+      version: Long): Map[Int, Seq[String]] =
+    fs.listStatus(versionDir).iterator
+      .filter(_.getPath.getName.startsWith("kb="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix("kb=").toInt
+        b -> fs.listStatus(d.getPath).iterator.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+          .map(n => s"$BatchesDir/v$version/kb=$b/$n").toSeq
+      }.toMap
+
+  /** Fresh (crash-reclaimed) version directory for the next commit. */
+  private def nextVersionDir(fs: FileSystem, root: Path,
+      version: Long): Path = {
+    val dir = new Path(root, s"$BatchesDir/v$version")
+    // a leftover directory is a crashed predecessor's orphan (its
+    // manifest never committed, so nothing references it): redo cleanly
+    if (fs.exists(dir)) fs.delete(dir, true)
+    dir
   }
 
   private def currentSnapshot(fs: FileSystem, root: Path): Option[Snapshot] =
@@ -111,13 +160,56 @@ object SnapshotUpsert {
     val dataCols = batch.columns.toSeq
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    UpsertSink.pinLayout(fs, root, nBuckets)
     val cur = currentSnapshot(fs, root)
+    cur match {
+      case Some(c) =>
+        // the CURRENT manifest's header is the layout authority (it
+        // changes atomically with the file set on rebucket; the side
+        // marker can lag a crash-interrupted refresh)
+        require(c.nBuckets == nBuckets,
+          s"upsert: table at $root is laid out with nBuckets=${c.nBuckets}; " +
+            s"merging with nBuckets=$nBuckets would strand rows in stale " +
+            "buckets (use rebucket to change the layout)")
+      case None =>
+        UpsertSink.pinLayout(fs, root, nBuckets)
+    }
     UpsertSink.withPreparedBatch(batch, keys, nBuckets,
       populatedTable = cur.exists(_.files.nonEmpty)) { withBucket =>
       commitVersion(withBucket, root, fs, cur, dataCols, keys, orderCol,
         nBuckets, keepVersions)
     }
+  }
+
+  /** Rewrite the table into a new bucket layout as one committed
+    * version — the growth path when the table has outgrown the bucket
+    * count it was created with (each bucket should stay a comfortable
+    * single-file rewrite unit). Every row is re-hashed and every bucket
+    * staged fresh, so the commit is table-sized (like a seed), atomic
+    * (layout and files swap together in the manifest), and old versions
+    * remain time-travel-readable in their own layout. */
+  def rebucket(spark: SparkSession, targetDir: String, newBuckets: Int,
+      keys: Seq[String], keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 2, "keepVersions must be >= 2")
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentSnapshot(fs, root).getOrElse(
+      sys.error(s"rebucket: no committed version at $targetDir"))
+    val version = cur.version + 1
+    val versionDir = nextVersionDir(fs, root, version)
+    val allPaths = cur.files.valuesIterator.flatten
+      .map(rel => s"$root/$rel").toSeq
+    spark.read.parquet(allPaths: _*)
+      .withColumn("kb", UpsertSink.bucketOf(keys, newBuckets))
+      .repartition(newBuckets min 4096, col("kb"))
+      .write.partitionBy("kb").parquet(versionDir.toString)
+    // nothing is carried: the new layout's manifest is exactly the
+    // staged set, and the header flips the layout in the same commit
+    val staged = stagedFiles(fs, versionDir, version)
+    commitManifest(fs, root, version, newBuckets, staged)
+    gc(fs, root, version, staged, Some(cur), keepVersions)
+    // best-effort marker refresh for humans; the manifest header is
+    // what merges validate against
+    UpsertSink.refreshLayoutMarker(fs, root, newBuckets)
   }
 
   private def commitVersion(withBucket: DataFrame, root: Path,
@@ -147,10 +239,7 @@ object SnapshotUpsert {
           withBucket.schema)
 
     val version = cur.map(_.version + 1).getOrElse(1L)
-    val versionDir = new Path(root, s"$BatchesDir/v$version")
-    // a leftover directory is a crashed predecessor's orphan (its
-    // manifest never committed, so nothing references it): redo cleanly
-    if (fs.exists(versionDir)) fs.delete(versionDir, true)
+    val versionDir = nextVersionDir(fs, root, version)
 
     // one clustered file per touched bucket, written to an immutable
     // fresh directory — no live path is read and overwritten, so no
@@ -162,33 +251,11 @@ object SnapshotUpsert {
     // staged buckets from the job's committed output (authoritative:
     // with the single-evaluation rule this equals `touched` on a
     // populated table, and on a first write it covers every row)
-    val staged: Map[Int, Seq[String]] =
-      fs.listStatus(versionDir).iterator
-        .filter(_.getPath.getName.startsWith("kb="))
-        .map { d =>
-          val b = d.getPath.getName.stripPrefix("kb=").toInt
-          b -> fs.listStatus(d.getPath).iterator.map(_.getPath.getName)
-            .filter(_.endsWith(".parquet"))
-            .map(n => s"$BatchesDir/v$version/kb=$b/$n").toSeq
-        }.toMap
-
+    val staged = stagedFiles(fs, versionDir, version)
     val carried = cur.map(_.files).getOrElse(Map.empty)
       .filterNot { case (b, _) => staged.contains(b) }
-    val manifest = SortedMap.from(carried ++ staged)
-
-    // the commit point: write-then-rename of the manifest file
-    fs.mkdirs(new Path(root, ManifestDir))
-    val tmp = new Path(root, s"$ManifestDir/.v$version.tmp")
-    val out = fs.create(tmp, true)
-    try {
-      val body = manifest.iterator
-        .flatMap { case (b, files) => files.map(f => s"$b\t$f") }
-        .mkString("\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    if (!fs.rename(tmp, manifestPath(root, version)))
-      sys.error(s"snapshot upsert: cannot commit manifest v$version")
-
+    val manifest = carried ++ staged
+    commitManifest(fs, root, version, nBuckets, manifest)
     gc(fs, root, version, manifest, cur, keepVersions)
   }
 
@@ -271,10 +338,17 @@ object SnapshotUpsert {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val from = readManifest(fs, root, fromVersion)
     val to = readManifest(fs, root, toVersion)
-    val changedBuckets = to.files.collect {
-      case (b, files) if !from.files.get(b).contains(files) => b
-    }.toSeq
-    def paths(m: Snapshot): Seq[String] = changedBuckets
+    // bucket numbers are comparable ONLY within one layout: across a
+    // rebucket the same number holds different key sets (and a bucket
+    // empty under the new layout would HIDE the old file sharing its
+    // number), so a cross-layout diff reads both images whole
+    val sameLayout = from.nBuckets == to.nBuckets
+    val changedBuckets: Seq[Int] =
+      if (sameLayout) to.files.collect {
+        case (b, files) if !from.files.get(b).contains(files) => b
+      }.toSeq
+      else to.files.keySet.toSeq
+    def paths(m: Snapshot, buckets: Seq[Int]): Seq[String] = buckets
       .filter(m.files.contains).flatMap(m.files).map(rel => s"$root/$rel")
     if (changedBuckets.isEmpty) {
       // identical manifests: empty feed with the table's schema (one
@@ -287,8 +361,9 @@ object SnapshotUpsert {
     }
     // `to` holds every changed bucket, so newSide is never empty and
     // supplies the schema; `from` may lack buckets first seen later
-    val newSide = spark.read.parquet(paths(to): _*)
-    val oldPaths = paths(from)
+    val newSide = spark.read.parquet(paths(to, changedBuckets): _*)
+    val oldPaths = paths(from,
+      if (sameLayout) changedBuckets else from.files.keySet.toSeq)
     val oldSide =
       if (oldPaths.nonEmpty) spark.read.parquet(oldPaths: _*)
       else spark.createDataFrame(

@@ -78,13 +78,23 @@ object UpsertSink {
     } else {
       // marker lands BEFORE data: a crash in between leaves an empty
       // table whose layout is already pinned, which replays cleanly
-      fs.mkdirs(root)
-      val tmp = new Path(root, s".$LayoutMarker.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, marker))
-        sys.error(s"upsert: cannot commit layout marker $marker")
+      refreshLayoutMarker(fs, root, nBuckets)
     }
+  }
+
+  /** (Re)write the layout marker — first pin, or refresh after a
+    * [[SnapshotUpsert.rebucket]] (where the manifest header, not the
+    * marker, is the authority). */
+  private[streaming] def refreshLayoutMarker(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, nBuckets: Int): Unit = {
+    val marker = new Path(root, LayoutMarker)
+    fs.mkdirs(root)
+    val tmp = new Path(root, s".$LayoutMarker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      sys.error(s"upsert: cannot commit layout marker $marker")
   }
 
   /** Column names both upsert sinks own: `kb` (layout), `__src`/`__rn`

@@ -100,9 +100,16 @@ object UpsertScale {
       }
       val (smallN, smallFeed) = feed(1L, 2L)
       val (broadN, broadFeed) = feed(2L, 3L)
+      // layout growth: double the bucket count (a table-sized rewrite,
+      // committed atomically like any version)
+      val rebucketSecs = timed {
+        SnapshotUpsert.rebucket(spark, target, nBuckets * 2, Seq("user_id"),
+          keepVersions = 8)
+      }
       System.err.println(f"[upsert-scale] change feed " +
-        f"small(rows=$smallN)=$smallFeed%.1fs broad(rows=$broadN)=$broadFeed%.1fs")
-      Some((smallFeed, broadFeed))
+        f"small(rows=$smallN)=$smallFeed%.1fs broad(rows=$broadN)=$broadFeed%.1fs " +
+        f"rebucket(${nBuckets * 2})=$rebucketSecs%.1fs")
+      Some((smallFeed, broadFeed, rebucketSecs))
     } else None
 
     System.err.println(f"[upsert-scale] mode=$mode table=$tableRows " +
@@ -116,8 +123,9 @@ object UpsertScale {
       f""""small_secs":$smallSecs%.1f,""" +
       s""""broad_keys":$broadKeys,"broad_touched":$broadTouched,""" +
       f""""broad_secs":$broadSecs%.1f""" +
-      feedSecs.map { case (s, b) =>
-        f""","feed_small_secs":$s%.1f,"feed_broad_secs":$b%.1f}"""
+      feedSecs.map { case (s, b, r) =>
+        f""","feed_small_secs":$s%.1f,"feed_broad_secs":$b%.1f,""" +
+          f""""rebucket_secs":$r%.1f}"""
       }.getOrElse("}"))
     spark.stop()
   }

@@ -27,7 +27,8 @@ class SnapshotUpsertSpec extends SparkSpec {
   private def manifestFiles(dir: String, v: Long): Map[Int, Seq[String]] = {
     val lines = scala.io.Source.fromFile(
       f"$dir/_manifests/v$v%012d.txt", "UTF-8").getLines().toVector
-    lines.map { l => val Array(b, rel) = l.split('\t'); b.toInt -> rel }
+    lines.filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map { l => val Array(b, rel) = l.split('\t'); b.toInt -> rel }
       .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
   }
 
@@ -258,6 +259,32 @@ class SnapshotUpsertSpec extends SparkSpec {
       s"expected 2 files (one per side), scanned ${scanned.size}: $scanned")
     assert(feed.collect().map(r => (r.getLong(0), r.getString(3))).toSet ==
       Set((5L, "update")))
+  }
+
+  test("rebucket: new layout commits atomically, old count refused, content preserved") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L to 63L).map(i => (i, "seed", 1L)): _*), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10)
+    val before = snapSet(dir)
+    SnapshotUpsert.rebucket(spark, dir, 16, Seq("id"), keepVersions = 10)
+    assert(snapSet(dir) == before, "rebucket must not change content")
+    assert(new java.io.File(s"$dir/batches/v2").listFiles()
+      .count(_.getName.startsWith("kb=")) > 4, "rows re-hashed into new layout")
+    // the old count is now refused, the new count merges
+    val e = intercept[IllegalArgumentException] {
+      SnapshotUpsert.upsertBatchSnapshot(df((1L, "x", 2L)), dir,
+        Seq("id"), "v", nBuckets = 4, keepVersions = 10)
+    }
+    assert(e.getMessage.contains("rebucket"), e.getMessage)
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "x", 2L)), dir,
+      Seq("id"), "v", nBuckets = 16, keepVersions = 10)
+    assert(snapSet(dir).contains((1L, "x", 2L)))
+    // pre-rebucket version stays time-travel-readable in its own layout
+    assert(versionSet(dir, 1L) == before)
+    // a pure rebucket changes NO rows: the change feed across it is empty
+    assert(SnapshotUpsert.changesBetween(spark, dir, 1L, 2L, Seq("id"))
+      .count() == 0L)
   }
 
   test("streaming end-to-end: MemoryStream feed maintains the versioned table") {
