@@ -31,8 +31,11 @@ import scala.collection.immutable.SortedMap
   *     rewrote (untouched buckets are carried forward BY REFERENCE in
   *     the manifest, so incremental merges write only the touched
   *     slice, same cost shape as the overwrite sink's pruned regime)
-  *   - `_manifests/v{N}.txt` — lines `<bucket>\t<relative file path>`;
-  *     the rename of this file IS the commit point
+  *   - `_manifests/v{N}.txt` — `#nbuckets=`/`#schema=` header lines
+  *     (the version's layout and data schema, so rebucket and additive
+  *     schema evolution commit atomically with their files) followed by
+  *     `<bucket>\t<relative file path>` lines; the rename of this file
+  *     IS the commit point
   *   - `_graft_buckets` — the shared nBuckets layout pin
   * Do NOT read `targetDir` with a bare `spark.read.parquet` — it would
   * mix every retained version; go through [[readSnapshot]] /
@@ -56,12 +59,16 @@ object SnapshotUpsert {
   private val ManifestDir = "_manifests"
   private val BatchesDir = "batches"
 
-  /** A committed version: its bucket layout and bucket -> relative
-    * file paths. The bucket count travels IN the manifest so a
-    * [[rebucket]] changes layout and files in the same atomic commit —
-    * a side marker could disagree with the file set after a crash
-    * between two writes. */
+  /** A committed version: its bucket layout, its DATA schema (without
+    * the `kb` layout column), and bucket -> relative file paths. Layout
+    * and schema travel IN the manifest so a [[rebucket]] or an additive
+    * schema evolution changes them and the file set in the same atomic
+    * commit — a side marker could disagree with the file set after a
+    * crash between two writes. Files written before an evolution lack
+    * the newer columns; readers apply the version's recorded schema, so
+    * those columns surface as NULL. */
   case class Snapshot(version: Long, nBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType,
       files: Map[Int, Seq[String]])
 
   private def manifestPath(root: Path, v: Long): Path =
@@ -88,25 +95,30 @@ object SnapshotUpsert {
     val lines = try
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     finally in.close()
-    val header = lines.headOption.getOrElse("")
-    require(header.startsWith("#nbuckets="),
-      s"malformed manifest v$v at $root: missing #nbuckets header")
-    val files = lines.drop(1).filter(_.nonEmpty).map { line =>
-      val Array(b, rel) = line.split('\t')
-      b.toInt -> rel
-    }.groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
-    Snapshot(v, header.stripPrefix("#nbuckets=").toInt, files)
+    val headers = lines.takeWhile(_.startsWith("#"))
+      .map { h => val Array(k, rest) = h.stripPrefix("#").split("=", 2); k -> rest }
+      .toMap
+    require(headers.contains("nbuckets") && headers.contains("schema"),
+      s"malformed manifest v$v at $root: missing #nbuckets/#schema headers")
+    val files = lines.dropWhile(_.startsWith("#")).filter(_.nonEmpty)
+      .map { line =>
+        val Array(b, rel) = line.split('\t')
+        b.toInt -> rel
+      }.groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
+    Snapshot(v, headers("nbuckets").toInt,
+      org.apache.spark.sql.types.StructType.fromDDL(headers("schema")), files)
   }
 
   /** Write-then-rename of a manifest file — THE commit point of every
     * snapshot operation. */
   private def commitManifest(fs: FileSystem, root: Path, version: Long,
-      nBuckets: Int, files: Map[Int, Seq[String]]): Unit = {
+      nBuckets: Int, schema: org.apache.spark.sql.types.StructType,
+      files: Map[Int, Seq[String]]): Unit = {
     fs.mkdirs(new Path(root, ManifestDir))
     val tmp = new Path(root, s"$ManifestDir/.v$version.tmp")
     val out = fs.create(tmp, true)
     try {
-      val body = (Iterator(s"#nbuckets=$nBuckets") ++
+      val body = (Iterator(s"#nbuckets=$nBuckets", s"#schema=${schema.toDDL}") ++
         SortedMap.from(files).iterator.flatMap { case (b, fs0) =>
           fs0.map(f => s"$b\t$f")
         }).mkString("\n")
@@ -142,6 +154,12 @@ object SnapshotUpsert {
   private def currentSnapshot(fs: FileSystem, root: Path): Option[Snapshot] =
     listVersions(fs, root).lastOption.map(readManifest(fs, root, _))
 
+  /** Top-level columns marked nullable: recorded schemas must admit
+    * the NULLs that pre-evolution files produce for appended columns. */
+  private def nullableTop(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true)))
+
   /** Merge one batch of row versions as a new committed version. Same
     * semantics as [[UpsertSink.upsertBatch]]; see object doc for the
     * commit difference. `keepVersions` >= 2 controls how many committed
@@ -157,7 +175,6 @@ object SnapshotUpsert {
       "keepVersions must be >= 2: the next commit's GC must not delete " +
         "files a reader pinned to the current version may still be scanning")
     val spark = batch.sparkSession
-    val dataCols = batch.columns.toSeq
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentSnapshot(fs, root)
@@ -173,9 +190,33 @@ object SnapshotUpsert {
       case None =>
         UpsertSink.pinLayout(fs, root, nBuckets)
     }
+    // ADDITIVE schema evolution: a batch must carry every existing
+    // data column with its recorded type (rows are FULL upserts — a
+    // partial row would silently null a column the table has values
+    // for) and may APPEND new columns, which read back as NULL on
+    // pre-evolution rows. The evolved schema commits atomically in the
+    // same manifest as the files that introduce it.
+    val dataSchema: org.apache.spark.sql.types.StructType = cur match {
+      case Some(c) =>
+        c.schema.fields.foreach { f =>
+          val b = batch.schema.fields.find(_.name == f.name).getOrElse(
+            sys.error(s"upsert: batch is missing existing column " +
+              s"'${f.name}' — rows are full upserts; additive evolution " +
+              "only appends columns"))
+          require(b.dataType == f.dataType,
+            s"upsert: column '${f.name}' type changed " +
+              s"${f.dataType.simpleString} -> ${b.dataType.simpleString}; " +
+              "type changes are not supported")
+        }
+        val known = c.schema.fieldNames.toSet
+        nullableTop(org.apache.spark.sql.types.StructType(
+          c.schema.fields ++ batch.schema.fields.filterNot(f =>
+            known(f.name))))
+      case None => nullableTop(batch.schema)
+    }
     UpsertSink.withPreparedBatch(batch, keys, nBuckets,
       populatedTable = cur.exists(_.files.nonEmpty)) { withBucket =>
-      commitVersion(withBucket, root, fs, cur, dataCols, keys, orderCol,
+      commitVersion(withBucket, root, fs, cur, dataSchema, keys, orderCol,
         nBuckets, keepVersions)
     }
   }
@@ -198,14 +239,16 @@ object SnapshotUpsert {
     val versionDir = nextVersionDir(fs, root, version)
     val allPaths = cur.files.valuesIterator.flatten
       .map(rel => s"$root/$rel").toSeq
-    spark.read.parquet(allPaths: _*)
+    // read under the recorded schema: files from before a schema
+    // evolution lack the newer columns (null-filled here)
+    spark.read.schema(cur.schema).parquet(allPaths: _*)
       .withColumn("kb", UpsertSink.bucketOf(keys, newBuckets))
       .repartition(newBuckets min 4096, col("kb"))
       .write.partitionBy("kb").parquet(versionDir.toString)
     // nothing is carried: the new layout's manifest is exactly the
     // staged set, and the header flips the layout in the same commit
     val staged = stagedFiles(fs, versionDir, version)
-    commitManifest(fs, root, version, newBuckets, staged)
+    commitManifest(fs, root, version, newBuckets, cur.schema, staged)
     gc(fs, root, version, staged, Some(cur), keepVersions)
     // best-effort marker refresh for humans; the manifest header is
     // what merges validate against
@@ -214,24 +257,26 @@ object SnapshotUpsert {
 
   private def commitVersion(withBucket: DataFrame, root: Path,
       fs: FileSystem, cur: Option[Snapshot],
-      dataCols: Seq[String], keys: Seq[String], orderCol: String,
-      nBuckets: Int, keepVersions: Int): Unit = {
+      dataSchema: org.apache.spark.sql.types.StructType, keys: Seq[String],
+      orderCol: String, nBuckets: Int, keepVersions: Int): Unit = {
     val spark = withBucket.sparkSession
+    val dataCols = dataSchema.fieldNames.toSeq
     val populated: Set[Int] = cur.map(_.files.keySet).getOrElse(Set.empty)
     val touched = withBucket.select("kb").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
 
     // existing rows of the touched buckets, by explicit manifest paths
-    // (structural pruning: no directory discovery at all); kb is not
-    // stored in the files (partitionBy strips it) but is a pure
-    // function of the keys, so re-derive it
+    // (structural pruning: no directory discovery at all), read under
+    // the EVOLVED schema (pre-evolution files simply lack the newer
+    // columns, which parquet surfaces as NULL); kb is not stored in
+    // the files (partitionBy strips it) but is a pure function of the
+    // keys, so re-derive it
     val toRead = touched.filter(populated)
       .flatMap(b => cur.get.files(b)).map(rel => s"$root/$rel")
     val existing =
       if (toRead.nonEmpty)
-        spark.read.parquet(toRead: _*)
-          .select(dataCols.map(col): _*)
+        spark.read.schema(dataSchema).parquet(toRead: _*)
           .withColumn("kb", UpsertSink.bucketOf(keys, nBuckets))
       else
         spark.createDataFrame(
@@ -255,7 +300,7 @@ object SnapshotUpsert {
     val carried = cur.map(_.files).getOrElse(Map.empty)
       .filterNot { case (b, _) => staged.contains(b) }
     val manifest = carried ++ staged
-    commitManifest(fs, root, version, nBuckets, manifest)
+    commitManifest(fs, root, version, nBuckets, dataSchema, manifest)
     gc(fs, root, version, manifest, cur, keepVersions)
   }
 
@@ -305,7 +350,9 @@ object SnapshotUpsert {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = readManifest(fs, root, version)
     val paths = snap.files.valuesIterator.flatten.map(rel => s"$root/$rel").toSeq
-    spark.read.parquet(paths: _*)
+    // the version's RECORDED schema: pre-evolution files lack newer
+    // columns (read as NULL), and each version keeps its own schema
+    spark.read.schema(snap.schema).parquet(paths: _*)
   }
 
   /** Current table state (same contract as [[UpsertSink.readLatest]]). */
@@ -353,21 +400,22 @@ object SnapshotUpsert {
     if (changedBuckets.isEmpty) {
       // identical manifests: empty feed with the table's schema (one
       // footer read — the only case that needs a sample)
-      val schema = spark.read
-        .parquet(s"$root/${to.files.valuesIterator.flatten.next()}").schema
       return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
         .withColumn("_change", lit(""))
     }
-    // `to` holds every changed bucket, so newSide is never empty and
-    // supplies the schema; `from` may lack buckets first seen later
-    val newSide = spark.read.parquet(paths(to, changedBuckets): _*)
+    // both sides read under the NEWER version's schema (schemas only
+    // grow, so to.schema covers from; a column added between the two
+    // versions reads as NULL on the old side — a row whose only change
+    // is a now-populated new column correctly reports as an update)
+    val newSide = spark.read.schema(to.schema)
+      .parquet(paths(to, changedBuckets): _*)
     val oldPaths = paths(from,
       if (sameLayout) changedBuckets else from.files.keySet.toSeq)
     val oldSide =
-      if (oldPaths.nonEmpty) spark.read.parquet(oldPaths: _*)
+      if (oldPaths.nonEmpty) spark.read.schema(to.schema).parquet(oldPaths: _*)
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSide.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
     diffImages(newSide, oldSide, keys)
   }
 

@@ -287,6 +287,55 @@ class SnapshotUpsertSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("additive schema evolution: appended column commits atomically, " +
+      "old rows read NULL, drops and type changes refused") {
+    import spark.implicits._
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L), (2L, "b", 1L)),
+      dir, Seq("id"), "v", nBuckets = 2, keepVersions = 10)
+    // v2 appends a `score` column, touching only key 1's bucket
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((1L, "a2", 2L, 0.9)).toDF("id", "status", "v", "score"),
+      dir, Seq("id"), "v", nBuckets = 2, keepVersions = 10)
+    val snap = SnapshotUpsert.readSnapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("id", "status", "v", "score"))
+    val rows = snap.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(3)) None
+       else Some(r.getDouble(3)))).toSet
+    // key 2's row lives in a PRE-evolution file: score reads as NULL
+    assert(rows == Set((1L, "a2", Some(0.9)), (2L, "b", None)))
+    // time travel: v1 keeps its own (narrower) schema
+    assert(SnapshotUpsert.readVersion(spark, dir, 1L).columns.toSeq ==
+      Seq("id", "status", "v"))
+    // the feed across the evolution reports only the genuinely changed key
+    assert(SnapshotUpsert.changesBetween(spark, dir, 1L, 2L, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet ==
+      Set((1L, "update")))
+    // a later batch MISSING an existing column is refused (full upserts)
+    val miss = intercept[RuntimeException] {
+      SnapshotUpsert.upsertBatchSnapshot(df((3L, "c", 1L)), dir,
+        Seq("id"), "v", nBuckets = 2, keepVersions = 10)
+    }
+    assert(miss.getMessage.contains("score"), miss.getMessage)
+    // a type change on an existing column is refused
+    val tc = intercept[IllegalArgumentException] {
+      SnapshotUpsert.upsertBatchSnapshot(
+        Seq((3L, "c", 1L, "high")).toDF("id", "status", "v", "score"),
+        dir, Seq("id"), "v", nBuckets = 2, keepVersions = 10)
+    }
+    assert(tc.getMessage.contains("type changed"), tc.getMessage)
+    // merging WITH the full evolved schema works, old rows still intact
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((3L, "c", 1L, 0.5)).toDF("id", "status", "v", "score"),
+      dir, Seq("id"), "v", nBuckets = 2, keepVersions = 10)
+    assert(SnapshotUpsert.readSnapshot(spark, dir).count() == 3)
+    // rebucket carries the evolved schema through the layout change
+    SnapshotUpsert.rebucket(spark, dir, 8, Seq("id"), keepVersions = 10)
+    val after = SnapshotUpsert.readSnapshot(spark, dir)
+    assert(after.columns.toSeq == Seq("id", "status", "v", "score"))
+    assert(after.count() == 3)
+  }
+
   test("streaming end-to-end: MemoryStream feed maintains the versioned table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
