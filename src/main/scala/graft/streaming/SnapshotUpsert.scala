@@ -124,7 +124,14 @@ object SnapshotUpsert {
         }).mkString("\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
-    if (!fs.rename(tmp, manifestPath(root, version)))
+    // best-effort lost-update guard (single-writer is the contract; a
+    // local-FS rename would silently REPLACE a manifest another writer
+    // committed for the same version number)
+    val target = manifestPath(root, version)
+    if (fs.exists(target))
+      sys.error(s"snapshot upsert: manifest v$version already exists — " +
+        "another writer committed concurrently (single-writer contract)")
+    if (!fs.rename(tmp, target))
       sys.error(s"snapshot upsert: cannot commit manifest v$version")
   }
 
@@ -154,11 +161,30 @@ object SnapshotUpsert {
   private def currentSnapshot(fs: FileSystem, root: Path): Option[Snapshot] =
     listVersions(fs, root).lastOption.map(readManifest(fs, root, _))
 
-  /** Top-level columns marked nullable: recorded schemas must admit
-    * the NULLs that pre-evolution files produce for appended columns. */
+  /** Deep-nullable normalization: recorded schemas must admit the
+    * NULLs that pre-evolution files produce for appended columns, and
+    * the manifest DDL round-trip loses container nullability anyway
+    * (ARRAY<BIGINT> containsNull=false comes back true from fromDDL) —
+    * so schemas are normalized before recording AND before comparing,
+    * or a same-typed batch would be refused as "type changed" forever
+    * after its first commit. */
   private def nullableTop(s: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(
-      s.fields.map(_.copy(nullable = true)))
+      s.fields.map(f => f.copy(dataType = deepNullable(f.dataType),
+        nullable = true)))
+
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case a: ArrayType =>
+        a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = deepNullable(m.keyType),
+        valueType = deepNullable(m.valueType), valueContainsNull = true)
+      case s: StructType => nullableTop(s)
+      case other => other
+    }
+  }
 
   /** Merge one batch of row versions as a new committed version. Same
     * semantics as [[UpsertSink.upsertBatch]]; see object doc for the
@@ -198,20 +224,28 @@ object SnapshotUpsert {
     // same manifest as the files that introduce it.
     val dataSchema: org.apache.spark.sql.types.StructType = cur match {
       case Some(c) =>
+        // name matching is case-INSENSITIVE like Spark's default
+        // resolution: a case-variant name must be refused here with a
+        // clear message, not appended as a duplicate that later dies
+        // in analysis with "Found duplicate column(s)"
         c.schema.fields.foreach { f =>
-          val b = batch.schema.fields.find(_.name == f.name).getOrElse(
-            sys.error(s"upsert: batch is missing existing column " +
-              s"'${f.name}' — rows are full upserts; additive evolution " +
-              "only appends columns"))
-          require(b.dataType == f.dataType,
+          val b = batch.schema.fields
+            .find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+              sys.error(s"upsert: batch is missing existing column " +
+                s"'${f.name}' — rows are full upserts; additive evolution " +
+                "only appends columns"))
+          require(b.name == f.name,
+            s"upsert: batch column '${b.name}' differs only by case from " +
+              s"existing column '${f.name}'")
+          require(deepNullable(b.dataType) == deepNullable(f.dataType),
             s"upsert: column '${f.name}' type changed " +
               s"${f.dataType.simpleString} -> ${b.dataType.simpleString}; " +
               "type changes are not supported")
         }
-        val known = c.schema.fieldNames.toSet
+        val known = c.schema.fieldNames.map(_.toLowerCase).toSet
         nullableTop(org.apache.spark.sql.types.StructType(
           c.schema.fields ++ batch.schema.fields.filterNot(f =>
-            known(f.name))))
+            known(f.name.toLowerCase))))
       case None => nullableTop(batch.schema)
     }
     UpsertSink.withPreparedBatch(batch, keys, nBuckets,
@@ -227,9 +261,17 @@ object SnapshotUpsert {
     * single-file rewrite unit). Every row is re-hashed and every bucket
     * staged fresh, so the commit is table-sized (like a seed), atomic
     * (layout and files swap together in the manifest), and old versions
-    * remain time-travel-readable in their own layout. */
+    * remain time-travel-readable in their own layout.
+    *
+    * rebucket IS a writer: the single-writer contract covers it, so
+    * STOP the table's streaming sink (or pause its trigger) before
+    * rebucketing — run concurrently, both compute the same next version
+    * number, and rebucket would reclaim the in-flight merge's staging
+    * directory as a crash orphan. The manifest commit refuses to
+    * replace an existing version as a best-effort backstop. */
   def rebucket(spark: SparkSession, targetDir: String, newBuckets: Int,
       keys: Seq[String], keepVersions: Int = 2): Unit = {
+    require(newBuckets > 0, s"rebucket: newBuckets must be > 0, got $newBuckets")
     require(keepVersions >= 2, "keepVersions must be >= 2")
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

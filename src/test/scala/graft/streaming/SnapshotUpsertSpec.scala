@@ -285,6 +285,12 @@ class SnapshotUpsertSpec extends SparkSpec {
     // a pure rebucket changes NO rows: the change feed across it is empty
     assert(SnapshotUpsert.changesBetween(spark, dir, 1L, 2L, Seq("id"))
       .count() == 0L)
+    // a CROSS-LAYOUT diff with real changes (v1 @4 buckets vs v3 @16
+    // after the merge) reports exactly the changed row with the right
+    // label — bucket-number pruning must not leak across layouts
+    assert(SnapshotUpsert.changesBetween(spark, dir, 1L, 3L, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+      .toSet == Set((1L, "x", "update")))
   }
 
   test("additive schema evolution: appended column commits atomically, " +
@@ -334,6 +340,29 @@ class SnapshotUpsertSpec extends SparkSpec {
     val after = SnapshotUpsert.readSnapshot(spark, dir)
     assert(after.columns.toSeq == Seq("id", "status", "v", "score"))
     assert(after.count() == 3)
+  }
+
+  test("array/map columns survive the manifest DDL round-trip (repeated merges accepted)") {
+    import spark.implicits._
+    // toDDL drops containsNull=false from ARRAY types; the evolution
+    // check must compare nullability-normalized types or the SECOND
+    // merge of the same pipeline is refused as "type changed" forever
+    val dir = tmp()
+    def b(rows: (Long, Seq[Long], Long)*) = rows.toDF("id", "tags", "v")
+    SnapshotUpsert.upsertBatchSnapshot(b((1L, Seq(1L, 2L), 1L)), dir,
+      Seq("id"), "v", nBuckets = 4)
+    SnapshotUpsert.upsertBatchSnapshot(b((1L, Seq(3L), 2L), (2L, Seq(), 1L)),
+      dir, Seq("id"), "v", nBuckets = 4)
+    val rows = SnapshotUpsert.readSnapshot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    assert(rows == Set((1L, Seq(3L), 2L), (2L, Seq(), 1L)))
+    // case-variant column names are refused with a clear message
+    val e = intercept[IllegalArgumentException] {
+      SnapshotUpsert.upsertBatchSnapshot(
+        Seq((3L, Seq(4L), 1L)).toDF("id", "TAGS", "v"), dir,
+        Seq("id"), "v", nBuckets = 4)
+    }
+    assert(e.getMessage.contains("case"), e.getMessage)
   }
 
   test("streaming end-to-end: MemoryStream feed maintains the versioned table") {
