@@ -43,10 +43,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * dynamic overwrite: inside the commit itself there is a narrow
   * delete-before-rename window in which a bucket's PRIOR rows can be
   * lost on a store without atomic rename, and readers racing a rewrite
-  * can see a torn snapshot. When either matters, use [[SnapshotUpsert]]
-  * — the same merge committed by atomic manifest swap over immutable
-  * files (consistent snapshot reads + time travel, measured at commit
-  * parity in the CDC regime).
+  * can see a torn snapshot. When either matters — or when the table
+  * needs additive schema evolution or a bucket-layout change, which
+  * only the manifest format supports — use [[SnapshotUpsert]]: the
+  * same merge committed by atomic manifest swap over immutable files
+  * (consistent snapshot reads + time travel, measured at commit
+  * parity in the CDC regime and +3% under the full streaming drain).
   */
 object UpsertSink {
 
