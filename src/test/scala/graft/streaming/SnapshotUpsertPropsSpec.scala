@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Model-based property test for the snapshot-committed upsert: for
+  * ANY sequence of non-empty batches and ANY bucket count, folding the
+  * batches through `upsertBatchSnapshot` must equal an in-memory
+  * latest-state fold, and `changesBetween` over EVERY version pair
+  * must equal the model diff of the corresponding states. Random keys
+  * collide, versions tie and regress, and batches re-state rows — the
+  * corner space deterministic tests sample only pointwise.
+  *
+  * Generator constraint: batches are deduped on (key, version) because
+  * an exact in-batch tie resolves by an internal whole-row hash the
+  * model deliberately does not reproduce (it only needs to be
+  * deterministic, not predictable). Case count kept small — every case
+  * runs real write+read Spark jobs. */
+object SnapshotUpsertPropsSpec extends Properties("SnapshotUpsert") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.SparkSpec.session
+
+  type Row3 = (Long, String, Long)
+
+  private val rowGen: Gen[Row3] = Gen.zip(Gen.chooseNum(0L, 5L),
+    Gen.oneOf("a", "b", "c", "d", "e"), Gen.chooseNum(0L, 3L))
+  private val batchGen = Gen.nonEmptyListOf(rowGen)
+    .map(_.distinctBy(r => (r._1, r._3)))
+  private val seqGen = Gen.zip(
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, batchGen)),
+    Gen.oneOf(1, 3, 8))
+
+  /** states(i) = key -> row after batch i (states(0) = empty). The
+    * merge rule: per key the highest version wins, the incoming row
+    * beats the existing one on an exact version tie. */
+  private def foldModel(batches: List[List[Row3]]): Vector[Map[Long, Row3]] =
+    batches.scanLeft(Map.empty[Long, Row3]) { (state, batch) =>
+      val best = batch.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.maxBy(_._3)
+      }
+      state ++ best.map { case (k, r) =>
+        k -> (state.get(k) match {
+          case Some(old) if old._3 > r._3 => old
+          case _ => r
+        })
+      }
+    }.toVector
+
+  property("any batch sequence folds to the model state; every version " +
+      "pair diffs to the model diff") =
+    forAll(seqGen) { case (batches, nBuckets) =>
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snap-prop").toString
+      batches.foreach { b =>
+        SnapshotUpsert.upsertBatchSnapshot(b.toDF("id", "status", "v"),
+          dir, Seq("id"), "v", nBuckets, keepVersions = 16)
+      }
+      val states = foldModel(batches)
+      val snap = SnapshotUpsert.readSnapshot(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val latestOk = snap == states.last.values.toSet
+      if (!latestOk)
+        println(s"latest: got=$snap want=${states.last.values.toSet}")
+      val n = batches.length
+      val pairsOk = (for { i <- 1 to n; j <- (i + 1) to n } yield {
+        val feed = SnapshotUpsert.changesBetween(spark, dir, i.toLong,
+            j.toLong, Seq("id")).collect()
+          .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
+            r.getString(3))).toSet
+        val (si, sj) = (states(i), states(j))
+        val want = sj.collect {
+          case (k, row) if !si.get(k).contains(row) =>
+            (row, if (si.contains(k)) "update" else "insert")
+        }.toSet
+        val ok = feed == want
+        if (!ok) println(s"pair ($i,$j): feed=$feed want=$want")
+        ok
+      }).forall(identity)
+      latestOk && pairsOk
+    }
+}
