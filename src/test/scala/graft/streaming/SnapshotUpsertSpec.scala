@@ -160,6 +160,33 @@ class SnapshotUpsertSpec extends SparkSpec {
     assert(snapSet(dir).size == 16)
   }
 
+  test("longevity: 30 commits hold file count, manifests, and disk flat " +
+      "(GC keeps pace with the stream)") {
+    val dir = tmp()
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    // steady drip of single-key updates — the long-running stream shape
+    (1L to 30L).foreach { v =>
+      SnapshotUpsert.upsertBatchSnapshot(df((v % 5, s"v$v", v)), dir,
+        Seq("id"), "v", nBuckets = 4, keepVersions = 2)
+    }
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(29L, 30L),
+      "manifest retention must hold exactly keepVersions entries")
+    assert(SnapshotUpsert.readSnapshot(spark, dir).count() == 5)
+    // THE no-leak invariant: the parquet files on disk are EXACTLY the
+    // files the retained manifests reference — nothing referenced is
+    // missing, and nothing unreferenced survives 30 commits of GC.
+    // (An old version's directory may legitimately persist while a
+    // retained manifest still carries one of its bucket files.)
+    val livePaths = walk(new java.io.File(s"$dir/batches"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath.stripPrefix(s"$dir/")).toSet
+    val referenced = Seq(29L, 30L)
+      .flatMap(v => manifestFiles(dir, v).values.flatten).toSet
+    assert(livePaths == referenced,
+      s"leaked=${livePaths.diff(referenced)} missing=${referenced.diff(livePaths)}")
+  }
+
   test("nBuckets layout pin is shared with the overwrite sink") {
     val dir = tmp()
     SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"), "v",
