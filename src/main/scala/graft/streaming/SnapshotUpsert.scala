@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -9,7 +9,7 @@ import scala.collection.immutable.SortedMap
 
 /** Snapshot-committed variant of [[UpsertSink]]: same keyed latest-state
   * merge (rule shared via [[UpsertSink.selectWinners]]), but each batch
-  * commits by ATOMIC MANIFEST SWAP instead of dynamic partition
+  * commits by ATOMIC MANIFEST CREATION instead of dynamic partition
   * overwrite — the lakehouse table-format idea (immutable data files +
   * a versioned manifest), reduced to what a latest-state table needs.
   *
@@ -20,65 +20,98 @@ import scala.collection.immutable.SortedMap
   * see a torn snapshot (some buckets pre-batch, some post). Here data
   * files are IMMUTABLE — each merge writes its output to a fresh
   * `batches/v{N}` directory and never deletes a live file — and
-  * the only mutation readers observe is one rename of a manifest file
-  * listing exactly which files make up version N. Readers pin a
+  * the only mutation readers observe is the appearance of a manifest
+  * file listing exactly which files make up version N. Readers pin a
   * manifest and get a consistent point-in-time snapshot regardless of
   * concurrent commits; old versions stay readable (time travel) until
-  * `keepVersions` ages them out.
+  * retention ages them out.
   *
   * Layout under `targetDir`:
-  *   - `batches/v{N}/kb={b}/part-*.parquet` — the buckets version N
-  *     rewrote (untouched buckets are carried forward BY REFERENCE in
-  *     the manifest, so incremental merges write only the touched
-  *     slice, same cost shape as the overwrite sink's pruned regime)
-  *   - `_manifests/v{N}.txt` — `#nbuckets=`/`#schema=` header lines
-  *     (the version's layout and data schema, so rebucket and additive
-  *     schema evolution commit atomically with their files) followed by
-  *     `<bucket>\t<relative file path>` lines; the rename of this file
-  *     IS the commit point
+  *   - `batches/v{N}-{attempt}/kb={b}/part-*.parquet` — the buckets
+  *     version N rewrote (untouched buckets are carried forward BY
+  *     REFERENCE in the manifest, so incremental merges write only the
+  *     touched slice, same cost shape as the overwrite sink's pruned
+  *     regime); the attempt suffix is unique per commit attempt
+  *   - `_manifests/v{N}.txt` — `#nbuckets=`/`#ts=`/`#schema=` header
+  *     lines (the version's layout, commit wall-clock, and data schema,
+  *     so rebucket and additive schema evolution commit atomically with
+  *     their files) followed by `<bucket>\t<relative file path>` lines
+  *     and a final `#eof` trailer; the create-exclusive WRITE of this
+  *     file IS the commit point, and the trailer makes a torn write
+  *     (writer killed mid-commit) detectable instead of readable
   *   - `_graft_buckets` — the shared nBuckets layout pin
   * Do NOT read `targetDir` with a bare `spark.read.parquet` — it would
   * mix every retained version; go through [[readSnapshot]] /
   * [[readVersion]], which read the manifest's file list.
   *
+  * Commit exclusivity: the manifest is written with
+  * `fs.create(target, overwrite = false)` — atomic create-exclusive on
+  * HDFS-class stores, so a second writer racing the same version number
+  * FAILS with a clear error instead of silently replacing a committed
+  * manifest (the round-9 TOCTOU of exists-check + rename). On a raw
+  * local filesystem the Hadoop local connector's create is
+  * check-then-open (no O_EXCL), so an in-process lock additionally
+  * serializes commits across the one driver JVM — which is where
+  * accidental dual writers (two streams against one table) actually
+  * appear. The single-writer CONTRACT still stands; the guard turns a
+  * contract violation into an error, not a lost update.
+  *
   * Crash contract (single writer, e.g. one streaming query): a crash
-  * BEFORE the manifest rename leaves readers on the old version and the
-  * replayed batch recomputes the same version number, deletes the
-  * orphaned `batches/v{N}` directory and redoes it — convergent. A
-  * crash AFTER the rename means the batch is durably applied and the
-  * replay re-merges it idempotently as version N+1 with identical
-  * logical content. There is no state in which a reader can observe a
-  * half-committed batch, and no point where a live file is deleted
-  * before its replacement is referenced — the two failure modes the
-  * overwrite commit documents are gone, at the cost of a GC pass
-  * (bounded by the dropped version's touched buckets, computed from
-  * manifest diffs — never a full table listing).
+  * BEFORE the manifest write leaves readers on the old version and the
+  * replayed batch recomputes the same version number and redoes it in a
+  * fresh staging directory — convergent; the crashed attempt's
+  * directory is unreferenced debris that [[vacuum]] sweeps (staging
+  * dirs are unique per attempt, so a replay — or a racing writer —
+  * can never delete files another attempt may yet commit). A
+  * crash DURING the manifest write leaves a torn manifest (no `#eof`):
+  * readers skip it (the version never committed) and the replaying
+  * writer reclaims it at its own commit point. A crash AFTER the write means the
+  * batch is durably applied and the replay re-merges it idempotently as
+  * version N+1 with identical logical content. There is no state in
+  * which a reader can observe a half-committed batch, and no point
+  * where a live file is deleted before its replacement is referenced —
+  * the two failure modes the overwrite commit documents are gone, at
+  * the cost of a GC pass (bounded by the dropped versions' touched
+  * buckets, computed from manifest diffs — never a full table listing).
   */
 object SnapshotUpsert {
 
   private val ManifestDir = "_manifests"
   private val BatchesDir = "batches"
+  private val Eof = "#eof"
 
-  /** A committed version: its bucket layout, its DATA schema (without
-    * the `kb` layout column), and bucket -> relative file paths. Layout
-    * and schema travel IN the manifest so a [[rebucket]] or an additive
-    * schema evolution changes them and the file set in the same atomic
-    * commit — a side marker could disagree with the file set after a
-    * crash between two writes. Files written before an evolution lack
-    * the newer columns; readers apply the version's recorded schema, so
-    * those columns surface as NULL. */
-  case class Snapshot(version: Long, nBuckets: Int,
+  /** Serializes manifest creation within this JVM (see object doc:
+    * cross-process exclusivity comes from create-exclusive, which is
+    * atomic on HDFS-class stores but check-then-open on raw local). */
+  private val commitLock = new Object
+
+  /** A committed version: its bucket layout, its commit wall-clock, its
+    * DATA schema (without the `kb` layout column), and bucket ->
+    * relative file paths. Layout and schema travel IN the manifest so a
+    * [[rebucket]] or an additive schema evolution changes them and the
+    * file set in the same atomic commit — a side marker could disagree
+    * with the file set after a crash between two writes. Files written
+    * before an evolution lack the newer columns; readers apply the
+    * version's recorded schema, so those columns surface as NULL. */
+  case class Snapshot(version: Long, nBuckets: Int, commitTsMs: Long,
       schema: org.apache.spark.sql.types.StructType,
       files: Map[Int, Seq[String]])
+
+  /** A manifest file that exists but lacks the `#eof` trailer: its
+    * writer died mid-commit, so the version never became readable. */
+  private final class TornManifestException(msg: String)
+    extends RuntimeException(msg)
 
   private def manifestPath(root: Path, v: Long): Path =
     new Path(root, f"$ManifestDir/v$v%012d.txt")
 
-  /** Committed versions, ascending (empty for a fresh table). */
+  /** Committed versions, ascending (empty for a fresh table). A torn
+    * trailing manifest (crashed writer) is NOT listed — it never
+    * committed. */
   def versions(spark: SparkSession, targetDir: String): Seq[Long] = {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    listVersions(fs, root)
+    committedVersions(fs, root)
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -90,76 +123,124 @@ object SnapshotUpsert {
       }.toSeq.sorted
   }
 
+  /** Listed versions minus a torn TAIL entry. Only the newest manifest
+    * can be torn under the single-writer contract (earlier ones were
+    * complete when their successor committed), so one integrity check
+    * bounds the cost. */
+  private def committedVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val all = listVersions(fs, root)
+    all.lastOption match {
+      case Some(last) =>
+        try { readManifest(fs, root, last); all }
+        catch { case _: TornManifestException => all.dropRight(1) }
+      case None => all
+    }
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream(4096)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   private def readManifest(fs: FileSystem, root: Path, v: Long): Snapshot = {
-    val in = fs.open(manifestPath(root, v))
-    val lines = try
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-    finally in.close()
-    val headers = lines.takeWhile(_.startsWith("#"))
+    val path = manifestPath(root, v)
+    val lines = readFully(fs, path).split("\n", -1).toVector
+      .filterNot(_.isEmpty)
+    if (!lines.lastOption.contains(Eof))
+      throw new TornManifestException(s"manifest v$v at $root is torn " +
+        "(no #eof trailer — its writer died mid-commit); the version never " +
+        "committed. A replaying writer reclaims it; `vacuum` sweeps it.")
+    // drop the verified trailer BEFORE splitting headers from rows: a
+    // manifest can legitimately list zero files (every key tombstoned),
+    // and #eof must not parse as a header then
+    val content = lines.dropRight(1)
+    val headers = content.takeWhile(_.startsWith("#"))
       .map { h => val Array(k, rest) = h.stripPrefix("#").split("=", 2); k -> rest }
       .toMap
     require(headers.contains("nbuckets") && headers.contains("schema"),
       s"malformed manifest v$v at $root: missing #nbuckets/#schema headers")
-    val files = lines.dropWhile(_.startsWith("#")).filter(_.nonEmpty)
+    val files = content.dropWhile(_.startsWith("#"))
       .map { line =>
         val Array(b, rel) = line.split('\t')
         b.toInt -> rel
       }.groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
-    Snapshot(v, headers("nbuckets").toInt,
+    // #ts is new in this format revision; fall back to the manifest
+    // file's modification time for tables written before it
+    val ts = headers.get("ts").map(_.toLong)
+      .getOrElse(fs.getFileStatus(path).getModificationTime)
+    Snapshot(v, headers("nbuckets").toInt, ts,
       org.apache.spark.sql.types.StructType.fromDDL(headers("schema")), files)
   }
 
-  /** Write-then-rename of a manifest file — THE commit point of every
-    * snapshot operation. */
-  private def commitManifest(fs: FileSystem, root: Path, version: Long,
-      nBuckets: Int, schema: org.apache.spark.sql.types.StructType,
-      files: Map[Int, Seq[String]]): Unit = {
+  /** Create-exclusive write of a manifest file — THE commit point of
+    * every snapshot operation (see object doc for the exclusivity and
+    * torn-write contracts). A torn manifest left at the target by a
+    * writer killed mid-commit is reclaimed first: it never committed
+    * (readers skip it), and without the reclaim a replaying writer
+    * would report a spurious concurrent-commit error forever. */
+  private[streaming] def commitManifest(fs: FileSystem, root: Path,
+      version: Long, nBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Map[Int, Seq[String]], nowMs: Long): Unit = {
     fs.mkdirs(new Path(root, ManifestDir))
-    val tmp = new Path(root, s"$ManifestDir/.v$version.tmp")
-    val out = fs.create(tmp, true)
-    try {
-      val body = (Iterator(s"#nbuckets=$nBuckets", s"#schema=${schema.toDDL}") ++
-        SortedMap.from(files).iterator.flatMap { case (b, fs0) =>
-          fs0.map(f => s"$b\t$f")
-        }).mkString("\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    // best-effort lost-update guard (single-writer is the contract; a
-    // local-FS rename would silently REPLACE a manifest another writer
-    // committed for the same version number)
     val target = manifestPath(root, version)
-    if (fs.exists(target))
-      sys.error(s"snapshot upsert: manifest v$version already exists — " +
-        "another writer committed concurrently (single-writer contract)")
-    if (!fs.rename(tmp, target))
-      sys.error(s"snapshot upsert: cannot commit manifest v$version")
+    val body = (Iterator(s"#nbuckets=$nBuckets", s"#ts=$nowMs",
+      s"#schema=${schema.toDDL}") ++
+      SortedMap.from(files).iterator.flatMap { case (b, fs0) =>
+        fs0.map(f => s"$b\t$f")
+      } ++ Iterator(Eof)).mkString("\n")
+    commitLock.synchronized {
+      if (fs.exists(target)) {
+        try readManifest(fs, root, version)
+        catch { case _: TornManifestException => fs.delete(target, false) }
+      }
+      val out =
+        try fs.create(target, false)
+        catch { case e: java.io.IOException if fs.exists(target) =>
+          sys.error(s"snapshot upsert: manifest v$version already exists — " +
+            "another writer committed concurrently (single-writer contract); " +
+            s"this commit is NOT applied: ${e.getMessage}")
+        }
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
   }
 
-  /** Enumerate the bucket files a just-written version directory holds
+  /** Enumerate the bucket files a just-written staging directory holds
     * (authoritative for the manifest entry). */
-  private def stagedFiles(fs: FileSystem, versionDir: Path,
-      version: Long): Map[Int, Seq[String]] =
+  private def stagedFiles(fs: FileSystem, versionDir: Path)
+      : Map[Int, Seq[String]] =
     fs.listStatus(versionDir).iterator
       .filter(_.getPath.getName.startsWith("kb="))
       .map { d =>
         val b = d.getPath.getName.stripPrefix("kb=").toInt
         b -> fs.listStatus(d.getPath).iterator.map(_.getPath.getName)
           .filter(_.endsWith(".parquet"))
-          .map(n => s"$BatchesDir/v$version/kb=$b/$n").toSeq
+          .map(n => s"$BatchesDir/${versionDir.getName}/kb=$b/$n").toSeq
       }.toMap
 
-  /** Fresh (crash-reclaimed) version directory for the next commit. */
-  private def nextVersionDir(fs: FileSystem, root: Path,
-      version: Long): Path = {
-    val dir = new Path(root, s"$BatchesDir/v$version")
-    // a leftover directory is a crashed predecessor's orphan (its
-    // manifest never committed, so nothing references it): redo cleanly
-    if (fs.exists(dir)) fs.delete(dir, true)
-    dir
-  }
+  /** A fresh staging directory UNIQUE to this commit attempt
+    * (`batches/v{N}-{suffix}`). Uniqueness is what makes a same-version
+    * race safe by construction: two writers never stage into — or
+    * reclaim — each other's directory, so the only shared mutable point
+    * is the create-exclusive manifest, where exactly one wins and the
+    * winner's referenced files are untouchable by the loser. The cost:
+    * a crashed attempt's directory is no longer reclaimed by the replay
+    * (the replay cannot tell its own predecessor's debris from a live
+    * concurrent writer's staging) — [[vacuum]] sweeps it instead, and
+    * nothing ever references it, so it is disk debris, never a
+    * correctness issue. */
+  private def newVersionDir(root: Path, version: Long): Path =
+    new Path(root,
+      s"$BatchesDir/v$version-${java.util.UUID.randomUUID.toString.take(8)}")
 
   private def currentSnapshot(fs: FileSystem, root: Path): Option[Snapshot] =
-    listVersions(fs, root).lastOption.map(readManifest(fs, root, _))
+    committedVersions(fs, root).lastOption.map(readManifest(fs, root, _))
 
   /** Deep-nullable normalization: recorded schemas must admit the
     * NULLs that pre-evolution files produce for appended columns, and
@@ -188,21 +269,32 @@ object SnapshotUpsert {
 
   /** Merge one batch of row versions as a new committed version. Same
     * semantics as [[UpsertSink.upsertBatch]]; see object doc for the
-    * commit difference. `keepVersions` >= 2 controls how many committed
-    * versions stay readable (older files are garbage-collected); the
-    * minimum is 2 because a reader pinned to the CURRENT version must
-    * survive the next commit's GC — retention of 1 would let that GC
-    * delete files out from under an in-flight scan, re-introducing the
-    * torn-read race this commit protocol exists to remove. */
+    * commit difference. Retention: `keepVersions` >= 2 controls how many
+    * committed versions stay readable; a version is garbage-collected
+    * only when it is BOTH beyond the count window AND (when `keepAgeMs`
+    * is set) older than that age — "keep 7 days" composes with "keep N
+    * versions". The count minimum is 2 because a reader pinned to the
+    * CURRENT version must survive the next commit's GC — retention of 1
+    * would let that GC delete files out from under an in-flight scan,
+    * re-introducing the torn-read race this commit protocol exists to
+    * remove. A `tombstoneCol` (boolean, NULL = false, not stored) marks
+    * deletions: a key whose winning row is a tombstone is dropped from
+    * its bucket's rewrite, and [[changesBetween]] can report it as a
+    * `_change='delete'`. */
   def upsertBatchSnapshot(batch: DataFrame, targetDir: String,
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
-      keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
+      tombstoneCol: Option[String] = None,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: the next commit's GC must not delete " +
         "files a reader pinned to the current version may still be scanning")
     val spark = batch.sparkSession
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    UpsertSink.tombstoneDataCols(batch, keys, tombstoneCol) // validate marker
+    val batchData = org.apache.spark.sql.types.StructType(
+      batch.schema.fields.filterNot(f => tombstoneCol.contains(f.name)))
     val cur = currentSnapshot(fs, root)
     cur match {
       case Some(c) =>
@@ -229,7 +321,7 @@ object SnapshotUpsert {
         // clear message, not appended as a duplicate that later dies
         // in analysis with "Found duplicate column(s)"
         c.schema.fields.foreach { f =>
-          val b = batch.schema.fields
+          val b = batchData.fields
             .find(_.name.equalsIgnoreCase(f.name)).getOrElse(
               sys.error(s"upsert: batch is missing existing column " +
                 s"'${f.name}' — rows are full upserts; additive evolution " +
@@ -244,14 +336,14 @@ object SnapshotUpsert {
         }
         val known = c.schema.fieldNames.map(_.toLowerCase).toSet
         nullableTop(org.apache.spark.sql.types.StructType(
-          c.schema.fields ++ batch.schema.fields.filterNot(f =>
+          c.schema.fields ++ batchData.fields.filterNot(f =>
             known(f.name.toLowerCase))))
-      case None => nullableTop(batch.schema)
+      case None => nullableTop(batchData)
     }
     UpsertSink.withPreparedBatch(batch, keys, nBuckets,
       populatedTable = cur.exists(_.files.nonEmpty)) { withBucket =>
       commitVersion(withBucket, root, fs, cur, dataSchema, keys, orderCol,
-        nBuckets, keepVersions)
+        nBuckets, keepVersions, keepAgeMs, tombstoneCol, nowMs)
     }
   }
 
@@ -267,10 +359,12 @@ object SnapshotUpsert {
     * STOP the table's streaming sink (or pause its trigger) before
     * rebucketing — run concurrently, both compute the same next version
     * number, and rebucket would reclaim the in-flight merge's staging
-    * directory as a crash orphan. The manifest commit refuses to
-    * replace an existing version as a best-effort backstop. */
+    * directory as a crash orphan. The create-exclusive manifest commit
+    * refuses to replace an existing version as the backstop. */
   def rebucket(spark: SparkSession, targetDir: String, newBuckets: Int,
-      keys: Seq[String], keepVersions: Int = 2): Unit = {
+      keys: Seq[String], keepVersions: Int = 2,
+      keepAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
     require(newBuckets > 0, s"rebucket: newBuckets must be > 0, got $newBuckets")
     require(keepVersions >= 2, "keepVersions must be >= 2")
     val root = new Path(targetDir)
@@ -278,7 +372,7 @@ object SnapshotUpsert {
     val cur = currentSnapshot(fs, root).getOrElse(
       sys.error(s"rebucket: no committed version at $targetDir"))
     val version = cur.version + 1
-    val versionDir = nextVersionDir(fs, root, version)
+    val versionDir = newVersionDir(root, version)
     val allPaths = cur.files.valuesIterator.flatten
       .map(rel => s"$root/$rel").toSeq
     // read under the recorded schema: files from before a schema
@@ -289,9 +383,9 @@ object SnapshotUpsert {
       .write.partitionBy("kb").parquet(versionDir.toString)
     // nothing is carried: the new layout's manifest is exactly the
     // staged set, and the header flips the layout in the same commit
-    val staged = stagedFiles(fs, versionDir, version)
-    commitManifest(fs, root, version, newBuckets, cur.schema, staged)
-    gc(fs, root, version, staged, Some(cur), keepVersions)
+    val staged = stagedFiles(fs, versionDir)
+    commitManifest(fs, root, version, newBuckets, cur.schema, staged, nowMs)
+    gc(fs, root, version, staged, Some(cur), keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
     // what merges validate against
     UpsertSink.refreshLayoutMarker(fs, root, newBuckets)
@@ -300,7 +394,9 @@ object SnapshotUpsert {
   private def commitVersion(withBucket: DataFrame, root: Path,
       fs: FileSystem, cur: Option[Snapshot],
       dataSchema: org.apache.spark.sql.types.StructType, keys: Seq[String],
-      orderCol: String, nBuckets: Int, keepVersions: Int): Unit = {
+      orderCol: String, nBuckets: Int, keepVersions: Int,
+      keepAgeMs: Option[Long], tombstoneCol: Option[String],
+      nowMs: Long): Unit = {
     val spark = withBucket.sparkSession
     val dataCols = dataSchema.fieldNames.toSeq
     val populated: Set[Int] = cur.map(_.files.keySet).getOrElse(Set.empty)
@@ -323,53 +419,69 @@ object SnapshotUpsert {
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          withBucket.schema)
+          org.apache.spark.sql.types.StructType(dataSchema.fields :+
+            org.apache.spark.sql.types.StructField("kb",
+              org.apache.spark.sql.types.IntegerType)))
 
     val version = cur.map(_.version + 1).getOrElse(1L)
-    val versionDir = nextVersionDir(fs, root, version)
+    val versionDir = newVersionDir(root, version)
 
     // one clustered file per touched bucket, written to an immutable
     // fresh directory — no live path is read and overwritten, so no
     // lineage truncation is needed and the merge is evaluated ONCE
-    UpsertSink.selectWinners(existing, withBucket, dataCols, keys, orderCol)
+    UpsertSink.selectWinners(existing, withBucket, dataCols, keys, orderCol,
+        tombstoneCol)
       .repartition(touched.length, col("kb"))
       .write.partitionBy("kb").parquet(versionDir.toString)
 
-    // staged buckets from the job's committed output (authoritative:
-    // with the single-evaluation rule this equals `touched` on a
-    // populated table, and on a first write it covers every row)
-    val staged = stagedFiles(fs, versionDir, version)
+    // staged buckets from the job's committed output; the carry set
+    // excludes every TOUCHED bucket, not just the staged ones — a
+    // touched bucket can legitimately stage NO file when tombstones
+    // removed its every key, and carrying its old file forward would
+    // resurrect them
+    val touchedSet = touched.toSet
+    val staged = stagedFiles(fs, versionDir)
     val carried = cur.map(_.files).getOrElse(Map.empty)
-      .filterNot { case (b, _) => staged.contains(b) }
+      .filterNot { case (b, _) => touchedSet(b) }
     val manifest = carried ++ staged
-    commitManifest(fs, root, version, nBuckets, dataSchema, manifest)
-    gc(fs, root, version, manifest, cur, keepVersions)
+    commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs)
+    gc(fs, root, version, manifest, cur, keepVersions, keepAgeMs, nowMs)
   }
 
-  /** Drop manifests older than the retention window and delete the
-    * files only they referenced. Everything is computed from manifest
+  /** Drop versions outside the retention bounds and delete the files
+    * only they referenced. Everything is computed from manifest
     * CONTENTS — cost is bounded by the dropped versions' touched
-    * buckets, never by a table listing. One directory listing; the
-    * previous snapshot is reused from memory, so a steady-state
-    * keepVersions=2 commit reads no manifest at all here. */
+    * buckets, never by a table listing. A version is dropped only when
+    * it is beyond the count window AND older than `keepAgeMs` (when
+    * set); commit timestamps are monotone, so the dropped set is always
+    * a prefix and the retained versions stay dense. If any stale-file
+    * delete fails transiently, the dropped version's manifest is KEPT
+    * so the next commit's GC retries — deleting it would orphan the
+    * remaining files forever (no surviving manifest references them and
+    * GC never revisits unreferenced files). */
   private def gc(fs: FileSystem, root: Path, version: Long,
       newManifest: Map[Int, Seq[String]], prev: Option[Snapshot],
-      keepVersions: Int): Unit = {
-    val oldest = version - keepVersions + 1
+      keepVersions: Int, keepAgeMs: Option[Long], nowMs: Long): Unit = {
+    val oldestByCount = version - keepVersions + 1
     val all = listVersions(fs, root)
-    val dropped = all.filter(_ < oldest)
+    def manifestOf(v: Long): Snapshot =
+      prev.filter(_.version == v).getOrElse(readManifest(fs, root, v))
+    val dropped = all.filter(v => v < oldestByCount &&
+      keepAgeMs.forall(a => manifestOf(v).commitTsMs <= nowMs - a))
     if (dropped.isEmpty) return
+    val droppedSet = dropped.toSet
     val kept: Set[String] =
-      (all.filter(_ >= oldest).filter(_ != version)
-        .flatMap { v =>
-          val m = prev.filter(_.version == v).getOrElse(readManifest(fs, root, v))
-          m.files.valuesIterator.flatten
-        }
+      (all.filterNot(droppedSet).filter(_ != version)
+        .flatMap(v => manifestOf(v).files.valuesIterator.flatten)
         ++ newManifest.valuesIterator.flatten.toSeq).toSet
     dropped.foreach { d =>
-      val stale = readManifest(fs, root, d).files.valuesIterator.flatten
+      val stale = manifestOf(d).files.valuesIterator.flatten
         .filterNot(kept).toSeq
-      stale.foreach(rel => fs.delete(new Path(root, rel), false))
+      val allGone = stale.map { rel =>
+        val p = new Path(root, rel)
+        try fs.delete(p, false) || !fs.exists(p)
+        catch { case _: java.io.IOException => false }
+      }.forall(identity)
       // drop now-empty bucket/version directories the stale files lived in
       stale.map(rel => new Path(root, rel).getParent).distinct.foreach { d =>
         if (fs.exists(d) && fs.listStatus(d).forall(
@@ -380,8 +492,85 @@ object SnapshotUpsert {
             _.getPath.getName.startsWith("_")))
           fs.delete(vdir, true)
       }
-      fs.delete(manifestPath(root, d), false)
+      if (allGone) fs.delete(manifestPath(root, d), false)
     }
+  }
+
+  /** Sweep crash debris that the commit-path reclaim never revisits: a
+    * `batches/v{N}` staging directory whose version has no manifest (its
+    * writer died before commit and was never replayed), torn manifests,
+    * and leftover `.v*.tmp` files from the pre-create-exclusive format.
+    * Only items older than `olderThanMs` are touched — the horizon is
+    * what keeps a LIVE writer's in-flight staging safe — and a file
+    * still referenced by any existing manifest is never deleted (a
+    * retained manifest may carry files whose own version's manifest was
+    * GC'd long ago). Returns the deleted paths (relative to the table
+    * root) for observability. */
+  def vacuum(spark: SparkSession, targetDir: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val horizon = nowMs - olderThanMs
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rel(p: Path): String =
+      p.toString.stripPrefix(root.toString).stripPrefix("/")
+    // manifest debris: pre-format tmp files and torn manifests
+    val mdir = new Path(root, ManifestDir)
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      val n = st.getPath.getName
+      val oldEnough = st.getModificationTime < horizon
+      if (n.startsWith(".v") && n.endsWith(".tmp") && oldEnough) {
+        if (fs.delete(st.getPath, false)) deleted += rel(st.getPath)
+      } else if (n.startsWith("v") && n.endsWith(".txt")) {
+        val v = n.stripPrefix("v").stripSuffix(".txt").toLong
+        try readManifest(fs, root, v)
+        catch {
+          case _: TornManifestException if oldEnough =>
+            if (fs.delete(st.getPath, false)) deleted += rel(st.getPath)
+          case _: TornManifestException => () // too fresh: writer may be live
+        }
+      }
+    }
+    // staging-dir debris: every file under batches/ that no manifest
+    // references and that is older than the horizon. The referenced-set
+    // guard (not a manifest-per-version check) is what makes this safe:
+    // a GC'd version's directory legitimately persists while newer
+    // manifests still carry some of its files, and a RACE LOSER's
+    // abandoned staging dir shares its version number with the winner's
+    // committed manifest. The horizon protects a live writer's
+    // in-flight staging and the live table's own fresh files.
+    val referenced: Set[String] = listVersions(fs, root).flatMap { v =>
+      try readManifest(fs, root, v).files.valuesIterator.flatten.toSeq
+      catch { case _: TornManifestException => Seq.empty }
+    }.toSet
+    val bdir = new Path(root, BatchesDir)
+    if (fs.exists(bdir)) fs.listStatus(bdir).foreach { st =>
+      if (st.isDirectory) {
+        def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+          val name = s.getPath.getName
+          if (s.isDirectory) walk(s.getPath)
+          else if (!name.startsWith("_") && !name.startsWith(".") &&
+              !referenced.contains(rel(s.getPath)) &&
+              s.getModificationTime < horizon) {
+            if (fs.delete(s.getPath, false)) deleted += rel(s.getPath)
+          }
+        }
+        walk(st.getPath)
+        // a directory left holding only stale marker files (_SUCCESS,
+        // checksums) is gone debris; one with any data file survives
+        def prune(p: Path): Unit = {
+          fs.listStatus(p).filter(_.isDirectory).foreach(s => prune(s.getPath))
+          val remaining = fs.listStatus(p)
+          if (remaining.forall(s => !s.isDirectory &&
+              (s.getPath.getName.startsWith("_") ||
+                s.getPath.getName.startsWith(".")) &&
+              s.getModificationTime < horizon))
+            fs.delete(p, true)
+        }
+        prune(st.getPath)
+      }
+    }
+    deleted.toSeq
   }
 
   /** The table as of a committed `version` — a consistent point-in-time
@@ -394,8 +583,15 @@ object SnapshotUpsert {
     val paths = snap.files.valuesIterator.flatten.map(rel => s"$root/$rel").toSeq
     // the version's RECORDED schema: pre-evolution files lack newer
     // columns (read as NULL), and each version keeps its own schema
-    spark.read.schema(snap.schema).parquet(paths: _*)
+    readImage(spark, snap.schema, paths)
   }
+
+  private def readImage(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): DataFrame =
+    if (paths.nonEmpty) spark.read.schema(schema).parquet(paths: _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Current table state (same contract as [[UpsertSink.readLatest]]). */
   def readSnapshot(spark: SparkSession, targetDir: String): DataFrame = {
@@ -408,19 +604,23 @@ object SnapshotUpsert {
 
   /** Row-level changes between two committed versions — the CHANGE
     * FEED an incremental downstream consumer replays instead of
-    * re-reading the table. Output: the data columns of the
-    * `toVersion` image plus `_change` ("insert" for keys absent at
-    * `fromVersion`, "update" for keys whose row differs). The
-    * latest-state merge never removes a key, so there are no deletes.
+    * re-reading the table. Output: the data columns plus `_change` —
+    * "insert" for keys absent at `fromVersion`, "update" for keys whose
+    * row differs, and (with `emitDeletes`) "delete" for keys present at
+    * `fromVersion` and gone at `toVersion` (tombstoned in between),
+    * carrying the key's LAST KNOWN values from the old image. Without
+    * `emitDeletes` the historical insert/update-only shape is kept.
     *
     * Scale shape: the manifest diff identifies exactly the buckets any
-    * intervening merge rewrote, so both sides read ONLY those buckets'
-    * files — cost is bounded by the changed slice, never the table.
+    * intervening merge rewrote (including buckets that DISAPPEARED —
+    * fully tombstoned), so both sides read ONLY those buckets' files —
+    * cost is bounded by the changed slice, never the table.
     * A bucket rewrite re-writes co-located rows whose keys did not
     * change, so rows are compared exactly (null-safe struct equality)
     * and unchanged rows are filtered out. */
   def changesBetween(spark: SparkSession, targetDir: String,
-      fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
+      fromVersion: Long, toVersion: Long, keys: Seq[String],
+      emitDeletes: Boolean = false): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetween needs fromVersion < toVersion ($fromVersion, $toVersion)")
     val root = new Path(targetDir)
@@ -433,10 +633,12 @@ object SnapshotUpsert {
     // number), so a cross-layout diff reads both images whole
     val sameLayout = from.nBuckets == to.nBuckets
     val changedBuckets: Seq[Int] =
-      if (sameLayout) to.files.collect {
-        case (b, files) if !from.files.get(b).contains(files) => b
-      }.toSeq
-      else to.files.keySet.toSeq
+      if (sameLayout)
+        // union of both keysets: a bucket absent from `to` (every key
+        // tombstoned) is still a change the old side must surface
+        (from.files.keySet ++ to.files.keySet)
+          .filter(b => from.files.get(b) != to.files.get(b)).toSeq
+      else (from.files.keySet ++ to.files.keySet).toSeq
     def paths(m: Snapshot, buckets: Seq[Int]): Seq[String] = buckets
       .filter(m.files.contains).flatMap(m.files).map(rel => s"$root/$rel")
     if (changedBuckets.isEmpty) {
@@ -450,40 +652,145 @@ object SnapshotUpsert {
     // grow, so to.schema covers from; a column added between the two
     // versions reads as NULL on the old side — a row whose only change
     // is a now-populated new column correctly reports as an update)
-    val newSide = spark.read.schema(to.schema)
-      .parquet(paths(to, changedBuckets): _*)
-    val oldPaths = paths(from,
-      if (sameLayout) changedBuckets else from.files.keySet.toSeq)
-    val oldSide =
-      if (oldPaths.nonEmpty) spark.read.schema(to.schema).parquet(oldPaths: _*)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
-    diffImages(newSide, oldSide, keys)
+    val newSide = readImage(spark, to.schema,
+      paths(to, if (sameLayout) changedBuckets else to.files.keySet.toSeq))
+    val oldSide = readImage(spark, to.schema, paths(from,
+      if (sameLayout) changedBuckets else from.files.keySet.toSeq))
+    diffImages(newSide, oldSide, keys, emitDeletes)
+  }
+
+  /** Internal column names for [[diffImages]] that cannot collide with
+    * the inputs' own columns: a fixed `__old`/`__old_<key>` scheme would
+    * break (ambiguous reference) on a table whose DATA carries such a
+    * name, so the prefix is grown until it is collision-free. */
+  private def freshPrefix(base: String, taken: Set[String]): String = {
+    var p = base
+    while (taken.exists(c => c == p || c.startsWith(p + "_"))) p += "x"
+    p
   }
 
   /** The change-feed diff over two table IMAGES — the expression logic
     * [[changesBetween]] applies to its manifest-pruned reads, exposed
     * for use on arbitrary DataFrames (and oracle-gated as
-    * `q_change_feed`): rows of `newImage` whose key is absent from
-    * `oldImage` ("insert") or whose row differs ("update"); unchanged
-    * rows are dropped by exact null-safe struct comparison. Keys match
-    * null-SAFELY: the merge groups null keys like any other value
-    * (bucketOf hashes them, the window partitions them), so the feed
-    * must match them too or a null-keyed row would be re-reported as a
-    * spurious insert on every diff that rewrites its bucket. */
+    * `q_change_feed` / `q_change_feed_deletes`): rows of `newImage`
+    * whose key is absent from `oldImage` ("insert") or whose row
+    * differs ("update"), plus — when `emitDeletes` — keys of `oldImage`
+    * absent from `newImage` ("delete", carrying the old row's values);
+    * unchanged rows are dropped by exact null-safe struct comparison.
+    * Keys match null-SAFELY: the merge groups null keys like any other
+    * value (bucketOf hashes them, the window partitions them), so the
+    * feed must match them too or a null-keyed row would be re-reported
+    * as a spurious insert on every diff that rewrites its bucket. */
   def diffImages(newImage: DataFrame, oldImage: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], emitDeletes: Boolean = false): DataFrame = {
     val dataCols = newImage.columns.toSeq
-    val old = oldImage.select(
-      keys.map(k => col(k).as(s"__old_$k")) :+
-        struct(dataCols.map(col): _*).as("__old"): _*)
-    val joinCond = keys.map(k => col(k) <=> col(s"__old_$k")).reduce(_ && _)
-    newImage.join(old, joinCond, "left")
-      .where(col("__old").isNull ||
-        !(struct(dataCols.map(col): _*) <=> col("__old")))
-      .withColumn("_change",
-        when(col("__old").isNull, "insert").otherwise("update"))
-      .select((dataCols :+ "_change").map(col): _*)
+    val taken = dataCols.toSet ++ oldImage.columns
+    val oldP = freshPrefix("__old", taken)
+    if (!emitDeletes) {
+      val old = oldImage.select(
+        keys.map(k => col(k).as(s"${oldP}_$k")) :+
+          struct(dataCols.map(col): _*).as(oldP): _*)
+      val joinCond = keys.map(k => col(k) <=> col(s"${oldP}_$k")).reduce(_ && _)
+      newImage.join(old, joinCond, "left")
+        .where(col(oldP).isNull ||
+          !(struct(dataCols.map(col): _*) <=> col(oldP)))
+        .withColumn("_change",
+          when(col(oldP).isNull, "insert").otherwise("update"))
+        .select((dataCols :+ "_change").map(col): _*)
+    } else {
+      // full outer: both sides packed into structs so an absent side is
+      // one NULL test and delete rows surface the old image's values
+      val newP = freshPrefix("__new", taken + oldP)
+      val old = oldImage.select(
+        keys.map(k => col(k).as(s"${oldP}_$k")) :+
+          struct(dataCols.map(col): _*).as(oldP): _*)
+      val nw = newImage.select(
+        keys.map(k => col(k).as(s"${newP}_$k")) :+
+          struct(dataCols.map(col): _*).as(newP): _*)
+      val joinCond = keys.map(k =>
+        col(s"${newP}_$k") <=> col(s"${oldP}_$k")).reduce(_ && _)
+      val out: Seq[Column] = dataCols.map(c =>
+        when(col(newP).isNull, col(s"$oldP.$c"))
+          .otherwise(col(s"$newP.$c")).as(c)) :+
+        when(col(oldP).isNull, "insert")
+          .when(col(newP).isNull, "delete")
+          .otherwise("update").as("_change")
+      nw.join(old, joinCond, "full_outer")
+        .where(col(oldP).isNull || col(newP).isNull ||
+          !(col(newP) <=> col(oldP)))
+        .select(out: _*)
+    }
+  }
+
+  /** One drained change-feed slice: the changes DataFrame plus the
+    * cursor advance to call AFTER the consumer has durably applied it.
+    * `fromVersion` = 0 marks a bootstrap slice (the whole current image
+    * as inserts). */
+  final case class FeedSlice(fromVersion: Long, toVersion: Long,
+      changes: DataFrame, commitCursor: () => Unit)
+
+  /** Consumer-side cursor over the change feed: reads the last consumed
+    * version from `cursorFile`, returns the slice from there to the
+    * current version, and advances the cursor only when the caller
+    * signals durable consumption via [[FeedSlice.commitCursor]] — so
+    * incremental pipelines chain without hand-rolled version
+    * bookkeeping. Delivery is AT-LEAST-ONCE: a crash between reading
+    * the slice and committing the cursor replays the same slice, which
+    * is idempotent for any keyed downstream (the slice is an image
+    * diff, not a delta — applying it twice converges). A missing cursor
+    * file bootstraps: the whole current snapshot as `_change='insert'`.
+    * One cursor file = one consumer (the cursor write is
+    * last-writer-wins, not coordinated).
+    *
+    * Returns None when the consumer is already at the current version.
+    * Fails with a clear error when the cursor's version has aged out of
+    * the retention window (the consumer lost its catch-up room: delete
+    * the cursor file to re-bootstrap, and size `keepVersions` /
+    * `keepAgeMs` to the consumer's worst-case lag). */
+  def drainChanges(spark: SparkSession, targetDir: String,
+      cursorFile: String, keys: Seq[String],
+      emitDeletes: Boolean = false): Option[FeedSlice] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = committedVersions(fs, root)
+    require(retained.nonEmpty,
+      s"drainChanges: no committed version at $targetDir")
+    val current = retained.last
+    val cursorPath = new Path(cursorFile)
+    val cfs = cursorPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last: Option[Long] =
+      if (cfs.exists(cursorPath)) Some(readFully(cfs, cursorPath).trim.toLong)
+      else None
+    def advance(): Unit = {
+      // tmp + atomic-replace rename: the cursor file is never torn, and
+      // a crash anywhere before the rename leaves the old cursor (replay)
+      val tmp = new Path(cursorPath.getParent, s".${cursorPath.getName}.tmp")
+      cfs.mkdirs(cursorPath.getParent)
+      val out = cfs.create(tmp, true)
+      try out.write(current.toString.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(cursorPath.toUri, cfs.getConf)
+        .rename(tmp, cursorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    last match {
+      case Some(v) if v == current => None
+      case Some(v) =>
+        require(v < current, s"drainChanges: cursor $cursorFile is at " +
+          s"version $v but the table's current version is $current — " +
+          "wrong cursor file or table directory")
+        require(v >= retained.head, s"drainChanges: cursor version $v has " +
+          s"aged out of the retention window (oldest retained: " +
+          s"${retained.head}); delete the cursor file to re-bootstrap " +
+          "from the full image")
+        Some(FeedSlice(v, current,
+          changesBetween(spark, targetDir, v, current, keys, emitDeletes),
+          () => advance()))
+      case None =>
+        Some(FeedSlice(0L, current,
+          readVersion(spark, targetDir, current)
+            .withColumn("_change", lit("insert")),
+          () => advance()))
+    }
   }
 
   /** Continuous snapshot-committed upsert under the streaming
@@ -491,8 +798,9 @@ object SnapshotUpsert {
   def sink(stream: DataFrame, targetDir: String, checkpoint: String,
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
       keepVersions: Int = 2, drainOnce: Boolean = false,
-      outputMode: String = "append"): StreamingQuery =
+      outputMode: String = "append", keepAgeMs: Option[Long] = None,
+      tombstoneCol: Option[String] = None): StreamingQuery =
     UpsertSink.startForeachBatch(stream, checkpoint, outputMode, drainOnce)(
       b => upsertBatchSnapshot(b, targetDir, keys, orderCol, nBuckets,
-        keepVersions))
+        keepVersions, keepAgeMs, tombstoneCol))
 }

@@ -68,11 +68,15 @@ object UpsertSink {
       root: Path, nBuckets: Int): Unit = {
     val marker = new Path(root, LayoutMarker)
     if (fs.exists(marker)) {
+      // read to EOF: the InputStream contract permits short reads, and a
+      // truncated multi-digit count would spuriously refuse a correct merge
       val in = fs.open(marker)
       val recorded = try {
+        val bytes = new java.io.ByteArrayOutputStream(32)
         val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").trim
       } finally in.close()
       require(recorded == nBuckets.toString,
         s"upsert: table at $root is laid out with nBuckets=$recorded; " +
@@ -94,9 +98,12 @@ object UpsertSink {
     val tmp = new Path(root, s".$LayoutMarker.tmp")
     val out = fs.create(tmp, true)
     try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      sys.error(s"upsert: cannot commit layout marker $marker")
+    // atomic replace (Rename.OVERWRITE): a delete-then-rename pair would
+    // leave a crash window with NO marker, which a later merge would
+    // re-pin with ITS bucket count — silent key stranding on a plain
+    // UpsertSink table where the marker is the only layout authority
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
+      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Column names both upsert sinks own: `kb` (layout), `__src`/`__rn`
@@ -132,13 +139,33 @@ object UpsertSink {
     finally if (populatedTable) withBucket.unpersist(false)
   }
 
+  /** Validates an optional tombstone marker column: present in the
+    * batch, boolean, and not a key. Returns the DATA columns (the
+    * marker is merge metadata, never stored in the table). */
+  private[streaming] def tombstoneDataCols(batch: DataFrame,
+      keys: Seq[String], tombstoneCol: Option[String]): Seq[String] = {
+    tombstoneCol.foreach { t =>
+      val f = batch.schema.fields.find(_.name == t).getOrElse(
+        sys.error(s"upsert: tombstone column '$t' is not in the batch"))
+      require(f.dataType == org.apache.spark.sql.types.BooleanType,
+        s"upsert: tombstone column '$t' must be BOOLEAN, got " +
+          f.dataType.simpleString)
+      require(!keys.contains(t), s"upsert: tombstone column '$t' cannot be a key")
+    }
+    batch.columns.toSeq.filterNot(tombstoneCol.contains)
+  }
+
   /** Merge one batch of row versions into the target table (see object
     * doc for the rule). Safe to call directly for scheduled batch
-    * ingest; [[upsertSink]] wires it under foreachBatch. */
+    * ingest; [[upsertSink]] wires it under foreachBatch. A
+    * `tombstoneCol` (boolean, NULL = false) marks rows as deletions:
+    * when the tombstone wins its key, the key is removed from the
+    * table (see [[selectWinners]] for the resurrect caveat). */
   def upsertBatch(batch: DataFrame, targetDir: String, keys: Seq[String],
-      orderCol: String, nBuckets: Int = 64): Unit = {
+      orderCol: String, nBuckets: Int = 64,
+      tombstoneCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val dataCols = batch.columns.toSeq
+    val dataCols = tombstoneDataCols(batch, keys, tombstoneCol)
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     pinLayout(fs, root, nBuckets)
@@ -151,13 +178,14 @@ object UpsertSink {
     withPreparedBatch(batch, keys, nBuckets, populated.nonEmpty) {
       withBucket =>
         upsertInto(withBucket, targetDir, populated, dataCols, keys,
-          orderCol, nBuckets)
+          orderCol, nBuckets, tombstoneCol)
     }
   }
 
   private def upsertInto(withBucket: DataFrame, targetDir: String,
       populated: Set[Int], dataCols: Seq[String], keys: Seq[String],
-      orderCol: String, nBuckets: Int): Unit = {
+      orderCol: String, nBuckets: Int,
+      tombstoneCol: Option[String]): Unit = {
     val spark = withBucket.sparkSession
     // touched bucket ids: <= nBuckets ints, a driver-bounded collect
     val touched = withBucket.select("kb").distinct()
@@ -180,7 +208,8 @@ object UpsertSink {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           withBucket.schema)
 
-    val merged = selectWinners(existing, withBucket, dataCols, keys, orderCol)
+    val merged = selectWinners(existing, withBucket, dataCols, keys, orderCol,
+      tombstoneCol)
       // write clustering: each rewritten bucket lands as ONE file
       // instead of one file per shuffle partition — without this every
       // merge scatters each touched bucket across up to
@@ -194,30 +223,65 @@ object UpsertSink {
       // touched buckets, not the table.
       .localCheckpoint(true)
 
-    try
+    try {
       // writer-scoped dynamic overwrite (no session-conf mutation): only
       // the partitions present in `merged` — exactly the touched buckets
       // — are replaced
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("kb").parquet(targetDir)
-    finally merged.unpersist(false)
+      // a bucket whose EVERY key was tombstoned has no winners, so the
+      // dynamic overwrite never visits it — its old content must be
+      // removed explicitly. This delete is outside the per-bucket
+      // overwrite commit (same class of non-atomic window the overwrite
+      // sink already documents); tables that need atomic deletes should
+      // use the SnapshotUpsert variant, whose manifest simply omits the
+      // bucket. `merged` is localCheckpoint'd, so the extra distinct is
+      // a cheap single-evaluation-safe scan of the bounded merge output.
+      if (tombstoneCol.isDefined) {
+        val written = merged.select("kb").distinct()
+          .collect().map(_.getInt(0)).toSet
+        val root = new Path(targetDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        toRead.filterNot(written).foreach { b =>
+          fs.delete(new Path(root, s"kb=$b"), true)
+        }
+      }
+    } finally merged.unpersist(false)
   }
 
   /** The merge rule, shared with [[SnapshotUpsert]]: per key the
     * highest `orderCol` wins, incoming (`__src`=1) beats existing on an
     * exact tie, in-batch ties break on a deterministic whole-row hash.
-    * Both inputs carry `dataCols` plus `kb`. */
+    * `orderCol = ""` selects ARRIVAL order: no data column ranks the
+    * versions, the incoming row always replaces the existing one (the
+    * reference's prod upsert semantics, upsert_data.py:18-86). Both
+    * inputs carry `dataCols` plus `kb`; `existing` rows are live by
+    * definition, so when a `tombstoneCol` is in play only `incoming`
+    * carries it (normalized NULL->false) and a key whose WINNING
+    * version is a tombstone is dropped from the output — deletion is
+    * applied at merge time and the marker itself is never stored, so a
+    * later upsert with a higher (or arrival-later) order resurrects the
+    * key as a fresh insert. */
   private[streaming] def selectWinners(existing: DataFrame,
       incoming: DataFrame, dataCols: Seq[String], keys: Seq[String],
-      orderCol: String): DataFrame = {
-    val rank = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc, col("__src").desc,
-        xxhash64(struct(dataCols.map(col): _*)).asc)
-    existing.withColumn("__src", lit(0))
-      .unionByName(incoming.withColumn("__src", lit(1)))
+      orderCol: String, tombstoneCol: Option[String] = None): DataFrame = {
+    // the tie-break hash covers the tombstone flag too: a delete and a
+    // re-statement of the same row in ONE batch must resolve
+    // deterministically, not by partition-local row order
+    val hashCols = dataCols ++ tombstoneCol
+    val ordering =
+      (if (orderCol.nonEmpty) Seq(col(orderCol).desc) else Seq.empty) ++
+        Seq(col("__src").desc, xxhash64(struct(hashCols.map(col): _*)).asc)
+    val rank = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    val ex = tombstoneCol.foldLeft(existing.withColumn("__src", lit(0)))(
+      (d, t) => d.withColumn(t, lit(false)))
+    val in = tombstoneCol.foldLeft(incoming.withColumn("__src", lit(1)))(
+      (d, t) => d.withColumn(t, coalesce(col(t), lit(false))))
+    val winners = ex.unionByName(in)
       .withColumn("__rn", row_number().over(rank))
       .where(col("__rn") === 1)
+    tombstoneCol.foldLeft(winners)((d, t) => d.where(!col(t)))
       .select((dataCols :+ "kb").map(col): _*)
   }
 
@@ -227,9 +291,10 @@ object UpsertSink {
     * table-maintenance shape, same as [[EventStreams.parquetSink]]). */
   def upsertSink(stream: DataFrame, targetDir: String, checkpoint: String,
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
-      drainOnce: Boolean = false, outputMode: String = "append"): StreamingQuery =
+      drainOnce: Boolean = false, outputMode: String = "append",
+      tombstoneCol: Option[String] = None): StreamingQuery =
     startForeachBatch(stream, checkpoint, outputMode, drainOnce)(
-      b => upsertBatch(b, targetDir, keys, orderCol, nBuckets))
+      b => upsertBatch(b, targetDir, keys, orderCol, nBuckets, tombstoneCol))
 
   /** Shared foreachBatch wiring for the upsert sinks. outputMode
     * "update" is the fit for stateful upstreams that emit per-key

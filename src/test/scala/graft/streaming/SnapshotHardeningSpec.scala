@@ -1,0 +1,434 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Round-10 hardening of the snapshot table layer: commit exclusivity,
+  * torn-manifest handling, tombstone deletes, the change-feed consumer
+  * cursor, age-based retention, debris vacuum, and GC delete-retry. */
+class SnapshotHardeningSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-snaph").toString
+
+  private def df(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("id", "status", "v")
+  }
+
+  private def snapSet(dir: String): Set[(Long, String, Long)] =
+    SnapshotUpsert.readSnapshot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  private def hfs(dir: String) = {
+    val root = new Path(dir)
+    (root, root.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  // ---------------------------------------------------------------- commit
+
+  test("two writers racing the same version: exactly one commits, the loser " +
+      "gets a clear error, the winner's manifest is intact") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "seed", 1L)), dir,
+      Seq("id"), "v", nBuckets = 4)
+    val (root, fs) = hfs(dir)
+    val schema = SnapshotUpsert.readSnapshot(spark, dir).schema
+    // stage two distinct fake file sets and race the commit of v2 from
+    // two threads through the real commit primitive
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 2).map { i =>
+      val t = new Thread(() => {
+        start.await()
+        try {
+          SnapshotUpsert.commitManifest(fs, root, 2L, 4, schema,
+            Map(0 -> Seq(s"batches/v2-writer$i/kb=0/part-w$i.parquet")),
+            1000L + i)
+          wins.incrementAndGet()
+        } catch { case e: RuntimeException => errors.add(e.getMessage) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join())
+    assert(wins.get() == 1, s"exactly one writer must win, got ${wins.get()}")
+    assert(errors.size == 1 &&
+      errors.peek().contains("another writer committed concurrently"),
+      s"loser must get the clear single-writer error: ${errors.peek()}")
+    // the winner's manifest survived the loser's attempt byte-intact:
+    // it parses, and references exactly one writer's file set
+    val lines = scala.io.Source.fromFile(f"$dir/_manifests/v${2L}%012d.txt",
+      "UTF-8").getLines().toVector
+    assert(lines.last == "#eof")
+    val refs = lines.filterNot(_.startsWith("#"))
+    assert(refs.size == 1 && refs.head.contains("part-w"), refs.toString)
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L))
+  }
+
+  test("a second writer that starts after the first finished simply commits " +
+      "the next version (no false positive)") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(df((2L, "b", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(df((3L, "c", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10)
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(snapSet(dir).size == 3)
+  }
+
+  test("a torn manifest (writer killed mid-commit) is invisible to readers " +
+      "and reclaimed by the replaying writer") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L), (2L, "b", 1L)), dir,
+      Seq("id"), "v", nBuckets = 4)
+    val before = snapSet(dir)
+    // simulate the torn write: a v2 manifest without the #eof trailer
+    val torn = new java.io.File(f"$dir/_manifests/v${2L}%012d.txt")
+    val w = new java.io.PrintWriter(torn, "UTF-8")
+    w.print("#nbuckets=4\n#ts=123\n#schema=id BIGINT\n0\tbatches/v2-x/kb=0/p.parquet")
+    w.close()
+    // readers: the version never committed
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L))
+    assert(snapSet(dir) == before)
+    val e = intercept[RuntimeException] {
+      SnapshotUpsert.readVersion(spark, dir, 2L).collect()
+    }
+    assert(e.getMessage.contains("torn"), e.getMessage)
+    // the replaying writer reclaims the torn file and commits v2 cleanly
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a2", 2L)), dir, Seq("id"), "v",
+      nBuckets = 4)
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L))
+    assert(snapSet(dir) == Set((1L, "a2", 2L), (2L, "b", 1L)))
+  }
+
+  // ------------------------------------------------------------ tombstones
+
+  test("tombstone deletes: the key is removed, the marker is not stored, " +
+      "and the feed reports delete with the last known values") {
+    import spark.implicits._
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)), dir, Seq("id"), "v",
+      nBuckets = 1, keepVersions = 10)
+    // one batch: update key 1, delete key 2 (null marker = false on key 1)
+    val b2 = Seq((1L, "a2", 2L, Option.empty[Boolean]),
+      (2L, "b", 2L, Some(true))).toDF("id", "status", "v", "_deleted")
+    SnapshotUpsert.upsertBatchSnapshot(b2, dir, Seq("id"), "v",
+      nBuckets = 1, keepVersions = 10, tombstoneCol = Some("_deleted"))
+    assert(snapSet(dir) == Set((1L, "a2", 2L), (3L, "c", 1L)))
+    assert(!SnapshotUpsert.readSnapshot(spark, dir).columns.contains("_deleted"))
+    val feed = SnapshotUpsert.changesBetween(spark, dir, 1L, 2L, Seq("id"),
+      emitDeletes = true).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(feed == Set((1L, "a2", 2L, "update"), (2L, "b", 1L, "delete")),
+      "delete must carry the key's last known (old-image) values")
+    // the historical insert/update-only shape is preserved by default
+    val noDel = SnapshotUpsert.changesBetween(spark, dir, 1L, 2L, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(noDel == Set((1L, "update")))
+  }
+
+  test("a fully-tombstoned bucket disappears from the manifest and is not " +
+      "carried forward (no resurrect)") {
+    val dir = tmp()
+    import spark.implicits._
+    // nBuckets=64: key 2 sits alone in its bucket with high probability
+    // against 3 keys; assert on the invariant, not the layout
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)), dir, Seq("id"), "v",
+      nBuckets = 64, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((2L, "b", 2L, true)).toDF("id", "status", "v", "_deleted"),
+      dir, Seq("id"), "v", nBuckets = 64, keepVersions = 10,
+      tombstoneCol = Some("_deleted"))
+    assert(snapSet(dir) == Set((1L, "a", 1L), (3L, "c", 1L)))
+    // a replay of the delete batch stays idempotent
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((2L, "b", 2L, true)).toDF("id", "status", "v", "_deleted"),
+      dir, Seq("id"), "v", nBuckets = 64, keepVersions = 10,
+      tombstoneCol = Some("_deleted"))
+    assert(snapSet(dir) == Set((1L, "a", 1L), (3L, "c", 1L)))
+    // a later re-insert resurrects the key as a feed insert
+    SnapshotUpsert.upsertBatchSnapshot(df((2L, "reborn", 3L)), dir,
+      Seq("id"), "v", nBuckets = 64, keepVersions = 10)
+    assert(snapSet(dir).contains((2L, "reborn", 3L)))
+    val feed = SnapshotUpsert.changesBetween(spark, dir, 3L, 4L, Seq("id"),
+      emitDeletes = true).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(feed == Set((2L, "insert")))
+  }
+
+  test("delete and re-statement of one key inside ONE batch resolve by " +
+      "order, then deterministically") {
+    import spark.implicits._
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10)
+    // higher-order live row beats the lower-order tombstone
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((1L, "x", 2L, true), (1L, "alive", 3L, false))
+        .toDF("id", "status", "v", "_deleted"),
+      dir, Seq("id"), "v", nBuckets = 4, keepVersions = 10,
+      tombstoneCol = Some("_deleted"))
+    assert(snapSet(dir) == Set((1L, "alive", 3L)))
+    // higher-order tombstone beats the lower-order live row
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((1L, "y", 4L, false), (1L, "gone", 5L, true))
+        .toDF("id", "status", "v", "_deleted"),
+      dir, Seq("id"), "v", nBuckets = 4, keepVersions = 10,
+      tombstoneCol = Some("_deleted"))
+    assert(SnapshotUpsert.readSnapshot(spark, dir).count() == 0)
+  }
+
+  test("overwrite sink tombstones: deletes apply and an emptied bucket's " +
+      "directory is removed") {
+    import spark.implicits._
+    val dir = tmp()
+    UpsertSink.upsertBatch(df((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
+      dir, Seq("id"), "v", nBuckets = 1)
+    UpsertSink.upsertBatch(
+      Seq((2L, "b", 2L, true)).toDF("id", "status", "v", "_deleted"),
+      dir, Seq("id"), "v", nBuckets = 1, tombstoneCol = Some("_deleted"))
+    val left = UpsertSink.readLatest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left == Set((1L, "a"), (3L, "c")))
+    // empty the whole (single) bucket: the kb=0 directory must go away
+    UpsertSink.upsertBatch(
+      Seq((1L, "a", 3L, true), (3L, "c", 3L, true))
+        .toDF("id", "status", "v", "_deleted"),
+      dir, Seq("id"), "v", nBuckets = 1, tombstoneCol = Some("_deleted"))
+    assert(!new java.io.File(s"$dir/kb=0").exists(),
+      "a fully-tombstoned bucket's directory must be deleted")
+    // a bad marker type is refused with a clear message
+    val e = intercept[RuntimeException] {
+      UpsertSink.upsertBatch(
+        Seq((1L, "a", 4L, "yes")).toDF("id", "status", "v", "_deleted"),
+        dir, Seq("id"), "v", nBuckets = 1, tombstoneCol = Some("_deleted"))
+    }
+    assert(e.getMessage.contains("BOOLEAN"), e.getMessage)
+  }
+
+  test("diffImages derives collision-free internal names (a data column " +
+      "literally named __old_k or __old works)") {
+    import spark.implicits._
+    val newImg = Seq((1L, "n1", "o1", "x"), (2L, "n2", "o2", "y"))
+      .toDF("k", "val", "__old_k", "__old")
+    val oldImg = Seq((1L, "n1", "o1", "x"), (3L, "n3", "o3", "z"))
+      .toDF("k", "val", "__old_k", "__old")
+    val out = SnapshotUpsert.diffImages(newImg, oldImg, Seq("k"),
+      emitDeletes = true).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(4))).toSet
+    assert(out == Set((2L, "n2", "insert"), (3L, "n3", "delete")))
+  }
+
+  // --------------------------------------------------------------- cursor
+
+  test("drainChanges: bootstrap, incremental slices, at-least-once replay, " +
+      "and None when caught up") {
+    val dir = tmp()
+    val cursor = s"${tmp()}/consumer.cursor"
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L), (2L, "b", 1L)), dir,
+      Seq("id"), "v", nBuckets = 4, keepVersions = 10)
+    // bootstrap: whole image as inserts
+    val boot = SnapshotUpsert.drainChanges(spark, dir, cursor, Seq("id")).get
+    assert(boot.fromVersion == 0L && boot.toVersion == 1L)
+    assert(boot.changes.collect().map(_.getString(3)).toSet == Set("insert"))
+    // crash between read and commit: the SAME slice replays
+    val replay = SnapshotUpsert.drainChanges(spark, dir, cursor, Seq("id")).get
+    assert(replay.fromVersion == 0L && replay.toVersion == 1L)
+    boot.commitCursor()
+    assert(SnapshotUpsert.drainChanges(spark, dir, cursor, Seq("id")).isEmpty,
+      "caught-up consumer must get None")
+    // two commits, one drain: the slice spans both
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a2", 2L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(df((3L, "c", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10)
+    val s2 = SnapshotUpsert.drainChanges(spark, dir, cursor, Seq("id")).get
+    assert(s2.fromVersion == 1L && s2.toVersion == 3L)
+    assert(s2.changes.collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet ==
+      Set((1L, "update"), (3L, "insert")))
+    s2.commitCursor()
+    assert(SnapshotUpsert.drainChanges(spark, dir, cursor, Seq("id")).isEmpty)
+  }
+
+  test("an incremental consumer driven by drainChanges equals the batch " +
+      "recompute across commits, deletes, and a rebucket") {
+    import spark.implicits._
+    val dir = tmp()
+    val cursor = s"${tmp()}/agg.cursor"
+    // downstream state: key -> (status, v); aggregate: count by status
+    var state = Map.empty[Long, (String, Long)]
+    def drainInto(): Unit =
+      SnapshotUpsert.drainChanges(spark, dir, cursor, Seq("id"),
+          emitDeletes = true).foreach { slice =>
+        slice.changes.collect().foreach { r =>
+          val (k, ch) = (r.getLong(0), r.getString(3))
+          if (ch == "delete") state -= k
+          else state += k -> (r.getString(1), r.getLong(2))
+        }
+        slice.commitCursor()
+      }
+    def recompute(): Map[Long, (String, Long)] =
+      SnapshotUpsert.readSnapshot(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10)
+    drainInto()
+    assert(state == recompute())
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a2", 2L), (4L, "d", 1L)), dir,
+      Seq("id"), "v", nBuckets = 4, keepVersions = 10)
+    drainInto()
+    assert(state == recompute())
+    // a delete flows through the cursor path
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((2L, "b", 3L, true)).toDF("id", "status", "v", "_deleted"), dir,
+      Seq("id"), "v", nBuckets = 4, keepVersions = 10,
+      tombstoneCol = Some("_deleted"))
+    drainInto()
+    assert(state == recompute() && !state.contains(2L))
+    // a rebucket between drains: the cross-layout diff is still exact
+    SnapshotUpsert.rebucket(spark, dir, 16, Seq("id"), keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(df((5L, "e", 1L)), dir, Seq("id"), "v",
+      nBuckets = 16, keepVersions = 10)
+    drainInto()
+    assert(state == recompute() && state.contains(5L))
+  }
+
+  test("a cursor that aged out of the retention window fails with a clear " +
+      "re-bootstrap error") {
+    val dir = tmp()
+    val cursor = s"${tmp()}/lagging.cursor"
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 2)
+    SnapshotUpsert.drainChanges(spark, dir, cursor, Seq("id"))
+      .get.commitCursor() // cursor at v1
+    // three more commits with keepVersions=2: v1 is GC'd
+    (2L to 4L).foreach(i => SnapshotUpsert.upsertBatchSnapshot(
+      df((i, s"s$i", i)), dir, Seq("id"), "v", nBuckets = 4, keepVersions = 2))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotUpsert.drainChanges(spark, dir, cursor, Seq("id"))
+    }
+    assert(e.getMessage.contains("aged out"), e.getMessage)
+  }
+
+  // ------------------------------------------------------------- retention
+
+  test("age-based retention: a version beyond the count window survives " +
+      "until it is also older than keepAgeMs") {
+    val t0 = 1_000_000_000_000L
+    val hour = 3_600_000L
+    val dir = tmp()
+    def commit(batch: org.apache.spark.sql.DataFrame, at: Long): Unit =
+      SnapshotUpsert.upsertBatchSnapshot(batch, dir, Seq("id"), "v",
+        nBuckets = 4, keepVersions = 2, keepAgeMs = Some(hour), nowMs = at)
+    commit(df((1L, "a", 1L)), t0)
+    commit(df((1L, "b", 2L)), t0 + 60_000L)
+    commit(df((1L, "c", 3L)), t0 + 120_000L)
+    // v1 is beyond keepVersions=2 but only 2 minutes old: retained
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L, 3L),
+      "young versions must survive the count bound when keepAgeMs is set")
+    // two hours later: everything below the count window has aged out
+    commit(df((1L, "d", 4L)), t0 + 2 * hour)
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(3L, 4L))
+    assert(snapSet(dir) == Set((1L, "d", 4L)))
+  }
+
+  test("GC retries a failed stale-file delete on the next commit instead of " +
+      "orphaning the files") {
+    val dir = tmp()
+    (1L to 2L).foreach(i => SnapshotUpsert.upsertBatchSnapshot(
+      df((1L, s"s$i", i)), dir, Seq("id"), "v", nBuckets = 4,
+      keepVersions = 2))
+    // v1's file will be dropped by the NEXT commit; replace it with a
+    // non-empty directory so the non-recursive delete fails
+    val v1File = {
+      val lines = scala.io.Source.fromFile(
+        f"$dir/_manifests/v${1L}%012d.txt", "UTF-8").getLines().toVector
+      lines.filterNot(_.startsWith("#")).head.split('\t')(1)
+    }
+    val f = new java.io.File(s"$dir/$v1File")
+    assert(f.delete())
+    assert(new java.io.File(f, "obstruction").mkdirs())
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "s3", 3L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 2)
+    // the delete failed, so the dropped manifest must be KEPT for retry
+    assert(new java.io.File(f"$dir/_manifests/v${1L}%012d.txt").exists(),
+      "a dropped manifest must survive a failed stale delete for retry")
+    // clear the obstruction: the next commit's GC retries and finishes
+    assert(new java.io.File(f, "obstruction").delete() && f.delete())
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "s4", 4L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 2)
+    assert(!new java.io.File(f"$dir/_manifests/v${1L}%012d.txt").exists())
+    assert(!new java.io.File(f"$dir/_manifests/v${2L}%012d.txt").exists())
+    assert(snapSet(dir) == Set((1L, "s4", 4L)))
+  }
+
+  // ---------------------------------------------------------------- vacuum
+
+  test("vacuum sweeps old crash debris but never live files, fresh staging, " +
+      "or carried references") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L), (2L, "b", 1L)), dir,
+      Seq("id"), "v", nBuckets = 2, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a2", 2L)), dir, Seq("id"), "v",
+      nBuckets = 2, keepVersions = 10)
+    val before = snapSet(dir)
+    val old = System.currentTimeMillis() - 24 * 3_600_000L
+    def seed(path: String, body: String = "junk"): java.io.File = {
+      val f = new java.io.File(s"$dir/$path")
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8"); w.print(body); w.close()
+      f
+    }
+    // (a) abandoned staging dir from a crashed writer, (b) pre-format
+    // tmp manifest, (c) torn manifest — all OLD; (d) a FRESH staging
+    // dir standing in for a live writer's in-flight attempt
+    val a = seed("batches/v7-dead00/kb=0/part-junk.parquet")
+    seed("batches/v7-dead00/_SUCCESS", "")
+    val b = seed("_manifests/.v7.tmp")
+    val c = seed(f"_manifests/v${7L}%012d.txt", "#nbuckets=2\n0\tx.parquet")
+    val d = seed("batches/v8-live00/kb=0/part-fresh.parquet")
+    Seq(a, a.getParentFile, a.getParentFile.getParentFile,
+      new java.io.File(s"$dir/batches/v7-dead00/_SUCCESS"), b, c)
+      .foreach(f => assert(f.setLastModified(old)))
+    val deleted = SnapshotUpsert.vacuum(spark, dir, olderThanMs = 3_600_000L)
+    assert(!a.exists() && !a.getParentFile.getParentFile.exists(),
+      "old abandoned staging dir must be swept")
+    assert(!b.exists(), "old tmp manifest must be swept")
+    assert(!c.exists(), "old torn manifest must be swept")
+    assert(d.exists(), "fresh staging (a live writer) must be untouched")
+    assert(deleted.nonEmpty)
+    // the live table is fully intact, including v1's carried files
+    assert(snapSet(dir) == before)
+    assert(SnapshotUpsert.readVersion(spark, dir, 1L).count() == 2)
+  }
+
+  // --------------------------------------------------------- arrival order
+
+  test("orderCol=\"\" merges in arrival order: incoming always replaces, " +
+      "no data column needed") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "first", 9L)), dir, Seq("id"),
+      orderCol = "", nBuckets = 4, keepVersions = 10)
+    // the incoming row wins even though its v is LOWER
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "second", 3L)), dir, Seq("id"),
+      orderCol = "", nBuckets = 4, keepVersions = 10)
+    assert(snapSet(dir) == Set((1L, "second", 3L)))
+    val ow = tmp()
+    UpsertSink.upsertBatch(df((1L, "first", 9L)), ow, Seq("id"), orderCol = "")
+    UpsertSink.upsertBatch(df((1L, "second", 3L)), ow, Seq("id"), orderCol = "")
+    assert(UpsertSink.readLatest(spark, ow).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "second")))
+  }
+}

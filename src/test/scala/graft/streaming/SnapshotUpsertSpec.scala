@@ -64,7 +64,7 @@ class SnapshotUpsertSpec extends SparkSpec {
     val touchedKb = df((5L, "x", 1L))
       .select(UpsertSink.bucketOf(Seq("id"), 8)).head().getInt(0)
     assert(v2(touchedKb) != v1(touchedKb))
-    assert(v2(touchedKb).forall(_.startsWith("batches/v2/")))
+    assert(v2(touchedKb).forall(_.startsWith("batches/v2-")))
     (v1.keySet - touchedKb).foreach(b => assert(v2(b) == v1(b),
       s"bucket $b should be carried by reference"))
     assert(snapSet(dir).contains((5L, "upd", 2L)))
@@ -105,7 +105,7 @@ class SnapshotUpsertSpec extends SparkSpec {
     // committed (the only multi-file window in the commit path)
     val b2 = df((1L, "a2", 2L), (3L, "c", 1L))
     b2.withColumn("kb", UpsertSink.bucketOf(Seq("id"), 4))
-      .write.partitionBy("kb").parquet(s"$dir/batches/v2")
+      .write.partitionBy("kb").parquet(s"$dir/batches/v2-deadbeef")
     assert(snapSet(dir) == before, "uncommitted files must be invisible")
     assert(SnapshotUpsert.versions(spark, dir) == Seq(1L))
     // the streaming replay re-runs the SAME batch: it must reclaim the
@@ -296,7 +296,9 @@ class SnapshotUpsertSpec extends SparkSpec {
     val before = snapSet(dir)
     SnapshotUpsert.rebucket(spark, dir, 16, Seq("id"), keepVersions = 10)
     assert(snapSet(dir) == before, "rebucket must not change content")
-    assert(new java.io.File(s"$dir/batches/v2").listFiles()
+    val v2dir = new java.io.File(s"$dir/batches").listFiles()
+      .find(_.getName.startsWith("v2-")).get
+    assert(v2dir.listFiles()
       .count(_.getName.startsWith("kb=")) > 4, "rows re-hashed into new layout")
     // the old count is now refused, the new count merges
     val e = intercept[IllegalArgumentException] {
