@@ -175,6 +175,66 @@ object AnalyticsQueries {
              |           AND n.ts IS NOT DISTINCT FROM o.ts)""".stripMargin),
     ),
 
+    // Change feed WITH tombstone deletes — the oracle gate for
+    // SnapshotUpsert.diffImages(emitDeletes = true), the full-outer
+    // variant changesBetween applies when the table's merge carries a
+    // tombstone column: keys present only in the old image surface as
+    // _change='delete' carrying their LAST KNOWN values. The images
+    // are built to force all three change types: the old image covers
+    // even events from users outside residue-3 (mod 7), the new image
+    // covers all events from users outside residue-0 — so residue-0
+    // users delete, residue-3 users insert, the rest update or drop.
+    QueryDef(
+      "q_change_feed_deletes",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        def image(in: org.apache.spark.sql.DataFrame) = in
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("top"))
+          .select(col("user_id"), col("top.event_type").as("event_type"),
+            date_format(col("top.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        graft.streaming.SnapshotUpsert.diffImages(
+          image(ev.where(col("user_id") % 7 =!= 0)),
+          image(ev.where(col("event_id") % 2 === 0 &&
+            col("user_id") % 7 =!= 3)),
+          Seq("user_id"), emitDeletes = true)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img_new AS (SELECT user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             |  1 AS present
+             |  FROM e WHERE user_id % 7 <> 0 GROUP BY user_id),
+             |img_old AS (SELECT user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             |  1 AS present
+             |  FROM e WHERE event_id % 2 = 0 AND user_id % 7 <> 3
+             |  GROUP BY user_id)
+             |SELECT
+             | CASE WHEN n.present IS NULL THEN o.user_id ELSE n.user_id END
+             |   AS user_id,
+             | CASE WHEN n.present IS NULL THEN o.event_type
+             |   ELSE n.event_type END AS event_type,
+             | CASE WHEN n.present IS NULL THEN o.ts ELSE n.ts END AS ts,
+             | CASE WHEN o.present IS NULL THEN 'insert'
+             |   WHEN n.present IS NULL THEN 'delete'
+             |   ELSE 'update' END AS _change
+             |FROM img_new n
+             |FULL OUTER JOIN img_old o
+             |  ON n.user_id IS NOT DISTINCT FROM o.user_id
+             |WHERE o.present IS NULL OR n.present IS NULL
+             |   OR NOT (n.event_type IS NOT DISTINCT FROM o.event_type
+             |           AND n.ts IS NOT DISTINCT FROM o.ts)""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(
