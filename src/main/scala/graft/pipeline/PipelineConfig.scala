@@ -18,6 +18,19 @@ final case class PipelineConfig(
     // set, [[Pipelines.configure]] applies it so RDD/eager checkpoints
     // (and any future streaming use) have a location.
     checkpointDir: Option[String] = None,
+    // Commit the prod state-machine table through the snapshot-manifest
+    // layer instead of a whole-table overwrite. The reference's prod
+    // write (state_machine/pipeline.py:77-85) deletes-and-rewrites the
+    // table, which is exactly the torn-read/delete-window the manifest
+    // commit removes: readers pin a consistent version, prior runs stay
+    // time-travel-readable, and a crashed run can never leave prod
+    // half-written. Same merge semantics (processed rows replace by
+    // (cve_id, package); prod-only rows survive).
+    prodSnapshot: Boolean = false,
+    // Hash-bucket count for the snapshot prod table (size so a bucket
+    // is a comfortable single-file rewrite unit at the deployment's
+    // table size).
+    prodBuckets: Int = 16,
 )
 
 object PipelineConfig {

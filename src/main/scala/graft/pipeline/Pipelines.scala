@@ -114,7 +114,13 @@ object Pipelines {
   ): DataFrame = {
     TransitionFunctions.registerUdfs(spark)
     val prodPath = s"${config.prodPath}/state_machine/cve_state_machine"
-    val prod = TableIO.readTable(spark, prodPath, AdvisorySchemas.cveStateMachine)
+    val prod =
+      if (config.prodSnapshot) {
+        if (graft.streaming.SnapshotUpsert.versions(spark, prodPath).isEmpty)
+          TableIO.emptyTable(spark, AdvisorySchemas.cveStateMachine)
+        else graft.streaming.SnapshotUpsert.readSnapshot(spark, prodPath)
+      } else
+        TableIO.readTable(spark, prodPath, AdvisorySchemas.cveStateMachine)
 
     val processed = AdvisoryMerge.mapNewInfo(echo, normalized, prod)
     val processedPath =
@@ -125,16 +131,29 @@ object Pipelines {
       TableIO.readTable(spark, processedPath, AdvisorySchemas.cveStateMachine)
     processedBack.createOrReplaceGlobalTempView("processed_cve_state_machine")
 
-    val upserted = AdvisoryMerge.upsert(processedBack, prod)
-    // Read prod fully before overwriting it (the upsert's anti join
-    // must not stream from the path being rewritten).
-    val upsertTmp = s"${config.stagingPath}/run_id=${config.runId}/state_machine/upserted"
-    TableIO.writeTable(upserted, upsertTmp, AdvisorySchemas.cveStateMachine,
-      partitions = config.outputPartitions)
-    val finalDf = TableIO.readTable(spark, upsertTmp, AdvisorySchemas.cveStateMachine)
-    TableIO.writeTable(finalDf, prodPath, AdvisorySchemas.cveStateMachine,
-      partitions = config.outputPartitions)
-    TableIO.readTable(spark, prodPath, AdvisorySchemas.cveStateMachine)
+    if (config.prodSnapshot) {
+      // Snapshot-committed prod: the manifest merge IS the upsert
+      // (arrival order — processed rows replace by key, prod-only rows
+      // are carried by reference), committed atomically. No staging
+      // round-trip is needed: the merge never overwrites a path it
+      // reads, so there is no torn-read window to stage around, and
+      // each run stays time-travel-readable as its own version.
+      graft.streaming.SnapshotUpsert.upsertBatchSnapshot(processedBack,
+        prodPath, keys = Seq("cve_id", "package"), orderCol = "",
+        nBuckets = config.prodBuckets)
+      graft.streaming.SnapshotUpsert.readSnapshot(spark, prodPath)
+    } else {
+      val upserted = AdvisoryMerge.upsert(processedBack, prod)
+      // Read prod fully before overwriting it (the upsert's anti join
+      // must not stream from the path being rewritten).
+      val upsertTmp = s"${config.stagingPath}/run_id=${config.runId}/state_machine/upserted"
+      TableIO.writeTable(upserted, upsertTmp, AdvisorySchemas.cveStateMachine,
+        partitions = config.outputPartitions)
+      val finalDf = TableIO.readTable(spark, upsertTmp, AdvisorySchemas.cveStateMachine)
+      TableIO.writeTable(finalDf, prodPath, AdvisorySchemas.cveStateMachine,
+        partitions = config.outputPartitions)
+      TableIO.readTable(spark, prodPath, AdvisorySchemas.cveStateMachine)
+    }
   }
 
   /** Full run: ingest -> enrich -> state machine. */

@@ -104,6 +104,37 @@ class AdvisoryPipelineSpec extends SparkSpec {
     assert(m(("CVE-2024-3", "openssl")).getAs[String]("previous_status") == "fixed")
   }
 
+  test("snapshot-committed prod mode matches the overwrite mode exactly " +
+      "and keeps prior runs time-travel-readable") {
+    val owBase = Files.createTempDirectory("advisory-e2e-ow").toString
+    val snBase = Files.createTempDirectory("advisory-e2e-sn").toString
+    def runOnce(b: String, runId: String, snap: Boolean, at: String) = {
+      val cfg = PipelineConfig.fromDefaults(runId, b)
+        .copy(prodSnapshot = snap)
+      Pipelines.run(spark, cfg, new StubTransport, NvdConfig(partitions = 2),
+        "http://stub", overridesDf, now = Instant.parse(at))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    // run 1 (bootstrap) and run 2 (TTL-cached, all unchanged) must
+    // produce IDENTICAL prod content in both commit modes
+    val ow1 = rows(runOnce(owBase, "m1", snap = false, "2026-02-01T00:00:00Z"))
+    val sn1 = rows(runOnce(snBase, "m1", snap = true, "2026-02-01T00:00:00Z"))
+    assert(sn1 == ow1, "bootstrap run: snapshot prod must equal overwrite prod")
+    assert(sn1.size == 4)
+    val ow2 = rows(runOnce(owBase, "m2", snap = false, "2026-02-01T00:01:00Z"))
+    val sn2 = rows(runOnce(snBase, "m2", snap = true, "2026-02-01T00:01:00Z"))
+    assert(sn2 == ow2, "second run: snapshot prod must equal overwrite prod")
+    // the snapshot table versioned each pipeline run: run 1 is still
+    // readable as-of its commit after run 2 replaced every row's
+    // change_type — the audit capability the overwrite prod cannot have
+    val prodPath = s"$snBase/output/prod/state_machine/cve_state_machine"
+    assert(graft.streaming.SnapshotUpsert.versions(spark, prodPath) ==
+      Seq(1L, 2L))
+    assert(rows(graft.streaming.SnapshotUpsert
+      .readVersion(spark, prodPath, 1L)) == sn1)
+  }
+
   test("distributed flatten matches driver-side flatten") {
     import spark.implicits._
     val dist = graft.ingest.EchoAdvisorySource
