@@ -163,6 +163,14 @@ object StreamBench {
     }.mkString(",")
     println(s"""{"metric":"stream_bench","sf":"$sfDir","docs":"$docsDir",""" +
       s""""files_per_trigger":$perTrigger,"queries":{$json}}""")
+    // Unload every state-store provider BEFORE the session (and JVM)
+    // tears down: with the RocksDB backend, a provider left loaded
+    // keeps a native logger callback alive into JVM shutdown, where
+    // rocksdbjni's LoggerJniCallback can SEGV after the last metrics
+    // print — harmless to data but exit-code-polluting for automation.
+    // StateStore.stop() closes the providers (and their native logs)
+    // while the JVM is fully alive, making the exit deterministic.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
   }
 }
