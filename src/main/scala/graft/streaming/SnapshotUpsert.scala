@@ -212,17 +212,27 @@ object SnapshotUpsert {
   }
 
   /** Enumerate the bucket files a just-written staging directory holds
-    * (authoritative for the manifest entry). */
+    * (authoritative for the manifest entry). The per-bucket listings
+    * run in PARALLEL: a worst-case commit stages thousands of bucket
+    * directories, and fanning the listings out serially puts thousands
+    * of sequential round-trips (an RPC each on an object store) inside
+    * the one serial section of the commit. FileSystem instances are
+    * thread-safe (Spark lists through them concurrently all the time). */
   private def stagedFiles(fs: FileSystem, versionDir: Path)
-      : Map[Int, Seq[String]] =
-    fs.listStatus(versionDir).iterator
-      .filter(_.getPath.getName.startsWith("kb="))
-      .map { d =>
-        val b = d.getPath.getName.stripPrefix("kb=").toInt
-        b -> fs.listStatus(d.getPath).iterator.map(_.getPath.getName)
-          .filter(_.endsWith(".parquet"))
-          .map(n => s"$BatchesDir/${versionDir.getName}/kb=$b/$n").toSeq
-      }.toMap
+      : Map[Int, Seq[String]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dirs = fs.listStatus(versionDir)
+      .filter(_.getPath.getName.startsWith("kb=")).toSeq
+    val listed = Future.traverse(dirs) { d => Future {
+      val b = d.getPath.getName.stripPrefix("kb=").toInt
+      b -> fs.listStatus(d.getPath).iterator.map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+        .map(n => s"$BatchesDir/${versionDir.getName}/kb=$b/$n").toSeq
+    }}
+    Await.result(listed, Duration.Inf).toMap
+  }
 
   /** A fresh staging directory UNIQUE to this commit attempt
     * (`batches/v{N}-{suffix}`). Uniqueness is what makes a same-version
