@@ -522,8 +522,14 @@ object SnapshotUpsert {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val horizon = nowMs - olderThanMs
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    // listStatus returns SCHEME-QUALIFIED paths (file:/..., hdfs://...);
+    // relativize against the equally-qualified root or no listed file
+    // would ever match the manifests' relative references — which would
+    // turn the referenced-set guard into pure mtime protection and let
+    // an old-enough LIVE file be swept as debris
+    val rootStr = fs.makeQualified(root).toString
     def rel(p: Path): String =
-      p.toString.stripPrefix(root.toString).stripPrefix("/")
+      p.toString.stripPrefix(rootStr).stripPrefix("/")
     // manifest debris: pre-format tmp files and torn manifests
     val mdir = new Path(root, ManifestDir)
     if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>

@@ -402,6 +402,15 @@ class SnapshotHardeningSpec extends SparkSpec {
     Seq(a, a.getParentFile, a.getParentFile.getParentFile,
       new java.io.File(s"$dir/batches/v7-dead00/_SUCCESS"), b, c)
       .foreach(f => assert(f.setLastModified(old)))
+    // age the LIVE table's files too: reference protection — not mtime
+    // freshness — must be what keeps them (regression pin: qualified
+    // listStatus paths must match the manifests' relative references)
+    def walkAge(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(walkAge)
+      else assert(f.setLastModified(old))
+    walkAge(new java.io.File(s"$dir/batches"))
+    new java.io.File(s"$dir/batches/v8-live00/kb=0/part-fresh.parquet")
+      .setLastModified(System.currentTimeMillis())
     val deleted = SnapshotUpsert.vacuum(spark, dir, olderThanMs = 3_600_000L)
     assert(!a.exists() && !a.getParentFile.getParentFile.exists(),
       "old abandoned staging dir must be swept")
@@ -412,6 +421,73 @@ class SnapshotHardeningSpec extends SparkSpec {
     // the live table is fully intact, including v1's carried files
     assert(snapSet(dir) == before)
     assert(SnapshotUpsert.readVersion(spark, dir, 1L).count() == 2)
+  }
+
+  test("two full API-level writers racing: the table stays consistent " +
+      "whatever the interleaving, and losers leave only sweepable debris") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((100L, "seed", 1L)), dir, Seq("id"),
+      "v", nBuckets = 4, keepVersions = 10)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 2).map { i =>
+      val t = new Thread(() => {
+        start.await()
+        try {
+          SnapshotUpsert.upsertBatchSnapshot(df((i.toLong, s"w$i", 1L)), dir,
+            Seq("id"), "v", nBuckets = 4, keepVersions = 10)
+          committed.add(i.toLong)
+        } catch { case e: RuntimeException => errors.add(e.getMessage) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join())
+    // depending on timing either both serialized onto distinct versions
+    // or one lost the create-exclusive commit with the clear error —
+    // in EVERY interleaving the table must read consistently and hold
+    // the seed plus each writer that reported success
+    errors.forEach(m => assert(m.contains("another writer"), m))
+    assert(committed.size + errors.size == 2)
+    val rows = snapSet(dir)
+    assert(rows.contains((100L, "seed", 1L)))
+    committed.forEach(i => assert(rows.contains((i, s"w$i", 1L)),
+      s"a writer that reported success must be durably applied: $i"))
+    assert(rows.size == 1 + committed.size)
+    // versions are dense and every retained one is readable
+    val vs = SnapshotUpsert.versions(spark, dir)
+    assert(vs == (1L to (1L + committed.size)).toSeq)
+    vs.foreach(v => SnapshotUpsert.readVersion(spark, dir, v).collect())
+    // a loser's abandoned staging (if any) is unreferenced debris that
+    // vacuum can sweep without touching the live table
+    SnapshotUpsert.vacuum(spark, dir, olderThanMs = -1000L)
+    assert(snapSet(dir) == rows)
+  }
+
+  test("streaming sink with a tombstone column maintains deletes " +
+      "end-to-end under the checkpointed replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Boolean)]
+    val q = SnapshotUpsert.sink(
+      input.toDF().toDF("id", "status", "v", "_deleted"), dir, tmp(),
+      Seq("id"), "v", nBuckets = 4, keepVersions = 10,
+      tombstoneCol = Some("_deleted"))
+    try {
+      input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q.processAllAvailable()
+      input.addData((1L, "a2", 2L, false), (2L, "gone", 2L, true))
+      q.processAllAvailable()
+      assert(snapSet(dir) == Set((1L, "a2", 2L)))
+      // the per-commit feed a chained consumer would replay
+      val feed = SnapshotUpsert.changesBetween(spark, dir, 1L, 2L, Seq("id"),
+        emitDeletes = true).collect()
+        .map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(feed == Set((1L, "update"), (2L, "delete")))
+    } finally q.stop()
   }
 
   // --------------------------------------------------------- arrival order
