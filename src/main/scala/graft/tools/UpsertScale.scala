@@ -26,8 +26,13 @@ object UpsertScale {
     val nBuckets = args.headOption.map(_.toInt).getOrElse(4096)
     val smallKeys = args.lift(1).map(_.toInt).getOrElse(100)
     val broadKeys = args.lift(2).map(_.toInt).getOrElse(100000)
+    // `chain` = snapshot merges PLUS a cursor-drained downstream
+    // consumer after each: the full incremental DAG shape (table ->
+    // change feed -> downstream table) whose cost must track the
+    // slice, not the table
     val mode = args.lift(3).getOrElse("overwrite")
-    require(Seq("overwrite", "snapshot").contains(mode), s"bad mode $mode")
+    require(Seq("overwrite", "snapshot", "chain").contains(mode),
+      s"bad mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -50,7 +55,7 @@ object UpsertScale {
     }
 
     def merge(batch: DataFrame): Unit =
-      if (mode == "snapshot")
+      if (mode != "overwrite")
         // retain every version so the change feed can be timed across
         // both the small and the broad merge below
         SnapshotUpsert.upsertBatchSnapshot(batch, target, Seq("user_id"),
@@ -59,13 +64,35 @@ object UpsertScale {
         UpsertSink.upsertBatch(batch, target, Seq("user_id"), "ts", nBuckets)
 
     def readTable(): DataFrame =
-      if (mode == "snapshot") SnapshotUpsert.readSnapshot(spark, target)
+      if (mode != "overwrite") SnapshotUpsert.readSnapshot(spark, target)
       else UpsertSink.readLatest(spark, target)
+
+    // chain mode: a downstream latest-state table maintained ONLY from
+    // cursor-drained feed slices (bootstrap = the whole image once,
+    // then each drain applies the changed slice)
+    val downstream = java.nio.file.Files
+      .createTempDirectory("graft-upsert-downstream").toString
+    val cursorFile = s"${java.nio.file.Files
+      .createTempDirectory("graft-upsert-cursor")}/consumer.cursor"
+    val chainSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def drainApply(label: String): Unit = if (mode == "chain") {
+      val s = timed {
+        SnapshotUpsert.drainChanges(spark, target, cursorFile,
+            Seq("user_id")).foreach { slice =>
+          UpsertSink.upsertBatch(slice.changes.drop("_change"), downstream,
+            Seq("user_id"), "ts", nBuckets)
+          slice.commitCursor()
+        }
+      }
+      System.err.println(f"[upsert-scale] chain drain+apply $label=$s%.1fs")
+      chainSecs += label -> s
+    }
 
     // seed: the full history folds to per-user latest (worst case — one
     // batch touching every bucket)
     val seedSecs = timed { merge(events) }
     val tableRows = readTable().count()
+    drainApply("bootstrap")
 
     // update batch: `k` users re-stated one hour later than their
     // current latest — the CDC shape
@@ -81,10 +108,29 @@ object UpsertScale {
     val small = updateBatch(smallKeys).localCheckpoint(true)
     val smallTouched = touched(small)
     val smallSecs = timed { merge(small) }
+    drainApply("small")
 
     val broad = updateBatch(broadKeys).localCheckpoint(true)
     val broadTouched = touched(broad)
     val broadSecs = timed { merge(broad) }
+    drainApply("broad")
+
+    // chain mode: the downstream table, built ONLY from feed slices,
+    // must equal the source table exactly (count + row checksum)
+    if (mode == "chain") {
+      def sig(df: DataFrame): (Long, Any) = {
+        val r = df.select(count(lit(1)),
+          sum(xxhash64(col("user_id"), col("event_type"), col("ts"))
+            .cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.get(1))
+      }
+      val (srcN, srcH) = sig(readTable())
+      val (dstN, dstH) = sig(UpsertSink.readLatest(spark, downstream))
+      require(srcN == dstN && srcH == dstH,
+        s"chained consumer diverged: source=($srcN,$srcH) downstream=($dstN,$dstH)")
+      System.err.println(s"[upsert-scale] chain downstream EXACT match " +
+        s"($dstN rows, checksum $dstH)")
+    }
 
     // snapshot mode: time the change feed across the small (CDC-shaped,
     // bounded by the changed buckets) and broad (worst-case, every
@@ -125,8 +171,11 @@ object UpsertScale {
       f""""broad_secs":$broadSecs%.1f""" +
       feedSecs.map { case (s, b, r) =>
         f""","feed_small_secs":$s%.1f,"feed_broad_secs":$b%.1f,""" +
-          f""""rebucket_secs":$r%.1f}"""
-      }.getOrElse("}"))
+          f""""rebucket_secs":$r%.1f"""
+      }.getOrElse("") +
+      (if (chainSecs.isEmpty) "}"
+       else chainSecs.map { case (k, v) => f""""chain_${k}_secs":$v%.1f""" }
+         .mkString(",", ",", "}")))
     spark.stop()
   }
 }

@@ -82,4 +82,71 @@ object SnapshotUpsertPropsSpec extends Properties("SnapshotUpsert") {
       }).forall(identity)
       latestOk && pairsOk
     }
+
+  // ---- the same model extended with tombstone deletes (round 10) ----
+
+  type Row4 = (Long, String, Long, Boolean)
+
+  private val rowGen4: Gen[Row4] = Gen.zip(Gen.chooseNum(0L, 5L),
+    Gen.oneOf("a", "b", "c", "d", "e"), Gen.chooseNum(0L, 3L),
+    Gen.frequency(3 -> false, 1 -> true))
+  private val batchGen4 = Gen.nonEmptyListOf(rowGen4)
+    .map(_.distinctBy(r => (r._1, r._3)))
+  private val seqGen4 = Gen.zip(
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, batchGen4)),
+    Gen.oneOf(1, 3, 8))
+
+  /** Merge rule with deletes: per key the highest version wins (the
+    * incoming row on an exact tie); a winning tombstone REMOVES the
+    * key, and a tombstone outranked by the existing row is a no-op. */
+  private def foldModelDel(batches: List[List[Row4]])
+      : Vector[Map[Long, Row3]] =
+    batches.scanLeft(Map.empty[Long, Row3]) { (state, batch) =>
+      val best = batch.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.maxBy(_._3)
+      }
+      best.foldLeft(state) { case (st, (k, r)) =>
+        st.get(k) match {
+          case Some(old) if old._3 > r._3 => st
+          case _ => if (r._4) st - k else st + (k -> ((r._1, r._2, r._3)))
+        }
+      }
+    }.toVector
+
+  property("with tombstones: any batch sequence folds to the model state; " +
+      "every version pair diffs to the model diff incl. deletes") =
+    forAll(seqGen4) { case (batches, nBuckets) =>
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snap-prop-del").toString
+      batches.foreach { b =>
+        SnapshotUpsert.upsertBatchSnapshot(
+          b.toDF("id", "status", "v", "del"), dir, Seq("id"), "v", nBuckets,
+          keepVersions = 16, tombstoneCol = Some("del"))
+      }
+      val states = foldModelDel(batches)
+      val snap = SnapshotUpsert.readSnapshot(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val latestOk = snap == states.last.values.toSet
+      if (!latestOk)
+        println(s"latest: got=$snap want=${states.last.values.toSet}")
+      val n = batches.length
+      val pairsOk = (for { i <- 1 to n; j <- (i + 1) to n } yield {
+        val feed = SnapshotUpsert.changesBetween(spark, dir, i.toLong,
+            j.toLong, Seq("id"), emitDeletes = true).collect()
+          .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
+            r.getString(3))).toSet
+        val (si, sj) = (states(i), states(j))
+        val want = sj.collect {
+          case (k, row) if !si.get(k).contains(row) =>
+            (row, if (si.contains(k)) "update" else "insert")
+        }.toSet ++ si.collect {
+          case (k, row) if !sj.contains(k) => (row, "delete")
+        }.toSet
+        val ok = feed == want
+        if (!ok) println(s"pair ($i,$j): feed=$feed want=$want")
+        ok
+      }).forall(identity)
+      latestOk && pairsOk
+    }
 }
