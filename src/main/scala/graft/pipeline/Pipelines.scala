@@ -141,7 +141,12 @@ object Pipelines {
       graft.streaming.SnapshotUpsert.upsertBatchSnapshot(processedBack,
         prodPath, keys = Seq("cve_id", "package"), orderCol = "",
         nBuckets = config.prodBuckets)
-      graft.streaming.SnapshotUpsert.readSnapshot(spark, prodPath)
+      // an all-empty bootstrap (quiet day one: zero advisories) commits
+      // no version at all — return the empty prod the overwrite mode
+      // would have written instead of failing the read
+      if (graft.streaming.SnapshotUpsert.versions(spark, prodPath).isEmpty)
+        TableIO.emptyTable(spark, AdvisorySchemas.cveStateMachine)
+      else graft.streaming.SnapshotUpsert.readSnapshot(spark, prodPath)
     } else {
       val upserted = AdvisoryMerge.upsert(processedBack, prod)
       // Read prod fully before overwriting it (the upsert's anti join

@@ -148,8 +148,11 @@ object SnapshotUpsert {
     } finally in.close()
   }
 
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Snapshot = {
-    val path = manifestPath(root, v)
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Snapshot =
+    readManifestAt(fs, root, manifestPath(root, v), v)
+
+  private def readManifestAt(fs: FileSystem, root: Path, path: Path,
+      v: Long): Snapshot = {
     val lines = readFully(fs, path).split("\n", -1).toVector
       .filterNot(_.isEmpty)
     if (!lines.lastOption.contains(Eof))
@@ -249,8 +252,18 @@ object SnapshotUpsert {
     new Path(root,
       s"$BatchesDir/v$version-${java.util.UUID.randomUUID.toString.take(8)}")
 
-  private def currentSnapshot(fs: FileSystem, root: Path): Option[Snapshot] =
-    committedVersions(fs, root).lastOption.map(readManifest(fs, root, _))
+  /** Newest committed snapshot with ONE manifest read in the steady
+    * state (going through committedVersions would parse the newest
+    * manifest for the torn check, discard it, and re-read it). */
+  private def currentSnapshot(fs: FileSystem, root: Path): Option[Snapshot] = {
+    val all = listVersions(fs, root)
+    all.lastOption.flatMap { last =>
+      try Some(readManifest(fs, root, last))
+      catch { case _: TornManifestException =>
+        all.dropRight(1).lastOption.map(readManifest(fs, root, _))
+      }
+    }
+  }
 
   /** Deep-nullable normalization: recorded schemas must admit the
     * NULLs that pre-evolution files produce for appended columns, and
@@ -465,28 +478,51 @@ object SnapshotUpsert {
     * it is beyond the count window AND older than `keepAgeMs` (when
     * set); commit timestamps are monotone, so the dropped set is always
     * a prefix and the retained versions stay dense. If any stale-file
-    * delete fails transiently, the dropped version's manifest is KEPT
-    * so the next commit's GC retries — deleting it would orphan the
-    * remaining files forever (no surviving manifest references them and
-    * GC never revisits unreferenced files). */
+    * delete fails transiently, the dropped version's manifest is PARKED
+    * (renamed to `.v{N}.gcretry`) so the next commit's GC retries —
+    * deleting it outright would orphan the remaining files forever (no
+    * surviving manifest references them and GC never revisits
+    * unreferenced files), while leaving it listed would present a
+    * partially-deleted version as readable/retained to time travel and
+    * the cursor's age-out check. */
+  private def gcRetryPath(root: Path, v: Long): Path =
+    new Path(root, f"$ManifestDir/.v$v%012d.gcretry")
+
   private def gc(fs: FileSystem, root: Path, version: Long,
       newManifest: Map[Int, Seq[String]], prev: Option[Snapshot],
       keepVersions: Int, keepAgeMs: Option[Long], nowMs: Long): Unit = {
     val oldestByCount = version - keepVersions + 1
     val all = listVersions(fs, root)
+    // memoized: with age-based retention many versions sit beyond the
+    // count window for a long time, and each is consulted here by the
+    // dropped filter, the kept set, AND the delete loop — without the
+    // memo that is several manifest reads per version per commit (a
+    // GET each on an object store) inside the serial commit section
+    val memo = scala.collection.mutable.Map.empty[Long, Snapshot]
     def manifestOf(v: Long): Snapshot =
-      prev.filter(_.version == v).getOrElse(readManifest(fs, root, v))
+      prev.filter(_.version == v).getOrElse(
+        memo.getOrElseUpdate(v, readManifest(fs, root, v)))
+    // manifests PARKED by an earlier partial delete failure (renamed to
+    // .v{N}.gcretry so the version no longer lists as readable — some
+    // of its files are already gone) are retried every gc
+    val mdir = new Path(root, ManifestDir)
+    val parked: Seq[Long] =
+      if (!fs.exists(mdir)) Seq.empty
+      else fs.listStatus(mdir).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith(".v") && n.endsWith(".gcretry") =>
+          n.stripPrefix(".v").stripSuffix(".gcretry").toLong
+        }.toSeq.sorted
     val dropped = all.filter(v => v < oldestByCount &&
       keepAgeMs.forall(a => manifestOf(v).commitTsMs <= nowMs - a))
-    if (dropped.isEmpty) return
+    if (dropped.isEmpty && parked.isEmpty) return
     val droppedSet = dropped.toSet
     val kept: Set[String] =
       (all.filterNot(droppedSet).filter(_ != version)
         .flatMap(v => manifestOf(v).files.valuesIterator.flatten)
         ++ newManifest.valuesIterator.flatten.toSeq).toSet
-    dropped.foreach { d =>
-      val stale = manifestOf(d).files.valuesIterator.flatten
-        .filterNot(kept).toSeq
+    def reap(d: Long, manifest: Path, park: Boolean): Unit = {
+      val snap = readManifestAt(fs, root, manifest, d)
+      val stale = snap.files.valuesIterator.flatten.filterNot(kept).toSeq
       val allGone = stale.map { rel =>
         val p = new Path(root, rel)
         try fs.delete(p, false) || !fs.exists(p)
@@ -502,8 +538,15 @@ object SnapshotUpsert {
             _.getPath.getName.startsWith("_")))
           fs.delete(vdir, true)
       }
-      if (allGone) fs.delete(manifestPath(root, d), false)
+      if (allGone) fs.delete(manifest, false)
+      else if (park)
+        // keep the bookkeeping for retry, but OUT of the readable
+        // version list: readVersion/drainChanges must not treat a
+        // partially-deleted version as retained
+        fs.rename(manifest, gcRetryPath(root, d))
     }
+    dropped.foreach(d => reap(d, manifestPath(root, d), park = true))
+    parked.foreach(d => reap(d, gcRetryPath(root, d), park = false))
   }
 
   /** Sweep crash debris that the commit-path reclaim never revisits: a
@@ -562,6 +605,14 @@ object SnapshotUpsert {
     val bdir = new Path(root, BatchesDir)
     if (fs.exists(bdir)) fs.listStatus(bdir).foreach { st =>
       if (st.isDirectory) {
+        // PRE-walk directory mtimes: the horizon must judge the dir as
+        // it stood before this vacuum's own file deletions bump it
+        val dirMtime = scala.collection.mutable.Map.empty[Path, Long]
+        def record(p: Path): Unit = {
+          dirMtime(p) = fs.getFileStatus(p).getModificationTime
+          fs.listStatus(p).filter(_.isDirectory).foreach(s => record(s.getPath))
+        }
+        record(st.getPath)
         def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
           val name = s.getPath.getName
           if (s.isDirectory) walk(s.getPath)
@@ -573,14 +624,21 @@ object SnapshotUpsert {
         }
         walk(st.getPath)
         // a directory left holding only stale marker files (_SUCCESS,
-        // checksums) is gone debris; one with any data file survives
+        // checksums) is gone debris; one with any data file survives.
+        // The directory's OWN (pre-walk) mtime must also be past the
+        // horizon: an empty listing is vacuously "all stale", but a
+        // live writer's just-created (momentarily empty) staging
+        // subtree is exactly what the horizon promises to protect —
+        // adding an entry bumps the parent dir's mtime, so an active
+        // dir always reads fresh.
         def prune(p: Path): Unit = {
           fs.listStatus(p).filter(_.isDirectory).foreach(s => prune(s.getPath))
           val remaining = fs.listStatus(p)
-          if (remaining.forall(s => !s.isDirectory &&
-              (s.getPath.getName.startsWith("_") ||
-                s.getPath.getName.startsWith(".")) &&
-              s.getModificationTime < horizon))
+          if (dirMtime.getOrElse(p, Long.MaxValue) < horizon &&
+              remaining.forall(s => !s.isDirectory &&
+                (s.getPath.getName.startsWith("_") ||
+                  s.getPath.getName.startsWith(".")) &&
+                s.getModificationTime < horizon))
             fs.delete(p, true)
         }
         prune(st.getPath)

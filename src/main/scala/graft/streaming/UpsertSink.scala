@@ -88,23 +88,34 @@ object UpsertSink {
     }
   }
 
+  /** DATA schema of the table (DDL, no `kb`), recorded at first write:
+    * with tombstone deletes a table can legitimately reach ZERO buckets
+    * on disk, and [[readLatest]] must still answer with an empty frame
+    * of the right shape instead of a schema-inference failure. */
+  private val SchemaMarker = "_graft_schema"
+
+  /** Atomic-replace write of a small marker file (tmp + Rename.OVERWRITE):
+    * a delete-then-rename pair would leave a crash window with NO
+    * marker, which for the layout pin a later merge would re-pin with
+    * ITS bucket count — silent key stranding on a plain UpsertSink
+    * table where the marker is the only layout authority. */
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      name: String, content: String): Unit = {
+    val marker = new Path(root, name)
+    fs.mkdirs(root)
+    val tmp = new Path(root, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
+      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** (Re)write the layout marker — first pin, or refresh after a
     * [[SnapshotUpsert.rebucket]] (where the manifest header, not the
     * marker, is the authority). */
   private[streaming] def refreshLayoutMarker(
-      fs: org.apache.hadoop.fs.FileSystem, root: Path, nBuckets: Int): Unit = {
-    val marker = new Path(root, LayoutMarker)
-    fs.mkdirs(root)
-    val tmp = new Path(root, s".$LayoutMarker.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-    // atomic replace (Rename.OVERWRITE): a delete-then-rename pair would
-    // leave a crash window with NO marker, which a later merge would
-    // re-pin with ITS bucket count — silent key stranding on a plain
-    // UpsertSink table where the marker is the only layout authority
-    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
-      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, nBuckets: Int): Unit =
+    writeMarker(fs, root, LayoutMarker, nBuckets.toString)
 
   /** Column names both upsert sinks own: `kb` (layout), `__src`/`__rn`
     * (merge internals), `__old`/`_change` (change-feed internals —
@@ -169,6 +180,10 @@ object UpsertSink {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     pinLayout(fs, root, nBuckets)
+    if (!fs.exists(new Path(root, SchemaMarker)))
+      writeMarker(fs, root, SchemaMarker, org.apache.spark.sql.types
+        .StructType(batch.schema.fields.filterNot(f =>
+          tombstoneCol.contains(f.name))).toDDL)
     // one listing of the table root = the set of populated buckets (a
     // pre-created empty directory is still a first write)
     val populated: Set[Int] =
@@ -313,7 +328,28 @@ object UpsertSink {
     w.start()
   }
 
-  /** Current table state (the `kb` layout column dropped). */
-  def readLatest(spark: SparkSession, targetDir: String): DataFrame =
-    spark.read.parquet(targetDir).drop("kb")
+  /** Current table state (the `kb` layout column dropped). A table
+    * whose every key was tombstone-deleted has NO bucket directories
+    * left; the recorded schema marker answers the empty read that
+    * schema inference cannot. */
+  def readLatest(spark: SparkSession, targetDir: String): DataFrame = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaMarker = new Path(root, SchemaMarker)
+    val hasData = fs.exists(root) && fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith("kb="))
+    if (!hasData && fs.exists(schemaMarker)) {
+      val in = fs.open(schemaMarker)
+      val ddl = try {
+        val bytes = new java.io.ByteArrayOutputStream(256)
+        val buf = new Array[Byte](1024)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").trim
+      } finally in.close()
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    } else spark.read.parquet(targetDir).drop("kb")
+  }
 }

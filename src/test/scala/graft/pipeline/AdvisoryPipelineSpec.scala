@@ -135,6 +135,21 @@ class AdvisoryPipelineSpec extends SparkSpec {
       .readVersion(spark, prodPath, 1L)) == sn1)
   }
 
+  test("snapshot prod mode survives an all-empty bootstrap run " +
+      "(zero advisories commit no version; the read must not fail)") {
+    val b = Files.createTempDirectory("advisory-e2e-empty").toString
+    class EmptyTransport extends HttpTransport {
+      def get(url: String, headers: Map[String, String]): (Int, String) =
+        (200, "{}")
+    }
+    val cfg = PipelineConfig.fromDefaults("e1", b).copy(prodSnapshot = true)
+    val prod = Pipelines.run(spark, cfg, new EmptyTransport,
+      NvdConfig(partitions = 2), "http://stub", overridesDf,
+      now = Instant.parse("2026-02-01T00:00:00Z"))
+    assert(prod.count() == 0L)
+    assert(prod.columns.contains("cve_id"))
+  }
+
   test("distributed flatten matches driver-side flatten") {
     import spark.implicits._
     val dist = graft.ingest.EchoAdvisorySource

@@ -207,6 +207,11 @@ class SnapshotHardeningSpec extends SparkSpec {
       dir, Seq("id"), "v", nBuckets = 1, tombstoneCol = Some("_deleted"))
     assert(!new java.io.File(s"$dir/kb=0").exists(),
       "a fully-tombstoned bucket's directory must be deleted")
+    // the table is now physically empty: readLatest must answer with an
+    // empty frame of the recorded schema, not a schema-inference error
+    val empty = UpsertSink.readLatest(spark, dir)
+    assert(empty.columns.toSeq == Seq("id", "status", "v"))
+    assert(empty.count() == 0L)
     // a bad marker type is refused with a clear message
     val e = intercept[RuntimeException] {
       UpsertSink.upsertBatch(
@@ -362,14 +367,20 @@ class SnapshotHardeningSpec extends SparkSpec {
     assert(new java.io.File(f, "obstruction").mkdirs())
     SnapshotUpsert.upsertBatchSnapshot(df((1L, "s3", 3L)), dir, Seq("id"), "v",
       nBuckets = 4, keepVersions = 2)
-    // the delete failed, so the dropped manifest must be KEPT for retry
-    assert(new java.io.File(f"$dir/_manifests/v${1L}%012d.txt").exists(),
-      "a dropped manifest must survive a failed stale delete for retry")
+    // the delete failed, so the bookkeeping must be PARKED for retry —
+    // renamed out of the readable version list, because some of v1's
+    // files are already gone and time travel / the cursor's age-out
+    // check must not treat a partially-deleted version as retained
+    assert(new java.io.File(f"$dir/_manifests/.v${1L}%012d.gcretry").exists(),
+      "a failed stale delete must park the manifest for retry")
+    assert(!new java.io.File(f"$dir/_manifests/v${1L}%012d.txt").exists())
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(2L, 3L))
     // clear the obstruction: the next commit's GC retries and finishes
     assert(new java.io.File(f, "obstruction").delete() && f.delete())
     SnapshotUpsert.upsertBatchSnapshot(df((1L, "s4", 4L)), dir, Seq("id"), "v",
       nBuckets = 4, keepVersions = 2)
-    assert(!new java.io.File(f"$dir/_manifests/v${1L}%012d.txt").exists())
+    assert(!new java.io.File(f"$dir/_manifests/.v${1L}%012d.gcretry").exists(),
+      "the parked manifest must be reaped once its deletes succeed")
     assert(!new java.io.File(f"$dir/_manifests/v${2L}%012d.txt").exists())
     assert(snapSet(dir) == Set((1L, "s4", 4L)))
   }
