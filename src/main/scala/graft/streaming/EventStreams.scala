@@ -116,8 +116,23 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.n + 1, s.first, t))
+                // rows are sorted WITHIN a batch, but a row arriving in
+                // a LATER batch can legally predate the open session
+                // (the watermark admits it): merge by min/max so bounds
+                // never invert — the old `last = t` write let one late
+                // row drag `last` before `first`, and the next on-time
+                // row then measured its gap against the corrupted bound
+                // and falsely split the session
+                case Some(s) if t >= s.first - gapMs && t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.n + 1,
+                    math.min(s.first, t), math.max(s.last, t)))
+                case Some(s) if t < s.first - gapMs =>
+                  // an orphan more than a gap BEFORE the open session:
+                  // it can never merge into it (and the state holds one
+                  // session per key) — emit it as its own closed
+                  // single-event session, leaving the open one intact
+                  out ::= Session(userId, 1, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), closed = true)
                 case Some(s) =>
                   out ::= Session(userId, s.n, new java.sql.Timestamp(s.first),
                     new java.sql.Timestamp(s.last), closed = true)
@@ -324,12 +339,18 @@ object EventStreams {
         case ((cve, pkg), rows, state) =>
           var s = state.getOption.getOrElse(KeyedState(cve, pkg, "unknown", 0L, 0L))
           rows.foreach { p =>
-            val r = graft.statemachine.StateMachine.applyTransition(s.status, p.proposed)
-            s =
-              if (r.success && r.newState != s.status)
-                s.copy(status = r.newState, transitions = s.transitions + 1)
-              else if (!r.success) s.copy(blocked = s.blocked + 1)
-              else s
+            // null proposal = "no state change proposed" (the batch
+            // UDFs' exact null rule, applyTransitionUdf) — without the
+            // guard applyTransition NPEs on the executor and the
+            // checkpoint replays the same poison row forever
+            if (p.proposed != null) {
+              val r = graft.statemachine.StateMachine.applyTransition(s.status, p.proposed)
+              s =
+                if (r.success && r.newState != s.status)
+                  s.copy(status = r.newState, transitions = s.transitions + 1)
+                else if (!r.success) s.copy(blocked = s.blocked + 1)
+                else s
+            }
           }
           state.update(s)
           s

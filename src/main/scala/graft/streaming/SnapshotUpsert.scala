@@ -137,7 +137,7 @@ object SnapshotUpsert {
     }
   }
 
-  private def readFully(fs: FileSystem, p: Path): String = {
+  private[streaming] def readFully(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream(4096)
@@ -230,10 +230,18 @@ object SnapshotUpsert {
       .filter(_.getPath.getName.startsWith("kb=")).toSeq
     val listed = Future.traverse(dirs) { d => Future {
       val b = d.getPath.getName.stripPrefix("kb=").toInt
-      b -> fs.listStatus(d.getPath).iterator.map(_.getPath.getName)
-        .filter(_.endsWith(".parquet"))
-        .map(n => s"$BatchesDir/${versionDir.getName}/kb=$b/$n").toSeq
+      // blocking{}: these are IO round-trips, and without the marker
+      // the global pool caps concurrency at the CPU-core count — the
+      // exact serialization this fan-out exists to avoid on a small
+      // driver facing thousands of buckets
+      b -> scala.concurrent.blocking {
+        fs.listStatus(d.getPath).iterator.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+          .map(n => s"$BatchesDir/${versionDir.getName}/kb=$b/$n").toSeq
+      }
     }}
+    // unbounded await is deliberate: the commit cannot proceed without
+    // the listing, and the store's own RPC timeouts bound a stuck call
     Await.result(listed, Duration.Inf).toMap
   }
 
@@ -315,7 +323,9 @@ object SnapshotUpsert {
     val spark = batch.sparkSession
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    UpsertSink.tombstoneDataCols(batch, keys, tombstoneCol) // validate marker
+    // FULL validation before any side effect (layout pin): a rejected
+    // first batch must not pin the table to its bucket count
+    UpsertSink.validateBatch(batch, keys, tombstoneCol)
     val batchData = org.apache.spark.sql.types.StructType(
       batch.schema.fields.filterNot(f => tombstoneCol.contains(f.name)))
     val cur = currentSnapshot(fs, root)
@@ -738,8 +748,12 @@ object SnapshotUpsert {
     * break (ambiguous reference) on a table whose DATA carries such a
     * name, so the prefix is grown until it is collision-free. */
   private def freshPrefix(base: String, taken: Set[String]): String = {
+    // case-insensitive like Spark's resolution: a data column named
+    // `__OLD_id` collides with an internal alias `__old_id` just as
+    // surely as the exact-case name would
+    val lower = taken.map(_.toLowerCase)
     var p = base
-    while (taken.exists(c => c == p || c.startsWith(p + "_"))) p += "x"
+    while (lower.exists(c => c == p || c.startsWith(p + "_"))) p += "x"
     p
   }
 
@@ -835,17 +849,10 @@ object SnapshotUpsert {
     val last: Option[Long] =
       if (cfs.exists(cursorPath)) Some(readFully(cfs, cursorPath).trim.toLong)
       else None
-    def advance(): Unit = {
-      // tmp + atomic-replace rename: the cursor file is never torn, and
+    def advance(): Unit =
+      // shared atomic-replace write: the cursor file is never torn, and
       // a crash anywhere before the rename leaves the old cursor (replay)
-      val tmp = new Path(cursorPath.getParent, s".${cursorPath.getName}.tmp")
-      cfs.mkdirs(cursorPath.getParent)
-      val out = cfs.create(tmp, true)
-      try out.write(current.toString.getBytes("UTF-8")) finally out.close()
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(cursorPath.toUri, cfs.getConf)
-        .rename(tmp, cursorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+      UpsertSink.writeFileAtomic(cfs, cursorPath, current.toString)
     last match {
       case Some(v) if v == current => None
       case Some(v) =>

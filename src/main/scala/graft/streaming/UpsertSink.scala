@@ -68,16 +68,10 @@ object UpsertSink {
       root: Path, nBuckets: Int): Unit = {
     val marker = new Path(root, LayoutMarker)
     if (fs.exists(marker)) {
-      // read to EOF: the InputStream contract permits short reads, and a
-      // truncated multi-digit count would spuriously refuse a correct merge
-      val in = fs.open(marker)
-      val recorded = try {
-        val bytes = new java.io.ByteArrayOutputStream(32)
-        val buf = new Array[Byte](32)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        new String(bytes.toByteArray, "UTF-8").trim
-      } finally in.close()
+      // read to EOF (shared readFully: the InputStream contract permits
+      // short reads, and a truncated multi-digit count would spuriously
+      // refuse a correct merge)
+      val recorded = SnapshotUpsert.readFully(fs, marker).trim
       require(recorded == nBuckets.toString,
         s"upsert: table at $root is laid out with nBuckets=$recorded; " +
           s"merging with nBuckets=$nBuckets would strand rows in stale buckets")
@@ -99,16 +93,20 @@ object UpsertSink {
     * marker, which for the layout pin a later merge would re-pin with
     * ITS bucket count — silent key stranding on a plain UpsertSink
     * table where the marker is the only layout authority. */
-  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      name: String, content: String): Unit = {
-    val marker = new Path(root, name)
-    fs.mkdirs(root)
-    val tmp = new Path(root, s".$name.tmp")
+  private[streaming] def writeFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, content: String): Unit = {
+    val parent = target.getParent
+    fs.mkdirs(parent)
+    val tmp = new Path(parent, s".${target.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
-      .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, fs.getConf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      name: String, content: String): Unit =
+    writeFileAtomic(fs, new Path(root, name), content)
 
   /** (Re)write the layout marker — first pin, or refresh after a
     * [[SnapshotUpsert.rebucket]] (where the manifest header, not the
@@ -121,6 +119,25 @@ object UpsertSink {
     * (merge internals), `__old`/`_change` (change-feed internals —
     * reserved here too so a table is always feed-compatible). */
   private[streaming] val Reserved = Seq("kb", "__src", "__rn", "__old", "_change")
+
+  /** Full batch validation, run BEFORE any side effect (layout pin,
+    * schema marker): a rejected first batch must leave NO trace, or the
+    * table is permanently pinned to the bad batch's layout and schema.
+    * The reserved-name check is case-INSENSITIVE like Spark's own
+    * resolution — `withColumn("kb")` would silently REPLACE a
+    * case-variant `KB` data column with bucket ids before any later
+    * duplicate-column error surfaced. */
+  private[streaming] def validateBatch(batch: DataFrame, keys: Seq[String],
+      tombstoneCol: Option[String]): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val clash = batch.columns.toSeq
+      .filter(c => Reserved.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"batch must not carry reserved columns ${Reserved.mkString("/")} " +
+        s"(any case); found: ${clash.mkString(",")}")
+    tombstoneDataCols(batch, keys, tombstoneCol)
+    ()
+  }
 
   /** Shared batch preamble: validates columns, then runs `use` on the
     * bucket-stamped batch under the single-evaluation rule — once the
@@ -139,10 +156,7 @@ object UpsertSink {
   private[streaming] def withPreparedBatch(batch: DataFrame,
       keys: Seq[String], nBuckets: Int, populatedTable: Boolean)(
       use: DataFrame => Unit): Unit = {
-    require(keys.nonEmpty, "upsert needs at least one key column")
-    val dataCols = batch.columns.toSeq
-    require(Reserved.forall(!dataCols.contains(_)),
-      s"batch must not carry reserved columns ${Reserved.mkString("/")}")
+    validateBatch(batch, keys, None)
     val withBucket0 = batch.withColumn("kb", bucketOf(keys, nBuckets))
     val withBucket =
       if (populatedTable) withBucket0.localCheckpoint(true) else withBucket0
@@ -176,7 +190,8 @@ object UpsertSink {
       orderCol: String, nBuckets: Int = 64,
       tombstoneCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val dataCols = tombstoneDataCols(batch, keys, tombstoneCol)
+    validateBatch(batch, keys, tombstoneCol)
+    val dataCols = batch.columns.toSeq.filterNot(tombstoneCol.contains)
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     pinLayout(fs, root, nBuckets)
@@ -339,14 +354,7 @@ object UpsertSink {
     val hasData = fs.exists(root) && fs.listStatus(root)
       .exists(_.getPath.getName.startsWith("kb="))
     if (!hasData && fs.exists(schemaMarker)) {
-      val in = fs.open(schemaMarker)
-      val ddl = try {
-        val bytes = new java.io.ByteArrayOutputStream(256)
-        val buf = new Array[Byte](1024)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        new String(bytes.toByteArray, "UTF-8").trim
-      } finally in.close()
+      val ddl = SnapshotUpsert.readFully(fs, schemaMarker).trim
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(ddl))

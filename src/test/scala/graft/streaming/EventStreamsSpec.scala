@@ -341,6 +341,71 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a late cross-batch row within the gap merges by min/max instead of " +
+      "inverting the session bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 10 * 60000L).writeStream
+      .format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(120), 7, "click", 0))
+      q.processAllAvailable()
+      // late by 5 minutes (the 2h watermark admits it): the old code
+      // set last = 115 < first, and the next on-time row then measured
+      // its gap against the corrupted bound and falsely split
+      input.addData(Event(2, ts(115), 7, "click", 0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(126), 7, "click", 0)) // 6 min after TRUE last
+      q.processAllAvailable()
+      assert(spark.table("late_sessions").isEmpty,
+        "no session may close: 126 is within the gap of the true last=120")
+      // a far row closes the (correctly merged) session
+      input.addData(Event(4, ts(300), 7, "click", 0))
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("n_events") == 3)
+      assert(closed.head.getAs[Timestamp]("first_ts") == ts(115))
+      assert(closed.head.getAs[Timestamp]("last_ts") == ts(126))
+      // an orphan more than a gap BEFORE the open session (at 300) but
+      // still above the watermark (300 - 120 = 180) emits as its own
+      // closed single-event session, leaving the open one intact
+      input.addData(Event(5, ts(200), 7, "click", 0))
+      q.processAllAvailable()
+      val orphan = spark.table("late_sessions").collect()
+        .filter(_.getAs[Timestamp]("first_ts") == ts(200))
+      assert(orphan.length == 1 && orphan.head.getAs[Long]("n_events") == 1)
+      // the open session at 300 survived the orphan and closes normally
+      input.addData(Event(6, ts(400), 7, "click", 0))
+      q.processAllAvailable()
+      val all = spark.table("late_sessions").collect()
+      assert(all.length == 3)
+      assert(all.exists(r => r.getAs[Timestamp]("first_ts") == ts(300) &&
+        r.getAs[Long]("n_events") == 1))
+    } finally q.stop()
+  }
+
+  test("streaming FSM treats a null proposal as no-change (batch UDF rule) " +
+      "instead of poisoning the query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Proposal]
+    val q = streamingFsm(input.toDS()).writeStream
+      .format("memory").queryName("fsm_null").outputMode("update").start()
+    try {
+      input.addData(Proposal("CVE-9", "glibc", "pending_upstream"))
+      q.processAllAvailable()
+      input.addData(Proposal("CVE-9", "glibc", null),
+        Proposal("CVE-9", "glibc", "fixed"))
+      q.processAllAvailable()
+      val last = spark.table("fsm_null").collect().last
+      assert(last.getAs[String]("status") == "fixed")
+      assert(last.getAs[Long]("transitions") == 2, "null must not count")
+      assert(last.getAs[Long]("blocked") == 0, "null is no-change, not blocked")
+    } finally q.stop()
+  }
+
   test("stateful streaming runs on the RocksDB state store (the 100 TB state path)") {
     // the default HDFSBackedStateStore keeps every key on the JVM heap —
     // fine for small state, fatal for a billion-key dedup horizon. The

@@ -501,6 +501,42 @@ class SnapshotHardeningSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("case-variant reserved columns are rejected BEFORE any side effect " +
+      "(no layout pin, no schema marker from an invalid first batch)") {
+    import spark.implicits._
+    for (dir <- Seq(tmp(), tmp())) {
+      val bad = df((1L, "a", 1L)).withColumn("KB", lit(9))
+      val e1 = intercept[IllegalArgumentException] {
+        if (dir.hashCode % 2 == 0)
+          UpsertSink.upsertBatch(bad, dir, Seq("id"), "v", nBuckets = 64)
+        else SnapshotUpsert.upsertBatchSnapshot(bad, dir, Seq("id"), "v",
+          nBuckets = 64)
+      }
+      // Spark resolution is case-insensitive: withColumn("kb") would
+      // silently REPLACE the KB data column, so "KB" must be refused
+      assert(e1.getMessage.contains("reserved"), e1.getMessage)
+      assert(!new java.io.File(s"$dir/_graft_buckets").exists(),
+        "a rejected first batch must not pin the table layout")
+      assert(!new java.io.File(s"$dir/_graft_schema").exists(),
+        "a rejected first batch must not record a schema")
+      // the corrected batch can then use ANY bucket count
+      SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"),
+        "v", nBuckets = 8)
+      assert(snapSet(dir) == Set((1L, "a", 1L)))
+    }
+  }
+
+  test("diffImages collision avoidance is case-insensitive (__OLD_k data " +
+      "column)") {
+    import spark.implicits._
+    val newImg = Seq((1L, "n1", "x"), (2L, "n2", "y")).toDF("k", "val", "__OLD_k")
+    val oldImg = Seq((1L, "n1", "x"), (3L, "n3", "z")).toDF("k", "val", "__OLD_k")
+    val out = SnapshotUpsert.diffImages(newImg, oldImg, Seq("k"),
+      emitDeletes = true).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(out == Set((2L, "n2", "insert"), (3L, "n3", "delete")))
+  }
+
   // --------------------------------------------------------- arrival order
 
   test("orderCol=\"\" merges in arrival order: incoming always replaces, " +
