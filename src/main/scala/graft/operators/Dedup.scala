@@ -122,9 +122,10 @@ object Dedup {
   }
 
   /** Banded LSH buckets (id, band, key) for a table — the shared index
-    * shape behind the self-join and cross-corpus candidate finders. */
-  private def bandedBuckets(df: DataFrame, textCol: String, idCol: String,
-      k: Int, bands: Int, n: Int): DataFrame = {
+    * shape behind the self-join and cross-corpus candidate finders (and
+    * the row format of [[IncrementalDedup]]'s standing index table). */
+  private[operators] def bandedBuckets(df: DataFrame, textCol: String,
+      idCol: String, k: Int, bands: Int, n: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val sig = minHashSignature(df, textCol, idCol, k, n)

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.streaming.SnapshotUpsert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup detection against a STANDING LSH index — the incremental
+  * form [[Dedup.minHashCandidatesCross]]'s doc promises ("the existing
+  * side's banded buckets are the precomputed LSH index, built once,
+  * appended per ingest") made runnable: the index is a
+  * [[SnapshotUpsert]] table of banded signature rows, so each ingest
+  * reads the committed index, emits the batch's candidates against it,
+  * and commits the batch's own signatures as the next version — the
+  * daily-crawl dedup shape at 100 TB, where re-shingling the corpus
+  * per ingest (what the non-incremental API does) would re-read
+  * everything ever ingested.
+  *
+  * Index layout: one row per (doc, band) — `(doc_id, band, key)`,
+  * keyed on (doc_id, band), merged in arrival order (a re-ingested
+  * doc's signatures simply re-state themselves; the merge is
+  * idempotent). Signature rows are a few dozen bytes — bands x corpus
+  * rows total, the size of an LSH index, never of the text.
+  *
+  * Why the snapshot table (not a plain parquet append): the commit is
+  * atomic (a crashed ingest never leaves half a batch's signatures),
+  * replays converge (keyed upsert), retired docs are TOMBSTONED out
+  * (an appended index can only grow), and — because committed files
+  * are immutable and plans pin a manifest — the candidate DataFrame
+  * returned by [[ingest]] stays valid (lazily!) across its own
+  * subsequent index commit: no materialization barrier is needed
+  * between "find candidates against the old index" and "add the batch
+  * to the index".
+  *
+  * Candidate semantics match [[Dedup.minHashCandidatesCross]] exactly
+  * (same signatures, same band join); verification composes as usual —
+  * feed the pairs to [[Dedup.jaccardForPairs]] /
+  * [[Dedup.containmentForPairs]] with the corpus text table.
+  */
+object IncrementalDedup {
+
+  /** The batch's index rows: (doc_id, band, key). */
+  def signatureRows(batch: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 4, n: Int = 3): DataFrame =
+    Dedup.bandedBuckets(batch, textCol, idCol, k, bands, n)
+      .select(col("id").as("doc_id"), col("band"), col("key"))
+
+  /** The standing index as of its current committed version (empty
+    * frame with the index schema for a not-yet-created index). */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    if (SnapshotUpsert.versions(spark, indexDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, band INT, key STRING"))
+    else SnapshotUpsert.readSnapshot(spark, indexDir)
+
+  /** One ingest step: candidates of `batch` against the standing index
+    * (id1 = batch doc, id2 = indexed doc, distinct), and the batch's
+    * signatures committed as the index's next version. The returned
+    * plan reads the PRE-ingest index version (immutable files), so it
+    * can be consumed lazily after the commit. A replayed ingest is
+    * convergent: same candidates, identical index content. */
+  def ingest(batch: DataFrame, indexDir: String, textCol: String,
+      idCol: String, k: Int = 8, bands: Int = 4, n: Int = 3,
+      nBuckets: Int = 64, keepVersions: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val sigs = signatureRows(batch, textCol, idCol, k, bands, n)
+    val existing = readIndex(spark, indexDir)
+    val cands = sigs.as("l")
+      .join(existing.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .distinct()
+    SnapshotUpsert.upsertBatchSnapshot(sigs, indexDir,
+      keys = Seq("doc_id", "band"), orderCol = "", nBuckets = nBuckets,
+      keepVersions = keepVersions)
+    cands
+  }
+
+  /** Remove retired documents from the index (tombstones): their
+    * signature rows stop matching future ingests from the next
+    * committed version on. `ids` carries one `doc_id` per retired
+    * doc; every band row of each doc is tombstoned. */
+  def retire(spark: SparkSession, indexDir: String, ids: DataFrame,
+      bands: Int = 4, nBuckets: Int = 64, keepVersions: Int = 2): Unit = {
+    val tombs = ids.select(col("doc_id"))
+      .crossJoin(spark.range(bands).select(col("id").cast("int").as("band")))
+      .withColumn("key", lit(null).cast("string"))
+      .withColumn("_deleted", lit(true))
+    SnapshotUpsert.upsertBatchSnapshot(tombs, indexDir,
+      keys = Seq("doc_id", "band"), orderCol = "", nBuckets = nBuckets,
+      keepVersions = keepVersions, tombstoneCol = Some("_deleted"))
+  }
+}

@@ -476,6 +476,50 @@ object DataOpsQueries {
       },
     ),
 
+    // The INCREMENTAL ingest loop against a STANDING LSH index
+    // (IncrementalDedup): the existing corpus is committed as a
+    // snapshot-table signature index, then the incoming batch's
+    // candidates are found by joining the COMMITTED index — no
+    // re-shingling of the existing side — and must equal the
+    // recompute-from-text oracle. NOTE for bench readers: the two
+    // index commits execute at plan construction (eager, real disk
+    // writes to a temp dir); per-pass timings see the index read +
+    // band join, the deployment's per-ingest cost.
+    QueryDef(
+      "q_dedup_incremental",
+      (s, d) => {
+        val docs = QueryDef.load(s, d, "documents")
+        val existing = docs.filter(col("doc_id") < 250)
+        val incoming = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 10000))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-incdedup-q").toString
+        graft.operators.IncrementalDedup.ingest(existing, dir,
+          "text", "doc_id", nBuckets = 16)
+        graft.operators.IncrementalDedup.ingest(incoming, dir,
+          "text", "doc_id", nBuckets = 16)
+      },
+      Some {
+        val src = """(SELECT doc_id, text FROM documents WHERE doc_id >= 250
+                    | UNION ALL SELECT doc_id + 10000 AS doc_id, text
+                    |   FROM documents WHERE doc_id < 50
+                    | UNION ALL SELECT doc_id, text FROM documents
+                    |   WHERE doc_id < 250) AS src""".stripMargin
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 2).map(r => s"CAST(m${b * 2 + r} AS STRING)")
+            .mkString(" || '-' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH ${duckMinhashSigK(8, src)},
+           |buckets AS ($bandRows)
+           |SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM buckets l JOIN buckets r
+           |  ON l.band = r.band AND l.key = r.key
+           |  AND l.doc_id >= 250 AND r.doc_id < 250""".stripMargin
+      },
+    ),
+
     // Connected-component cluster labels over the MinHash candidate
     // pairs — pairwise matches turned into dedup groups. The oracle
     // computes reachability with a recursive CTE; the Spark side runs

@@ -386,6 +386,58 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order replay with bounded intra-session disorder converges " +
+      "to the exact batch session fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gapMs = 30 * 60000L
+    val base = 24L * 3600 * 1000 // past epoch 0 so nothing is born late
+    // 10 users x 3 sessions x 5 events (1/min); sessions 2h apart.
+    // Event time = start + i minutes, but ARRIVAL order reverses each
+    // session (arrival key = start + (4-i)), so rows reach the
+    // operator up to 4 minutes out of order and batch boundaries cut
+    // through sessions — the exact cross-batch late regime the min/max
+    // merge exists for. Disorder never exceeds the gap, so the result
+    // must equal the order-insensitive batch fold.
+    val evts = for {
+      u <- 1L to 10L; s <- 0 to 2; i <- 0 to 4
+    } yield {
+      val start = base + u * 777000L + s.toLong * 2 * 3600 * 1000
+      (Event(u * 100 + s * 10 + i, new Timestamp(start + i * 60000L), u,
+        "e", 0.0), start + (4 - i) * 60000L)
+    }
+    val arrival = evts.sortBy(_._2).map(_._1)
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = gapMs).writeStream
+      .format("memory").queryName("ooo_sessions").outputMode("append").start()
+    try {
+      arrival.grouped(7).foreach { c =>
+        input.addData(c: _*)
+        q.processAllAvailable()
+      }
+      val maxTs = evts.map(_._1.ts.getTime).max
+      input.addData(Event(-1L, new Timestamp(maxTs + 3L * 24 * 3600 * 1000),
+        -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ooo_sessions")
+        .filter($"user_id" >= 0 && $"closed").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Timestamp]("first_ts").getTime,
+          r.getAs[Timestamp]("last_ts").getTime)).toSet
+      // order-insensitive model: per user, sort and split on the gap
+      val model = evts.map(_._1).groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.map(_.ts.getTime).sorted
+        val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+          (acc, t) => if (t - acc.head.head <= gapMs) (t :: acc.head) :: acc.tail
+                      else List(t) :: acc
+        }
+        sessions.map(s => (u, s.size.toLong, s.min, s.max))
+      }.toSet
+      assert(model.size == 30 && streamed == model,
+        s"streamed ${streamed.size} vs model ${model.size}")
+    } finally q.stop()
+  }
+
   test("streaming FSM treats a null proposal as no-change (batch UDF rule) " +
       "instead of poisoning the query") {
     implicit val sqlCtx = spark.sqlContext
