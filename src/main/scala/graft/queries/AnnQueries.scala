@@ -183,6 +183,55 @@ object AnnQueries {
              |FROM ranked WHERE rank <= 5""".stripMargin),
     ),
 
+    // The INCREMENTAL ANN ingest loop (IncrementalAnn): cell
+    // assignments committed to a standing snapshot-table index in TWO
+    // ingests (vec_id parity halves), then probe-and-rerank against
+    // the COMMITTED index — the result must be bit-identical to
+    // assigning the whole corpus fresh, so the oracle is exactly
+    // q_sim_topk_ivf's. NOTE for bench readers: the two index commits
+    // execute at plan construction (eager temp-dir writes); per-pass
+    // timings see the committed-index read + probe + rerank — the
+    // deployment's per-query cost.
+    QueryDef(
+      "q_sim_topk_ivf_incremental",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"),
+            col("embedding").cast("array<double>").as("centroid"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-incann-q").toString
+        graft.operators.IncrementalAnn.ingest(
+          e.filter(col("vec_id") % 2 === 0), dir, centroids,
+          "vec_id", "embedding", nBuckets = 16)
+        graft.operators.IncrementalAnn.ingest(
+          e.filter(col("vec_id") % 2 === 1), dir, centroids,
+          "vec_id", "embedding", nBuckets = 16)
+        graft.operators.IncrementalAnn.topK(s, dir, centroids,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cell, v AS centroid FROM e WHERE vec_id < 16),
+             |asg AS (SELECT vec_id, v, cell FROM (
+             |  SELECT e.vec_id, e.v, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rn
+             |  FROM e, cent c) WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |  SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cell ASC) AS pr
+             |  FROM e q, cent c WHERE q.vec_id < 8) WHERE pr <= 4),
+             |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             |  list_cosine_similarity(p.qv, a.v) AS cos
+             |  FROM asg a JOIN probes p ON a.cell = p.cell
+             |  WHERE a.vec_id != p.query_id),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rank
+             |FROM ranked WHERE rank <= 5""".stripMargin),
+    ),
+
     // Embedding near-dup: random-hyperplane blocks + exact cosine.
     // The testdata embeddings carry no planted near-dups (max pairwise
     // cosine ~0.5), so the threshold is set low enough to yield a

@@ -677,6 +677,39 @@ object SnapshotUpsert {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Time-based time travel: the table as of wall-clock `tsMs` — the
+    * newest version whose commit timestamp is <= tsMs ("the table as
+    * the 02:00 report saw it"). Commit timestamps are the `#ts`
+    * manifest header (monotone under the single-writer contract), so
+    * resolution is a scan of the retained manifests' headers. Fails
+    * with a clear error when every retained version is newer (the
+    * asked-for point has been GC'd — or predates the table). */
+  def readAsOf(spark: SparkSession, targetDir: String, tsMs: Long): DataFrame = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = committedVersions(fs, root).map(readManifest(fs, root, _))
+    require(snaps.nonEmpty, s"readAsOf: no committed version at $targetDir")
+    val at = snaps.filter(_.commitTsMs <= tsMs).lastOption.getOrElse(
+      sys.error(s"readAsOf: no retained version at or before $tsMs — " +
+        s"oldest retained commit is ${snaps.head.commitTsMs} " +
+        "(the requested point aged out of retention, or predates the table)"))
+    readVersion(spark, targetDir, at.version)
+  }
+
+  /** Table history — one row per retained version: (version,
+    * commit_ts_ms, n_buckets, n_files, n_columns). The DESCRIBE-HISTORY
+    * answer for audits and retention sizing; driver-side KBs (reads
+    * only manifest headers + file lists, never data). */
+  def history(spark: SparkSession, targetDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, root).map(readManifest(fs, root, _))
+      .map(s => (s.version, s.commitTsMs, s.nBuckets,
+        s.files.valuesIterator.map(_.size).sum, s.schema.fields.length))
+      .toDF("version", "commit_ts_ms", "n_buckets", "n_files", "n_columns")
+  }
+
   /** Current table state (same contract as [[UpsertSink.readLatest]]). */
   def readSnapshot(spark: SparkSession, targetDir: String): DataFrame = {
     val root = new Path(targetDir)

@@ -17,6 +17,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_topk_brute", // brute-force baseline: corpus x broadcast queries
     "q_sim_topk_lsh", // probe set broadcast cross
     "q_sim_topk_ivf", // query x broadcast centroids
+    "q_sim_topk_ivf_incremental", // same probe cross (query x broadcast
+    // centroids); the corpus side reads the COMMITTED index, no assign cross
     "q_sim_topk_ivfpq", // assign + probe: corpus/query x broadcast centroids
     "q_sim_topk_ivfpq_res", // same assign/probe crosses, residual codes
     "q_sim_topk_ivfpq_trained", // same crosses; centroids ~ sqrt(N) rows, still broadcast-tiny

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.SnapshotUpsert
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The standing IVF index: incremental ingests must search identically
+  * to a fresh whole-corpus assignment, replays converge, retired
+  * vectors stop matching. */
+class IncrementalAnnSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-inc-ann").toString
+
+  private lazy val embeddings =
+    graft.queries.QueryDef.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+
+  private lazy val centroids = embeddings.filter(col("vec_id") < 16)
+    .select(col("vec_id").as("cell"),
+      col("embedding").cast("array<double>").as("centroid"))
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+  test("two-half ingest searches identically to the fresh whole-corpus " +
+      "assignment") {
+    val dir = tmp()
+    IncrementalAnn.ingest(embeddings.filter(col("vec_id") % 2 === 0), dir,
+      centroids, "vec_id", "embedding", nBuckets = 16)
+    IncrementalAnn.ingest(embeddings.filter(col("vec_id") % 2 === 1), dir,
+      centroids, "vec_id", "embedding", nBuckets = 16)
+    val queries = embeddings.filter(col("vec_id") < 8)
+    val incremental = topkSet(IncrementalAnn.topK(spark, dir, centroids,
+      queries, "vec_id", "embedding", k = 5, nProbe = 4))
+    val fresh = topkSet(Similarity.ivfTopK(
+      Similarity.assignCells(embeddings, centroids, "vec_id", "embedding"),
+      centroids, queries, "vec_id", "embedding", k = 5, nProbe = 4))
+    assert(incremental.nonEmpty && incremental == fresh)
+  }
+
+  test("replayed ingest converges; retired vectors stop matching") {
+    val dir = tmp()
+    val half = embeddings.filter(col("vec_id") % 2 === 0)
+    IncrementalAnn.ingest(half, dir, centroids, "vec_id", "embedding",
+      nBuckets = 16, keepVersions = 10)
+    val before = IncrementalAnn.readIndex(spark, dir)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    IncrementalAnn.ingest(half, dir, centroids, "vec_id", "embedding",
+      nBuckets = 16, keepVersions = 10)
+    assert(IncrementalAnn.readIndex(spark, dir)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    // retire a vector that currently appears as some query's neighbor
+    val queries = embeddings.filter(col("vec_id") < 4)
+    val hit = IncrementalAnn.topK(spark, dir, centroids, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4)
+      .select(col("neighbor_id")).head().getLong(0)
+    import spark.implicits._
+    IncrementalAnn.retire(spark, dir, Seq(hit).toDF("vec_id"), "vec_id",
+      nBuckets = 16, keepVersions = 10)
+    val after = IncrementalAnn.topK(spark, dir, centroids, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(!after.contains(hit), s"retired vector $hit must not match")
+    // the pre-retire version is still time-travel-readable
+    val vs = SnapshotUpsert.versions(spark, dir)
+    assert(SnapshotUpsert.readVersion(spark, dir, vs.init.last)
+      .where(col("vec_id") === hit).count() == 1)
+  }
+}

@@ -385,6 +385,37 @@ class SnapshotHardeningSpec extends SparkSpec {
     assert(snapSet(dir) == Set((1L, "s4", 4L)))
   }
 
+  test("readAsOf resolves wall-clock time travel against commit timestamps; " +
+      "history lists the retained versions") {
+    val t0 = 1_700_000_000_000L
+    val dir = tmp()
+    def commit(b: org.apache.spark.sql.DataFrame, at: Long): Unit =
+      SnapshotUpsert.upsertBatchSnapshot(b, dir, Seq("id"), "v",
+        nBuckets = 4, keepVersions = 10, nowMs = at)
+    commit(df((1L, "a", 1L)), t0)
+    commit(df((1L, "b", 2L)), t0 + 60_000L)
+    commit(df((1L, "c", 3L), (2L, "d", 1L)), t0 + 120_000L)
+    def asOf(t: Long): Set[(Long, String)] =
+      SnapshotUpsert.readAsOf(spark, dir, t).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // exact commit instant, between commits, and far future
+    assert(asOf(t0) == Set((1L, "a")))
+    assert(asOf(t0 + 90_000L) == Set((1L, "b")))
+    assert(asOf(t0 + 999_999_999L) == Set((1L, "c"), (2L, "d")))
+    // before the first commit: clear aged-out/predates error
+    val e = intercept[RuntimeException] {
+      SnapshotUpsert.readAsOf(spark, dir, t0 - 1L)
+    }
+    assert(e.getMessage.contains("at or before"), e.getMessage)
+    // history: one row per retained version, header-derived
+    val h = SnapshotUpsert.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(h.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(h.map(_._2).toSeq == Seq(t0, t0 + 60_000L, t0 + 120_000L))
+    assert(h.forall(_._3 == 4))
+    assert(h.last._4 >= 2, "v3 references at least its two keys' buckets")
+  }
+
   // ---------------------------------------------------------------- vacuum
 
   test("vacuum sweeps old crash debris but never live files, fresh staging, " +
