@@ -57,16 +57,28 @@ object IncrementalAnn {
   /** Tombstone retired vectors out of the index. `ids` carries one
     * row per retired id in column `idCol`. */
   def retire(spark: SparkSession, indexDir: String, ids: DataFrame,
-      idCol: String, nBuckets: Int = 64, keepVersions: Int = 2): Unit = {
+      idCol: String, keepVersions: Int = 2): Unit = {
+    val fields = readIndex(spark, indexDir).schema.fields
+    // resolve the key by the RECORDED name, loudly: Spark resolution is
+    // case-insensitive, so a case-variant idCol would otherwise let the
+    // null-fill below silently replace the id column and tombstone key
+    // NULL — a retire that retires nothing without an error
+    require(fields.exists(_.name == idCol), {
+      val variant = fields.find(_.name.equalsIgnoreCase(idCol)).map(_.name)
+      s"retire: no column '$idCol' in the index" +
+        variant.fold("")(v => s" (did you mean '$v'? names are exact here)")
+    })
     // null-fill every non-key column with its RECORDED type (cell and
-    // vector types follow whatever the ingested batches carried)
-    val others = readIndex(spark, indexDir).schema.fields
-      .filterNot(_.name == idCol)
-    val tombs = others.foldLeft(ids.select(col(idCol)))((d, f) =>
-      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    // vector types follow whatever the ingested batches carried); the
+    // bucket count likewise comes from the current manifest, not a
+    // restated parameter
+    val tombs = fields.filterNot(_.name == idCol)
+      .foldLeft(ids.select(col(idCol)))((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
       .withColumn("_deleted", lit(true))
     SnapshotUpsert.upsertBatchSnapshot(tombs, indexDir, keys = Seq(idCol),
-      orderCol = "", nBuckets = nBuckets, keepVersions = keepVersions,
-      tombstoneCol = Some("_deleted"))
+      orderCol = "",
+      nBuckets = SnapshotUpsert.currentBuckets(spark, indexDir).get,
+      keepVersions = keepVersions, tombstoneCol = Some("_deleted"))
   }
 }

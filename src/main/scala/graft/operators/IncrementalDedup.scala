@@ -83,13 +83,17 @@ object IncrementalDedup {
     * committed version on. `ids` carries one `doc_id` per retired
     * doc; every band row of each doc is tombstoned. */
   def retire(spark: SparkSession, indexDir: String, ids: DataFrame,
-      bands: Int = 4, nBuckets: Int = 64, keepVersions: Int = 2): Unit = {
+      bands: Int = 4, keepVersions: Int = 2): Unit = {
     val tombs = ids.select(col("doc_id"))
       .crossJoin(spark.range(bands).select(col("id").cast("int").as("band")))
       .withColumn("key", lit(null).cast("string"))
       .withColumn("_deleted", lit(true))
     SnapshotUpsert.upsertBatchSnapshot(tombs, indexDir,
-      keys = Seq("doc_id", "band"), orderCol = "", nBuckets = nBuckets,
+      keys = Seq("doc_id", "band"), orderCol = "",
+      // the current manifest is the layout authority — a restated
+      // bucket count could only be wrong
+      nBuckets = SnapshotUpsert.currentBuckets(spark, indexDir).getOrElse(
+        sys.error(s"retire: no committed index at $indexDir")),
       keepVersions = keepVersions, tombstoneCol = Some("_deleted"))
   }
 }

@@ -677,34 +677,61 @@ object SnapshotUpsert {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Every retained version's manifest, parsed ONCE, tolerant of a
+    * concurrent writer's GC racing the scan: a version listed a moment
+    * ago may have been deleted (or parked as `.gcretry`) by the time
+    * its manifest is read — it just left the retention window, so it
+    * is skipped rather than crashing a read-only API. The NEWEST
+    * manifest is never GC'd, so the current-state guarantee is
+    * unaffected. */
+  private def readRetained(fs: FileSystem, root: Path): Seq[Snapshot] =
+    listVersions(fs, root).flatMap { v =>
+      try Some(readManifest(fs, root, v))
+      catch {
+        case _: TornManifestException => None
+        case _: java.io.FileNotFoundException => None
+      }
+    }
+
+  /** Bucket count of the current committed version (None for a fresh
+    * table) — so maintenance callers need not restate the layout the
+    * manifest already records. */
+  def currentBuckets(spark: SparkSession, targetDir: String): Option[Int] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentSnapshot(fs, root).map(_.nBuckets)
+  }
+
   /** Time-based time travel: the table as of wall-clock `tsMs` — the
     * newest version whose commit timestamp is <= tsMs ("the table as
     * the 02:00 report saw it"). Commit timestamps are the `#ts`
-    * manifest header (monotone under the single-writer contract), so
-    * resolution is a scan of the retained manifests' headers. Fails
-    * with a clear error when every retained version is newer (the
-    * asked-for point has been GC'd — or predates the table). */
+    * manifest header (monotone under the single-writer contract);
+    * resolution parses each retained manifest once and reads the
+    * chosen snapshot directly. Fails with a clear error when every
+    * retained version is newer (the asked-for point has been GC'd — or
+    * predates the table). */
   def readAsOf(spark: SparkSession, targetDir: String, tsMs: Long): DataFrame = {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snaps = committedVersions(fs, root).map(readManifest(fs, root, _))
+    val snaps = readRetained(fs, root)
     require(snaps.nonEmpty, s"readAsOf: no committed version at $targetDir")
     val at = snaps.filter(_.commitTsMs <= tsMs).lastOption.getOrElse(
       sys.error(s"readAsOf: no retained version at or before $tsMs — " +
         s"oldest retained commit is ${snaps.head.commitTsMs} " +
         "(the requested point aged out of retention, or predates the table)"))
-    readVersion(spark, targetDir, at.version)
+    readImage(spark, at.schema,
+      at.files.valuesIterator.flatten.map(rel => s"$root/$rel").toSeq)
   }
 
   /** Table history — one row per retained version: (version,
     * commit_ts_ms, n_buckets, n_files, n_columns). The DESCRIBE-HISTORY
     * answer for audits and retention sizing; driver-side KBs (reads
-    * only manifest headers + file lists, never data). */
+    * manifests, never data). */
   def history(spark: SparkSession, targetDir: String): DataFrame = {
     import spark.implicits._
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    committedVersions(fs, root).map(readManifest(fs, root, _))
+    readRetained(fs, root)
       .map(s => (s.version, s.commitTsMs, s.nBuckets,
         s.files.valuesIterator.map(_.size).sum, s.schema.fields.length))
       .toDF("version", "commit_ts_ms", "n_buckets", "n_files", "n_columns")

@@ -60,8 +60,14 @@ class IncrementalAnnSpec extends SparkSpec {
       "vec_id", "embedding", k = 3, nProbe = 4)
       .select(col("neighbor_id")).head().getLong(0)
     import spark.implicits._
+    // a case-variant key name is refused loudly (silent null-key
+    // tombstoning would retire nothing)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAnn.retire(spark, dir, Seq(hit).toDF("vec_id"), "VEC_ID")
+    }
+    assert(e.getMessage.contains("exact"), e.getMessage)
     IncrementalAnn.retire(spark, dir, Seq(hit).toDF("vec_id"), "vec_id",
-      nBuckets = 16, keepVersions = 10)
+      keepVersions = 10)
     val after = IncrementalAnn.topK(spark, dir, centroids, queries,
       "vec_id", "embedding", k = 3, nProbe = 4)
       .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
