@@ -235,6 +235,57 @@ object AnalyticsQueries {
              |           AND n.ts IS NOT DISTINCT FROM o.ts)""".stripMargin),
     ),
 
+    // Keyed PRUNED READ of a real snapshot-committed table
+    // (SnapshotUpsert.readKeys): the per-user latest-state table is
+    // committed in two batches (even-event image, then the full image —
+    // so the second commit exercises the merge), and the query serves a
+    // point-lookup for the residue-2 users plus a block of absent ids —
+    // reading ONLY the buckets those keys hash into (manifest-pruned
+    // file list, no directory discovery) and semi-joining null-safely.
+    // The oracle recomputes the final image from the raw events and
+    // filters to the same key set; absent ids must return nothing.
+    // NOTE for bench readers: the two table commits execute at plan
+    // construction (eager, real disk writes to a temp dir); per-pass
+    // timings see the pruned read + broadcast semi-join, the
+    // deployment's per-lookup cost.
+    QueryDef(
+      "q_snapshot_read_keys",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        def image(in: org.apache.spark.sql.DataFrame) = in
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("top"))
+          .select(col("user_id"), col("top.event_type").as("event_type"),
+            date_format(col("top.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-readkeys-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(
+          image(ev.where(col("event_id") % 2 === 0)), dir,
+          keys = Seq("user_id"), orderCol = "", nBuckets = 16)
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(
+          image(ev), dir, keys = Seq("user_id"), orderCol = "",
+          nBuckets = 16)
+        val wanted = ev.select(col("user_id"))
+          .where(col("user_id") % 5 === 2).distinct()
+        val lookup = wanted.unionByName(
+          wanted.select((col("user_id") + 1000000L).as("user_id")))
+        graft.streaming.SnapshotUpsert.readKeys(s, dir, lookup,
+          Seq("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img AS (SELECT user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, event_type, ts FROM img
+             |WHERE user_id % 5 = 2""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(

@@ -746,6 +746,55 @@ object SnapshotUpsert {
     readVersion(spark, targetDir, cur.version)
   }
 
+  /** Point/selective read: the current table state restricted to the
+    * keys in `lookup`, scanning ONLY the buckets those keys hash into —
+    * the read-side counterpart of the merge's structural pruning. At
+    * 100 TB a backfill or serving query for a handful of keys must not
+    * read the table; here it reads `|distinct buckets of lookup|` files
+    * (each bucket is one clustered file per version), identified from
+    * the pinned manifest with no directory listing at all.
+    *
+    * `lookup` carries one row per wanted key in the table's key
+    * column(s) (extra columns are ignored); it is expected to be
+    * lookup-sized — its distinct keys are BROADCAST for the semi-join
+    * (for a table-scale probe side, read [[readSnapshot]] and join
+    * normally). Keys match null-safely, like the merge groups them: a
+    * null key is a real key. Key column names are exact (Spark's
+    * case-insensitive resolution would otherwise hash a case-variant
+    * probe column into garbage buckets and silently return nothing).
+    * The driver collects only the distinct BUCKET ids (<= nBuckets
+    * ints), never key values. */
+  def readKeys(spark: SparkSession, targetDir: String, lookup: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentSnapshot(fs, root).getOrElse(
+      sys.error(s"snapshot upsert: no committed version at $targetDir"))
+    require(keys.nonEmpty, "readKeys: need at least one key column")
+    keys.distinct.foreach { k =>
+      require(cur.schema.fieldNames.contains(k), {
+        val variant = cur.schema.fieldNames
+          .find(_.equalsIgnoreCase(k)).filter(_ != k)
+        s"readKeys: no key column '$k' in the table" +
+          variant.fold("")(v => s" (did you mean '$v'? names are exact here)")
+      })
+      require(lookup.schema.fieldNames.contains(k),
+        s"readKeys: lookup has no column '$k' (names are exact here)")
+    }
+    val probes = lookup.select(keys.map(col): _*).distinct()
+    val kbs = probes
+      .select(UpsertSink.bucketOf(keys, cur.nBuckets).as("kb"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val paths = kbs.filter(cur.files.contains)
+      .flatMap(cur.files).map(rel => s"$root/$rel")
+    val image = readImage(spark, cur.schema, paths)
+    if (paths.isEmpty) image // no probed bucket exists: empty, typed
+    else {
+      val cond = keys.map(k => image(k) <=> probes(k)).reduce(_ && _)
+      image.join(broadcast(probes), cond, "left_semi")
+    }
+  }
+
   /** Row-level changes between two committed versions — the CHANGE
     * FEED an incremental downstream consumer replays instead of
     * re-reading the table. Output: the data columns plus `_change` —

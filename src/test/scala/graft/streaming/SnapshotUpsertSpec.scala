@@ -475,4 +475,58 @@ class SnapshotUpsertSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getTimestamp(2))).toMap
     assert(inc.nonEmpty && inc == one)
   }
+
+  test("readKeys scans only the probed buckets and matches a full-scan filter") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L to 63L).map(i => (i, "seed", 1L)): _*), dir, Seq("id"), "v",
+      nBuckets = 8)
+    SnapshotUpsert.upsertBatchSnapshot(df((5L, "upd", 2L)), dir,
+      Seq("id"), "v", nBuckets = 8)
+    import spark.implicits._
+    val lookup = Seq(5L, 17L, 99999L).toDF("id") // 99999 absent
+    val got = SnapshotUpsert.readKeys(spark, dir, lookup, Seq("id"))
+    val want = SnapshotUpsert.readSnapshot(spark, dir)
+      .where(col("id").isin(5L, 17L)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == want)
+    assert(got.collect().map(_.getLong(0)).toSet == Set(5L, 17L))
+    // pruning: the scan's files are EXACTLY the probed buckets' manifest
+    // entries — strictly fewer than the full snapshot's
+    val kbs = lookup.select(UpsertSink.bucketOf(Seq("id"), 8).as("kb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val manifest = manifestFiles(dir, 2L)
+    val expectedRel = kbs.filter(manifest.contains).flatMap(manifest).toSet
+    val gotFiles = got.inputFiles.toSet
+    assert(gotFiles.size == expectedRel.size &&
+      expectedRel.forall(rel => gotFiles.exists(_.endsWith(rel))),
+      s"expected $expectedRel, scanned $gotFiles")
+    assert(gotFiles.size <
+      SnapshotUpsert.readSnapshot(spark, dir).inputFiles.length)
+    // empty lookup: empty result, correct schema, no scan at all
+    val none = SnapshotUpsert.readKeys(spark, dir,
+      Seq.empty[Long].toDF("id"), Seq("id"))
+    assert(none.isEmpty && none.columns.toSeq == Seq("id", "status", "v"))
+  }
+
+  test("readKeys matches null keys null-safely and refuses case-variant names") {
+    val dir = tmp()
+    import spark.implicits._
+    val batch = Seq((Option(1L), "a", 1L), (Option.empty[Long], "nullrow", 1L))
+      .toDF("id", "status", "v")
+    SnapshotUpsert.upsertBatchSnapshot(batch, dir, Seq("id"), "v", nBuckets = 4)
+    val got = SnapshotUpsert
+      .readKeys(spark, dir, Seq(Option.empty[Long]).toDF("id"), Seq("id"))
+      .collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("nullrow"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotUpsert.readKeys(spark, dir, Seq(1L).toDF("id"), Seq("ID"))
+    }
+    assert(e.getMessage.contains("exact"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotUpsert.readKeys(spark, dir, Seq(1L).toDF("wrong"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("lookup"), e2.getMessage)
+  }
 }
