@@ -929,6 +929,63 @@ object DataOpsQueries {
              |FROM r WHERE rank <= 10""".stripMargin),
     ),
 
+    // The INCREMENTAL ingest loop against a STANDING inverted index
+    // (IncrementalText): the corpus is committed in two halves as a
+    // term-bucketed postings table + a doclen table, then retrieval
+    // reads ONLY the query terms' buckets (SnapshotUpsert.readKeys
+    // prefix probe) — and must be bit-identical to q_text_bm25's fresh
+    // whole-corpus ranking (same DuckDB oracle). NOTE for bench
+    // readers: the two index ingests (four snapshot commits) execute
+    // at plan construction (eager, real disk writes to a temp dir);
+    // per-pass timings see the term-pruned fetch + scoring, the
+    // deployment's per-query cost.
+    QueryDef(
+      "q_text_bm25_incremental",
+      (s, d) => {
+        import s.implicits._
+        val all = QueryDef.load(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val qs = Seq((0L, "spark merge join"), (1L, "vector window stream"),
+          (2L, "customer slow filter")).toDF("query_id", "qtext")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-inctext-q").toString
+        graft.operators.IncrementalText.ingest(
+          all.where(col("doc_id") % 2 === 0), dir, "text", "doc_id",
+          nBuckets = 16)
+        graft.operators.IncrementalText.ingest(
+          all.where(col("doc_id") % 2 === 1), dir, "text", "doc_id",
+          nBuckets = 16)
+        graft.operators.IncrementalText.topK(s, dir, qs,
+          "query_id", "qtext", k = 10)
+      },
+      Some("""WITH q(query_id, qtext) AS (VALUES
+             |  (CAST(0 AS BIGINT), 'spark merge join'),
+             |  (1, 'vector window stream'),
+             |  (2, 'customer slow filter')),
+             |w AS (SELECT doc_id,
+             |  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+             |  FROM documents),
+             |toks AS (SELECT doc_id, len(ws) AS n_toks, unnest(ws) AS term FROM w),
+             |tf AS (SELECT doc_id, term, count(*) AS tf_cnt, min(n_toks) AS n_toks
+             |  FROM toks GROUP BY doc_id, term),
+             |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+             |st AS (SELECT count(*) AS n_docs, CAST(sum(len(ws)) AS BIGINT) AS sum_dl FROM w),
+             |qt AS (SELECT query_id, unnest(list_distinct(
+             |  string_split(trim(regexp_replace(lower(qtext), '\s+', ' ', 'g')), ' '))) AS term
+             |  FROM q),
+             |c AS (SELECT qt.query_id, tf.doc_id,
+             |  CAST(round(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             |    * (tf_cnt * 2.2 / (tf_cnt + 1.2 * (0.25 + 0.75 * tf.n_toks
+             |        / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1e6) AS BIGINT) AS c_micro
+             |  FROM tf JOIN qt USING (term) JOIN dfq USING (term), st),
+             |sc AS (SELECT query_id, doc_id, CAST(sum(c_micro) AS BIGINT) AS s_micro
+             |  FROM c GROUP BY 1, 2),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |  ORDER BY s_micro DESC, doc_id ASC) AS rank FROM sc)
+             |SELECT query_id, doc_id, round(s_micro / 1e6, 6) + 0.0 AS bm25, rank
+             |FROM r WHERE rank <= 10""".stripMargin),
+    ),
+
     QueryDef(
       "q_dedup_simhash",
       (s, d) => Dedup.simHash(QueryDef.load(s, d, "documents"), "text", "doc_id"),

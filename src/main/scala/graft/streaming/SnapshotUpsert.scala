@@ -311,15 +311,31 @@ object SnapshotUpsert {
     * remove. A `tombstoneCol` (boolean, NULL = false, not stored) marks
     * deletions: a key whose winning row is a tombstone is dropped from
     * its bucket's rewrite, and [[changesBetween]] can report it as a
-    * `_change='delete'`. */
+    * `_change='delete'`.
+    *
+    * `bucketCols` (default: the keys) buckets the table by a PREFIX of
+    * the key — e.g. a postings table keyed `(term, doc_id)` bucketed by
+    * `term` alone, so [[readKeys]] probed with terms prunes to exactly
+    * those terms' buckets (the inverted-index fetch). Merge correctness
+    * is unaffected: every row of a key shares the key's prefix, so old
+    * and new versions of a key always land in the same bucket. Like
+    * `keys` and `nBuckets`, `bucketCols` is part of the caller's table
+    * contract — every merge against a table must restate the same
+    * prefix (a different one would strand keys in buckets the merge
+    * neither reads nor rewrites). */
   def upsertBatchSnapshot(batch: DataFrame, targetDir: String,
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
       keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
       tombstoneCol: Option[String] = None,
-      nowMs: Long = System.currentTimeMillis()): Unit = {
+      nowMs: Long = System.currentTimeMillis(),
+      bucketCols: Seq[String] = Seq.empty): Unit = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: the next commit's GC must not delete " +
         "files a reader pinned to the current version may still be scanning")
+    require(bucketCols.forall(keys.contains),
+      s"upsert: bucketCols (${bucketCols.mkString(",")}) must be a subset " +
+        s"of the keys (${keys.mkString(",")}) — bucketing by a non-key " +
+        "column would scatter a key's versions across buckets")
     val spark = batch.sparkSession
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -374,9 +390,11 @@ object SnapshotUpsert {
       case None => nullableTop(batchData)
     }
     UpsertSink.withPreparedBatch(batch, keys, nBuckets,
-      populatedTable = cur.exists(_.files.nonEmpty)) { withBucket =>
+      populatedTable = cur.exists(_.files.nonEmpty),
+      bucketCols = bucketCols) { withBucket =>
       commitVersion(withBucket, root, fs, cur, dataSchema, keys, orderCol,
-        nBuckets, keepVersions, keepAgeMs, tombstoneCol, nowMs)
+        nBuckets, keepVersions, keepAgeMs, tombstoneCol, nowMs,
+        if (bucketCols.isEmpty) keys else bucketCols)
     }
   }
 
@@ -397,9 +415,13 @@ object SnapshotUpsert {
   def rebucket(spark: SparkSession, targetDir: String, newBuckets: Int,
       keys: Seq[String], keepVersions: Int = 2,
       keepAgeMs: Option[Long] = None,
-      nowMs: Long = System.currentTimeMillis()): Unit = {
+      nowMs: Long = System.currentTimeMillis(),
+      bucketCols: Seq[String] = Seq.empty): Unit = {
     require(newBuckets > 0, s"rebucket: newBuckets must be > 0, got $newBuckets")
     require(keepVersions >= 2, "keepVersions must be >= 2")
+    require(bucketCols.forall(keys.contains),
+      s"rebucket: bucketCols (${bucketCols.mkString(",")}) must be a " +
+        s"subset of the keys (${keys.mkString(",")})")
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentSnapshot(fs, root).getOrElse(
@@ -411,7 +433,8 @@ object SnapshotUpsert {
     // read under the recorded schema: files from before a schema
     // evolution lack the newer columns (null-filled here)
     spark.read.schema(cur.schema).parquet(allPaths: _*)
-      .withColumn("kb", UpsertSink.bucketOf(keys, newBuckets))
+      .withColumn("kb", UpsertSink.bucketOf(
+        if (bucketCols.isEmpty) keys else bucketCols, newBuckets))
       .repartition(newBuckets min 4096, col("kb"))
       .write.partitionBy("kb").parquet(versionDir.toString)
     // nothing is carried: the new layout's manifest is exactly the
@@ -429,7 +452,7 @@ object SnapshotUpsert {
       dataSchema: org.apache.spark.sql.types.StructType, keys: Seq[String],
       orderCol: String, nBuckets: Int, keepVersions: Int,
       keepAgeMs: Option[Long], tombstoneCol: Option[String],
-      nowMs: Long): Unit = {
+      nowMs: Long, bucketCols: Seq[String]): Unit = {
     val spark = withBucket.sparkSession
     val dataCols = dataSchema.fieldNames.toSeq
     val populated: Set[Int] = cur.map(_.files.keySet).getOrElse(Set.empty)
@@ -448,7 +471,7 @@ object SnapshotUpsert {
     val existing =
       if (toRead.nonEmpty)
         spark.read.schema(dataSchema).parquet(toRead: _*)
-          .withColumn("kb", UpsertSink.bucketOf(keys, nBuckets))
+          .withColumn("kb", UpsertSink.bucketOf(bucketCols, nBuckets))
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -754,8 +777,12 @@ object SnapshotUpsert {
     * (each bucket is one clustered file per version), identified from
     * the pinned manifest with no directory listing at all.
     *
-    * `lookup` carries one row per wanted key in the table's key
-    * column(s) (extra columns are ignored); it is expected to be
+    * `lookup` carries one row per wanted key in the table's BUCKET
+    * column(s) — the keys, unless the table was written with a
+    * `bucketCols` prefix, in which case pass that prefix (e.g. probe a
+    * `(term, doc_id)`-keyed postings table bucketed by `term` with
+    * terms alone: the result is every posting of the probed terms).
+    * Extra lookup columns are ignored; the lookup is expected to be
     * lookup-sized — its distinct keys are BROADCAST for the semi-join
     * (for a table-scale probe side, read [[readSnapshot]] and join
     * normally). Keys match null-safely, like the merge groups them: a

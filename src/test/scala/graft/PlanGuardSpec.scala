@@ -25,6 +25,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_dedup_semantic", // reuses the brute/verify cross on candidates
     "q_text_tfidf", // single-row n_docs scalar
     "q_text_bm25", // single-row corpus-stats scalar
+    "q_text_bm25_incremental", // the same single-row corpus-stats
+    // scalar cross; the postings side reads the COMMITTED term-pruned
+    // index, no corpus tokenization in the plan
     "q_hybrid_retrieval", // brute leg's 8-query broadcast cross + bm25 scalar
     "q_text_unigram", // single-row total-tokens scalar
     "q_lm_perplexity", // single-row vocabulary-size scalar

@@ -510,6 +510,35 @@ class SnapshotUpsertSpec extends SparkSpec {
     assert(none.isEmpty && none.columns.toSeq == Seq("id", "status", "v"))
   }
 
+  test("bucketCols: a key-prefix layout co-locates the prefix and merges in place") {
+    val dir = tmp()
+    import spark.implicits._
+    val b = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 30L))
+      .toDF("grp", "id", "v")
+    SnapshotUpsert.upsertBatchSnapshot(b, dir, Seq("grp", "id"),
+      orderCol = "", nBuckets = 8, bucketCols = Seq("grp"))
+    // the whole prefix lives in ONE bucket: probing 'a' reads one file
+    // and returns both of its rows
+    val got = SnapshotUpsert.readKeys(spark, dir, Seq("a").toDF("grp"),
+      Seq("grp"))
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 1L), ("a", 2L)))
+    assert(got.inputFiles.length == 1)
+    // a merge restating the same prefix layout updates the key in place
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq(("a", 1L, 99L)).toDF("grp", "id", "v"), dir, Seq("grp", "id"),
+      orderCol = "", nBuckets = 8, bucketCols = Seq("grp"))
+    assert(SnapshotUpsert.readKeys(spark, dir, Seq("a").toDF("grp"),
+        Seq("grp")).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 99L), (2L, 20L)))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotUpsert.upsertBatchSnapshot(b, dir, Seq("grp", "id"),
+        orderCol = "", nBuckets = 8, bucketCols = Seq("v"))
+    }
+    assert(e.getMessage.contains("subset"), e.getMessage)
+  }
+
   test("readKeys matches null keys null-safely and refuses case-variant names") {
     val dir = tmp()
     import spark.implicits._
