@@ -412,26 +412,58 @@ object TextAnalysis {
       idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
-      .select(col("doc_id"), col("__ws"), size(col("__ws")).as("n_toks"),
-        explode_outer(array_distinct(col("__ws"))).as("term"))
-      .withColumn("tf_cnt",
-        size(filter(col("__ws"), w => w === col("term"))).cast("long"))
-      .drop("__ws")
+    val tf = bm25Postings(docs, textCol, idCol)
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     // Exact integer corpus totals; avgdl is ONE double division.
     val stats = docs
       .select(size(Dedup.words(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val qterms = queries.select(col(qIdCol).as("query_id"),
-        explode(array_distinct(Dedup.words(col(qTextCol)))).as("term"))
+    bm25Rank(tf, docFreq, stats, bm25QueryTerms(queries, qIdCol, qTextCol),
+      k, k1, b, excludeSelf)
+  }
+
+  /** One row per (term, doc): `(term, doc_id, tf_cnt, n_toks)` — the
+    * postings/tf half of [[bm25TopK]] (tf = a filter-count inside the
+    * materialized words array; a doc with no tokens keeps one
+    * NULL-term row, which no real query term joins). SHARED with
+    * [[IncrementalText]], whose standing index stores exactly these
+    * rows — one definition is what keeps the incremental scores
+    * bit-identical to the batch operator. */
+  private[operators] def bm25Postings(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), col("__ws"), size(col("__ws")).as("n_toks"),
+        explode_outer(array_distinct(col("__ws"))).as("term"))
+      .withColumn("tf_cnt",
+        size(filter(col("__ws"), w => w === col("term"))).cast("long"))
+      .select(col("term"), col("doc_id"), col("tf_cnt"), col("n_toks"))
+
+  /** Distinct (query_id, term) rows under the corpus tokenizer. */
+  private[operators] def bm25QueryTerms(
+      queries: org.apache.spark.sql.DataFrame, qIdCol: String,
+      qTextCol: String): org.apache.spark.sql.DataFrame =
+    queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(qTextCol)))).as("term"))
+
+  /** The scoring+ranking half of [[bm25TopK]], from postings-shaped
+    * inputs: `postings` as produced by [[bm25Postings]] (or read back
+    * from [[IncrementalText]]'s index), `docFreq` = (term, doc_freq),
+    * `stats` = one row (n_docs, sum_dl), `qterms` as produced by
+    * [[bm25QueryTerms]]. Exact integer micro-unit contribution sums;
+    * deterministic tie-break (score desc, doc_id asc). */
+  private[operators] def bm25Rank(postings: org.apache.spark.sql.DataFrame,
+      docFreq: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      qterms: org.apache.spark.sql.DataFrame, k: Int, k1: Double,
+      b: Double, excludeSelf: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5)))
     val w = col("tf_cnt").cast("double") * (k1 + 1) /
       (col("tf_cnt") + lit(k1) * (lit(1.0 - b) + lit(b) * col("n_toks") / avgdl))
-    val contrib = tf.join(broadcast(qterms), "term")
+    val contrib = postings.join(broadcast(qterms), "term")
       .join(docFreq, "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),

@@ -95,7 +95,8 @@ object SnapshotUpsert {
     * version's recorded schema, so those columns surface as NULL. */
   case class Snapshot(version: Long, nBuckets: Int, commitTsMs: Long,
       schema: org.apache.spark.sql.types.StructType,
-      files: Map[Int, Seq[String]])
+      files: Map[Int, Seq[String]],
+      bucketCols: Option[Seq[String]] = None)
 
   /** A manifest file that exists but lacks the `#eof` trailer: its
     * writer died mid-commit, so the version never became readable. */
@@ -178,7 +179,8 @@ object SnapshotUpsert {
     val ts = headers.get("ts").map(_.toLong)
       .getOrElse(fs.getFileStatus(path).getModificationTime)
     Snapshot(v, headers("nbuckets").toInt, ts,
-      org.apache.spark.sql.types.StructType.fromDDL(headers("schema")), files)
+      org.apache.spark.sql.types.StructType.fromDDL(headers("schema")), files,
+      headers.get("bucketcols").map(_.split(",", -1).toSeq))
   }
 
   /** Create-exclusive write of a manifest file — THE commit point of
@@ -190,11 +192,19 @@ object SnapshotUpsert {
   private[streaming] def commitManifest(fs: FileSystem, root: Path,
       version: Long, nBuckets: Int,
       schema: org.apache.spark.sql.types.StructType,
-      files: Map[Int, Seq[String]], nowMs: Long): Unit = {
+      files: Map[Int, Seq[String]], nowMs: Long,
+      bucketCols: Option[Seq[String]] = None): Unit = {
+    // a prefix-bucketed layout is recorded IN the manifest (like
+    // nBuckets): a later merge must restate it or its rows would land
+    // in buckets the prefix layout never reads
+    bucketCols.foreach(bc => require(
+      bc.forall(c => !c.contains(",") && !c.contains("\n")),
+      s"bucketCols names must not contain ',' or newlines: $bc"))
     fs.mkdirs(new Path(root, ManifestDir))
     val target = manifestPath(root, version)
     val body = (Iterator(s"#nbuckets=$nBuckets", s"#ts=$nowMs",
       s"#schema=${schema.toDDL}") ++
+      bucketCols.iterator.map(bc => s"#bucketcols=${bc.mkString(",")}") ++
       SortedMap.from(files).iterator.flatMap { case (b, fs0) =>
         fs0.map(f => s"$b\t$f")
       } ++ Iterator(Eof)).mkString("\n")
@@ -354,6 +364,21 @@ object SnapshotUpsert {
           s"upsert: table at $root is laid out with nBuckets=${c.nBuckets}; " +
             s"merging with nBuckets=$nBuckets would strand rows in stale " +
             "buckets (use rebucket to change the layout)")
+        // the bucket-column layout is recorded in the manifest like
+        // nBuckets: a merge restating a different prefix (or forgetting
+        // the recorded one) would bucket the batch into buckets the
+        // table's layout never reads — silent duplicate keys
+        val effectiveBc = if (bucketCols.isEmpty) keys else bucketCols
+        c.bucketCols match {
+          case Some(rec) => require(effectiveBc == rec,
+            s"upsert: table at $root is bucketed by (${rec.mkString(",")}); " +
+              s"merging bucketed by (${effectiveBc.mkString(",")}) would " +
+              "strand rows in stale buckets (use rebucket to change the layout)")
+          case None => require(effectiveBc == keys,
+            s"upsert: table at $root is bucketed by its keys; merging with " +
+              s"bucketCols=(${effectiveBc.mkString(",")}) would strand rows " +
+              "in stale buckets (use rebucket to change the layout)")
+        }
       case None =>
         UpsertSink.pinLayout(fs, root, nBuckets)
     }
@@ -440,7 +465,8 @@ object SnapshotUpsert {
     // nothing is carried: the new layout's manifest is exactly the
     // staged set, and the header flips the layout in the same commit
     val staged = stagedFiles(fs, versionDir)
-    commitManifest(fs, root, version, newBuckets, cur.schema, staged, nowMs)
+    commitManifest(fs, root, version, newBuckets, cur.schema, staged, nowMs,
+      Some(if (bucketCols.isEmpty) keys else bucketCols).filter(_ != keys))
     gc(fs, root, version, staged, Some(cur), keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
     // what merges validate against
@@ -500,7 +526,8 @@ object SnapshotUpsert {
     val carried = cur.map(_.files).getOrElse(Map.empty)
       .filterNot { case (b, _) => touchedSet(b) }
     val manifest = carried ++ staged
-    commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs)
+    commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
+      Some(bucketCols).filter(_ != keys))
     gc(fs, root, version, manifest, cur, keepVersions, keepAgeMs, nowMs)
   }
 
@@ -786,11 +813,15 @@ object SnapshotUpsert {
     * lookup-sized — its distinct keys are BROADCAST for the semi-join
     * (for a table-scale probe side, read [[readSnapshot]] and join
     * normally). Keys match null-safely, like the merge groups them: a
-    * null key is a real key. Key column names are exact (Spark's
-    * case-insensitive resolution would otherwise hash a case-variant
-    * probe column into garbage buckets and silently return nothing).
-    * The driver collects only the distinct BUCKET ids (<= nBuckets
-    * ints), never key values. */
+    * null key is a real key. Key column names are exact and their
+    * types must match the table's recorded types (Spark's
+    * case-insensitive resolution — or xxhash64's type-sensitivity —
+    * would otherwise hash a case- or type-variant probe into garbage
+    * buckets and silently return nothing). The lookup is evaluated
+    * ONCE: its distinct keys are collected to the driver (lookup-sized
+    * by contract — they are broadcast anyway), so the bucket ids and
+    * the semi-join probes can never disagree on a non-deterministic
+    * lookup. */
   def readKeys(spark: SparkSession, targetDir: String, lookup: DataFrame,
       keys: Seq[String]): DataFrame = {
     val root = new Path(targetDir)
@@ -798,6 +829,9 @@ object SnapshotUpsert {
     val cur = currentSnapshot(fs, root).getOrElse(
       sys.error(s"snapshot upsert: no committed version at $targetDir"))
     require(keys.nonEmpty, "readKeys: need at least one key column")
+    cur.bucketCols.foreach(rec => require(keys == rec,
+      s"readKeys: table at $root is bucketed by (${rec.mkString(",")}); " +
+        s"probing by (${keys.mkString(",")}) would read the wrong buckets"))
     keys.distinct.foreach { k =>
       require(cur.schema.fieldNames.contains(k), {
         val variant = cur.schema.fieldNames
@@ -807,8 +841,17 @@ object SnapshotUpsert {
       })
       require(lookup.schema.fieldNames.contains(k),
         s"readKeys: lookup has no column '$k' (names are exact here)")
+      val tt = deepNullable(cur.schema(k).dataType)
+      val lt = deepNullable(lookup.schema(k).dataType)
+      require(lt == tt,
+        s"readKeys: lookup column '$k' is ${lt.simpleString} but the table " +
+          s"records ${tt.simpleString} — the bucket hash is type-sensitive, " +
+          "so a type-variant probe would read the wrong buckets; cast the " +
+          "lookup to the table's type")
     }
-    val probes = lookup.select(keys.map(col): _*).distinct()
+    val projected = lookup.select(keys.map(col): _*).distinct()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(projected.collect(): _*), projected.schema)
     val kbs = probes
       .select(UpsertSink.bucketOf(keys, cur.nBuckets).as("kb"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -848,10 +891,12 @@ object SnapshotUpsert {
     val from = readManifest(fs, root, fromVersion)
     val to = readManifest(fs, root, toVersion)
     // bucket numbers are comparable ONLY within one layout: across a
-    // rebucket the same number holds different key sets (and a bucket
-    // empty under the new layout would HIDE the old file sharing its
-    // number), so a cross-layout diff reads both images whole
-    val sameLayout = from.nBuckets == to.nBuckets
+    // rebucket (count OR bucket-column change) the same number holds
+    // different key sets (and a bucket empty under the new layout would
+    // HIDE the old file sharing its number), so a cross-layout diff
+    // reads both images whole
+    val sameLayout = from.nBuckets == to.nBuckets &&
+      from.bucketCols == to.bucketCols
     val changedBuckets: Seq[Int] =
       if (sameLayout)
         // union of both keysets: a bucket absent from `to` (every key
@@ -1016,8 +1061,9 @@ object SnapshotUpsert {
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
       keepVersions: Int = 2, drainOnce: Boolean = false,
       outputMode: String = "append", keepAgeMs: Option[Long] = None,
-      tombstoneCol: Option[String] = None): StreamingQuery =
+      tombstoneCol: Option[String] = None,
+      bucketCols: Seq[String] = Seq.empty): StreamingQuery =
     UpsertSink.startForeachBatch(stream, checkpoint, outputMode, drainOnce)(
       b => upsertBatchSnapshot(b, targetDir, keys, orderCol, nBuckets,
-        keepVersions, keepAgeMs, tombstoneCol))
+        keepVersions, keepAgeMs, tombstoneCol, bucketCols = bucketCols))
 }

@@ -537,6 +537,22 @@ class SnapshotUpsertSpec extends SparkSpec {
         orderCol = "", nBuckets = 8, bucketCols = Seq("v"))
     }
     assert(e.getMessage.contains("subset"), e.getMessage)
+    // the prefix layout is RECORDED in the manifest: a merge that
+    // forgets it (or states a different one) is refused loudly instead
+    // of stranding rows in buckets the layout never reads
+    val forgot = intercept[IllegalArgumentException] {
+      SnapshotUpsert.upsertBatchSnapshot(
+        Seq(("c", 9L, 1L)).toDF("grp", "id", "v"), dir, Seq("grp", "id"),
+        orderCol = "", nBuckets = 8)
+    }
+    assert(forgot.getMessage.contains("bucketed by (grp)"), forgot.getMessage)
+    // and readKeys probing by columns other than the recorded prefix
+    // is refused too
+    val wrongProbe = intercept[IllegalArgumentException] {
+      SnapshotUpsert.readKeys(spark, dir, Seq(1L).toDF("id"), Seq("id"))
+    }
+    assert(wrongProbe.getMessage.contains("bucketed by (grp)"),
+      wrongProbe.getMessage)
   }
 
   test("readKeys matches null keys null-safely and refuses case-variant names") {
@@ -557,5 +573,12 @@ class SnapshotUpsertSpec extends SparkSpec {
       SnapshotUpsert.readKeys(spark, dir, Seq(1L).toDF("wrong"), Seq("id"))
     }
     assert(e2.getMessage.contains("lookup"), e2.getMessage)
+    // a type-variant probe is refused (xxhash64 is type-sensitive: an
+    // INT probe of a BIGINT key would read the wrong buckets and
+    // silently return nothing)
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotUpsert.readKeys(spark, dir, Seq(1).toDF("id"), Seq("id"))
+    }
+    assert(e3.getMessage.contains("type-sensitive"), e3.getMessage)
   }
 }
