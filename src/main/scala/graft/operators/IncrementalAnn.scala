@@ -21,11 +21,23 @@ import org.apache.spark.sql.functions._
   * table-sized rewrite, like [[SnapshotUpsert.rebucket]].
   *
   * Index layout: one row per vector — `(id, cell, vector)`, keyed on
-  * the id, merged in arrival order: a re-ingested vector re-states (or,
-  * if its embedding changed, re-assigns) itself idempotently; retired
-  * vectors are tombstoned out and stop matching from the next version.
-  * Search is exactly [[Similarity.ivfTopK]] over the committed
-  * assignment — probe nProbe cells, exact-rerank inside.
+  * (cell, id) and BUCKETED BY `cell` alone (the `bucketCols` prefix,
+  * recorded in the manifest): the table IS the inverted file, so
+  * [[topK]] reads ONLY the probed cells' buckets — `nProbe x queries`
+  * distinct buckets, never the index — via [[SnapshotUpsert.readKeys]].
+  * Search semantics are exactly [[Similarity.ivfTopK]] over the
+  * committed assignment (the probe selection is the SHARED
+  * [[Similarity.probeSet]], so the pruned read covers every cell the
+  * scorer joins).
+  *
+  * Contract: a vector's ingest is append-or-identical-replay. Replays
+  * converge (same embedding -> same cell -> same key re-states
+  * itself), but a CHANGED embedding can land in a DIFFERENT cell — a
+  * different key, so the old row would survive as a stale duplicate.
+  * To update a vector, [[retire]] it first, then ingest the new
+  * embedding (same rule as [[IncrementalText]]'s changed-doc
+  * re-ingest). Retired vectors are tombstoned out and stop matching
+  * from the next version.
   */
 object IncrementalAnn {
 
@@ -37,8 +49,8 @@ object IncrementalAnn {
     val assigned = Similarity.assignCells(batch, centroids, idCol, vecCol)
       .select(col(idCol), col("cell"), col(vecCol))
     SnapshotUpsert.upsertBatchSnapshot(assigned, indexDir,
-      keys = Seq(idCol), orderCol = "", nBuckets = nBuckets,
-      keepVersions = keepVersions)
+      keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
+      keepVersions = keepVersions, bucketCols = Seq("cell"))
   }
 
   /** The committed index (id, cell, vector) at its current version. */
@@ -47,18 +59,29 @@ object IncrementalAnn {
 
   /** Approximate top-k of `queries` against the committed index:
     * probe + exact rerank, identical semantics to running
-    * [[Similarity.ivfTopK]] over the freshly-assigned whole corpus. */
+    * [[Similarity.ivfTopK]] over the freshly-assigned whole corpus —
+    * but reading ONLY the probed cells' buckets (the inverted-file
+    * fetch; non-probed cells never join the scorer, so pruning them
+    * from the read cannot change the result). */
   def topK(spark: SparkSession, indexDir: String, centroids: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
-      nProbe: Int = 4): DataFrame =
-    Similarity.ivfTopK(readIndex(spark, indexDir), centroids, queries,
-      idCol, vecCol, k = k, nProbe = nProbe)
+      nProbe: Int = 4): DataFrame = {
+    val cells = Similarity.probeSet(centroids, queries, idCol, vecCol, nProbe)
+      .select(col("cell")).distinct()
+    val index = SnapshotUpsert.readKeys(spark, indexDir, cells, Seq("cell"))
+    Similarity.ivfTopK(index, centroids, queries, idCol, vecCol,
+      k = k, nProbe = nProbe)
+  }
 
-  /** Tombstone retired vectors out of the index. `ids` carries one
-    * row per retired id in column `idCol`. */
+  /** Tombstone retired vectors out of the index. `ids` carries one row
+    * per retired id in column `idCol`. The index is keyed (cell, id)
+    * and `ids` carries no cells, so the retire SCANS the index once to
+    * resolve them (a semi-join against the batch of ids) — retire is
+    * the rare maintenance path; the scan is its honest cost. */
   def retire(spark: SparkSession, indexDir: String, ids: DataFrame,
       idCol: String, keepVersions: Int = 2): Unit = {
-    val fields = readIndex(spark, indexDir).schema.fields
+    val index = readIndex(spark, indexDir)
+    val fields = index.schema.fields
     // resolve the key by the RECORDED name, loudly: Spark resolution is
     // case-insensitive, so a case-variant idCol would otherwise let the
     // null-fill below silently replace the id column and tombstone key
@@ -68,17 +91,18 @@ object IncrementalAnn {
       s"retire: no column '$idCol' in the index" +
         variant.fold("")(v => s" (did you mean '$v'? names are exact here)")
     })
-    // null-fill every non-key column with its RECORDED type (cell and
-    // vector types follow whatever the ingested batches carried); the
-    // bucket count likewise comes from the current manifest, not a
-    // restated parameter
-    val tombs = fields.filterNot(_.name == idCol)
-      .foldLeft(ids.select(col(idCol)))((d, f) =>
+    // the retired rows' (cell, id) keys, with every non-key column
+    // null-filled at its RECORDED type; layout from the manifest
+    val keyRows = index.join(ids.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col("cell"), col(idCol))
+    val tombs = fields.filterNot(f => f.name == idCol || f.name == "cell")
+      .foldLeft(keyRows)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
       .withColumn("_deleted", lit(true))
-    SnapshotUpsert.upsertBatchSnapshot(tombs, indexDir, keys = Seq(idCol),
-      orderCol = "",
+    SnapshotUpsert.upsertBatchSnapshot(tombs, indexDir,
+      keys = Seq("cell", idCol), orderCol = "",
       nBuckets = SnapshotUpsert.currentBuckets(spark, indexDir).get,
-      keepVersions = keepVersions, tombstoneCol = Some("_deleted"))
+      keepVersions = keepVersions, tombstoneCol = Some("_deleted"),
+      bucketCols = Seq("cell"))
   }
 }

@@ -232,20 +232,32 @@ object Similarity {
   private[graft] def ivfScored(assigned: DataFrame, centroids: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       nProbe: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val probes = probeSet(centroids, queries, idCol, vecCol, nProbe)
     val c = assigned.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("nv"), col("cell"))
     c.join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cos"))
+  }
+
+  /** The probe selection of [[ivfScored]] — one row per (query, probed
+    * cell) with the query vector: the nProbe nearest centroids' cells
+    * per query (tiebreak: lowest cell). SHARED with
+    * [[IncrementalAnn]], which collects the distinct cells to prune
+    * its index read to exactly the probed buckets — one definition is
+    * what guarantees the pruned set covers every cell the scorer will
+    * join. */
+  private[graft] def probeSet(centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
   }
 
   /** Approximate top-k over an IVF index: probe the `nProbe` cells

@@ -77,4 +77,43 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(SnapshotUpsert.readVersion(spark, dir, vs.init.last)
       .where(col("vec_id") === hit).count() == 1)
   }
+
+  test("topK reads only the probed cells' buckets (inverted-file fetch)") {
+    val dir = tmp()
+    IncrementalAnn.ingest(embeddings, dir, centroids, "vec_id",
+      "embedding", nBuckets = 16)
+    val queries = embeddings.filter(col("vec_id") < 2)
+    val pruned = IncrementalAnn.topK(spark, dir, centroids, queries,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val marker = new java.io.File(dir).getName
+    val prunedIdx = pruned.inputFiles.count(_.contains(marker))
+    val fullIdx = IncrementalAnn.readIndex(spark, dir).inputFiles.length
+    assert(prunedIdx > 0 && prunedIdx < fullIdx,
+      s"probed $prunedIdx of $fullIdx index files")
+    // and the pruned search still matches the fresh whole-corpus run
+    assert(topkSet(pruned) == topkSet(Similarity.ivfTopK(
+      Similarity.assignCells(embeddings, centroids, "vec_id", "embedding"),
+      centroids, queries, "vec_id", "embedding", k = 3, nProbe = 2)))
+  }
+
+  test("a changed embedding is retire-then-ingest: exactly one row survives") {
+    import spark.implicits._
+    val dir = tmp()
+    IncrementalAnn.ingest(embeddings.filter(col("vec_id") < 32), dir,
+      centroids, "vec_id", "embedding", nBuckets = 16, keepVersions = 10)
+    // re-embed vector 20 with vector 3's embedding (a different cell
+    // in general): the documented update path is retire + ingest
+    val updated = embeddings.filter(col("vec_id") === 3)
+      .select(lit(20L).as("vec_id"), col("embedding"))
+    IncrementalAnn.retire(spark, dir, Seq(20L).toDF("vec_id"), "vec_id",
+      keepVersions = 10)
+    IncrementalAnn.ingest(updated, dir, centroids, "vec_id", "embedding",
+      nBuckets = 16, keepVersions = 10)
+    val rows = IncrementalAnn.readIndex(spark, dir)
+      .where(col("vec_id") === 20L).collect()
+    assert(rows.length == 1, s"exactly one row for the updated id: ${rows.length}")
+    val freshCell = Similarity.assignCells(updated, centroids,
+      "vec_id", "embedding").select(col("cell")).head().getLong(0)
+    assert(rows.head.getLong(1) == freshCell)
+  }
 }
