@@ -42,12 +42,31 @@ import org.apache.spark.sql.functions._
 object IncrementalAnn {
 
   /** One ingest step: assign the batch against the fixed centroids and
-    * commit the assigned rows as the index's next version. */
+    * commit the assigned rows as the index's next version.
+    * `verifyNoReassign` turns the changed-embedding misuse (see object
+    * doc: a re-ingested vector landing in a different cell leaves a
+    * stale duplicate) into a loud error by checking the batch's ids
+    * against the committed index first — an extra index scan per
+    * ingest, so it is OFF by default and meant for callers whose
+    * upstream cannot promise append-or-identical batches. */
   def ingest(batch: DataFrame, indexDir: String, centroids: DataFrame,
       idCol: String, vecCol: String, nBuckets: Int = 64,
-      keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 2, verifyNoReassign: Boolean = false): Unit = {
+    val spark = batch.sparkSession
     val assigned = Similarity.assignCells(batch, centroids, idCol, vecCol)
       .select(col(idCol), col("cell"), col(vecCol))
+    if (verifyNoReassign &&
+        SnapshotUpsert.currentBuckets(spark, indexDir).isDefined) {
+      val moved = readIndex(spark, indexDir)
+        .select(col(idCol), col("cell").as("__oldcell"))
+        .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+        .where(col("cell") =!= col("__oldcell"))
+        .select(col(idCol)).limit(5).collect().map(_.get(0))
+      require(moved.isEmpty,
+        s"ingest: batch re-assigns already-indexed ids to different cells " +
+          s"(e.g. ${moved.mkString(", ")}) — the old rows would survive as " +
+          "stale duplicates; retire these ids first, then ingest")
+    }
     SnapshotUpsert.upsertBatchSnapshot(assigned, indexDir,
       keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
       keepVersions = keepVersions, bucketCols = Seq("cell"))
@@ -66,11 +85,17 @@ object IncrementalAnn {
   def topK(spark: SparkSession, indexDir: String, centroids: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
-    val cells = Similarity.probeSet(centroids, queries, idCol, vecCol, nProbe)
-      .select(col("cell")).distinct()
-    val index = SnapshotUpsert.readKeys(spark, indexDir, cells, Seq("cell"))
-    Similarity.ivfTopK(index, centroids, queries, idCol, vecCol,
-      k = k, nProbe = nProbe)
+    // the probe set is MATERIALIZED once and feeds BOTH the pruned
+    // index read and the scorer: one definition is not enough — a
+    // re-evaluated non-deterministic `queries` could probe a cell
+    // whose bucket was never read, silently dropping neighbors
+    val probes = Similarity
+      .probeSet(centroids, queries, idCol, vecCol, nProbe)
+      .localCheckpoint(true)
+    val index = SnapshotUpsert.readKeys(spark, indexDir,
+      probes.select(col("cell")).distinct(), Seq("cell"))
+    Similarity.ivfRank(
+      Similarity.ivfScoredProbes(index, probes, idCol, vecCol), k)
   }
 
   /** Tombstone retired vectors out of the index. `ids` carries one row

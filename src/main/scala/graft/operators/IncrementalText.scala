@@ -65,9 +65,14 @@ object IncrementalText {
     * the corpus — but can only change when a commit does, so each JVM
     * pays it once per version instead of once per query batch (the
     * rehearsal measured this as the dominant retrieval term at 5M
-    * docs). Keyed by version, a stale entry is impossible: a new
-    * commit is a new key, and old entries are dropped with the table's
-    * retention. */
+    * docs). The aggregate reads the PINNED version (not "current" — a
+    * commit landing between the version lookup and the scan must not
+    * memoize the newer state under the older key), runs OUTSIDE the
+    * map's locks (a concurrent first query may duplicate the scan; it
+    * must never serialize unrelated readers behind a Spark job), and
+    * inserting a version EVICTS the same table's older entries, so the
+    * cache holds one live entry per table, not one per commit ever
+    * made. */
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long)]()
 
@@ -76,11 +81,15 @@ object IncrementalText {
     val dl = doclenDir(indexDir)
     val ver = SnapshotUpsert.versions(spark, dl).lastOption.getOrElse(
       sys.error(s"topK: no committed index at $indexDir"))
-    statsCache.computeIfAbsent((dl, ver), _ => {
-      val r = SnapshotUpsert.readSnapshot(spark, dl)
+    val key = (dl, ver)
+    Option(statsCache.get(key)).getOrElse {
+      val r = SnapshotUpsert.readVersion(spark, dl, ver)
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    })
+      val v = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      statsCache.putIfAbsent(key, v)
+      statsCache.keySet.removeIf(k => k._1 == dl && k._2 < ver)
+      v
+    }
   }
 
   /** Add (or identically replay) a batch of docs to the standing

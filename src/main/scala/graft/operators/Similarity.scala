@@ -231,14 +231,35 @@ object Similarity {
     * every (query, neighbor) pair that reaches the exact cosine. */
   private[graft] def ivfScored(assigned: DataFrame, centroids: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
-      nProbe: Int): DataFrame = {
-    val probes = probeSet(centroids, queries, idCol, vecCol, nProbe)
+      nProbe: Int): DataFrame =
+    ivfScoredProbes(assigned,
+      probeSet(centroids, queries, idCol, vecCol, nProbe), idCol, vecCol)
+
+  /** The scorer against an ALREADY-SELECTED probe set (one row per
+    * (query, probed cell) with the query vector) — so a caller that
+    * materialized the probes (e.g. [[IncrementalAnn.topK]], which also
+    * prunes its index read by them) can guarantee the scorer joins
+    * exactly the probed cells: one EVALUATION, not just one
+    * definition. */
+  private[graft] def ivfScoredProbes(assigned: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val c = assigned.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("nv"), col("cell"))
     c.join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cos"))
+  }
+
+  /** The exact-rerank tail of [[ivfTopK]]: rank the scored pairs and
+    * keep top-k per query (tiebreak: lowest neighbor id). */
+  private[graft] def ivfRank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"))
   }
 
   /** The probe selection of [[ivfScored]] — one row per (query, probed
@@ -263,15 +284,8 @@ object Similarity {
   /** Approximate top-k over an IVF index: probe the `nProbe` cells
     * whose centroids are nearest each query, exact-rerank inside. */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int = 5, nProbe: Int = 4): DataFrame = {
-    val scored = ivfScored(assigned, centroids, queries, idCol, vecCol, nProbe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        (round(col("cos"), 4) + lit(0.0)).as("cos"), col("rank"))
-  }
+      idCol: String, vecCol: String, k: Int = 5, nProbe: Int = 4): DataFrame =
+    ivfRank(ivfScored(assigned, centroids, queries, idCol, vecCol, nProbe), k)
 
   /** Embedding near-dup pairs within a sliding id window — the exact
     * verifier shape used after any blocking scheme; `window` bounds the

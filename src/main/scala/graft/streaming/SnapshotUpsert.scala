@@ -466,7 +466,7 @@ object SnapshotUpsert {
     // staged set, and the header flips the layout in the same commit
     val staged = stagedFiles(fs, versionDir)
     commitManifest(fs, root, version, newBuckets, cur.schema, staged, nowMs,
-      Some(if (bucketCols.isEmpty) keys else bucketCols).filter(_ != keys))
+      Some(if (bucketCols.isEmpty) keys else bucketCols))
     gc(fs, root, version, staged, Some(cur), keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
     // what merges validate against
@@ -526,8 +526,12 @@ object SnapshotUpsert {
     val carried = cur.map(_.files).getOrElse(Map.empty)
       .filterNot { case (b, _) => touchedSet(b) }
     val manifest = carried ++ staged
+    // ALWAYS recorded (not only for proper prefixes): a reader probing
+    // a keys-bucketed table by a prefix must be refused too — without
+    // the record, readKeys on a pre-prefix-era layout would hash probe
+    // columns that never laid the table out and silently miss rows
     commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
-      Some(bucketCols).filter(_ != keys))
+      Some(bucketCols))
     gc(fs, root, version, manifest, cur, keepVersions, keepAgeMs, nowMs)
   }
 
@@ -829,6 +833,10 @@ object SnapshotUpsert {
     val cur = currentSnapshot(fs, root).getOrElse(
       sys.error(s"snapshot upsert: no committed version at $targetDir"))
     require(keys.nonEmpty, "readKeys: need at least one key column")
+    // every current-format commit records its bucket columns, so a
+    // probe by anything else is refused here; a manifest from before
+    // the record (no #bucketcols header) cannot validate the probe —
+    // one new commit upgrades it
     cur.bucketCols.foreach(rec => require(keys == rec,
       s"readKeys: table at $root is bucketed by (${rec.mkString(",")}); " +
         s"probing by (${keys.mkString(",")}) would read the wrong buckets"))

@@ -60,21 +60,14 @@ object AnnIndexScale {
         centroids, "vec_id", "embedding", nBuckets = cells)
       val ingestS = (System.nanoTime() - t0) / 1e9
 
-      def best3(f: () => DataFrame): Double = {
-        f().count() // warm
-        (1 to 3).map { _ =>
-          val s = System.nanoTime(); f().count()
-          (System.nanoTime() - s) / 1e9
-        }.min
-      }
       val prunedDf = IncrementalAnn.topK(spark, idx, centroids, queries,
         "vec_id", "embedding", k = k, nProbe = nProbe)
       val marker = new java.io.File(idx).getName
       val fetched = prunedDf.inputFiles.count(_.contains(marker))
       val total = SnapshotUpsert.readSnapshot(spark, idx).inputFiles.length
-      val prunedS = best3(() => IncrementalAnn.topK(spark, idx, centroids,
-        queries, "vec_id", "embedding", k = k, nProbe = nProbe))
-      val fullS = best3(() => Similarity.ivfTopK(
+      val prunedS = Timing.best3(() => IncrementalAnn.topK(spark, idx,
+        centroids, queries, "vec_id", "embedding", k = k, nProbe = nProbe))
+      val fullS = Timing.best3(() => Similarity.ivfTopK(
         SnapshotUpsert.readSnapshot(spark, idx), centroids, queries,
         "vec_id", "embedding", k = k, nProbe = nProbe))
       val eq = prunedDf.collect().map(_.toSeq).toSet ==

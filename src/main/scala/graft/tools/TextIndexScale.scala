@@ -60,22 +60,14 @@ object TextIndexScale {
         "text", "doc_id", nBuckets = nBuckets)
       val ingestS = (System.nanoTime() - t0) / 1e9
 
-      def best3(f: () => DataFrame): Double = {
-        f().count() // warm
-        (1 to 3).map { _ =>
-          val s = System.nanoTime(); f().count()
-          (System.nanoTime() - s) / 1e9
-        }.min
-      }
       val incDf = IncrementalText.topK(spark, idx, qs, "query_id", "qtext")
-      val fetched = incDf.queryExecution.sparkPlan // plan built; files via inputFiles
       val fetchedFiles = incDf.inputFiles
         .count(_.contains("/postings/"))
       val totalFiles = graft.streaming.SnapshotUpsert
         .readSnapshot(spark, s"$idx/postings").inputFiles.length
-      val incS = best3(() =>
+      val incS = Timing.best3(() =>
         IncrementalText.topK(spark, idx, qs, "query_id", "qtext"))
-      val freshS = best3(() =>
+      val freshS = Timing.best3(() =>
         TextAnalysis.bm25TopK(docs, qs, "text", "doc_id",
           "query_id", "qtext"))
       val inc = incDf.collect().map(_.toSeq).toSet

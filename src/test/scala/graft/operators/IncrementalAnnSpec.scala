@@ -116,4 +116,26 @@ class IncrementalAnnSpec extends SparkSpec {
       "vec_id", "embedding").select(col("cell")).head().getLong(0)
     assert(rows.head.getLong(1) == freshCell)
   }
+
+  test("verifyNoReassign turns a changed-embedding re-ingest into a loud error") {
+    val dir = tmp()
+    IncrementalAnn.ingest(embeddings.filter(col("vec_id") < 32), dir,
+      centroids, "vec_id", "embedding", nBuckets = 16)
+    // replace vec 20's embedding with a centroid vector from a cell it
+    // is NOT currently in — guaranteed to re-assign
+    val curCell = IncrementalAnn.readIndex(spark, dir)
+      .where(col("vec_id") === 20L).head().getLong(1)
+    val targetCell = if (curCell == 3L) 5L else 3L
+    val moved = embeddings.filter(col("vec_id") === targetCell)
+      .select(lit(20L).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAnn.ingest(moved, dir, centroids, "vec_id", "embedding",
+        nBuckets = 16, verifyNoReassign = true)
+    }
+    assert(e.getMessage.contains("retire"), e.getMessage)
+    // an identical replay passes the guard
+    IncrementalAnn.ingest(embeddings.filter(col("vec_id") < 32), dir,
+      centroids, "vec_id", "embedding", nBuckets = 16,
+      verifyNoReassign = true)
+  }
 }

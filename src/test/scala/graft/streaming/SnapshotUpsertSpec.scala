@@ -568,7 +568,10 @@ class SnapshotUpsertSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       SnapshotUpsert.readKeys(spark, dir, Seq(1L).toDF("id"), Seq("ID"))
     }
-    assert(e.getMessage.contains("exact"), e.getMessage)
+    // refused by the recorded-layout guard (bucketCols is recorded on
+    // every commit, so the case-variant probe mismatches it first);
+    // the exact-name check remains behind it for unrecorded tables
+    assert(e.getMessage.contains("bucketed by (id)"), e.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       SnapshotUpsert.readKeys(spark, dir, Seq(1L).toDF("wrong"), Seq("id"))
     }
