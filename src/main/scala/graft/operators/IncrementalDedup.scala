@@ -81,9 +81,18 @@ object IncrementalDedup {
   /** Remove retired documents from the index (tombstones): their
     * signature rows stop matching future ingests from the next
     * committed version on. `ids` carries one `doc_id` per retired
-    * doc; every band row of each doc is tombstoned. */
+    * doc; every band row of each doc is tombstoned. The band count is
+    * read off the INDEX (max band + 1 — one column scan on the rare
+    * maintenance path), not restated by the caller: a restated count
+    * smaller than the real layout would silently leave some band rows
+    * alive and the "retired" doc still matching. */
   def retire(spark: SparkSession, indexDir: String, ids: DataFrame,
-      bands: Int = 4, keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 2): Unit = {
+    val bandRow = readIndex(spark, indexDir)
+      .agg(max(col("band")).as("maxb")).head()
+    require(!bandRow.isNullAt(0),
+      s"retire: no committed index at $indexDir")
+    val bands = bandRow.getInt(0) + 1
     val tombs = ids.select(col("doc_id"))
       .crossJoin(spark.range(bands).select(col("id").cast("int").as("band")))
       .withColumn("key", lit(null).cast("string"))

@@ -65,11 +65,21 @@ object ShuffleAudit {
           settle(); t.reset()
           try {
             val df = q(spark, sfDir) // eager builds measured too
-            // denominator: on-disk bytes of the leaf relations the plan
-            // touches (stage-level inputMetrics undercounts the
-            // vectorized parquet path); conservative — pre-pushdown
+            // denominator: on-disk bytes of the FILE-SOURCE leaf
+            // relations the plan touches (stage-level inputMetrics
+            // undercounts the vectorized parquet path); conservative —
+            // pre-pushdown. Non-file leaves (LocalRelation probes,
+            // localCheckpoint LogicalRDDs) are EXCLUDED: they carry the
+            // session's default size estimate, not a measurement, and
+            // one checkpointed leaf would swamp the denominator with
+            // hundreds of fictitious GBs
             val tableBytes = df.queryExecution.optimizedPlan
-              .collectLeaves().map(_.stats.sizeInBytes).sum
+              .collectLeaves().collect {
+                case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                  l.stats.sizeInBytes
+                case v: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+                  v.stats.sizeInBytes
+              }.sum
             df.write.format("noop").mode("overwrite").save()
             settle()
             val r = (n, tableBytes.min(BigInt(Long.MaxValue)).toLong,
