@@ -332,7 +332,7 @@ object UpsertSink {
     * "update" is the fit for stateful upstreams that emit per-key
     * revisions (mapGroupsWithState): each micro-batch carries the keys
     * whose state changed, which is exactly an upsert feed. */
-  private[streaming] def startForeachBatch(stream: DataFrame,
+  private[graft] def startForeachBatch(stream: DataFrame,
       checkpoint: String, outputMode: String, drainOnce: Boolean)(
       f: DataFrame => Unit): StreamingQuery = {
     var w = stream.writeStream
