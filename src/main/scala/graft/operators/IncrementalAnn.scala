@@ -76,6 +76,49 @@ object IncrementalAnn {
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =
     SnapshotUpsert.readSnapshot(spark, indexDir)
 
+  /** [[ingest]] with PQ codes stored alongside each vector — the
+    * IVF-PQ standing index: codes are computed ONCE at ingest against
+    * the FIXED `codebook` (the same fixed-artifact contract as the
+    * centroids; retrain = rebuild), so [[topKPq]] never re-encodes the
+    * corpus. Index rows: (id, cell, vector, codes). At production
+    * scale the codes are the only per-vector state the ADC search
+    * reads; the vectors ride along for the exact rerank of the
+    * shortlist (and could move to a separate rerank table if bucket
+    * files outgrow their fetch-unit budget). */
+  def ingestPq(batch: DataFrame, indexDir: String, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      nBuckets: Int = 64, keepVersions: Int = 2): Unit = {
+    val assigned = Similarity.assignCells(batch, centroids, idCol, vecCol)
+    val rows = assigned.select(col(idCol), col("cell"), col(vecCol))
+      .join(Similarity.pqEncode(assigned, codebook, idCol, vecCol, m),
+        Seq(idCol))
+    SnapshotUpsert.upsertBatchSnapshot(rows, indexDir,
+      keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
+      keepVersions = keepVersions, bucketCols = Seq("cell"))
+  }
+
+  /** ADC top-k over an [[ingestPq]] index: probe cells from the FIXED
+    * centroids, read ONLY those cells' buckets, ADC-score the STORED
+    * codes, exact-rerank the shortlist — identical semantics to
+    * [[Similarity.ivfPqTopK]] over the freshly-assigned-and-encoded
+    * whole corpus, with the encode cost paid at ingest instead of per
+    * query batch. */
+  def topKPq(spark: SparkSession, indexDir: String, centroids: DataFrame,
+      codebook: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, m: Int = 8, nProbe: Int = 4,
+      rerank: Int = 32): DataFrame = {
+    // materialized once: the pruned read and the scorer must see the
+    // same probe set (see topK)
+    val probes = Similarity
+      .probeSet(centroids, queries, idCol, vecCol, nProbe)
+      .select(col("query_id"), col("cell"))
+      .localCheckpoint(true)
+    val index = SnapshotUpsert.readKeys(spark, indexDir,
+      probes.select(col("cell")).distinct(), Seq("cell"))
+    Similarity.ivfPqRankEncoded(index, probes, index, codebook, queries,
+      idCol, vecCol, k, m, rerank)
+  }
+
   /** Approximate top-k of `queries` against the committed index:
     * probe + exact rerank, identical semantics to running
     * [[Similarity.ivfTopK]] over the freshly-assigned whole corpus —

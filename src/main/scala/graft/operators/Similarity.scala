@@ -535,16 +535,26 @@ object Similarity {
     * (id, cell, codes) index is written once and probed many times. */
   def ivfPqTopK(assigned: DataFrame, centroids: DataFrame, codebook: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
-      m: Int = 8, nProbe: Int = 4, rerank: Int = 32): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("cell"))
-    val cand = pqEncode(assigned, codebook, idCol, vecCol, m, carry = Seq("cell"))
+      m: Int = 8, nProbe: Int = 4, rerank: Int = 32): DataFrame =
+    ivfPqRankEncoded(
+      pqEncode(assigned, codebook, idCol, vecCol, m, carry = Seq("cell")),
+      probeSet(centroids, queries, idCol, vecCol, nProbe)
+        .select(col("query_id"), col("cell")),
+      assigned, codebook, queries, idCol, vecCol, k, m, rerank)
+
+  /** The ADC-score + shortlist + exact-rerank tail of [[ivfPqTopK]]
+    * from an ALREADY-ENCODED candidate frame (`withCodes`: idCol,
+    * `cell`, `codes`) and an already-selected probe list ((query_id,
+    * cell) pairs) — so [[IncrementalAnn.topKPq]], whose standing
+    * index STORES the codes, searches without re-encoding the corpus.
+    * `rerankCorpus` supplies the original vectors for the exact
+    * rerank; the pruned index suffices (every shortlist member lies in
+    * a probed cell). */
+  private[graft] def ivfPqRankEncoded(withCodes: DataFrame,
+      probes: DataFrame, rerankCorpus: DataFrame, codebook: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int, m: Int,
+      rerank: Int): DataFrame = {
+    val cand = withCodes
       .select(col(idCol).as("neighbor_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "code")))
     val qtab = pqQueryTable(queries, codebook, idCol, vecCol, m)
@@ -565,7 +575,7 @@ object Similarity {
         // the nano sum), then one exact division — a double round(x, 6)
         // diverges between engines when the nano sum ends in ...500
         (expr("(__ds + 500) div 1000") / 1e6).as("pq_dist"))
-    pqRerank(shortlist, assigned, queries, idCol, vecCol, k)
+    pqRerank(shortlist, rerankCorpus, queries, idCol, vecCol, k)
   }
 
   /** Residual-encoded IVF-PQ — the full FAISS IndexIVFPQ recipe:

@@ -77,6 +77,68 @@ object AnnQueries {
        |  CAST(sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
+  /** The IVF-PQ oracle (shared verbatim by `q_sim_topk_ivfpq` and
+    * `q_sim_topk_ivfpq_incremental`: stored-code search over the
+    * two-half standing index must be bit-identical to the fresh
+    * whole-corpus encode). */
+  private def ivfPqOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                |cent AS (SELECT vec_id AS cell, v AS centroid FROM e WHERE vec_id < 16),
+                |asg AS (SELECT vec_id, cell FROM (
+                |  SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                |    ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rn
+                |  FROM e, cent c) WHERE rn = 1),
+                |probes AS (SELECT query_id, cell FROM (
+                |  SELECT q.vec_id AS query_id, c.cell,
+                |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                |      ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cell ASC) AS pr
+                |  FROM e q, cent c WHERE q.vec_id < 8) WHERE pr <= 8),
+                |seeds AS (SELECT CAST(vec_id AS VARCHAR) AS sid, v,
+                |  ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                |  FROM e ORDER BY h, sid LIMIT 16),
+                |coded AS (SELECT ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS code, v
+                |  FROM seeds),
+                |subsq AS (SELECT unnest(range(0, 16)) AS sub),
+                |cb AS (SELECT sub, code,
+                |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS c
+                |  FROM coded CROSS JOIN subsq),
+                |csub AS (SELECT vec_id, sub,
+                |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS sv
+                |  FROM e CROSS JOIN subsq),
+                |dists AS (SELECT s.vec_id, s.sub, cb.code,
+                |  ${duckL2sq("s.sv", "cb.c", 4)} AS dd
+                |  FROM csub s JOIN cb ON s.sub = cb.sub),
+                |best AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+                |  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                |    ORDER BY dd ASC, code ASC) AS rn FROM dists) WHERE rn = 1),
+                |qsub AS (SELECT vec_id AS query_id, sub,
+                |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS qs
+                |  FROM e CROSS JOIN subsq WHERE vec_id < 8),
+                |qtab AS (SELECT q.query_id, q.sub, cb.code,
+                |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)} * 1e9) AS BIGINT) AS dq
+                |  FROM qsub q JOIN cb ON q.sub = cb.sub),
+                |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
+                |  CAST(sum(t.dq) AS BIGINT) AS ds
+                |  FROM best b JOIN asg a ON a.vec_id = b.vec_id
+                |  JOIN probes p ON p.cell = a.cell
+                |  JOIN qtab t ON t.query_id = p.query_id
+                |    AND b.sub = t.sub AND b.code = t.code
+                |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
+                |short AS (SELECT query_id, neighbor_id, (ds + 500) // 1000 / 1e6 AS pq_dist FROM (SELECT *,
+                |  ROW_NUMBER() OVER (PARTITION BY query_id
+                |    ORDER BY ds ASC, neighbor_id ASC) AS ar FROM approx)
+                |  WHERE ar <= 128),
+                |rer AS (SELECT s.query_id, s.neighbor_id,
+                |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
+                |  FROM short s
+                |  JOIN e ne ON ne.vec_id = s.neighbor_id
+                |  JOIN e qe ON qe.vec_id = s.query_id)
+                |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
+                |  CAST(rnk AS BIGINT) AS rank, round(pq_dist, 6) + 0.0 AS pq_dist
+                |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                |  ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM rer)
+                |WHERE rnk <= 5""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // LSH-bucketed approximate top-k with multi-probe, exact result
@@ -230,6 +292,40 @@ object AnnQueries {
              |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
              |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rank
              |FROM ranked WHERE rank <= 5""".stripMargin),
+    ),
+
+    // The IVF-PQ STANDING index (IncrementalAnn.ingestPq/topKPq): the
+    // codes are computed ONCE per ingest against the fixed codebook
+    // and stored in the cell-bucketed table, so search reads the
+    // probed cells' buckets and ADC-scores STORED codes — never
+    // re-encoding the corpus. Must be bit-identical to
+    // q_sim_topk_ivfpq's fresh whole-corpus encode (same oracle, the
+    // fixed centroids/codebook artifacts built over the full corpus
+    // like a production train-once deployment). NOTE for bench
+    // readers: the two ingests (assign + encode + commit) execute at
+    // plan construction; per-pass timings see the pruned ADC search,
+    // the deployment's per-query cost.
+    QueryDef(
+      "q_sim_topk_ivfpq_incremental",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"),
+            col("embedding").cast("array<double>").as("centroid"))
+        val cb = Similarity.pqCodebook(e, "vec_id", "embedding", m = 16, k = 16)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-incpq-q").toString
+        graft.operators.IncrementalAnn.ingestPq(
+          e.filter(col("vec_id") % 2 === 0), dir, centroids, cb,
+          "vec_id", "embedding", m = 16, nBuckets = 16)
+        graft.operators.IncrementalAnn.ingestPq(
+          e.filter(col("vec_id") % 2 === 1), dir, centroids, cb,
+          "vec_id", "embedding", m = 16, nBuckets = 16)
+        graft.operators.IncrementalAnn.topKPq(s, dir, centroids, cb,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, m = 16, nProbe = 8, rerank = 128)
+      },
+      Some(ivfPqOracle),
     ),
 
     // Embedding near-dup: random-hyperplane blocks + exact cosine.
@@ -548,62 +644,7 @@ object AnnQueries {
           e.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, m = 16, nProbe = 8, rerank = 128)
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |cent AS (SELECT vec_id AS cell, v AS centroid FROM e WHERE vec_id < 16),
-              |asg AS (SELECT vec_id, cell FROM (
-              |  SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |    ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rn
-              |  FROM e, cent c) WHERE rn = 1),
-              |probes AS (SELECT query_id, cell FROM (
-              |  SELECT q.vec_id AS query_id, c.cell,
-              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-              |      ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cell ASC) AS pr
-              |  FROM e q, cent c WHERE q.vec_id < 8) WHERE pr <= 8),
-              |seeds AS (SELECT CAST(vec_id AS VARCHAR) AS sid, v,
-              |  ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
-              |  FROM e ORDER BY h, sid LIMIT 16),
-              |coded AS (SELECT ROW_NUMBER() OVER (ORDER BY h, sid) - 1 AS code, v
-              |  FROM seeds),
-              |subsq AS (SELECT unnest(range(0, 16)) AS sub),
-              |cb AS (SELECT sub, code,
-              |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS c
-              |  FROM coded CROSS JOIN subsq),
-              |csub AS (SELECT vec_id, sub,
-              |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS sv
-              |  FROM e CROSS JOIN subsq),
-              |dists AS (SELECT s.vec_id, s.sub, cb.code,
-              |  ${duckL2sq("s.sv", "cb.c", 4)} AS dd
-              |  FROM csub s JOIN cb ON s.sub = cb.sub),
-              |best AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
-              |  ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-              |    ORDER BY dd ASC, code ASC) AS rn FROM dists) WHERE rn = 1),
-              |qsub AS (SELECT vec_id AS query_id, sub,
-              |  list_slice(v, sub * 4 + 1, sub * 4 + 4) AS qs
-              |  FROM e CROSS JOIN subsq WHERE vec_id < 8),
-              |qtab AS (SELECT q.query_id, q.sub, cb.code,
-              |  CAST(round(${duckL2sq("q.qs", "cb.c", 4)} * 1e9) AS BIGINT) AS dq
-              |  FROM qsub q JOIN cb ON q.sub = cb.sub),
-              |approx AS (SELECT t.query_id, b.vec_id AS neighbor_id,
-              |  CAST(sum(t.dq) AS BIGINT) AS ds
-              |  FROM best b JOIN asg a ON a.vec_id = b.vec_id
-              |  JOIN probes p ON p.cell = a.cell
-              |  JOIN qtab t ON t.query_id = p.query_id
-              |    AND b.sub = t.sub AND b.code = t.code
-              |  WHERE t.query_id != b.vec_id GROUP BY 1, 2),
-              |short AS (SELECT query_id, neighbor_id, (ds + 500) // 1000 / 1e6 AS pq_dist FROM (SELECT *,
-              |  ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY ds ASC, neighbor_id ASC) AS ar FROM approx)
-              |  WHERE ar <= 128),
-              |rer AS (SELECT s.query_id, s.neighbor_id,
-              |  list_cosine_similarity(qe.v, ne.v) AS cos, s.pq_dist
-              |  FROM short s
-              |  JOIN e ne ON ne.vec_id = s.neighbor_id
-              |  JOIN e qe ON qe.vec_id = s.query_id)
-              |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
-              |  CAST(rnk AS BIGINT) AS rank, round(pq_dist, 6) + 0.0 AS pq_dist
-              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |  ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM rer)
-              |WHERE rnk <= 5""".stripMargin),
+      Some(ivfPqOracle),
     ),
 
     // Residual-encoded IVF-PQ (full FAISS IndexIVFPQ recipe): codes

@@ -20,6 +20,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_topk_ivf_incremental", // same probe cross (query x broadcast
     // centroids); the corpus side reads the COMMITTED index, no assign cross
     "q_sim_topk_ivfpq", // assign + probe: corpus/query x broadcast centroids
+    "q_sim_topk_ivfpq_incremental", // same probe cross; the corpus side
+    // reads the COMMITTED cell-bucketed index with STORED codes
     "q_sim_topk_ivfpq_res", // same assign/probe crosses, residual codes
     "q_sim_topk_ivfpq_trained", // same crosses; centroids ~ sqrt(N) rows, still broadcast-tiny
     "q_dedup_semantic", // reuses the brute/verify cross on candidates

@@ -117,6 +117,34 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(rows.head.getLong(1) == freshCell)
   }
 
+  test("ingestPq/topKPq: stored-code ADC search equals the fresh IVF-PQ") {
+    val dir = tmp()
+    val cb = Similarity.pqCodebook(embeddings, "vec_id", "embedding",
+      m = 16, k = 16)
+    IncrementalAnn.ingestPq(embeddings.filter(col("vec_id") % 2 === 0),
+      dir, centroids, cb, "vec_id", "embedding", m = 16, nBuckets = 16)
+    IncrementalAnn.ingestPq(embeddings.filter(col("vec_id") % 2 === 1),
+      dir, centroids, cb, "vec_id", "embedding", m = 16, nBuckets = 16)
+    val queries = embeddings.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    val inc = rows(IncrementalAnn.topKPq(spark, dir, centroids, cb,
+      queries, "vec_id", "embedding", k = 5, m = 16, nProbe = 8,
+      rerank = 128))
+    val fresh = rows(Similarity.ivfPqTopK(
+      Similarity.assignCells(embeddings, centroids, "vec_id", "embedding"),
+      centroids, cb, queries, "vec_id", "embedding", k = 5, m = 16,
+      nProbe = 8, rerank = 128))
+    assert(inc.nonEmpty && inc == fresh)
+    // retire drops a PQ row too (codes null-filled at recorded type)
+    import spark.implicits._
+    val victim = inc.head._2
+    IncrementalAnn.retire(spark, dir, Seq(victim).toDF("vec_id"), "vec_id")
+    assert(IncrementalAnn.readIndex(spark, dir)
+      .where(col("vec_id") === victim).count() == 0)
+  }
+
   test("verifyNoReassign turns a changed-embedding re-ingest into a loud error") {
     val dir = tmp()
     IncrementalAnn.ingest(embeddings.filter(col("vec_id") < 32), dir,
