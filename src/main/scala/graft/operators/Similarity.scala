@@ -207,13 +207,21 @@ object Similarity {
     * the corpus never shuffles. */
   def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__ccos").desc, col("cell").asc)
+    // argmax by max(struct), NOT a window: the id x cell expansion is
+    // partition-LOCAL (each corpus row fans out against the broadcast
+    // centroids in place), so the partial max collapses it map-side
+    // and the shuffle carries one partial row per id — a window would
+    // hash-shuffle and sort all |corpus| x nCells expanded rows (at a
+    // 2M x 1414 streaming ingest that sort spilled the disk; same
+    // lesson as the r9 change-feed rewrite). Tie-break identical:
+    // highest cosine, then LOWEST cell (negated in the struct order).
+    val payload = struct(corpus.columns.map(col) :+ col("cell"): _*)
     corpus.crossJoin(broadcast(centroids))
       .withColumn("__ccos", cosine(asDouble(col(vecCol)), col("centroid")))
-      .withColumn("__crank", row_number().over(w))
-      .filter(col("__crank") === 1)
-      .drop("__ccos", "__crank", "centroid")
+      .groupBy(col(idCol).as("__gid"))
+      .agg(max(struct(col("__ccos").as("c"), (-col("cell")).as("nc"),
+        payload.as("p"))).as("__top"))
+      .select(col("__top.p.*"))
   }
 
   /** The corpus-side cell-count rule for a growing corpus: cells ~
