@@ -109,15 +109,41 @@ object IncrementalAnn {
       rerank: Int = 32): DataFrame = {
     // materialized once: the pruned read and the scorer must see the
     // same probe set (see topK)
+    val (out, probes) = topKPqLazy(spark, indexDir, centroids, codebook,
+      queries, idCol, vecCol, k, m, nProbe, rerank)
+    try finishSearch(out) finally probes.unpersist(false)
+  }
+
+  /** The un-materialized [[topKPq]] plan plus the checkpointed probe
+    * frame it references — package-private so specs can inspect the
+    * pruned plan (`inputFiles`); the CALLER owns the probes' lifetime
+    * (unpersist after the plan is consumed). */
+  private[graft] def topKPqLazy(spark: SparkSession, indexDir: String,
+      centroids: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, nProbe: Int,
+      rerank: Int): (DataFrame, DataFrame) = {
+    // materialized once: the pruned read and the scorer must see the
+    // same probe set (see topK)
     val probes = Similarity
       .probeSet(centroids, queries, idCol, vecCol, nProbe)
       .select(col("query_id"), col("cell"))
       .localCheckpoint(true)
     val index = SnapshotUpsert.readKeys(spark, indexDir,
       probes.select(col("cell")).distinct(), Seq("cell"))
-    Similarity.ivfPqRankEncoded(index, probes, index, codebook, queries,
-      idCol, vecCol, k, m, rerank)
+    (Similarity.ivfPqRankEncoded(index, probes, index, codebook, queries,
+      idCol, vecCol, k, m, rerank), probes)
   }
+
+  /** Materialize a top-k result so the checkpointed probe frame it was
+    * built from can be released IMMEDIATELY: without this every query
+    * call in a long-lived driver leaks the probes' cached RDD blocks
+    * (a localCheckpoint cannot be recomputed after unpersist, so the
+    * lazy plan could not outlive them). The result is k rows per query
+    * — definitionally driver-sized, like the probe set itself — so the
+    * collect is bounded by construction. */
+  private def finishSearch(out: DataFrame): DataFrame =
+    out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
 
   /** Approximate top-k of `queries` against the committed index:
     * probe + exact rerank, identical semantics to running
@@ -128,6 +154,16 @@ object IncrementalAnn {
   def topK(spark: SparkSession, indexDir: String, centroids: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
+    val (out, probes) = topKLazy(spark, indexDir, centroids, queries,
+      idCol, vecCol, k, nProbe)
+    try finishSearch(out) finally probes.unpersist(false)
+  }
+
+  /** The un-materialized [[topK]] plan plus the checkpointed probe
+    * frame it references (see [[topKPqLazy]] for the ownership rule). */
+  private[graft] def topKLazy(spark: SparkSession, indexDir: String,
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): (DataFrame, DataFrame) = {
     // the probe set is MATERIALIZED once and feeds BOTH the pruned
     // index read and the scorer: one definition is not enough — a
     // re-evaluated non-deterministic `queries` could probe a cell
@@ -137,8 +173,8 @@ object IncrementalAnn {
       .localCheckpoint(true)
     val index = SnapshotUpsert.readKeys(spark, indexDir,
       probes.select(col("cell")).distinct(), Seq("cell"))
-    Similarity.ivfRank(
-      Similarity.ivfScoredProbes(index, probes, idCol, vecCol), k)
+    (Similarity.ivfRank(
+      Similarity.ivfScoredProbes(index, probes, idCol, vecCol), k), probes)
   }
 
   /** Maintain the standing index from a STREAM of embeddings: each

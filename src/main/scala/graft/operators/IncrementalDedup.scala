@@ -55,17 +55,34 @@ object IncrementalDedup {
     else SnapshotUpsert.readSnapshot(spark, indexDir)
 
   /** One ingest step: candidates of `batch` against the standing index
-    * (id1 = batch doc, id2 = indexed doc, distinct), and the batch's
-    * signatures committed as the index's next version. The returned
-    * plan reads the PRE-ingest index version (immutable files), so it
-    * can be consumed lazily after the commit. A replayed ingest is
-    * convergent: same candidates, identical index content. */
+    * (id1 = batch doc, id2 = previously-indexed doc, distinct), and the
+    * batch's signatures committed as the index's next version. The
+    * returned plan reads the PRE-ingest index version (immutable
+    * files), so it can be consumed lazily after the commit. A replayed
+    * ingest is convergent — same candidates, identical index content —
+    * BECAUSE the batch's own doc_ids are anti-joined out of the
+    * existing side: on a replay the index already holds the batch's
+    * signatures, and without the exclusion the candidate join would
+    * emit intra-batch pairs the first run never saw. The flip side of
+    * that exclusion is the scope contract: candidates are batch vs the
+    * PRE-batch corpus only — intra-batch pairs (two dups arriving in
+    * the same crawl) are deliberately out of scope here; run
+    * [[Dedup.minHashCandidates]] on the batch alongside when a crawl
+    * can contain its own duplicates (that pairing also covers a
+    * re-ingested doc vs its batch-mates, which this join excludes as
+    * "its own prior rows"). */
   def ingest(batch: DataFrame, indexDir: String, textCol: String,
       idCol: String, k: Int = 8, bands: Int = 4, n: Int = 3,
       nBuckets: Int = 64, keepVersions: Int = 2): DataFrame = {
     val spark = batch.sparkSession
     val sigs = signatureRows(batch, textCol, idCol, k, bands, n)
+    val batchIds = sigs.select(col("doc_id")).distinct()
+    // the anti join keys on doc_id alone, so the index side shrinks to
+    // docs NOT in the batch before the band join — replay-convergence
+    // by construction (the batch's own committed signatures can never
+    // join back against themselves)
     val existing = readIndex(spark, indexDir)
+      .join(batchIds, Seq("doc_id"), "left_anti")
     val cands = sigs.as("l")
       .join(existing.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&

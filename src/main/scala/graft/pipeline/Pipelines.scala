@@ -138,6 +138,25 @@ object Pipelines {
       // round-trip is needed: the merge never overwrites a path it
       // reads, so there is no torn-read window to stage around, and
       // each run stays time-travel-readable as its own version.
+      //
+      // Multiplicity guard: the keyed merge keeps ONE row per
+      // (cve_id, package), while the legacy upsert path preserves
+      // duplicate key pairs — if mapNewInfo ever emitted duplicates,
+      // flipping prodSnapshot would silently change row multiplicity.
+      // mapNewInfo is key-unique today (its window dedup guarantees
+      // it); this assert turns a future regression into a loud error
+      // instead of a silent drop. processedBack is the staged run
+      // output (freshly written, run-sized), so the check is one cheap
+      // aggregate over it.
+      val dupKeys = processedBack.groupBy("cve_id", "package")
+        .count().where(col("count") > 1).limit(5)
+        .collect().map(r => s"(${r.get(0)}, ${r.get(1)})")
+      require(dupKeys.isEmpty,
+        "prodSnapshot: processed output carries duplicate " +
+          s"(cve_id, package) keys (e.g. ${dupKeys.mkString(", ")}); the " +
+          "snapshot merge would keep one row per key where the legacy " +
+          "path preserves duplicates — fix the upstream merge instead of " +
+          "silently changing multiplicity")
       graft.streaming.SnapshotUpsert.upsertBatchSnapshot(processedBack,
         prodPath, keys = Seq("cve_id", "package"), orderCol = "",
         nBuckets = config.prodBuckets)

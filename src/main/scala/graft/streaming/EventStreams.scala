@@ -87,7 +87,22 @@ object EventStreams {
 
   /** Timeout-based sessionization: a user's events accumulate until
     * `gapMs` of silence, then the closed session is emitted. State per
-    * key is O(1) — counts and bounds, never the events themselves. */
+    * key is O(1) — counts and bounds, never the events themselves.
+    *
+    * Late-orphan semantics: rows that predate the open session by more
+    * than `gapMs` can never merge into it (the state holds ONE session
+    * per key), so they are closed out immediately — but WITHIN a batch
+    * they are first chained like the batch sessionizer would chain
+    * them: consecutive orphans within `gapMs` of each other merge into
+    * one closed session, and an orphan chain that reaches within
+    * `gapMs` of the open session's start folds into the session
+    * itself. The remaining approximation is cross-BATCH: an orphan
+    * emitted in batch N is final and cannot be extended by a
+    * still-later row in batch N+1 (that row starts a new orphan
+    * session) — exact orphan stitching would need per-key session
+    * LISTS, unbounded state on an adversarial feed. Batch jobs that
+    * need exact semantics over historical data should use the batch
+    * sessionizer (`q_sessionize_batch`), which sees all rows at once. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       watermark: String = "2 hours"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -113,6 +128,15 @@ object EventStreams {
             val prev = state.getOption
             var out = List.empty[Session]
             var cur = prev
+            // late-orphan buffer (see object doc): orphans are chained
+            // within the batch like the batch sessionizer chains them,
+            // instead of each becoming its own single-event session
+            var pendingOrphan: Option[SessionState] = None
+            def flushOrphan(): Unit = pendingOrphan.foreach { o =>
+              out ::= Session(userId, o.n, new java.sql.Timestamp(o.first),
+                new java.sql.Timestamp(o.last), closed = true)
+              pendingOrphan = None
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
@@ -124,16 +148,38 @@ object EventStreams {
                 // row then measured its gap against the corrupted bound
                 // and falsely split the session
                 case Some(s) if t >= s.first - gapMs && t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.n + 1,
-                    math.min(s.first, t), math.max(s.last, t)))
+                  var m = SessionState(s.n + 1,
+                    math.min(s.first, t), math.max(s.last, t))
+                  // this row may have BRIDGED the orphan chain to the
+                  // session (it pulled `first` to within a gap of the
+                  // chain's end): the whole chain is then one session
+                  pendingOrphan match {
+                    case Some(o) if m.first - o.last <= gapMs =>
+                      m = SessionState(m.n + o.n,
+                        math.min(o.first, m.first), m.last)
+                      pendingOrphan = None
+                    case _ => ()
+                  }
+                  cur = Some(m)
                 case Some(s) if t < s.first - gapMs =>
                   // an orphan more than a gap BEFORE the open session:
-                  // it can never merge into it (and the state holds one
-                  // session per key) — emit it as its own closed
-                  // single-event session, leaving the open one intact
-                  out ::= Session(userId, 1, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), closed = true)
+                  // it can never merge into it (the state holds one
+                  // session per key) — chain it with the pending orphan
+                  // when within a gap of it, else the pending chain is
+                  // itself complete (rows are sorted: nothing later can
+                  // fall inside it) and this row starts a new chain
+                  pendingOrphan match {
+                    case Some(o) if t - o.last <= gapMs =>
+                      pendingOrphan = Some(SessionState(o.n + 1,
+                        o.first, math.max(o.last, t)))
+                    case _ =>
+                      flushOrphan()
+                      pendingOrphan = Some(SessionState(1, t, t))
+                  }
                 case Some(s) =>
+                  // the orphan chain (strictly before s) closes first so
+                  // emission order follows event time
+                  flushOrphan()
                   out ::= Session(userId, s.n, new java.sql.Timestamp(s.first),
                     new java.sql.Timestamp(s.last), closed = true)
                   cur = Some(SessionState(1, t, t))
@@ -141,6 +187,7 @@ object EventStreams {
                   cur = Some(SessionState(1, t, t))
               }
             }
+            flushOrphan()
             cur.foreach { s =>
               state.update(s)
               // Late-row filtering lags the watermark by ONE batch

@@ -825,9 +825,13 @@ object SnapshotUpsert {
     * ONCE: its distinct keys are collected to the driver (lookup-sized
     * by contract — they are broadcast anyway), so the bucket ids and
     * the semi-join probes can never disagree on a non-deterministic
-    * lookup. */
+    * lookup. `maxProbeKeys` enforces that contract: a table-scale probe
+    * fails with a clear error at the cap instead of collecting its way
+    * to a driver OOM — past the cap, read [[readSnapshot]] and join
+    * normally (a shuffle join is the right plan for a probe that big
+    * anyway). */
   def readKeys(spark: SparkSession, targetDir: String, lookup: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], maxProbeKeys: Int = 1 << 20): DataFrame = {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentSnapshot(fs, root).getOrElse(
@@ -858,8 +862,17 @@ object SnapshotUpsert {
           "lookup to the table's type")
     }
     val projected = lookup.select(keys.map(col): _*).distinct()
+    // cap-checked collect: limit(cap+1) bounds what ever reaches the
+    // driver, so even a misused table-scale probe costs one row over
+    // the cap, not an OOM
+    val collected = projected.limit(maxProbeKeys + 1).collect()
+    require(collected.length <= maxProbeKeys,
+      s"readKeys: the lookup has more than $maxProbeKeys distinct keys — " +
+        "this API collects and broadcasts the probe set, which is for " +
+        "lookup-sized probes only; for a table-scale probe, readSnapshot " +
+        "the table and join normally")
     val probes = spark.createDataFrame(
-      java.util.Arrays.asList(projected.collect(): _*), projected.schema)
+      java.util.Arrays.asList(collected: _*), projected.schema)
     val kbs = probes
       .select(UpsertSink.bucketOf(keys, cur.nBuckets).as("kb"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted

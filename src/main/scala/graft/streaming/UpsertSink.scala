@@ -187,7 +187,13 @@ object UpsertSink {
     * ingest; [[upsertSink]] wires it under foreachBatch. A
     * `tombstoneCol` (boolean, NULL = false) marks rows as deletions:
     * when the tombstone wins its key, the key is removed from the
-    * table (see [[selectWinners]] for the resurrect caveat). */
+    * table (see [[selectWinners]] for the resurrect caveat). Deletes
+    * on THIS sink are not atomic — a fully-tombstoned bucket's
+    * directory is removed only after the overwrite commit, and a crash
+    * in that window resurrects its keys on the next read (a warning is
+    * logged before the deletes); use
+    * [[SnapshotUpsert.upsertBatchSnapshot]] when deletes must commit
+    * atomically (its manifest simply omits the bucket). */
   def upsertBatch(batch: DataFrame, targetDir: String, keys: Seq[String],
       orderCol: String, nBuckets: Int = 64,
       tombstoneCol: Option[String] = None): Unit = {
@@ -275,7 +281,23 @@ object UpsertSink {
           .collect().map(_.getInt(0)).toSet
         val root = new Path(targetDir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        toRead.filterNot(written).foreach { b =>
+        val emptied = toRead.filterNot(written)
+        // operator-visible trace BEFORE the deletes: a crash between the
+        // overwrite commit above and these directory deletes silently
+        // resurrects every key of the still-standing buckets on the next
+        // read (the overwrite never visited them), with no torn-state
+        // detection — this log line is the only evidence of which
+        // buckets were pending. Tables that need atomic deletes should
+        // use [[SnapshotUpsert]], whose manifest simply omits the bucket.
+        emptied.headOption.foreach { _ =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"upsert: deleting fully-tombstoned bucket dirs " +
+              s"${emptied.sorted.mkString(",")} under $targetDir AFTER the " +
+              "overwrite commit — a crash before the deletes resurrects " +
+              "those buckets' keys on the next read (non-atomic window; " +
+              "use SnapshotUpsert for atomic deletes)")
+        }
+        emptied.foreach { b =>
           fs.delete(new Path(root, s"kb=$b"), true)
         }
       }

@@ -83,13 +83,18 @@ class IncrementalAnnSpec extends SparkSpec {
     IncrementalAnn.ingest(embeddings, dir, centroids, "vec_id",
       "embedding", nBuckets = 16)
     val queries = embeddings.filter(col("vec_id") < 2)
-    val pruned = IncrementalAnn.topK(spark, dir, centroids, queries,
-      "vec_id", "embedding", k = 3, nProbe = 2)
+    // the LAZY plan exposes the pruned read for inspection (the public
+    // topK materializes and releases its probe checkpoint immediately)
+    val (prunedPlan, probes) = IncrementalAnn.topKLazy(spark, dir,
+      centroids, queries, "vec_id", "embedding", k = 3, nProbe = 2)
     val marker = new java.io.File(dir).getName
-    val prunedIdx = pruned.inputFiles.count(_.contains(marker))
+    val prunedIdx = prunedPlan.inputFiles.count(_.contains(marker))
     val fullIdx = IncrementalAnn.readIndex(spark, dir).inputFiles.length
     assert(prunedIdx > 0 && prunedIdx < fullIdx,
       s"probed $prunedIdx of $fullIdx index files")
+    probes.unpersist(false)
+    val pruned = IncrementalAnn.topK(spark, dir, centroids, queries,
+      "vec_id", "embedding", k = 3, nProbe = 2)
     // and the pruned search still matches the fresh whole-corpus run
     assert(topkSet(pruned) == topkSet(Similarity.ivfTopK(
       Similarity.assignCells(embeddings, centroids, "vec_id", "embedding"),

@@ -56,11 +56,30 @@ class IncrementalDedupSpec extends SparkSpec {
       .map(_.toSeq).toSet
     // the replay re-states batch2's signature rows (keyed upsert)
     val replay = pairs(IncrementalDedup.ingest(b2, dir, "text", "doc_id"))
-    // replayed batch sees ITSELF in the index too — but its own rows
-    // self-filter (doc_id inequality), so candidates are unchanged
+    // replayed batch sees ITSELF in the index too — the anti join on
+    // the batch's doc_ids excludes those rows, so candidates are
+    // unchanged
     assert(replay == first && first == Set((2L, 1L)))
     assert(IncrementalDedup.readIndex(spark, dir).collect()
       .map(_.toSeq).toSet == before, "index content must be idempotent")
+  }
+
+  test("a replayed MULTI-doc batch emits no intra-batch pairs the first " +
+      "run never saw (batch ids are anti-joined out of the index side)") {
+    val dir = tmp()
+    IncrementalDedup.ingest(docs((1L, base)), dir, "text", "doc_id")
+    // batch with TWO near-identical docs: first run matches each
+    // against indexed doc 1 only (intra-batch pairs are out of scope
+    // by contract)
+    val b2 = docs((2L, base), (3L, base + " slightly"))
+    val first = pairs(IncrementalDedup.ingest(b2, dir, "text", "doc_id"))
+    assert(first == Set((2L, 1L), (3L, 1L)), first.toString)
+    // replay: the index now holds docs 2 and 3 — without the anti join
+    // the candidate join would ALSO emit (2,3)/(3,2), which the first
+    // run never saw
+    val replay = pairs(IncrementalDedup.ingest(b2, dir, "text", "doc_id"))
+    assert(replay == first,
+      s"replayed candidates must equal the first run: $replay vs $first")
   }
 
   test("retired docs stop matching from the next version on") {

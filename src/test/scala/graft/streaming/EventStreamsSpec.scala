@@ -178,6 +178,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late orphans within a gap of each other chain into ONE closed " +
+      "session instead of per-event singletons") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 10 * 60000L).writeStream
+      .format("memory").queryName("orphan_chain").outputMode("append").start()
+    try {
+      // batch 1 opens a session far in the future (watermark = t - 2h)
+      input.addData(Event(1, ts(10000), 1, "click", 0))
+      q.processAllAvailable()
+      // batch 2: two LATE rows, admitted by the watermark (> 9880),
+      // each more than a gap before the open session (< 9990), and
+      // within a gap of each other — batch semantics would make them
+      // one session
+      input.addData(Event(2, ts(9900), 1, "click", 0),
+        Event(3, ts(9905), 1, "click", 0))
+      q.processAllAvailable()
+      val closed = spark.table("orphan_chain").collect()
+      assert(closed.length == 1,
+        s"the orphan pair must close as ONE session: ${closed.toList}")
+      assert(closed.head.getAs[Long]("n_events") == 2)
+      assert(closed.head.getAs[Timestamp]("first_ts") == ts(9900) &&
+        closed.head.getAs[Timestamp]("last_ts") == ts(9905))
+    } finally q.stop()
+  }
+
+  test("an orphan chain that reaches within a gap of the open session " +
+      "folds into the session (bridged by a late in-gap row)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 10 * 60000L).writeStream
+      .format("memory").queryName("orphan_bridge").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(10000), 1, "click", 0))
+      q.processAllAvailable()
+      // 9985 is an orphan (>gap before 10000); 9992 merges into the
+      // session (within gap of its start) and pulls `first` to 9992,
+      // which is within a gap of the orphan's end — one session
+      input.addData(Event(2, ts(9985), 1, "click", 0),
+        Event(3, ts(9992), 1, "click", 0))
+      q.processAllAvailable()
+      // close the (now 3-event) session with a row past the gap
+      input.addData(Event(4, ts(10020), 1, "click", 0))
+      q.processAllAvailable()
+      val closed = spark.table("orphan_bridge").collect()
+      assert(closed.length == 1, closed.toList.toString)
+      assert(closed.head.getAs[Long]("n_events") == 3,
+        s"orphan + bridge + original must fold into one session: ${closed.toList}")
+      assert(closed.head.getAs[Timestamp]("first_ts") == ts(9985) &&
+        closed.head.getAs[Timestamp]("last_ts") == ts(10000))
+    } finally q.stop()
+  }
+
   test("sessionize survives a watermark jump wider than the gap: " +
       "lag-window rows fold and close at the next tick instead of crashing") {
     // Found by the 100M-event time-random replay rehearsal

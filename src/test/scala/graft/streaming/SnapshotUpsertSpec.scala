@@ -510,6 +510,25 @@ class SnapshotUpsertSpec extends SparkSpec {
     assert(none.isEmpty && none.columns.toSeq == Seq("id", "status", "v"))
   }
 
+  test("readKeys refuses a table-scale probe at the maxProbeKeys cap " +
+      "with a pointer to readSnapshot+join") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L to 15L).map(i => (i, "seed", 1L)): _*), dir, Seq("id"), "v",
+      nBuckets = 4)
+    import spark.implicits._
+    val bigProbe = (0L to 9L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotUpsert.readKeys(spark, dir, bigProbe, Seq("id"),
+        maxProbeKeys = 5)
+    }
+    assert(e.getMessage.contains("readSnapshot") &&
+      e.getMessage.contains("5"), e.getMessage)
+    // at the cap exactly: allowed
+    assert(SnapshotUpsert.readKeys(spark, dir, (0L to 4L).toDF("id"),
+      Seq("id"), maxProbeKeys = 5).count() == 5)
+  }
+
   test("bucketCols: a key-prefix layout co-locates the prefix and merges in place") {
     val dir = tmp()
     import spark.implicits._
