@@ -44,17 +44,31 @@ import scala.collection.immutable.SortedMap
   * mix every retained version; go through [[readSnapshot]] /
   * [[readVersion]], which read the manifest's file list.
   *
-  * Commit exclusivity: the manifest is written with
-  * `fs.create(target, overwrite = false)` — atomic create-exclusive on
-  * HDFS-class stores, so a second writer racing the same version number
-  * FAILS with a clear error instead of silently replacing a committed
-  * manifest (the round-9 TOCTOU of exists-check + rename). On a raw
-  * local filesystem the Hadoop local connector's create is
-  * check-then-open (no O_EXCL), so an in-process lock additionally
-  * serializes commits across the one driver JVM — which is where
-  * accidental dual writers (two streams against one table) actually
-  * appear. The single-writer CONTRACT still stands; the guard turns a
-  * contract violation into an error, not a lost update.
+  * Commit exclusivity: the manifest is written through a pluggable
+  * [[CommitPrimitive]] whose default is `fs.create(target, overwrite =
+  * false)` — atomic create-exclusive on HDFS-class stores, so a second
+  * writer racing the same version number LOSES cleanly instead of
+  * silently replacing a committed manifest (the round-9 TOCTOU of
+  * exists-check + rename). Object stores without atomic create plug in
+  * their own conditional write (S3 `If-None-Match: *`, GCS
+  * `ifGenerationMatch=0`) via the `commit` parameter. On a raw local
+  * filesystem the Hadoop local connector's create is check-then-open
+  * (no O_EXCL), so an in-process lock additionally serializes commits
+  * across the one driver JVM — which is where accidental dual writers
+  * (two streams against one table) actually appear.
+  *
+  * Concurrent writers SERIALIZE (r11): when a commit loses the
+  * version race, [[upsertBatchSnapshot]] re-reads the new current
+  * version, RE-MERGES the batch against it, and retries (bounded by
+  * `maxCommitAttempts`) — optimistic concurrency, so two independent
+  * ingest pipelines sharing one table both land, in some serial
+  * order. The loser's abandoned staging directory is unreferenced
+  * debris [[vacuum]] sweeps (staging dirs are unique per attempt, so
+  * no attempt can ever delete files another may yet commit). Sustained
+  * multi-writer contention still deserves one writer per table — each
+  * retry re-reads the touched buckets and re-runs the merge — but a
+  * scheduled-job overlap or a failover double-start now converges
+  * instead of erroring.
   *
   * Crash contract (single writer, e.g. one streaming query): a crash
   * BEFORE the manifest write leaves readers on the old version and the
@@ -84,6 +98,49 @@ object SnapshotUpsert {
     * cross-process exclusivity comes from create-exclusive, which is
     * atomic on HDFS-class stores but check-then-open on raw local). */
   private val commitLock = new Object
+
+  /** The ONE shared mutable point of the commit protocol, made
+    * pluggable: atomically create `target` holding exactly `bytes` IF
+    * AND ONLY IF no object exists there. Returns true when this call
+    * created it; false when an object already exists (this writer lost
+    * the version race — the caller retries against the new current
+    * version). Any other failure propagates. Implementations must not
+    * tear on the false path (the loser leaves no file); a crash
+    * mid-create MAY leave a torn file, which the `#eof` trailer makes
+    * detectable and reclaimable.
+    *
+    * [[CreateExclusive]] is the default (HDFS-class atomic create). An
+    * object-store deployment plugs in its conditional write — S3 `PUT`
+    * with `If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS lease —
+    * where a precondition failure maps to `false`. */
+  trait CommitPrimitive extends Serializable {
+    def createExclusive(fs: FileSystem, target: Path,
+        bytes: Array[Byte]): Boolean
+  }
+
+  /** Default [[CommitPrimitive]]: Hadoop `create(overwrite = false)`,
+    * atomic create-exclusive on HDFS-class stores (check-then-open on
+    * the raw local connector, which the JVM commit lock covers). */
+  object CreateExclusive extends CommitPrimitive {
+    override def createExclusive(fs: FileSystem, target: Path,
+        bytes: Array[Byte]): Boolean = {
+      val out =
+        try fs.create(target, false)
+        catch {
+          case e: java.io.IOException =>
+            if (fs.exists(target)) return false else throw e
+        }
+      try out.write(bytes) finally out.close()
+      true
+    }
+  }
+
+  /** A commit lost the version race: another writer created this
+    * version's manifest first. [[upsertBatchSnapshot]] catches this and
+    * re-merges against the new current version (bounded retries);
+    * table-sized operations ([[rebucket]]) surface it — re-run them. */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
 
   /** A committed version: its bucket layout, its commit wall-clock, its
     * DATA schema (without the `kb` layout column), and bucket ->
@@ -193,7 +250,8 @@ object SnapshotUpsert {
       version: Long, nBuckets: Int,
       schema: org.apache.spark.sql.types.StructType,
       files: Map[Int, Seq[String]], nowMs: Long,
-      bucketCols: Option[Seq[String]] = None): Unit = {
+      bucketCols: Option[Seq[String]] = None,
+      commit: CommitPrimitive = CreateExclusive): Unit = {
     // a prefix-bucketed layout is recorded IN the manifest (like
     // nBuckets): a later merge must restate it or its rows would land
     // in buckets the prefix layout never reads
@@ -213,14 +271,12 @@ object SnapshotUpsert {
         try readManifest(fs, root, version)
         catch { case _: TornManifestException => fs.delete(target, false) }
       }
-      val out =
-        try fs.create(target, false)
-        catch { case e: java.io.IOException if fs.exists(target) =>
-          sys.error(s"snapshot upsert: manifest v$version already exists — " +
-            "another writer committed concurrently (single-writer contract); " +
-            s"this commit is NOT applied: ${e.getMessage}")
-        }
-      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (!commit.createExclusive(fs, target, body.getBytes("UTF-8")))
+        throw new ConcurrentCommitException(
+          s"snapshot upsert: manifest v$version already exists — another " +
+            "writer committed concurrently; this commit is NOT applied " +
+            "(upsertBatchSnapshot re-merges and retries; re-run table-sized " +
+            "operations like rebucket)")
     }
   }
 
@@ -332,13 +388,23 @@ object SnapshotUpsert {
     * `keys` and `nBuckets`, `bucketCols` is part of the caller's table
     * contract — every merge against a table must restate the same
     * prefix (a different one would strand keys in buckets the merge
-    * neither reads nor rewrites). */
+    * neither reads nor rewrites).
+    *
+    * Concurrency: a commit that loses the version race to another
+    * writer RE-MERGES against the new current version and retries, up
+    * to `maxCommitAttempts` (optimistic concurrency — both writers'
+    * batches land, serialized; see the object doc). `commit` is the
+    * pluggable exclusivity primitive ([[CreateExclusive]] by default;
+    * an object-store conditional put in deployments whose create is
+    * not atomic). */
   def upsertBatchSnapshot(batch: DataFrame, targetDir: String,
       keys: Seq[String], orderCol: String, nBuckets: Int = 64,
       keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
       tombstoneCol: Option[String] = None,
       nowMs: Long = System.currentTimeMillis(),
-      bucketCols: Seq[String] = Seq.empty): Unit = {
+      bucketCols: Seq[String] = Seq.empty,
+      maxCommitAttempts: Int = 5,
+      commit: CommitPrimitive = CreateExclusive): Unit = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: the next commit's GC must not delete " +
         "files a reader pinned to the current version may still be scanning")
@@ -346,6 +412,7 @@ object SnapshotUpsert {
       s"upsert: bucketCols (${bucketCols.mkString(",")}) must be a subset " +
         s"of the keys (${keys.mkString(",")}) — bucketing by a non-key " +
         "column would scatter a key's versions across buckets")
+    require(maxCommitAttempts >= 1, "maxCommitAttempts must be >= 1")
     val spark = batch.sparkSession
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -354,6 +421,35 @@ object SnapshotUpsert {
     UpsertSink.validateBatch(batch, keys, tombstoneCol)
     val batchData = org.apache.spark.sql.types.StructType(
       batch.schema.fields.filterNot(f => tombstoneCol.contains(f.name)))
+    // OPTIMISTIC retry loop (see object doc): everything that depends
+    // on the current version — layout validation, schema evolution,
+    // the existing-rows read, the staged merge, the commit — re-runs
+    // per attempt, so a writer that loses the version race re-merges
+    // against the winner's committed rows instead of erroring. Each
+    // attempt stages into its own unique directory (a lost attempt's
+    // staging is unreferenced debris for vacuum) and evaluates the
+    // batch ONCE (re-checkpointed per attempt for a populated table),
+    // so whichever attempt commits is internally consistent.
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      try {
+        attemptUpsert(batch, batchData, root, fs, keys, orderCol, nBuckets,
+          keepVersions, keepAgeMs, tombstoneCol, nowMs, bucketCols, commit)
+        committed = true
+      } catch {
+        case _: ConcurrentCommitException if attempt < maxCommitAttempts => ()
+      }
+    }
+  }
+
+  private def attemptUpsert(batch: DataFrame,
+      batchData: org.apache.spark.sql.types.StructType, root: Path,
+      fs: FileSystem, keys: Seq[String], orderCol: String, nBuckets: Int,
+      keepVersions: Int, keepAgeMs: Option[Long],
+      tombstoneCol: Option[String], nowMs: Long, bucketCols: Seq[String],
+      commit: CommitPrimitive): Unit = {
     val cur = currentSnapshot(fs, root)
     cur match {
       case Some(c) =>
@@ -419,7 +515,7 @@ object SnapshotUpsert {
       bucketCols = bucketCols) { withBucket =>
       commitVersion(withBucket, root, fs, cur, dataSchema, keys, orderCol,
         nBuckets, keepVersions, keepAgeMs, tombstoneCol, nowMs,
-        if (bucketCols.isEmpty) keys else bucketCols)
+        if (bucketCols.isEmpty) keys else bucketCols, commit)
     }
   }
 
@@ -431,17 +527,20 @@ object SnapshotUpsert {
     * (layout and files swap together in the manifest), and old versions
     * remain time-travel-readable in their own layout.
     *
-    * rebucket IS a writer: the single-writer contract covers it, so
-    * STOP the table's streaming sink (or pause its trigger) before
-    * rebucketing — run concurrently, both compute the same next version
-    * number, and rebucket would reclaim the in-flight merge's staging
-    * directory as a crash orphan. The create-exclusive manifest commit
-    * refuses to replace an existing version as the backstop. */
+    * rebucket IS a writer, and a table-sized one: it does NOT auto-
+    * retry on a lost version race (re-running a whole-table rewrite
+    * behind the caller's back would hide real money) — a concurrent
+    * merge makes it fail with [[ConcurrentCommitException]]; stop the
+    * table's streaming sink (or pause its trigger), then re-run. The
+    * create-exclusive manifest commit is the backstop that makes the
+    * race an error instead of a lost update. For growing ONE overfull
+    * bucket without a table rewrite, see [[splitBucket]]. */
   def rebucket(spark: SparkSession, targetDir: String, newBuckets: Int,
       keys: Seq[String], keepVersions: Int = 2,
       keepAgeMs: Option[Long] = None,
       nowMs: Long = System.currentTimeMillis(),
-      bucketCols: Seq[String] = Seq.empty): Unit = {
+      bucketCols: Seq[String] = Seq.empty,
+      commit: CommitPrimitive = CreateExclusive): Unit = {
     require(newBuckets > 0, s"rebucket: newBuckets must be > 0, got $newBuckets")
     require(keepVersions >= 2, "keepVersions must be >= 2")
     require(bucketCols.forall(keys.contains),
@@ -466,7 +565,7 @@ object SnapshotUpsert {
     // staged set, and the header flips the layout in the same commit
     val staged = stagedFiles(fs, versionDir)
     commitManifest(fs, root, version, newBuckets, cur.schema, staged, nowMs,
-      Some(if (bucketCols.isEmpty) keys else bucketCols))
+      Some(if (bucketCols.isEmpty) keys else bucketCols), commit)
     gc(fs, root, version, staged, Some(cur), keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
     // what merges validate against
@@ -478,7 +577,8 @@ object SnapshotUpsert {
       dataSchema: org.apache.spark.sql.types.StructType, keys: Seq[String],
       orderCol: String, nBuckets: Int, keepVersions: Int,
       keepAgeMs: Option[Long], tombstoneCol: Option[String],
-      nowMs: Long, bucketCols: Seq[String]): Unit = {
+      nowMs: Long, bucketCols: Seq[String],
+      commit: CommitPrimitive = CreateExclusive): Unit = {
     val spark = withBucket.sparkSession
     val dataCols = dataSchema.fieldNames.toSeq
     val populated: Set[Int] = cur.map(_.files.keySet).getOrElse(Set.empty)
@@ -531,7 +631,7 @@ object SnapshotUpsert {
     // the record, readKeys on a pre-prefix-era layout would hash probe
     // columns that never laid the table out and silently miss rows
     commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
-      Some(bucketCols))
+      Some(bucketCols), commit)
     gc(fs, root, version, manifest, cur, keepVersions, keepAgeMs, nowMs)
   }
 
@@ -1083,8 +1183,11 @@ object SnapshotUpsert {
       keepVersions: Int = 2, drainOnce: Boolean = false,
       outputMode: String = "append", keepAgeMs: Option[Long] = None,
       tombstoneCol: Option[String] = None,
-      bucketCols: Seq[String] = Seq.empty): StreamingQuery =
+      bucketCols: Seq[String] = Seq.empty,
+      maxCommitAttempts: Int = 5,
+      commit: CommitPrimitive = CreateExclusive): StreamingQuery =
     UpsertSink.startForeachBatch(stream, checkpoint, outputMode, drainOnce)(
       b => upsertBatchSnapshot(b, targetDir, keys, orderCol, nBuckets,
-        keepVersions, keepAgeMs, tombstoneCol, bucketCols = bucketCols))
+        keepVersions, keepAgeMs, tombstoneCol, bucketCols = bucketCols,
+        maxCommitAttempts = maxCommitAttempts, commit = commit))
 }

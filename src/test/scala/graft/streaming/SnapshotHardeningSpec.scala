@@ -465,8 +465,8 @@ class SnapshotHardeningSpec extends SparkSpec {
     assert(SnapshotUpsert.readVersion(spark, dir, 1L).count() == 2)
   }
 
-  test("two full API-level writers racing: the table stays consistent " +
-      "whatever the interleaving, and losers leave only sweepable debris") {
+  test("two full API-level writers racing: BOTH batches land (optimistic " +
+      "retry-merge serializes the loser), losers leave only sweepable debris") {
     val dir = tmp()
     SnapshotUpsert.upsertBatchSnapshot(df((100L, "seed", 1L)), dir, Seq("id"),
       "v", nBuckets = 4, keepVersions = 10)
@@ -486,25 +486,135 @@ class SnapshotHardeningSpec extends SparkSpec {
     }
     start.countDown()
     threads.foreach(_.join())
-    // depending on timing either both serialized onto distinct versions
-    // or one lost the create-exclusive commit with the clear error —
-    // in EVERY interleaving the table must read consistently and hold
-    // the seed plus each writer that reported success
-    errors.forEach(m => assert(m.contains("another writer"), m))
-    assert(committed.size + errors.size == 2)
+    // with optimistic retry the loser re-merges against the winner's
+    // version and commits the next one: EVERY interleaving ends with
+    // both writers applied, in some serial order
+    assert(errors.isEmpty, s"no writer may error under retry-merge: $errors")
+    assert(committed.size == 2)
     val rows = snapSet(dir)
-    assert(rows.contains((100L, "seed", 1L)))
-    committed.forEach(i => assert(rows.contains((i, s"w$i", 1L)),
-      s"a writer that reported success must be durably applied: $i"))
-    assert(rows.size == 1 + committed.size)
+    assert(rows == Set((100L, "seed", 1L), (0L, "w0", 1L), (1L, "w1", 1L)),
+      rows.toString)
     // versions are dense and every retained one is readable
     val vs = SnapshotUpsert.versions(spark, dir)
-    assert(vs == (1L to (1L + committed.size)).toSeq)
+    assert(vs == (1L to vs.last).toSeq && vs.last >= 3L, vs.toString)
     vs.foreach(v => SnapshotUpsert.readVersion(spark, dir, v).collect())
     // a loser's abandoned staging (if any) is unreferenced debris that
     // vacuum can sweep without touching the live table
     SnapshotUpsert.vacuum(spark, dir, olderThanMs = -1000L)
     assert(snapSet(dir) == rows)
+  }
+
+  test("deterministic lost race: the loser re-merges the winner's rows and " +
+      "commits the next version — linearizable against either order") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((100L, "seed", 1L)), dir, Seq("id"),
+      "v", nBuckets = 4, keepVersions = 10)
+    // a primitive that, at writer A's FIRST commit point, lets a full
+    // competing writer B commit the same version number first — so A
+    // deterministically loses once and must retry-merge
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sabotage = new SnapshotUpsert.CommitPrimitive {
+      override def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+          target: Path, bytes: Array[Byte]): Boolean = {
+        if (fired.compareAndSet(false, true))
+          SnapshotUpsert.upsertBatchSnapshot(df((2L, "writerB", 5L)), dir,
+            Seq("id"), "v", nBuckets = 4, keepVersions = 10)
+        SnapshotUpsert.CreateExclusive.createExclusive(fs, target, bytes)
+      }
+    }
+    // writer A updates the SAME key B writes, with a higher order value:
+    // the retry must re-merge against B's committed row and win it
+    SnapshotUpsert.upsertBatchSnapshot(df((2L, "writerA", 9L), (3L, "x", 1L)),
+      dir, Seq("id"), "v", nBuckets = 4, keepVersions = 10, commit = sabotage)
+    // linearizable final content: B then A (A's key-2 row has higher v)
+    assert(snapSet(dir) ==
+      Set((100L, "seed", 1L), (2L, "writerA", 9L), (3L, "x", 1L)))
+    // exactly three commits: seed, B's v2, A's retried v3
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // B's intermediate version is itself consistent (time travel)
+    assert(SnapshotUpsert.readVersion(spark, dir, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((100L, "seed", 1L), (2L, "writerB", 5L)))
+    // A's abandoned v2 staging is unreferenced debris vacuum sweeps
+    val swept = SnapshotUpsert.vacuum(spark, dir, olderThanMs = -1000L)
+    assert(swept.exists(_.startsWith("batches/v2-")),
+      s"the lost attempt's staging must be sweepable: $swept")
+    assert(snapSet(dir) ==
+      Set((100L, "seed", 1L), (2L, "writerA", 9L), (3L, "x", 1L)))
+  }
+
+  test("maxCommitAttempts bounds the retry: a primitive that always loses " +
+      "surfaces ConcurrentCommitException after the budget") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "seed", 1L)), dir, Seq("id"),
+      "v", nBuckets = 4, keepVersions = 10)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val alwaysLoses = new SnapshotUpsert.CommitPrimitive {
+      override def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+          target: Path, bytes: Array[Byte]): Boolean = {
+        calls.incrementAndGet(); false
+      }
+    }
+    intercept[SnapshotUpsert.ConcurrentCommitException] {
+      SnapshotUpsert.upsertBatchSnapshot(df((2L, "b", 1L)), dir, Seq("id"),
+        "v", nBuckets = 4, keepVersions = 10, maxCommitAttempts = 3,
+        commit = alwaysLoses)
+    }
+    assert(calls.get() == 3, s"exactly maxCommitAttempts tries: ${calls.get()}")
+    // nothing committed; the table is untouched
+    assert(snapSet(dir) == Set((1L, "seed", 1L)))
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L))
+  }
+
+  test("a mock object-store conditional put (If-None-Match semantics) " +
+      "drives the same commit protocol: precondition failure = lost race") {
+    // simulates a store whose create is NOT atomic but whose PUT takes
+    // a precondition: the put itself is tmp-write + putIfAbsent on a
+    // shared key set + rename, failing (false) when the key was taken
+    val taken = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conditionalPut = new SnapshotUpsert.CommitPrimitive {
+      override def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+          target: Path, bytes: Array[Byte]): Boolean = {
+        puts.incrementAndGet()
+        if (!taken.add(target.toString)) return false // 412 Precondition Failed
+        val tmp = new Path(target.getParent, s".${target.getName}.put")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        fs.rename(tmp, target)
+        true
+      }
+    }
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10, commit = conditionalPut)
+    SnapshotUpsert.upsertBatchSnapshot(df((2L, "b", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10, commit = conditionalPut)
+    assert(snapSet(dir) == Set((1L, "a", 1L), (2L, "b", 1L)))
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L))
+    // a deterministic race THROUGH the conditional put: at writer A's
+    // commit point a competitor fully commits v3 via the same
+    // primitive, so A's put hits the taken key (precondition failure),
+    // loses, re-merges, and lands on v4
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racingPut = new SnapshotUpsert.CommitPrimitive {
+      override def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+          target: Path, bytes: Array[Byte]): Boolean = {
+        if (raced.compareAndSet(false, true))
+          SnapshotUpsert.upsertBatchSnapshot(df((9L, "competitor", 1L)), dir,
+            Seq("id"), "v", nBuckets = 4, keepVersions = 10,
+            commit = conditionalPut)
+        conditionalPut.createExclusive(fs, target, bytes)
+      }
+    }
+    val putsBefore = puts.get()
+    SnapshotUpsert.upsertBatchSnapshot(df((3L, "c", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10, commit = racingPut)
+    assert(puts.get() - putsBefore == 3,
+      "competitor put + lost put + retried put must all go through the mock")
+    assert(snapSet(dir) == Set((1L, "a", 1L), (2L, "b", 1L),
+      (9L, "competitor", 1L), (3L, "c", 1L)))
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L, 3L, 4L))
   }
 
   test("streaming sink with a tombstone column maintains deletes " +
