@@ -856,6 +856,16 @@ object SnapshotUpsert {
     currentSnapshot(fs, root).map(_.nBuckets)
   }
 
+  /** (version, recorded data schema) of the current committed version
+    * (None for a fresh table) — one manifest read, no data access; what
+    * the change-feed streaming source pins at start. */
+  def currentVersionInfo(spark: SparkSession, targetDir: String)
+      : Option[(Long, org.apache.spark.sql.types.StructType)] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentSnapshot(fs, root).map(s => (s.version, s.schema))
+  }
+
   /** Time-based time travel: the table as of wall-clock `tsMs` — the
     * newest version whose commit timestamp is <= tsMs ("the table as
     * the 02:00 report saw it"). Commit timestamps are the `#ts`
@@ -1174,6 +1184,31 @@ object SnapshotUpsert {
             .withColumn("_change", lit("insert")),
           () => advance()))
     }
+  }
+
+  /** The change feed as a STRUCTURED STREAMING SOURCE: a downstream
+    * job consumes each commit's row-level changes as micro-batches,
+    * with versions as offsets and the engine's checkpoint as the
+    * cursor — the always-on form of the [[drainChanges]] poll loop
+    * (same slices, same idempotent-image-diff contract). See
+    * [[ChangeFeedSourceProvider]] for options, the bootstrap shape,
+    * schema pinning, and retention sizing. */
+  def readChangeStream(spark: SparkSession, targetDir: String,
+      keys: Seq[String], emitDeletes: Boolean = true,
+      withCommitVersion: Boolean = false,
+      startingVersion: Option[String] = None,
+      maxVersionsPerBatch: Option[Long] = None,
+      failOnDataLoss: Boolean = true): DataFrame = {
+    var r = spark.readStream.format("graft-changes")
+      .option("path", targetDir)
+      .option("keys", keys.mkString(","))
+      .option("emitDeletes", emitDeletes.toString)
+      .option("withCommitVersion", withCommitVersion.toString)
+      .option("failOnDataLoss", failOnDataLoss.toString)
+    startingVersion.foreach(v => r = r.option("startingVersion", v))
+    maxVersionsPerBatch.foreach(m =>
+      r = r.option("maxVersionsPerBatch", m.toString))
+    r.load()
   }
 
   /** Continuous snapshot-committed upsert under the streaming
