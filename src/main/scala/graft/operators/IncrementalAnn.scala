@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * [[Similarity.assignCells]]'s oracle-checkable path; train them once
   * with [[Similarity.ivfIndex]] or pin deterministic ones). When the
   * corpus outgrows the centroid count (the sqrt-N rule,
-  * [[Similarity.autoCells]]), retrain and rebuild the index — a
-  * table-sized rewrite, like [[SnapshotUpsert.rebucket]].
+  * [[Similarity.autoCells]]), retrain and rebuild the index — that
+  * rebuild is SEMANTIC (new cells = new keys) and stays table-sized.
+  * Mere bucket-LAYOUT growth, by contrast, is [[maintain]] (r11):
+  * in-place linear-hashing splits of the overfull buckets only.
   *
   * Index layout: one row per vector — `(id, cell, vector)`, keyed on
   * (cell, id) and BUCKETED BY `cell` alone (the `bucketCols` prefix,
@@ -75,6 +77,14 @@ object IncrementalAnn {
   /** The committed index (id, cell, vector) at its current version. */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =
     SnapshotUpsert.readSnapshot(spark, indexDir)
+
+  /** Layout maintenance: split overfull index buckets in place (see
+    * [[IncrementalText.maintain]] — same contract: slice-sized, run
+    * between ingests, queries route transparently). */
+  def maintain(spark: SparkSession, indexDir: String,
+      maxBucketBytes: Long, keepVersions: Int = 2): Seq[Int] =
+    SnapshotUpsert.splitOverfull(spark, indexDir, maxBucketBytes,
+      keepVersions)
 
   /** [[ingest]] with PQ codes stored alongside each vector — the
     * IVF-PQ standing index: codes are computed ONCE at ingest against

@@ -114,6 +114,13 @@ object IncrementalDedup {
       ()
     }
 
+  /** Layout maintenance: split overfull signature buckets in place
+    * (see [[IncrementalText.maintain]] — same contract). */
+  def maintain(spark: SparkSession, indexDir: String,
+      maxBucketBytes: Long, keepVersions: Int = 2): Seq[Int] =
+    SnapshotUpsert.splitOverfull(spark, indexDir, maxBucketBytes,
+      keepVersions)
+
   /** Remove retired documents from the index (tombstones): their
     * signature rows stop matching future ingests from the next
     * committed version on. `ids` carries one `doc_id` per retired

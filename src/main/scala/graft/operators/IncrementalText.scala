@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   * `|distinct probed buckets| / nBuckets` of the index, NOT a fixed
   * per-term cost. Size `nBuckets` so one bucket is a sane fetch unit
   * at the target corpus (e.g. 4096 buckets over a 1 TB postings table
-  * = ~250 MB per probe); growing it later is [[SnapshotUpsert
-  * .rebucket]], a table-sized rebuild — the same honest growth path as
-  * the IVF index's centroid retrain.
+  * = ~250 MB per probe); grow it later with [[maintain]] (r11:
+  * in-place linear-hashing splits of just the overfull buckets,
+  * slice-sized) — [[SnapshotUpsert.rebucket]] remains only as the
+  * everything-at-once fallback.
   *
   * Scores are BIT-IDENTICAL to [[TextAnalysis.bm25TopK]] over the
   * accumulated corpus: the postings rows ARE
@@ -113,6 +114,18 @@ object IncrementalText {
         nBuckets = nBuckets, keepVersions = keepVersions)
     } finally postings.unpersist(false)
   }
+
+  /** Layout maintenance: split overfull POSTINGS buckets in place
+    * (linear hashing, [[SnapshotUpsert.splitOverfull]]) — the standing
+    * index's growth path, slice-sized instead of the table-sized
+    * rebucket. Retrieval is layout-transparent (probes route by the
+    * manifest's recorded depths); corpus stats are untouched. A split
+    * is a WRITER: run it between ingests, not concurrently with one.
+    * Returns the split bucket ids. */
+  def maintain(spark: SparkSession, indexDir: String,
+      maxBucketBytes: Long, keepVersions: Int = 2): Seq[Int] =
+    SnapshotUpsert.splitOverfull(spark, postingsDir(indexDir),
+      maxBucketBytes, keepVersions)
 
   /** Top-k docs per keyword query from the COMMITTED index — the
     * result [[TextAnalysis.bm25TopK]] would produce over the whole

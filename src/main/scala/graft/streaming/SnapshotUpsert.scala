@@ -153,7 +153,8 @@ object SnapshotUpsert {
   case class Snapshot(version: Long, nBuckets: Int, commitTsMs: Long,
       schema: org.apache.spark.sql.types.StructType,
       files: Map[Int, Seq[String]],
-      bucketCols: Option[Seq[String]] = None)
+      bucketCols: Option[Seq[String]] = None,
+      depths: Map[Int, Int] = Map.empty)
 
   /** A manifest file that exists but lacks the `#eof` trailer: its
     * writer died mid-commit, so the version never became readable. */
@@ -235,9 +236,16 @@ object SnapshotUpsert {
     // file's modification time for tables written before it
     val ts = headers.get("ts").map(_.toLong)
       .getOrElse(fs.getFileStatus(path).getModificationTime)
+    // #depths (r11): active split buckets as `id.depth` pairs — absent
+    // on unsplit tables, so the pre-split format parses unchanged
+    val depths: Map[Int, Int] = headers.get("depths")
+      .map(_.split(",").iterator.map { e =>
+        val Array(id, d) = e.split("\\.")
+        id.toInt -> d.toInt
+      }.toMap).getOrElse(Map.empty)
     Snapshot(v, headers("nbuckets").toInt, ts,
       org.apache.spark.sql.types.StructType.fromDDL(headers("schema")), files,
-      headers.get("bucketcols").map(_.split(",", -1).toSeq))
+      headers.get("bucketcols").map(_.split(",", -1).toSeq), depths)
   }
 
   /** Create-exclusive write of a manifest file — THE commit point of
@@ -251,7 +259,8 @@ object SnapshotUpsert {
       schema: org.apache.spark.sql.types.StructType,
       files: Map[Int, Seq[String]], nowMs: Long,
       bucketCols: Option[Seq[String]] = None,
-      commit: CommitPrimitive = CreateExclusive): Unit = {
+      commit: CommitPrimitive = CreateExclusive,
+      depths: Map[Int, Int] = Map.empty): Unit = {
     // a prefix-bucketed layout is recorded IN the manifest (like
     // nBuckets): a later merge must restate it or its rows would land
     // in buckets the prefix layout never reads
@@ -263,6 +272,12 @@ object SnapshotUpsert {
     val body = (Iterator(s"#nbuckets=$nBuckets", s"#ts=$nowMs",
       s"#schema=${schema.toDDL}") ++
       bucketCols.iterator.map(bc => s"#bucketcols=${bc.mkString(",")}") ++
+      // split layout travels WITH the file set (like nBuckets): a split
+      // and its bucket rewrites commit atomically or not at all
+      (if (depths.nonEmpty)
+        Iterator(s"#depths=${SortedMap.from(depths).iterator
+          .map { case (id, d) => s"$id.$d" }.mkString(",")}")
+      else Iterator.empty) ++
       SortedMap.from(files).iterator.flatMap { case (b, fs0) =>
         fs0.map(f => s"$b\t$f")
       } ++ Iterator(Eof)).mkString("\n")
@@ -512,7 +527,8 @@ object SnapshotUpsert {
     }
     UpsertSink.withPreparedBatch(batch, keys, nBuckets,
       populatedTable = cur.exists(_.files.nonEmpty),
-      bucketCols = bucketCols) { withBucket =>
+      bucketCols = bucketCols,
+      depths = cur.map(_.depths).getOrElse(Map.empty)) { withBucket =>
       commitVersion(withBucket, root, fs, cur, dataSchema, keys, orderCol,
         nBuckets, keepVersions, keepAgeMs, tombstoneCol, nowMs,
         if (bucketCols.isEmpty) keys else bucketCols, commit)
@@ -572,6 +588,90 @@ object SnapshotUpsert {
     UpsertSink.refreshLayoutMarker(fs, root, newBuckets)
   }
 
+  /** Split ONE overfull bucket into two children WITHOUT a table
+    * rewrite — the linear-hashing growth path that removes the layer's
+    * one table-sized maintenance event ([[rebucket]]): a bucket at
+    * depth `d` (holding keys with `hash mod nBuckets*2^d == id`) is
+    * rewritten as two depth-`d+1` children (`id` and
+    * `id + nBuckets*2^d`), every OTHER bucket is carried forward by
+    * reference, and the per-bucket depth map commits atomically with
+    * the files in the manifest's `#depths` header. Readers route by
+    * the recorded depths ([[UpsertSink.bucketOfLayout]]); bucket ids
+    * stay plain ints because an id value is unique among ACTIVE
+    * buckets (a deeper active id makes its same-valued ancestor split,
+    * hence inactive). Cost: one bucket's read + two children's write —
+    * slice-sized however large the table. A child that receives no
+    * keys simply stages no file (it materializes on its first merge).
+    *
+    * Like [[rebucket]], a split IS a writer and does not auto-retry on
+    * a lost version race (re-run it); unlike rebucket it composes with
+    * live ingest cheaply — schedule it between merges. Splitting a
+    * child again deepens it further; past a few hundred splits the
+    * routing CASE grows (see bucketOfLayout), at which point graduate
+    * to a rebucket. */
+  def splitBucket(spark: SparkSession, targetDir: String, bucket: Int,
+      keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis(),
+      commit: CommitPrimitive = CreateExclusive): Unit = {
+    require(keepVersions >= 2, "keepVersions must be >= 2")
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentSnapshot(fs, root).getOrElse(
+      sys.error(s"splitBucket: no committed version at $targetDir"))
+    val bc = cur.bucketCols.getOrElse(sys.error(
+      s"splitBucket: the manifest at $targetDir predates recorded bucket " +
+        "columns; one fresh merge upgrades it"))
+    require(cur.files.contains(bucket),
+      s"splitBucket: bucket $bucket holds no files at $targetDir " +
+        "(unknown id, or empty — nothing to split)")
+    val d = cur.depths.getOrElse(bucket, 0)
+    val m = cur.nBuckets.toLong << d
+    require(bucket + m <= Int.MaxValue,
+      s"splitBucket: bucket $bucket at depth $d cannot split further " +
+        "(id overflow); rebucket the table instead")
+    val sibling = (bucket + m).toInt
+    val newDepths = cur.depths + (bucket -> (d + 1)) + (sibling -> (d + 1))
+    val version = cur.version + 1
+    val versionDir = newVersionDir(root, version)
+    // read ONLY the split bucket's files; the new depth map routes its
+    // rows onto the two children (all other rows are untouched and
+    // their buckets carried by reference)
+    spark.read.schema(cur.schema)
+      .parquet(cur.files(bucket).map(rel => s"$root/$rel"): _*)
+      .withColumn("kb", UpsertSink.bucketOfLayout(bc, cur.nBuckets, newDepths))
+      .repartition(2, col("kb"))
+      .write.partitionBy("kb").parquet(versionDir.toString)
+    val staged = stagedFiles(fs, versionDir)
+    val manifest = (cur.files - bucket) ++ staged
+    commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
+      nowMs, Some(bc), commit, newDepths)
+    gc(fs, root, version, manifest, Some(cur), keepVersions, keepAgeMs, nowMs)
+  }
+
+  /** One maintenance pass of [[splitBucket]]: split every bucket whose
+    * live bytes (summed from the manifest's files — driver-side stats,
+    * no data read) exceed `maxBucketBytes`. Single pass over the
+    * CURRENT manifest: freshly-created children are not re-examined in
+    * the same call (a scheduled caller re-runs; a single hot KEY that
+    * alone exceeds the budget is key skew a layout cannot fix — salt
+    * the key or raise the budget). Returns the split bucket ids. */
+  def splitOverfull(spark: SparkSession, targetDir: String,
+      maxBucketBytes: Long, keepVersions: Int = 2,
+      keepAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis()): Seq[Int] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentSnapshot(fs, root).getOrElse(
+      sys.error(s"splitOverfull: no committed version at $targetDir"))
+    val overfull = cur.files.iterator.map { case (b, rels) =>
+      b -> rels.map(rel =>
+        fs.getFileStatus(new Path(root, rel)).getLen).sum
+    }.filter(_._2 > maxBucketBytes).map(_._1).toSeq.sorted
+    overfull.foreach(b => splitBucket(spark, targetDir, b, keepVersions,
+      keepAgeMs, nowMs))
+    overfull
+  }
+
   private def commitVersion(withBucket: DataFrame, root: Path,
       fs: FileSystem, cur: Option[Snapshot],
       dataSchema: org.apache.spark.sql.types.StructType, keys: Seq[String],
@@ -597,7 +697,8 @@ object SnapshotUpsert {
     val existing =
       if (toRead.nonEmpty)
         spark.read.schema(dataSchema).parquet(toRead: _*)
-          .withColumn("kb", UpsertSink.bucketOf(bucketCols, nBuckets))
+          .withColumn("kb", UpsertSink.bucketOfLayout(bucketCols, nBuckets,
+            cur.map(_.depths).getOrElse(Map.empty)))
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -631,7 +732,7 @@ object SnapshotUpsert {
     // the record, readKeys on a pre-prefix-era layout would hash probe
     // columns that never laid the table out and silently miss rows
     commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
-      Some(bucketCols), commit)
+      Some(bucketCols), commit, cur.map(_.depths).getOrElse(Map.empty))
     gc(fs, root, version, manifest, cur, keepVersions, keepAgeMs, nowMs)
   }
 
@@ -984,7 +1085,8 @@ object SnapshotUpsert {
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), projected.schema)
     val kbs = probes
-      .select(UpsertSink.bucketOf(keys, cur.nBuckets).as("kb"))
+      .select(UpsertSink.bucketOfLayout(keys, cur.nBuckets, cur.depths)
+        .as("kb"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val paths = kbs.filter(cur.files.contains)
       .flatMap(cur.files).map(rel => s"$root/$rel")
@@ -1025,19 +1127,36 @@ object SnapshotUpsert {
     // rebucket (count OR bucket-column change) the same number holds
     // different key sets (and a bucket empty under the new layout would
     // HIDE the old file sharing its number), so a cross-layout diff
-    // reads both images whole
-    val sameLayout = from.nBuckets == to.nBuckets &&
+    // reads both images whole. Across a SPLIT (same count + columns,
+    // different depths) the ids differ but every bucket's key space
+    // nests inside its BASE residue class (id mod nBuckets), which is
+    // stable — so the diff compares class-wise and reads only the
+    // classes whose file sets disagree (a pure split that rewrote one
+    // bucket reads that parent + its children, never the table).
+    val sameGrid = from.nBuckets == to.nBuckets &&
       from.bucketCols == to.bucketCols
-    val changedBuckets: Seq[Int] =
-      if (sameLayout)
+    val (oldBuckets, newBuckets): (Seq[Int], Seq[Int]) =
+      if (!sameGrid)
+        (from.files.keySet.toSeq, to.files.keySet.toSeq)
+      else if (from.depths == to.depths) {
         // union of both keysets: a bucket absent from `to` (every key
         // tombstoned) is still a change the old side must surface
-        (from.files.keySet ++ to.files.keySet)
+        val changed = (from.files.keySet ++ to.files.keySet)
           .filter(b => from.files.get(b) != to.files.get(b)).toSeq
-      else (from.files.keySet ++ to.files.keySet).toSeq
+        (changed, changed)
+      } else {
+        val fc = from.files.keySet.groupBy(_ % from.nBuckets)
+        val tc = to.files.keySet.groupBy(_ % from.nBuckets)
+        val classes = (fc.keySet ++ tc.keySet).filter { r0 =>
+          fc.getOrElse(r0, Set.empty).map(b => b -> from.files(b)).toMap !=
+            tc.getOrElse(r0, Set.empty).map(b => b -> to.files(b)).toMap
+        }
+        (classes.toSeq.flatMap(r0 => fc.getOrElse(r0, Set.empty)),
+          classes.toSeq.flatMap(r0 => tc.getOrElse(r0, Set.empty)))
+      }
     def paths(m: Snapshot, buckets: Seq[Int]): Seq[String] = buckets
       .filter(m.files.contains).flatMap(m.files).map(rel => s"$root/$rel")
-    if (changedBuckets.isEmpty) {
+    if (oldBuckets.isEmpty && newBuckets.isEmpty) {
       // identical manifests: empty feed with the table's schema (one
       // footer read — the only case that needs a sample)
       return spark.createDataFrame(
@@ -1048,10 +1167,8 @@ object SnapshotUpsert {
     // grow, so to.schema covers from; a column added between the two
     // versions reads as NULL on the old side — a row whose only change
     // is a now-populated new column correctly reports as an update)
-    val newSide = readImage(spark, to.schema,
-      paths(to, if (sameLayout) changedBuckets else to.files.keySet.toSeq))
-    val oldSide = readImage(spark, to.schema, paths(from,
-      if (sameLayout) changedBuckets else from.files.keySet.toSeq))
+    val newSide = readImage(spark, to.schema, paths(to, newBuckets))
+    val oldSide = readImage(spark, to.schema, paths(from, oldBuckets))
     diffImages(newSide, oldSide, keys, emitDeletes)
   }
 

@@ -56,6 +56,41 @@ object UpsertSink {
   def bucketOf(keys: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
+  /** Layout-aware bucket routing under LINEAR-HASHING splits
+    * ([[SnapshotUpsert.splitBucket]]): an active bucket of depth `d`
+    * holds the keys with `pmod(xxhash64(keys), nBuckets * 2^d) == id`.
+    * `depths` maps bucket id -> depth for every active bucket deeper
+    * than 0 (ids stay plain ints: among ACTIVE buckets an id value is
+    * unique across depths — a value active at depth d makes its
+    * shallower ancestor of the same value split, hence inactive).
+    * Routing evaluates the residue at each populated depth and picks
+    * the one matching an active id; the conditions are mutually
+    * exclusive (a key whose depth-0 residue is active cannot also hit
+    * a deeper active id — that id's ancestor would be the depth-0
+    * residue itself, which would then be split, not active), so the
+    * CASE order is immaterial. With no splits this IS [[bucketOf]] —
+    * the single-pmod fast path. Heavy splitting grows the IN lists
+    * (one per depth); past a few hundred splits, graduate the table to
+    * [[SnapshotUpsert.rebucket]]. */
+  def bucketOfLayout(keys: Seq[String], nBuckets: Int,
+      depths: Map[Int, Int]): org.apache.spark.sql.Column = {
+    if (depths.isEmpty) return bucketOf(keys, nBuckets)
+    val h = xxhash64(keys.map(col): _*)
+    val maxD = depths.valuesIterator.max
+    val byDepth: Seq[(Int, Seq[Int])] = (0 to maxD).map { d =>
+      d -> (if (d == 0)
+        (0 until nBuckets).filterNot(v => depths.contains(v))
+      else depths.collect { case (v, dd) if dd == d => v }.toSeq.sorted)
+    }
+    val cases = byDepth.collect { case (d, vals) if vals.nonEmpty =>
+      val rd = pmod(h, lit(nBuckets.toLong << d))
+      (rd.isin(vals.map(_.toLong): _*), rd)
+    }
+    cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+      case (acc, (cond, v)) => acc.when(cond, v)
+    }.cast("int")
+  }
+
   /** Marker file pinning the table's bucket count. The bucket is a
     * FUNCTION of nBuckets, so merging with a different count than the
     * table was built with would leave each key's old row in a bucket
@@ -155,11 +190,12 @@ object UpsertSink {
     * of 100M rows: 70.5 s snapshotted vs 34-40 s lazy). */
   private[streaming] def withPreparedBatch(batch: DataFrame,
       keys: Seq[String], nBuckets: Int, populatedTable: Boolean,
-      bucketCols: Seq[String] = Seq.empty)(
+      bucketCols: Seq[String] = Seq.empty,
+      depths: Map[Int, Int] = Map.empty)(
       use: DataFrame => Unit): Unit = {
     validateBatch(batch, keys, None)
     val bc = if (bucketCols.isEmpty) keys else bucketCols
-    val withBucket0 = batch.withColumn("kb", bucketOf(bc, nBuckets))
+    val withBucket0 = batch.withColumn("kb", bucketOfLayout(bc, nBuckets, depths))
     val withBucket =
       if (populatedTable) withBucket0.localCheckpoint(true) else withBucket0
     try use(withBucket)

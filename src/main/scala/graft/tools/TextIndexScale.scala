@@ -25,10 +25,22 @@ import org.apache.spark.sql.functions._
   *  ScaleUp docsOnly. nBuckets scales with the dir index to keep a
   *  bucket a bounded fetch unit, the sizing rule the operator doc
   *  states.)
+  *
+  * `--split-budget=<bytes>` (r11) rehearses the in-place bucket-split
+  * growth path: after the two-half build, IncrementalText.maintain
+  * splits every postings bucket over the budget, then a THIRD ingest
+  * (the corpus re-keyed as new doc ids) lands on the mixed layout —
+  * proving ingest cost stays slice-sized THROUGH a split and
+  * retrieval stays exact (parity re-checked against bm25TopK on the
+  * doubled corpus).
   */
 object TextIndexScale {
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: TextIndexScale <docsDir>...")
+  def main(rawArgs: Array[String]): Unit = {
+    val splitBudget: Option[Long] = rawArgs
+      .find(_.startsWith("--split-budget="))
+      .map(_.stripPrefix("--split-budget=").toLong)
+    val args = rawArgs.filterNot(_.startsWith("--"))
+    require(args.nonEmpty, "usage: TextIndexScale [--split-budget=N] <docsDir>...")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -76,6 +88,36 @@ object TextIndexScale {
       println(f"[textindex] ${new java.io.File(dir).getName}%-14s $n%9d " +
         f"$nBuckets%5d $ingestS%9.1f $incS%7.2f $freshS%8.2f " +
         f"$fetchedFiles%4d/$totalFiles%-4d ${inc == fresh}")
+
+      splitBudget.foreach { budget =>
+        val ts = System.nanoTime()
+        val split = IncrementalText.maintain(spark, idx, budget,
+          keepVersions = 2)
+        val splitS = (System.nanoTime() - ts) / 1e9
+        // a third ingest ONTO the mixed layout: the same corpus
+        // re-keyed as brand-new docs (doubles the index)
+        val newDocs = docs.select((col("doc_id") + n).as("doc_id"),
+          col("text"))
+        val t3 = System.nanoTime()
+        IncrementalText.ingest(newDocs, idx, "text", "doc_id",
+          nBuckets = nBuckets)
+        val ingest3S = (System.nanoTime() - t3) / 1e9
+        val total3 = graft.streaming.SnapshotUpsert
+          .readSnapshot(spark, s"$idx/postings").inputFiles.length
+        val inc3Df = IncrementalText.topK(spark, idx, qs, "query_id",
+          "qtext")
+        val fetched3 = inc3Df.inputFiles.count(_.contains("/postings/"))
+        val inc3S = Timing.best3(() =>
+          IncrementalText.topK(spark, idx, qs, "query_id", "qtext"))
+        val all = docs.unionByName(newDocs)
+        val fresh3 = TextAnalysis.bm25TopK(all, qs, "text", "doc_id",
+          "query_id", "qtext").collect().map(_.toSeq).toSet
+        val inc3 = inc3Df.collect().map(_.toSeq).toSet
+        println(f"[textindex]   +split: ${split.size}%3d buckets in " +
+          f"$splitS%5.1f s; ingest3 $ingest3S%6.1f s (2-half was " +
+          f"$ingestS%5.1f s); inc3 $inc3S%5.2f s " +
+          f"$fetched3%4d/$total3%-4d eq=${inc3 == fresh3}")
+      }
     }
     spark.stop()
   }
