@@ -53,7 +53,8 @@ object IncrementalAnn {
     * upstream cannot promise append-or-identical batches. */
   def ingest(batch: DataFrame, indexDir: String, centroids: DataFrame,
       idCol: String, vecCol: String, nBuckets: Int = 64,
-      keepVersions: Int = 2, verifyNoReassign: Boolean = false): Unit = {
+      keepVersions: Int = 2, verifyNoReassign: Boolean = false,
+      withIdMap: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val assigned = Similarity.assignCells(batch, centroids, idCol, vecCol)
       .select(col(idCol), col("cell"), col(vecCol))
@@ -69,10 +70,37 @@ object IncrementalAnn {
           s"(e.g. ${moved.mkString(", ")}) — the old rows would survive as " +
           "stale duplicates; retire these ids first, then ingest")
     }
+    if (withIdMap)
+      commitIdMap(assigned.select(col(idCol), col("cell")), indexDir,
+        idCol, keepVersions)
     SnapshotUpsert.upsertBatchSnapshot(assigned, indexDir,
       keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
       keepVersions = keepVersions, bucketCols = Seq("cell"))
   }
+
+  /** The id -> cell SIDE TABLE that makes [[retire]] slice-sized: a
+    * snapshot table keyed (and bucketed) by the id alone, so resolving
+    * a retire batch's cells is a [[SnapshotUpsert.readKeys]] point
+    * lookup instead of an index scan. Maintained by `withIdMap = true`
+    * on the ingest paths; backfill an existing index once with
+    * [[buildIdMap]]. The idmap commits BEFORE the index commit, so it
+    * always covers every indexed id (a crash in between leaves an
+    * idmap entry whose index row never landed — retiring it tombstones
+    * nothing, harmless; the replayed ingest converges both tables). */
+  private def idMapDir(indexDir: String) = s"$indexDir/_idmap"
+
+  private def commitIdMap(idCells: DataFrame, indexDir: String,
+      idCol: String, keepVersions: Int): Unit =
+    SnapshotUpsert.upsertBatchSnapshot(idCells, idMapDir(indexDir),
+      keys = Seq(idCol), orderCol = "", nBuckets = 64,
+      keepVersions = keepVersions)
+
+  /** One-time idmap backfill for an index built without `withIdMap`:
+    * a single index scan committing (id, cell). */
+  def buildIdMap(spark: SparkSession, indexDir: String, idCol: String,
+      keepVersions: Int = 2): Unit =
+    commitIdMap(readIndex(spark, indexDir).select(col(idCol), col("cell")),
+      indexDir, idCol, keepVersions)
 
   /** The committed index (id, cell, vector) at its current version. */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =
@@ -97,11 +125,15 @@ object IncrementalAnn {
     * files outgrow their fetch-unit budget). */
   def ingestPq(batch: DataFrame, indexDir: String, centroids: DataFrame,
       codebook: DataFrame, idCol: String, vecCol: String, m: Int = 8,
-      nBuckets: Int = 64, keepVersions: Int = 2): Unit = {
+      nBuckets: Int = 64, keepVersions: Int = 2,
+      withIdMap: Boolean = false): Unit = {
     val assigned = Similarity.assignCells(batch, centroids, idCol, vecCol)
     val rows = assigned.select(col(idCol), col("cell"), col(vecCol))
       .join(Similarity.pqEncode(assigned, codebook, idCol, vecCol, m),
         Seq(idCol))
+    if (withIdMap)
+      commitIdMap(assigned.select(col(idCol), col("cell")), indexDir,
+        idCol, keepVersions)
     SnapshotUpsert.upsertBatchSnapshot(rows, indexDir,
       keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
       keepVersions = keepVersions, bucketCols = Seq("cell"))
@@ -116,11 +148,10 @@ object IncrementalAnn {
   def topKPq(spark: SparkSession, indexDir: String, centroids: DataFrame,
       codebook: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 5, m: Int = 8, nProbe: Int = 4,
-      rerank: Int = 32): DataFrame = {
-    // materialized once: the pruned read and the scorer must see the
-    // same probe set (see topK)
+      rerank: Int = 32,
+      smallIndexFiles: Int = SmallIndexFiles): DataFrame = {
     val (out, probes) = topKPqLazy(spark, indexDir, centroids, codebook,
-      queries, idCol, vecCol, k, m, nProbe, rerank)
+      queries, idCol, vecCol, k, m, nProbe, rerank, smallIndexFiles)
     try finishSearch(out) finally probes.unpersist(false)
   }
 
@@ -131,15 +162,16 @@ object IncrementalAnn {
   private[graft] def topKPqLazy(spark: SparkSession, indexDir: String,
       centroids: DataFrame, codebook: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int, nProbe: Int,
-      rerank: Int): (DataFrame, DataFrame) = {
+      rerank: Int,
+      smallIndexFiles: Int = SmallIndexFiles): (DataFrame, DataFrame) = {
     // materialized once: the pruned read and the scorer must see the
     // same probe set (see topK)
     val probes = Similarity
       .probeSet(centroids, queries, idCol, vecCol, nProbe)
       .select(col("query_id"), col("cell"))
       .localCheckpoint(true)
-    val index = SnapshotUpsert.readKeys(spark, indexDir,
-      probes.select(col("cell")).distinct(), Seq("cell"))
+    val index = readAdaptive(spark, indexDir,
+      probes.select(col("cell")).distinct(), smallIndexFiles)
     (Similarity.ivfPqRankEncoded(index, probes, index, codebook, queries,
       idCol, vecCol, k, m, rerank), probes)
   }
@@ -163,17 +195,29 @@ object IncrementalAnn {
     * from the read cannot change the result). */
   def topK(spark: SparkSession, indexDir: String, centroids: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, smallIndexFiles: Int = SmallIndexFiles): DataFrame = {
     val (out, probes) = topKLazy(spark, indexDir, centroids, queries,
-      idCol, vecCol, k, nProbe)
+      idCol, vecCol, k, nProbe, smallIndexFiles)
     try finishSearch(out) finally probes.unpersist(false)
   }
+
+  /** Below this manifest file count the PRUNED read is adaptively
+    * replaced by the full-index read: on a small index the probe
+    * collect + bucket semi-join costs more than just scanning it
+    * (AnnIndexScale r11: pruned 0.55/0.60 s vs full 0.30/0.49 s at
+    * 2k/20k vectors — 27/93 files; pruned wins from ~283 files up),
+    * and the scorer's cell join makes the two semantically identical
+    * (non-probed cells drop out either way). The threshold is a FILE
+    * count because that is what the manifest states without reading
+    * data. */
+  val SmallIndexFiles: Int = 128
 
   /** The un-materialized [[topK]] plan plus the checkpointed probe
     * frame it references (see [[topKPqLazy]] for the ownership rule). */
   private[graft] def topKLazy(spark: SparkSession, indexDir: String,
       centroids: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nProbe: Int): (DataFrame, DataFrame) = {
+      vecCol: String, k: Int, nProbe: Int,
+      smallIndexFiles: Int = SmallIndexFiles): (DataFrame, DataFrame) = {
     // the probe set is MATERIALIZED once and feeds BOTH the pruned
     // index read and the scorer: one definition is not enough — a
     // re-evaluated non-deterministic `queries` could probe a cell
@@ -181,10 +225,22 @@ object IncrementalAnn {
     val probes = Similarity
       .probeSet(centroids, queries, idCol, vecCol, nProbe)
       .localCheckpoint(true)
-    val index = SnapshotUpsert.readKeys(spark, indexDir,
-      probes.select(col("cell")).distinct(), Seq("cell"))
+    val index = readAdaptive(spark, indexDir,
+      probes.select(col("cell")).distinct(), smallIndexFiles)
     (Similarity.ivfRank(
       Similarity.ivfScoredProbes(index, probes, idCol, vecCol), k), probes)
+  }
+
+  /** Pruned read of the probed cells' buckets — or the whole index
+    * when it is small enough that pruning costs more than scanning
+    * (see [[SmallIndexFiles]]; correctness is unaffected, the scorer
+    * joins on cell either way). */
+  private def readAdaptive(spark: SparkSession, indexDir: String,
+      cellProbes: DataFrame, smallIndexFiles: Int): DataFrame = {
+    val total = SnapshotUpsert.currentFileCount(spark, indexDir).getOrElse(
+      sys.error(s"no committed index at $indexDir"))
+    if (total <= smallIndexFiles) SnapshotUpsert.readSnapshot(spark, indexDir)
+    else SnapshotUpsert.readKeys(spark, indexDir, cellProbes, Seq("cell"))
   }
 
   /** Maintain the standing index from a STREAM of embeddings: each
@@ -220,10 +276,19 @@ object IncrementalAnn {
       s"retire: no column '$idCol' in the index" +
         variant.fold("")(v => s" (did you mean '$v'? names are exact here)")
     })
-    // the retired rows' (cell, id) keys, with every non-key column
-    // null-filled at its RECORDED type; layout from the manifest
-    val keyRows = index.join(ids.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col("cell"), col(idCol))
+    // the retired rows' (cell, id) keys: resolved by a POINT LOOKUP on
+    // the idmap side table when one is maintained (slice-sized — the
+    // retire-at-100TB path), else by the index scan (the honest cost
+    // an idmap-less index pays; backfill once with buildIdMap)
+    val hasIdMap = SnapshotUpsert.versions(spark, idMapDir(indexDir)).nonEmpty
+    val keyRows =
+      if (hasIdMap)
+        SnapshotUpsert.readKeys(spark, idMapDir(indexDir),
+          ids.select(col(idCol)), Seq(idCol))
+          .select(col("cell"), col(idCol))
+      else
+        index.join(ids.select(col(idCol)), Seq(idCol), "left_semi")
+          .select(col("cell"), col(idCol))
     val tombs = fields.filterNot(f => f.name == idCol || f.name == "cell")
       .foldLeft(keyRows)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -233,5 +298,24 @@ object IncrementalAnn {
       nBuckets = SnapshotUpsert.currentBuckets(spark, indexDir).get,
       keepVersions = keepVersions, tombstoneCol = Some("_deleted"),
       bucketCols = Seq("cell"))
+    if (hasIdMap) {
+      // the retired ids leave the idmap too, AFTER the index commit:
+      // ingest writes idmap-then-index and retire deletes
+      // index-then-idmap, so a crash between any pair of commits keeps
+      // the invariant idmap ids ⊇ live index ids (a later retire can
+      // always resolve every live row; a superfluous idmap entry
+      // tombstones nothing — harmless, and the replay converges it)
+      val idmapSchema = SnapshotUpsert.readSnapshot(spark,
+        idMapDir(indexDir)).schema
+      val cellType = idmapSchema("cell").dataType
+      val mapTombs = keyRows.select(col(idCol))
+        .withColumn("cell", lit(null).cast(cellType))
+        .withColumn("_deleted", lit(true))
+      SnapshotUpsert.upsertBatchSnapshot(mapTombs, idMapDir(indexDir),
+        keys = Seq(idCol), orderCol = "",
+        nBuckets = SnapshotUpsert.currentBuckets(spark,
+          idMapDir(indexDir)).get,
+        keepVersions = keepVersions, tombstoneCol = Some("_deleted"))
+    }
   }
 }

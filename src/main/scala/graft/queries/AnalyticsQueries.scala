@@ -286,6 +286,55 @@ object AnalyticsQueries {
              |WHERE user_id % 5 = 2""".stripMargin),
     ),
 
+    // Keyed pruned read across a MIXED bucket layout (r11): the table
+    // commits an even-event image, two buckets are SPLIT in place
+    // (linear hashing — depth map in the manifest), and the full image
+    // then merges ONTO the mixed layout, so winning rows live in both
+    // depth-0 buckets and split children. The point lookup must route
+    // probes by the recorded depths and return exactly the oracle's
+    // recomputed image for the residue-3 users (absent ids: nothing).
+    // NOTE for bench readers: the commits + splits execute at plan
+    // construction; per-pass timings see the mixed-layout pruned read.
+    QueryDef(
+      "q_snapshot_split_keys",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        def image(in: org.apache.spark.sql.DataFrame) = in
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("top"))
+          .select(col("user_id"), col("top.event_type").as("event_type"),
+            date_format(col("top.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-splitkeys-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(
+          image(ev.where(col("event_id") % 2 === 0)), dir,
+          keys = Seq("user_id"), orderCol = "", nBuckets = 8)
+        graft.streaming.SnapshotUpsert.splitBucket(s, dir, 0)
+        graft.streaming.SnapshotUpsert.splitBucket(s, dir, 3)
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(
+          image(ev), dir, keys = Seq("user_id"), orderCol = "",
+          nBuckets = 8)
+        val wanted = ev.select(col("user_id"))
+          .where(col("user_id") % 5 === 3).distinct()
+        val lookup = wanted.unionByName(
+          wanted.select((col("user_id") + 1000000L).as("user_id")))
+        graft.streaming.SnapshotUpsert.readKeys(s, dir, lookup,
+          Seq("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img AS (SELECT user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, event_type, ts FROM img
+             |WHERE user_id % 5 = 3""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(

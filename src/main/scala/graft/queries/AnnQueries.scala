@@ -269,9 +269,15 @@ object AnnQueries {
         graft.operators.IncrementalAnn.ingest(
           e.filter(col("vec_id") % 2 === 1), dir, centroids,
           "vec_id", "embedding", nBuckets = 16)
-        graft.operators.IncrementalAnn.topK(s, dir, centroids,
+        // the LAZY variant keeps the search IN the per-pass timing:
+        // the public topK materializes eagerly (so it can release its
+        // probe checkpoint — the long-lived-driver contract), which
+        // would move the search into build time and leave passes
+        // re-reading a local result. One probe checkpoint per plan
+        // construction is the registry's usual eager-build shape.
+        graft.operators.IncrementalAnn.topKLazy(s, dir, centroids,
           e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, nProbe = 4)
+          k = 5, nProbe = 4)._1
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |cent AS (SELECT vec_id AS cell, v AS centroid FROM e WHERE vec_id < 16),
@@ -321,9 +327,10 @@ object AnnQueries {
         graft.operators.IncrementalAnn.ingestPq(
           e.filter(col("vec_id") % 2 === 1), dir, centroids, cb,
           "vec_id", "embedding", m = 16, nBuckets = 16)
-        graft.operators.IncrementalAnn.topKPq(s, dir, centroids, cb,
+        // lazy variant for the same reason as q_sim_topk_ivf_incremental
+        graft.operators.IncrementalAnn.topKPqLazy(s, dir, centroids, cb,
           e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, m = 16, nProbe = 8, rerank = 128)
+          k = 5, m = 16, nProbe = 8, rerank = 128)._1
       },
       Some(ivfPqOracle),
     ),

@@ -957,6 +957,15 @@ object SnapshotUpsert {
     currentSnapshot(fs, root).map(_.nBuckets)
   }
 
+  /** Total data-file count of the current committed version (None for
+    * a fresh table) — one manifest read; what adaptive readers use to
+    * decide pruned-vs-full without touching data. */
+  def currentFileCount(spark: SparkSession, targetDir: String): Option[Int] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentSnapshot(fs, root).map(_.files.valuesIterator.map(_.size).sum)
+  }
+
   /** (version, recorded data schema) of the current committed version
     * (None for a fresh table) — one manifest read, no data access; what
     * the change-feed streaming source pins at start. */

@@ -37,7 +37,8 @@ object AnnIndexScale {
     val k = 10
     val nProbe = 8
     println(f"[annindex] ${"dir"}%-14s ${"vecs"}%9s ${"cells"}%6s " +
-      f"${"ingest_s"}%9s ${"pruned_s"}%9s ${"full_s"}%7s ${"files"}%11s eq")
+      f"${"ingest_s"}%9s ${"pruned_s"}%9s ${"adapt_s"}%8s ${"full_s"}%7s " +
+      f"${"files"}%11s eq")
     for (dir <- args) {
       val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
@@ -60,23 +61,50 @@ object AnnIndexScale {
         centroids, "vec_id", "embedding", nBuckets = cells)
       val ingestS = (System.nanoTime() - t0) / 1e9
 
-      val prunedDf = IncrementalAnn.topK(spark, idx, centroids, queries,
-        "vec_id", "embedding", k = k, nProbe = nProbe)
+      // the LAZY plan exposes the pruned read's file set; force the
+      // pruned path here (smallIndexFiles = 0) so the fetch fraction
+      // and forced-pruned timing are measured even below the adaptive
+      // threshold — the adaptive column shows what topK actually does
+      val (prunedPlan, probes0) = IncrementalAnn.topKLazy(spark, idx,
+        centroids, queries, "vec_id", "embedding", k, nProbe,
+        smallIndexFiles = 0)
       val marker = new java.io.File(idx).getName
-      val fetched = prunedDf.inputFiles.count(_.contains(marker))
+      val fetched = prunedPlan.inputFiles.count(_.contains(marker))
+      val prunedRows = prunedPlan.collect().map(_.toSeq).toSet
+      probes0.unpersist(false)
       val total = SnapshotUpsert.readSnapshot(spark, idx).inputFiles.length
       val prunedS = Timing.best3(() => IncrementalAnn.topK(spark, idx,
+        centroids, queries, "vec_id", "embedding", k = k, nProbe = nProbe,
+        smallIndexFiles = 0))
+      // the shipped default: adaptive pruned-or-full by file count
+      val adaptS = Timing.best3(() => IncrementalAnn.topK(spark, idx,
         centroids, queries, "vec_id", "embedding", k = k, nProbe = nProbe))
       val fullS = Timing.best3(() => Similarity.ivfTopK(
         SnapshotUpsert.readSnapshot(spark, idx), centroids, queries,
         "vec_id", "embedding", k = k, nProbe = nProbe))
-      val eq = prunedDf.collect().map(_.toSeq).toSet ==
+      val eq = prunedRows ==
         Similarity.ivfTopK(SnapshotUpsert.readSnapshot(spark, idx),
           centroids, queries, "vec_id", "embedding", k = k,
           nProbe = nProbe).collect().map(_.toSeq).toSet
       println(f"[annindex] ${new java.io.File(dir).getName}%-14s $n%9d " +
-        f"$cells%6d $ingestS%9.1f $prunedS%9.2f $fullS%7.2f " +
+        f"$cells%6d $ingestS%9.1f $prunedS%9.2f $adaptS%8.2f $fullS%7.2f " +
         f"$fetched%5d/$total%-5d $eq")
+
+      // retire cost: index-scan resolution vs the r11 idmap point
+      // lookup (side table backfilled once from the committed index)
+      val idsA = spark.range(100, 104).select(col("id").as("vec_id"))
+      val tA = System.nanoTime()
+      IncrementalAnn.retire(spark, idx, idsA, "vec_id", keepVersions = 2)
+      val scanRetireS = (System.nanoTime() - tA) / 1e9
+      val tB = System.nanoTime()
+      IncrementalAnn.buildIdMap(spark, idx, "vec_id")
+      val buildS = (System.nanoTime() - tB) / 1e9
+      val idsB = spark.range(200, 204).select(col("id").as("vec_id"))
+      val tC = System.nanoTime()
+      IncrementalAnn.retire(spark, idx, idsB, "vec_id", keepVersions = 2)
+      val mapRetireS = (System.nanoTime() - tC) / 1e9
+      println(f"[annindex]   retire 4 ids: scan $scanRetireS%5.2f s -> " +
+        f"idmap $mapRetireS%5.2f s (one-time backfill $buildS%5.1f s)")
     }
     spark.stop()
   }

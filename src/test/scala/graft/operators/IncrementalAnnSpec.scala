@@ -78,6 +78,58 @@ class IncrementalAnnSpec extends SparkSpec {
       .where(col("vec_id") === hit).count() == 1)
   }
 
+  test("idmap side table: retire resolves cells by point lookup, keeps " +
+      "the map mirroring live ids, and backfill upgrades an old index") {
+    import spark.implicits._
+    val dir = tmp()
+    // ingest WITH the idmap maintained
+    IncrementalAnn.ingest(embeddings.filter(col("vec_id") < 32), dir,
+      centroids, "vec_id", "embedding", nBuckets = 16, keepVersions = 10,
+      withIdMap = true)
+    IncrementalAnn.ingest(
+      embeddings.filter(col("vec_id") >= 32 && col("vec_id") < 64), dir,
+      centroids, "vec_id", "embedding", nBuckets = 16, keepVersions = 10,
+      withIdMap = true)
+    val idmap = graft.streaming.SnapshotUpsert
+      .readSnapshot(spark, s"$dir/_idmap")
+    assert(idmap.count() == 64)
+    // idmap content == the index's (id, cell) projection
+    assert(idmap.collect().map(r => (r.getLong(0), r.get(1))).toSet ==
+      IncrementalAnn.readIndex(spark, dir)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.get(1))).toSet)
+    // retire through the idmap path: gone from index AND idmap
+    IncrementalAnn.retire(spark, dir, Seq(5L, 17L).toDF("vec_id"),
+      "vec_id", keepVersions = 10)
+    assert(IncrementalAnn.readIndex(spark, dir)
+      .where(col("vec_id").isin(5L, 17L)).count() == 0)
+    assert(graft.streaming.SnapshotUpsert
+      .readSnapshot(spark, s"$dir/_idmap")
+      .where(col("vec_id").isin(5L, 17L)).count() == 0)
+    assert(IncrementalAnn.readIndex(spark, dir).count() == 62)
+    // a retired id re-ingests cleanly and reappears in both
+    IncrementalAnn.ingest(embeddings.filter(col("vec_id") === 5L), dir,
+      centroids, "vec_id", "embedding", nBuckets = 16, keepVersions = 10,
+      withIdMap = true)
+    assert(IncrementalAnn.readIndex(spark, dir)
+      .where(col("vec_id") === 5L).count() == 1)
+    assert(graft.streaming.SnapshotUpsert
+      .readSnapshot(spark, s"$dir/_idmap")
+      .where(col("vec_id") === 5L).count() == 1)
+
+    // BACKFILL path: an index built without the idmap gains one
+    val dir2 = tmp()
+    IncrementalAnn.ingest(embeddings.filter(col("vec_id") < 32), dir2,
+      centroids, "vec_id", "embedding", nBuckets = 16, keepVersions = 10)
+    IncrementalAnn.buildIdMap(spark, dir2, "vec_id", keepVersions = 10)
+    IncrementalAnn.retire(spark, dir2, Seq(3L).toDF("vec_id"), "vec_id",
+      keepVersions = 10)
+    assert(IncrementalAnn.readIndex(spark, dir2)
+      .where(col("vec_id") === 3L).count() == 0)
+    assert(graft.streaming.SnapshotUpsert
+      .readSnapshot(spark, s"$dir2/_idmap").count() == 31)
+  }
+
   test("topK reads only the probed cells' buckets (inverted-file fetch)") {
     val dir = tmp()
     IncrementalAnn.ingest(embeddings, dir, centroids, "vec_id",
@@ -85,8 +137,11 @@ class IncrementalAnnSpec extends SparkSpec {
     val queries = embeddings.filter(col("vec_id") < 2)
     // the LAZY plan exposes the pruned read for inspection (the public
     // topK materializes and releases its probe checkpoint immediately)
+    // smallIndexFiles = 0 forces the pruned path (this fixture is far
+    // below the adaptive full-scan threshold)
     val (prunedPlan, probes) = IncrementalAnn.topKLazy(spark, dir,
-      centroids, queries, "vec_id", "embedding", k = 3, nProbe = 2)
+      centroids, queries, "vec_id", "embedding", k = 3, nProbe = 2,
+      smallIndexFiles = 0)
     val marker = new java.io.File(dir).getName
     val prunedIdx = prunedPlan.inputFiles.count(_.contains(marker))
     val fullIdx = IncrementalAnn.readIndex(spark, dir).inputFiles.length
