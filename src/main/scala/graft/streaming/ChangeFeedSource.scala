@@ -52,7 +52,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     LONG column: the version whose commit produced the batch (the
   *     range END when commits were coalesced)
   *   - `maxVersionsPerBatch` (default unbounded) — cap how many
-  *     versions one micro-batch may coalesce
+  *     versions one micro-batch may coalesce (enforced on every batch:
+  *     the engine hands this source its checkpointed floor through the
+  *     admission-control API)
   *   - `failOnDataLoss` (default true) — fail when a needed version
   *     range has aged out of retention; `false` skips to the oldest
   *     retained version (the lost gap's changes are NOT delivered)
@@ -122,7 +124,8 @@ private[streaming] object ChangeFeedSource {
 }
 
 private[streaming] class ChangeFeedSource(spark: SparkSession,
-    pinned: StructType, params: Map[String, String]) extends Source {
+    pinned: StructType, params: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val targetDir = ChangeFeedSource.path(params)
   private val keys = ChangeFeedSource.keys(params)
@@ -153,37 +156,81 @@ private[streaming] class ChangeFeedSource(spark: SparkSession,
 
   private def versionOf(o: Offset): Long = o.json.trim.toLong
 
-  /** Newest version the next micro-batch may end at. The engine plans a
-    * batch whenever this moves past the checkpointed offset; versions
-    * are monotone, so this is exactly "a commit appeared". The
-    * coalescing cap applies against the LAST PLANNED offset of THIS
-    * run: the first trigger after a (re)start is uncapped — the source
-    * cannot see the engine's checkpointed offset, and capping against
-    * anything else could hand the engine an offset BELOW its
-    * checkpoint (offset regression). After the first getBatch the
-    * floor is known and a backlog drains `maxVersionsPerBatch` at a
-    * time over successive triggers. */
-  override def getOffset: Option[Offset] = {
-    val cur = SnapshotUpsert.currentVersionInfo(spark, targetDir).map(_._1)
-    cur.map { c =>
-      // saturating add: the unbounded default is Long.MaxValue and a
-      // plain `f + max` wraps negative — which would hand the engine a
-      // REGRESSING offset and corrupt the stream's version arithmetic
-      def capFrom(f: Long): Long =
-        if (f > c - maxVersionsPerBatch) c else f + maxVersionsPerBatch
-      LongOffset(lastPlanned.map(capFrom).getOrElse(c))
+  /** Admission-controlled offset planning (the engine prefers this
+    * over [[getOffset]] for sources implementing
+    * SupportsAdmissionControl): `start` is the engine's own
+    * checkpointed floor — a real one even on the first trigger after a
+    * restart — so `maxVersionsPerBatch` caps EVERY batch without any
+    * offset-regression risk. The bootstrap sentinel (-1, from
+    * [[initialOffset]] with no startingVersion) plans the whole
+    * current image uncapped (it is one image, not a version range).
+    * Returns null when there is no new data. The saturating-add guard
+    * matters: the unbounded default is Long.MaxValue and a plain
+    * `floor + max` wraps negative. */
+  override def latestOffset(start: org.apache.spark.sql.connector.read
+      .streaming.Offset, limit: org.apache.spark.sql.connector.read
+      .streaming.ReadLimit): org.apache.spark.sql.connector.read
+      .streaming.Offset = {
+    val curOpt = SnapshotUpsert.currentVersionInfo(spark, targetDir)
+      .map(_._1)
+    curOpt match {
+      case None => null
+      case Some(cur0) =>
+        // Trigger.AvailableNow: never plan past the version snapshotted
+        // at prepare time — the run must terminate
+        val cur = availableNowCap.fold(cur0)(math.min(cur0, _))
+        // the engine passes NULL start before any batch is planned
+        // (initialOffset is not consulted on this path) — fall back to
+        // the same initial floor
+        val floor = Option(start).map(_.json.trim.toLong)
+          .getOrElse(startingVersion.getOrElse(-1L))
+        val end =
+          if (floor < 0) cur // bootstrap image
+          else if (floor > cur - maxVersionsPerBatch) cur
+          else floor + maxVersionsPerBatch
+        if (floor >= 0 && end <= floor) null else LongOffset(end)
     }
   }
 
-  /** The last offset this source HANDED the engine (not necessarily
-    * committed) — only used to apply maxVersionsPerBatch progressively;
-    * correctness never depends on it (a restart re-reads the real
-    * offsets from the checkpoint log into getBatch). */
-  @volatile private var lastPlanned: Option[Long] = None
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    SnapshotUpsert.currentVersionInfo(spark, targetDir)
+      .map(v => LongOffset(v._1)).orNull
+
+  /** The offset BEFORE the first version this stream serves: the
+    * configured startingVersion, or the -1 bootstrap sentinel (serve
+    * the whole current image first). Only consulted by the engine as
+    * [[latestOffset]]'s floor when no batch has been checkpointed. */
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(startingVersion.getOrElse(-1L))
+
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(json.trim.toLong)
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  /** Trigger.AvailableNow support: snapshot the current version; this
+    * run drains up to it (in `maxVersionsPerBatch` slices) and stops,
+    * ignoring commits that land mid-drain. */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      SnapshotUpsert.currentVersionInfo(spark, targetDir).map(_._1)
+
+  /** Legacy V1 planning hook — engines with admission-control support
+    * (this Spark) call [[latestOffset]] instead; kept correct for
+    * completeness: newest committed version, uncapped. */
+  override def getOffset: Option[Offset] =
+    SnapshotUpsert.currentVersionInfo(spark, targetDir)
+      .map(v => LongOffset(v._1))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
-    lastPlanned = Some(endV)
     val effStart: Option[Long] = start.map(versionOf).orElse(startingVersion)
     def emptySlice = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -235,8 +282,16 @@ private[streaming] class ChangeFeedSource(spark: SparkSession,
       else slice
     // align to the pinned schema: columns appended by a post-start
     // schema evolution are dropped until the stream restarts (fixed
-    // query schema — the standard streaming-source contract)
-    val aligned = stamped.select(pinned.fieldNames.toSeq.map(col): _*)
+    // query schema — the standard streaming-source contract). The
+    // REVERSE skew also happens: a restarted stream pins the EVOLVED
+    // schema, then repositions over a pre-evolution version range
+    // whose image lacks the new column — null-fill it, exactly the
+    // NULL those rows read as in the table itself.
+    val have = stamped.columns.map(_.toLowerCase).toSet
+    val aligned = stamped.select(pinned.fields.toSeq.map { f =>
+      if (have(f.name.toLowerCase)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     StreamingShim.streamingDataFrame(spark,
       StreamingShim.toInternalRdd(aligned), pinned)
   }

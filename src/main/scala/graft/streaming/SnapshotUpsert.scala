@@ -762,11 +762,21 @@ object SnapshotUpsert {
     // count window for a long time, and each is consulted here by the
     // dropped filter, the kept set, AND the delete loop — without the
     // memo that is several manifest reads per version per commit (a
-    // GET each on an object store) inside the serial commit section
-    val memo = scala.collection.mutable.Map.empty[Long, Snapshot]
-    def manifestOf(v: Long): Snapshot =
-      prev.filter(_.version == v).getOrElse(
-        memo.getOrElseUpdate(v, readManifest(fs, root, v)))
+    // GET each on an object store) inside the serial commit section.
+    // A manifest can legitimately VANISH between the listing and the
+    // read (r11: concurrent writers both run gc after their commits,
+    // and the other writer's reap may win the race) — None here, and
+    // each consumer below decides: a missing DROPPED manifest is
+    // already-reaped work, a missing RETAINED manifest aborts this gc
+    // (the commit itself is durable; the next commit's gc retries with
+    // a fresh listing). Without this, a writer whose COMMIT SUCCEEDED
+    // would report failure because its cleanup lost a harmless race.
+    val memo = scala.collection.mutable.Map.empty[Long, Option[Snapshot]]
+    def manifestOf(v: Long): Option[Snapshot] =
+      prev.filter(_.version == v).map(Option(_)).getOrElse(
+        memo.getOrElseUpdate(v,
+          try Some(readManifest(fs, root, v))
+          catch { case _: java.io.FileNotFoundException => None }))
     // manifests PARKED by an earlier partial delete failure (renamed to
     // .v{N}.gcretry so the version no longer lists as readable — some
     // of its files are already gone) are retried every gc
@@ -778,30 +788,44 @@ object SnapshotUpsert {
           n.stripPrefix(".v").stripSuffix(".gcretry").toLong
         }.toSeq.sorted
     val dropped = all.filter(v => v < oldestByCount &&
-      keepAgeMs.forall(a => manifestOf(v).commitTsMs <= nowMs - a))
+      // a manifest missing by read time was already reaped by a racing
+      // gc — keep it in the dropped set; its reap below no-ops
+      keepAgeMs.forall(a => manifestOf(v).forall(_.commitTsMs <= nowMs - a)))
     if (dropped.isEmpty && parked.isEmpty) return
     val droppedSet = dropped.toSet
+    val retained = all.filterNot(droppedSet).filter(_ != version)
+      .map(v => manifestOf(v))
+    // a RETAINED manifest vanished between listing and read: another
+    // writer is concurrently mutating retention state and the kept-set
+    // cannot be trusted — abort THIS gc (never delete on a stale view);
+    // the commit is already durable and the next commit's gc retries
+    if (retained.exists(_.isEmpty)) return
     val kept: Set[String] =
-      (all.filterNot(droppedSet).filter(_ != version)
-        .flatMap(v => manifestOf(v).files.valuesIterator.flatten)
+      (retained.flatMap(_.get.files.valuesIterator.flatten)
         ++ newManifest.valuesIterator.flatten.toSeq).toSet
     def reap(d: Long, manifest: Path, park: Boolean): Unit = {
-      val snap = readManifestAt(fs, root, manifest, d)
+      val snap =
+        try readManifestAt(fs, root, manifest, d)
+        catch { case _: java.io.FileNotFoundException => return }
       val stale = snap.files.valuesIterator.flatten.filterNot(kept).toSeq
       val allGone = stale.map { rel =>
         val p = new Path(root, rel)
         try fs.delete(p, false) || !fs.exists(p)
         catch { case _: java.io.IOException => false }
       }.forall(identity)
-      // drop now-empty bucket/version directories the stale files lived in
+      // drop now-empty bucket/version directories the stale files lived
+      // in (per-directory FNF tolerance: a racing gc may remove a dir
+      // between the exists check and the listing)
       stale.map(rel => new Path(root, rel).getParent).distinct.foreach { d =>
-        if (fs.exists(d) && fs.listStatus(d).forall(
-            _.getPath.getName.startsWith("_")))
-          fs.delete(d, true)
-        val vdir = d.getParent
-        if (fs.exists(vdir) && fs.listStatus(vdir).forall(
-            _.getPath.getName.startsWith("_")))
-          fs.delete(vdir, true)
+        try {
+          if (fs.exists(d) && fs.listStatus(d).forall(
+              _.getPath.getName.startsWith("_")))
+            fs.delete(d, true)
+          val vdir = d.getParent
+          if (fs.exists(vdir) && fs.listStatus(vdir).forall(
+              _.getPath.getName.startsWith("_")))
+            fs.delete(vdir, true)
+        } catch { case _: java.io.FileNotFoundException => () }
       }
       if (allGone) fs.delete(manifest, false)
       else if (park)

@@ -30,8 +30,11 @@ object UpsertScale {
     // consumer after each: the full incremental DAG shape (table ->
     // change feed -> downstream table) whose cost must track the
     // slice, not the table
+    // `stream` = chain's DAG with the downstream maintained by the
+    // r11 STREAMING SOURCE over the change feed (graft-changes,
+    // AvailableNow drains) instead of the batch cursor loop
     val mode = args.lift(3).getOrElse("overwrite")
-    require(Seq("overwrite", "snapshot", "chain").contains(mode),
+    require(Seq("overwrite", "snapshot", "chain", "stream").contains(mode),
       s"bad mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -75,17 +78,42 @@ object UpsertScale {
     val cursorFile = s"${java.nio.file.Files
       .createTempDirectory("graft-upsert-cursor")}/consumer.cursor"
     val chainSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def drainApply(label: String): Unit = if (mode == "chain") {
-      val s = timed {
-        SnapshotUpsert.drainChanges(spark, target, cursorFile,
-            Seq("user_id")).foreach { slice =>
-          UpsertSink.upsertBatch(slice.changes.drop("_change"), downstream,
-            Seq("user_id"), "ts", nBuckets)
-          slice.commitCursor()
+    val streamCkpt = java.nio.file.Files
+      .createTempDirectory("graft-upsert-streamckpt").toString
+    def drainApply(label: String): Unit = mode match {
+      case "chain" =>
+        val s = timed {
+          SnapshotUpsert.drainChanges(spark, target, cursorFile,
+              Seq("user_id")).foreach { slice =>
+            UpsertSink.upsertBatch(slice.changes.drop("_change"), downstream,
+              Seq("user_id"), "ts", nBuckets)
+            slice.commitCursor()
+          }
         }
-      }
-      System.err.println(f"[upsert-scale] chain drain+apply $label=$s%.1fs")
-      chainSecs += label -> s
+        System.err.println(f"[upsert-scale] chain drain+apply $label=$s%.1fs")
+        chainSecs += label -> s
+      case "stream" =>
+        // one AvailableNow run of the change-feed SOURCE: processes the
+        // pending version range as micro-batches, then stops — the
+        // scheduled-drain deployment shape, with the engine checkpoint
+        // (not a cursor file) tracking the consumed versions
+        val s = timed {
+          val q = SnapshotUpsert.readChangeStream(spark, target,
+              Seq("user_id"), emitDeletes = false)
+            .writeStream
+            .option("checkpointLocation", streamCkpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              UpsertSink.upsertBatch(b.drop("_change"), downstream,
+                Seq("user_id"), "ts", nBuckets)
+              ()
+            }.start()
+          q.awaitTermination()
+        }
+        System.err.println(
+          f"[upsert-scale] stream drain+apply $label=$s%.1fs")
+        chainSecs += label -> s
+      case _ => ()
     }
 
     // seed: the full history folds to per-user latest (worst case — one
@@ -117,7 +145,7 @@ object UpsertScale {
 
     // chain mode: the downstream table, built ONLY from feed slices,
     // must equal the source table exactly (count + row checksum)
-    if (mode == "chain") {
+    if (mode == "chain" || mode == "stream") {
       def sig(df: DataFrame): (Long, Any) = {
         val r = df.select(count(lit(1)),
           sum(xxhash64(col("user_id"), col("event_type"), col("ts"))
@@ -128,7 +156,7 @@ object UpsertScale {
       val (dstN, dstH) = sig(UpsertSink.readLatest(spark, downstream))
       require(srcN == dstN && srcH == dstH,
         s"chained consumer diverged: source=($srcN,$srcH) downstream=($dstN,$dstH)")
-      System.err.println(s"[upsert-scale] chain downstream EXACT match " +
+      System.err.println(s"[upsert-scale] $mode downstream EXACT match " +
         s"($dstN rows, checksum $dstH)")
     }
 

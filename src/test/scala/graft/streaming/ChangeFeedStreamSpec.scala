@@ -239,6 +239,42 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart after a schema evolution: the repositioned pre-evolution " +
+      "range null-fills the new column; post-restart slices carry it") {
+    import spark.implicits._
+    val dir = tmp()
+    val checkpoint = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"),
+      "v", nBuckets = 4, keepVersions = 10)
+    // run 1: pins the 3-column schema, consumes the bootstrap
+    val q1 = SnapshotUpsert.readChangeStream(spark, dir, Seq("id"))
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    try q1.processAllAvailable() finally q1.stop()
+    // additive evolution while the consumer is down
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((2L, "b", 2L, "extra")).toDF("id", "status", "v", "note"), dir,
+      Seq("id"), "v", nBuckets = 4, keepVersions = 10)
+    // run 2 pins the EVOLVED schema; the engine repositions getBatch
+    // over the pre-evolution bootstrap range first — it must null-fill
+    // `note` instead of failing analysis
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Any)]()
+    val q2 = SnapshotUpsert.readChangeStream(spark, dir, Seq("id"))
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.add((r.getLong(0), r.get(r.fieldIndex("note")))))
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = { val it = got.iterator(); val b = Seq.newBuilder[(Long, Any)]
+      while (it.hasNext) b += it.next(); b.result() }
+    // the catch-up slice carries the evolved column's value; the
+    // pre-evolution key (rewritten co-located or unchanged) reads NULL
+    assert(rows.exists(r => r._1 == 2L && r._2 == "extra"), rows.toString)
+    assert(rows.filter(_._1 == 1L).forall(_._2 == null), rows.toString)
+  }
+
   test("a consumer that outlived retention fails loudly on restart with a " +
       "pointer to re-bootstrap") {
     val dir = tmp()

@@ -543,6 +543,48 @@ class SnapshotHardeningSpec extends SparkSpec {
       Set((100L, "seed", 1L), (2L, "writerA", 9L), (3L, "x", 1L)))
   }
 
+  test("gc tolerates a racing gc's deletions: a vanished DROPPED manifest " +
+      "is already-reaped work; a vanished RETAINED manifest aborts cleanly") {
+    val dir = tmp()
+    val (root, fs) = hfs(dir)
+    // accumulate versions with wide retention
+    (1L to 6L).foreach { i =>
+      SnapshotUpsert.upsertBatchSnapshot(df((i, s"s$i", i)), dir, Seq("id"),
+        "v", nBuckets = 4, keepVersions = 10)
+    }
+    // simulate the racing writer having already reaped v1: delete its
+    // manifest out from under the next commit's gc (which will list it
+    // as beyond the tightened window and then find it missing)
+    fs.delete(new Path(dir, f"_manifests/v${1L}%012d.txt"), false)
+    SnapshotUpsert.upsertBatchSnapshot(df((7L, "s7", 7L)), dir, Seq("id"),
+      "v", nBuckets = 4, keepVersions = 2, keepAgeMs = Some(0L))
+    // the commit succeeded and the table is fully readable
+    assert(snapSet(dir).size == 7)
+    assert(SnapshotUpsert.versions(spark, dir).nonEmpty)
+
+    // a manifest missing from INSIDE the retention window (deleted
+    // before the next commit even lists): the commit succeeds, later
+    // versions stay fully readable (they carry the missing version's
+    // files BY REFERENCE in their own manifests — content never
+    // depended on the vanished manifest), and gc never deletes a file
+    // a surviving manifest references. (The between-list-and-read
+    // race, where gc aborts on a vanished RETAINED manifest, is not
+    // reachable from outside — the Option-memo path covers it.)
+    val dir2 = tmp()
+    val (_, fs2) = hfs(dir2)
+    (1L to 4L).foreach { i =>
+      SnapshotUpsert.upsertBatchSnapshot(df((i, s"s$i", i)), dir2, Seq("id"),
+        "v", nBuckets = 4, keepVersions = 10)
+    }
+    val before = SnapshotUpsert.readVersion(spark, dir2, 4L).count()
+    fs2.delete(new Path(dir2, f"_manifests/v${3L}%012d.txt"), false)
+    SnapshotUpsert.upsertBatchSnapshot(df((5L, "s5", 5L)), dir2, Seq("id"),
+      "v", nBuckets = 4, keepVersions = 3)
+    assert(snapSet(dir2).size == 5)
+    assert(SnapshotUpsert.readVersion(spark, dir2, 4L).count() == before,
+      "carried references must keep later versions whole")
+  }
+
   test("maxCommitAttempts bounds the retry: a primitive that always loses " +
       "surfaces ConcurrentCommitException after the budget") {
     val dir = tmp()
