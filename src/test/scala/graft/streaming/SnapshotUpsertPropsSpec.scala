@@ -83,6 +83,81 @@ object SnapshotUpsertPropsSpec extends Properties("SnapshotUpsert") {
       latestOk && pairsOk
     }
 
+  // ---- merges interleaved with in-place bucket SPLITS (round 11) ----
+
+  /** An op sequence: each op is a merge batch or a split of the i-th
+    * (mod populated) bucket. Splits must never change content, every
+    * version-pair diff must still equal the model diff (the class-wise
+    * cross-split feed), and a keyed point read over the final mixed
+    * layout must equal the model filter. */
+  private val opGen: Gen[Either[List[Row3], Int]] = Gen.frequency(
+    2 -> batchGen.map(Left(_)), 1 -> Gen.chooseNum(0, 7).map(Right(_)))
+  private val splitSeqGen = Gen.zip(
+    Gen.zip(batchGen,
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, opGen))),
+    Gen.oneOf(2, 4))
+
+  property("merges interleaved with splits fold to the model; feeds span " +
+      "splits; keyed reads route the mixed layout") =
+    forAll(splitSeqGen) { case ((first, ops), nBuckets) =>
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snap-prop-split").toString
+      // fold, tracking the model state per committed version
+      var states = Vector(Map.empty[Long, Row3])
+      def merge(b: List[Row3]): Unit = {
+        SnapshotUpsert.upsertBatchSnapshot(b.toDF("id", "status", "v"),
+          dir, Seq("id"), "v", nBuckets, keepVersions = 32)
+        states :+= foldModel(List(b)).last.foldLeft(states.last) {
+          case (st, (k, r)) => st.get(k) match {
+            case Some(old) if old._3 > r._3 => st
+            case _ => st + (k -> r)
+          }
+        }
+      }
+      merge(first)
+      ops.foreach {
+        case Left(b) => merge(b)
+        case Right(i) =>
+          // split the i-th populated bucket of the CURRENT manifest
+          val ids = populatedBuckets(spark, dir)
+          SnapshotUpsert.splitBucket(spark, dir, ids(i % ids.size),
+            keepVersions = 32)
+          states :+= states.last // a split never changes content
+      }
+      val snap = SnapshotUpsert.readSnapshot(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val latestOk = snap == states.last.values.toSet
+      if (!latestOk)
+        println(s"latest: got=$snap want=${states.last.values.toSet}")
+      val n = states.size - 1
+      val pairsOk = (for { i <- 1 to n; j <- (i + 1) to n } yield {
+        val feed = SnapshotUpsert.changesBetween(spark, dir, i.toLong,
+            j.toLong, Seq("id")).collect()
+          .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
+            r.getString(3))).toSet
+        val (si, sj) = (states(i), states(j))
+        val want = sj.collect {
+          case (k, row) if !si.get(k).contains(row) =>
+            (row, if (si.contains(k)) "update" else "insert")
+        }.toSet
+        val ok = feed == want
+        if (!ok) println(s"pair ($i,$j): feed=$feed want=$want")
+        ok
+      }).forall(identity)
+      // keyed point read over the final (possibly deep-split) layout
+      val probeIds = Seq(0L, 2L, 4L, 999L)
+      val got = SnapshotUpsert.readKeys(spark, dir,
+          probeIds.toDF("id"), Seq("id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val wantKeys = states.last.collect {
+        case (k, row) if probeIds.contains(k) => row
+      }.toSet
+      val keysOk = got == wantKeys
+      if (!keysOk) println(s"readKeys: got=$got want=$wantKeys")
+      latestOk && pairsOk && keysOk
+    }
+
   // ---- the same model extended with tombstone deletes (round 10) ----
 
   type Row4 = (Long, String, Long, Boolean)
@@ -149,4 +224,15 @@ object SnapshotUpsertPropsSpec extends Properties("SnapshotUpsert") {
       }).forall(identity)
       latestOk && pairsOk
     }
+
+  /** Populated bucket ids of the current manifest, sorted. */
+  private def populatedBuckets(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Vector[Int] = {
+    val lines = scala.io.Source.fromFile(
+      new java.io.File(s"$dir/_manifests").listFiles()
+        .filter(_.getName.endsWith(".txt")).sortBy(_.getName).last,
+      "UTF-8").getLines().toVector
+    lines.filterNot(_.startsWith("#"))
+      .map(_.split('\t')(0).toInt).distinct.sorted
+  }
 }
