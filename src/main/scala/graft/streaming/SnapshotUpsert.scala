@@ -1052,11 +1052,14 @@ object SnapshotUpsert {
     * (each bucket is one clustered file per version), identified from
     * the pinned manifest with no directory listing at all.
     *
-    * `lookup` carries one row per wanted key in the table's BUCKET
-    * column(s) — the keys, unless the table was written with a
-    * `bucketCols` prefix, in which case pass that prefix (e.g. probe a
-    * `(term, doc_id)`-keyed postings table bucketed by `term` with
-    * terms alone: the result is every posting of the probed terms).
+    * `lookup` carries one row per wanted key. `keys` must BEGIN with
+    * the table's recorded bucket column(s): the prefix alone returns
+    * everything under it (probe a `(term, doc_id)`-keyed postings
+    * table bucketed by `term` with terms alone — every posting of the
+    * probed terms), and prefix-plus-more columns prune by the prefix
+    * then filter on all of them (probe by full `(term, doc_id)` — one
+    * posting, r11). Only the prefix drives the bucket hash, so both
+    * shapes read the same pruned file set.
     * Extra lookup columns are ignored; the lookup is expected to be
     * lookup-sized — its distinct keys are BROADCAST for the semi-join
     * (for a table-scale probe side, read [[readSnapshot]] and join
@@ -1082,12 +1085,20 @@ object SnapshotUpsert {
       sys.error(s"snapshot upsert: no committed version at $targetDir"))
     require(keys.nonEmpty, "readKeys: need at least one key column")
     // every current-format commit records its bucket columns, so a
-    // probe by anything else is refused here; a manifest from before
-    // the record (no #bucketcols header) cannot validate the probe —
-    // one new commit upgrades it
-    cur.bucketCols.foreach(rec => require(keys == rec,
-      s"readKeys: table at $root is bucketed by (${rec.mkString(",")}); " +
-        s"probing by (${keys.mkString(",")}) would read the wrong buckets"))
+    // probe NOT anchored on that prefix is refused here (its hash
+    // would read the wrong buckets); columns BEYOND the prefix are
+    // legal — they filter within the pruned read. A manifest from
+    // before the record (no #bucketcols header) cannot validate the
+    // probe — one new commit upgrades it.
+    val hashKeys: Seq[String] = cur.bucketCols match {
+      case Some(rec) =>
+        require(keys.take(rec.size) == rec,
+          s"readKeys: table at $root is bucketed by (${rec.mkString(",")}); " +
+            s"probe keys (${keys.mkString(",")}) must start with that " +
+            "prefix — anything else would read the wrong buckets")
+        rec
+      case None => keys
+    }
     keys.distinct.foreach { k =>
       require(cur.schema.fieldNames.contains(k), {
         val variant = cur.schema.fieldNames
@@ -1118,7 +1129,7 @@ object SnapshotUpsert {
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), projected.schema)
     val kbs = probes
-      .select(UpsertSink.bucketOfLayout(keys, cur.nBuckets, cur.depths)
+      .select(UpsertSink.bucketOfLayout(hashKeys, cur.nBuckets, cur.depths)
         .as("kb"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val paths = kbs.filter(cur.files.contains)

@@ -572,6 +572,18 @@ class SnapshotUpsertSpec extends SparkSpec {
     }
     assert(wrongProbe.getMessage.contains("bucketed by (grp)"),
       wrongProbe.getMessage)
+    // r11: a probe by the FULL key (prefix + more columns) prunes by
+    // the prefix and filters on everything — one posting, same file
+    // set as the prefix probe
+    val full = SnapshotUpsert.readKeys(spark, dir,
+      Seq(("a", 1L)).toDF("grp", "id"), Seq("grp", "id"))
+    assert(full.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("a", 1L, 99L)))
+    assert(full.inputFiles.toSet ==
+      SnapshotUpsert.readKeys(spark, dir, Seq("a").toDF("grp"),
+        Seq("grp")).inputFiles.toSet,
+      "full-key probe must read exactly the prefix's pruned files")
   }
 
   test("readKeys matches null keys null-safely and refuses case-variant names") {
