@@ -239,6 +239,53 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained ALWAYS-ON DAG: one live stream maintains the table, a " +
+      "second live stream consumes its change feed into a downstream " +
+      "table that stays exactly equal") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val table = tmp()
+    val downstream = tmp()
+    // seed so the feed source can pin a schema at start
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "seed", 1L)), table,
+      Seq("id"), "v", nBuckets = 4, keepVersions = 10)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    // stream 1: rows -> snapshot table (one commit per micro-batch)
+    val q1 = SnapshotUpsert.sink(input.toDF().toDF("id", "status", "v"),
+      table, tmp(), Seq("id"), "v", nBuckets = 4, keepVersions = 10)
+    // stream 2: the table's change feed -> a downstream latest-state
+    // table (the always-on chained-pipeline shape; no drain loop, no
+    // cursor file — the engine checkpoint is the cursor)
+    val q2 = SnapshotUpsert.readChangeStream(spark, table, Seq("id"),
+        emitDeletes = false)
+      .writeStream.option("checkpointLocation", tmp())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        UpsertSink.upsertBatch(b.drop("_change"), downstream,
+          Seq("id"), "v", nBuckets = 4)
+        ()
+      }.start()
+    try {
+      def settle(): Unit = { q1.processAllAvailable(); q2.processAllAvailable() }
+      settle()
+      input.addData((2L, "a", 2L), (3L, "b", 2L))
+      settle()
+      input.addData((2L, "a2", 3L), (4L, "c", 3L))
+      settle()
+      input.addData((1L, "seed2", 9L))
+      settle()
+      val src = snapState(table)
+      assert(src == UpsertSink.readLatest(spark, downstream).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet,
+        "the chained downstream must equal the source table exactly")
+      assert(src.contains((2L, "a2", 3L)) && src.contains((1L, "seed2", 9L)))
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  private def snapState(dir: String): Set[(Long, String, Long)] =
+    SnapshotUpsert.readSnapshot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
   test("restart after a schema evolution: the repositioned pre-evolution " +
       "range null-fills the new column; post-restart slices carry it") {
     import spark.implicits._
