@@ -70,12 +70,18 @@ object IncrementalAnn {
           s"(e.g. ${moved.mkString(", ")}) — the old rows would survive as " +
           "stale duplicates; retire these ids first, then ingest")
     }
-    if (withIdMap)
-      commitIdMap(assigned.select(col(idCol), col("cell")), indexDir,
-        idCol, keepVersions)
-    SnapshotUpsert.upsertBatchSnapshot(assigned, indexDir,
-      keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
-      keepVersions = keepVersions, bucketCols = Seq("cell"))
+    // single evaluation across the TWO commits: the idmap and the
+    // index must record the SAME assignment even for a
+    // non-deterministic upstream batch
+    val pinned = if (withIdMap) assigned.localCheckpoint(true) else assigned
+    try {
+      if (withIdMap)
+        commitIdMap(pinned.select(col(idCol), col("cell")), indexDir,
+          idCol, keepVersions)
+      SnapshotUpsert.upsertBatchSnapshot(pinned, indexDir,
+        keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
+        keepVersions = keepVersions, bucketCols = Seq("cell"))
+    } finally if (withIdMap) pinned.unpersist(false)
   }
 
   /** The id -> cell SIDE TABLE that makes [[retire]] slice-sized: a
@@ -131,12 +137,21 @@ object IncrementalAnn {
     val rows = assigned.select(col(idCol), col("cell"), col(vecCol))
       .join(Similarity.pqEncode(assigned, codebook, idCol, vecCol, m),
         Seq(idCol))
-    if (withIdMap)
-      commitIdMap(assigned.select(col(idCol), col("cell")), indexDir,
-        idCol, keepVersions)
-    SnapshotUpsert.upsertBatchSnapshot(rows, indexDir,
-      keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
-      keepVersions = keepVersions, bucketCols = Seq("cell"))
+    // single evaluation across the two commits (see ingest)
+    val pinned = if (withIdMap) assigned.localCheckpoint(true) else assigned
+    val rowsPinned =
+      if (withIdMap) pinned.select(col(idCol), col("cell"), col(vecCol))
+        .join(Similarity.pqEncode(pinned, codebook, idCol, vecCol, m),
+          Seq(idCol))
+      else rows
+    try {
+      if (withIdMap)
+        commitIdMap(pinned.select(col(idCol), col("cell")), indexDir,
+          idCol, keepVersions)
+      SnapshotUpsert.upsertBatchSnapshot(rowsPinned, indexDir,
+        keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
+        keepVersions = keepVersions, bucketCols = Seq("cell"))
+    } finally if (withIdMap) pinned.unpersist(false)
   }
 
   /** ADC top-k over an [[ingestPq]] index: probe cells from the FIXED

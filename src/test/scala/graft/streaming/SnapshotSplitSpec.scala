@@ -205,6 +205,16 @@ class SnapshotSplitSpec extends SparkSpec {
     val one = SnapshotUpsert.readKeys(spark, dir, Seq(deep).toDF("id"),
       Seq("id")).collect()
     assert(one.length == 1 && one.head.getString(1) == "deep")
+    // a REBUCKET resets the split depths: one flat layout again,
+    // content identical, and plain merges/reads keep working
+    val beforeRebucket = snapSet(dir)
+    SnapshotUpsert.rebucket(spark, dir, 16, Seq("id"), keepVersions = 10)
+    assert(snapSet(dir) == beforeRebucket)
+    assert(manifestFiles(dir).keySet.forall(_ < 16),
+      "rebucket must clear split ids back to the flat layout")
+    SnapshotUpsert.upsertBatchSnapshot(df((deep, "after", 9L)), dir,
+      Seq("id"), "v", nBuckets = 16, keepVersions = 10)
+    assert(snapSet(dir).contains((deep, "after", 9L)))
   }
 
   test("splitOverfull splits exactly the buckets over budget and " +
