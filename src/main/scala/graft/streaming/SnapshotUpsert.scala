@@ -663,10 +663,24 @@ object SnapshotUpsert {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentSnapshot(fs, root).getOrElse(
       sys.error(s"splitOverfull: no committed version at $targetDir"))
-    val overfull = cur.files.iterator.map { case (b, rels) =>
-      b -> rels.map(rel =>
-        fs.getFileStatus(new Path(root, rel)).getLen).sum
-    }.filter(_._2 > maxBucketBytes).map(_._1).toSeq.sorted
+    // per-file stats fan out in parallel like stagedFiles' listings: a
+    // production manifest holds thousands of files and each getLen is
+    // an RPC on an object store — serial would put minutes of round
+    // trips into a maintenance pass that reads no data at all
+    val sizes: Map[Int, Long] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.traverse(cur.files.toSeq) { case (b, rels) =>
+        Future {
+          b -> scala.concurrent.blocking {
+            rels.map(rel => fs.getFileStatus(new Path(root, rel)).getLen).sum
+          }
+        }
+      }, Duration.Inf).toMap
+    }
+    val overfull = sizes.iterator
+      .filter(_._2 > maxBucketBytes).map(_._1).toSeq.sorted
     overfull.foreach(b => splitBucket(spark, targetDir, b, keepVersions,
       keepAgeMs, nowMs))
     overfull
