@@ -776,5 +776,134 @@ object AnalyticsQueries {
              | max(n) AS n_rows
              |FROM r GROUP BY l_returnflag""".stripMargin),
     ),
+
+    // INCREMENTAL MATERIALIZED VIEW, delta-maintained (IncrementalMv
+    // .refreshDelta): a keyed base table takes three commits (inserts,
+    // then full-row updates — one block MOVING rows between groups, one
+    // changing the summed column — then tombstone deletes plus more
+    // updates), and after each commit the count+sum MV folds ONLY the
+    // change-feed slice: signed ±contributions per group (retraction
+    // via the feed's _before image), current MV rows point-read via
+    // readKeys, and the applied base version committed as a table
+    // property IN the same manifest as the refreshed rows (exactly-once
+    // by construction). The final MV must equal a from-scratch GROUP BY
+    // over the accumulated base image, which is what the oracle
+    // computes. NOTE for bench readers: the base commits + refreshes
+    // execute at plan construction (eager, real disk commits to a temp
+    // dir); per-pass timings see the MV read — the deployment's serve
+    // cost.
+    QueryDef(
+      "q_mv_incremental",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-mv-q").toString
+        val base = s"$tmp/base"; val mv = s"$tmp/mv"
+        def commit(b: org.apache.spark.sql.DataFrame,
+            del: Option[String] = None): Unit =
+          graft.streaming.SnapshotUpsert.upsertBatchSnapshot(b, base,
+            keys = Seq("doc_id"), orderCol = "", nBuckets = 16,
+            tombstoneCol = del)
+        def fold(): Unit = {
+          graft.operators.IncrementalMv.refreshDelta(s, base, mv,
+            baseKeys = Seq("doc_id"), groupCols = Seq("lang"),
+            sumCols = Seq("n_chars"), nBuckets = 16)
+          ()
+        }
+        commit(docs.filter(col("doc_id") < 300))
+        fold()
+        commit(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .unionByName(docs
+            .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+            .withColumn("lang",
+              when(col("doc_id") < 150, lit("xx")).otherwise(col("lang")))
+            .withColumn("n_chars",
+              when(col("doc_id") >= 150, col("n_chars") * 2)
+                .otherwise(col("n_chars")))))
+        fold()
+        commit(docs.filter(col("doc_id") < 50)
+          .withColumn("_del", lit(true))
+          .unionByName(docs
+            .filter(col("doc_id") >= 350 && col("doc_id") < 380)
+            .withColumn("lang", lit("yy"))
+            .withColumn("_del", lit(false))),
+          del = Some("_del"))
+        fold()
+        graft.operators.IncrementalMv.readMv(s, mv)
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |  CASE WHEN doc_id >= 100 AND doc_id < 150 THEN 'xx'
+             |       WHEN doc_id >= 350 AND doc_id < 380 THEN 'yy'
+             |       ELSE lang END AS lang,
+             |  CASE WHEN doc_id >= 150 AND doc_id < 200 THEN n_chars * 2
+             |       ELSE n_chars END AS n_chars
+             |  FROM documents WHERE doc_id >= 50 AND doc_id < 400)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             | CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+             | CAST(count(n_chars) AS BIGINT) AS nn_n_chars
+             |FROM base GROUP BY lang""".stripMargin),
+    ),
+
+    // Incremental MV with NON-RETRACTABLE aggregates (IncrementalMv
+    // .refreshByGroups): min/max/count-distinct cannot be maintained by
+    // ±deltas, so the change feed only identifies WHICH groups changed
+    // and those groups are recomputed from the current base image —
+    // point-pruned, because the base is keyed (source, doc_id) and
+    // BUCKETED BY its `source` prefix, so the recompute reads only the
+    // touched groups' buckets. Same exactly-once cursor contract as the
+    // delta MV; same from-scratch GROUP BY oracle. NOTE for bench
+    // readers: commits + refreshes execute at plan construction.
+    QueryDef(
+      "q_mv_groups_incremental",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-mvg-q").toString
+        val base = s"$tmp/base"; val mv = s"$tmp/mv"
+        def commit(b: org.apache.spark.sql.DataFrame,
+            del: Option[String] = None): Unit =
+          graft.streaming.SnapshotUpsert.upsertBatchSnapshot(b, base,
+            keys = Seq("source", "doc_id"), orderCol = "", nBuckets = 16,
+            bucketCols = Seq("source"), tombstoneCol = del)
+        def fold(): Unit = {
+          graft.operators.IncrementalMv.refreshByGroups(s, base, mv,
+            baseKeys = Seq("source", "doc_id"), groupCols = Seq("source"),
+            aggs = Seq(count(lit(1)).as("n"),
+              min(col("n_chars")).as("min_chars"),
+              max(col("n_chars")).as("max_chars"),
+              countDistinct(col("lang")).as("n_langs")),
+            nBuckets = 16)
+          ()
+        }
+        commit(docs.filter(col("doc_id") < 300))
+        fold()
+        commit(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .unionByName(docs
+            .filter(col("doc_id") >= 100 && col("doc_id") < 160)
+            .withColumn("n_chars", col("n_chars") + 7)))
+        fold()
+        commit(docs.filter(col("doc_id") < 40)
+          .withColumn("_del", lit(true))
+          .unionByName(docs
+            .filter(col("doc_id") >= 200 && col("doc_id") < 240)
+            .withColumn("lang", upper(col("lang")))
+            .withColumn("_del", lit(false))),
+          del = Some("_del"))
+        fold()
+        graft.operators.IncrementalMv.readMv(s, mv)
+      },
+      Some("""WITH base AS (SELECT doc_id, source,
+             |  CASE WHEN doc_id >= 200 AND doc_id < 240 THEN upper(lang)
+             |       ELSE lang END AS lang,
+             |  CASE WHEN doc_id >= 100 AND doc_id < 160 THEN n_chars + 7
+             |       ELSE n_chars END AS n_chars
+             |  FROM documents WHERE doc_id >= 40 AND doc_id < 400)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n,
+             | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM base GROUP BY source""".stripMargin),
+    ),
   )
 }

@@ -142,6 +142,28 @@ object SnapshotUpsert {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** An `expectProps` precondition failed: the table's current
+    * properties no longer match what the writer's batch was computed
+    * against (another writer advanced a transactional cursor in the
+    * meantime). NOT retried by the optimistic loop — unlike a lost
+    * version race, re-merging the same batch would be wrong; the caller
+    * must recompute against the current state (an incremental refresher
+    * simply re-runs). */
+  final class StalePropsException(msg: String)
+    extends RuntimeException(msg)
+
+  private def checkExpectProps(cur: Option[Snapshot], root: Path,
+      expectProps: Map[String, String]): Unit =
+    expectProps.foreach { case (k, v) =>
+      val got = cur.flatMap(_.props.get(k))
+      if (!got.contains(v))
+        throw new StalePropsException(
+          s"commit to $root expects prop '$k'='$v' but the table has " +
+            s"${got.fold("no such prop")(g => s"'$k'='$g'")} — another " +
+            "writer advanced the table since this batch was computed; " +
+            "recompute against the current state and retry")
+    }
+
   /** A committed version: its bucket layout, its commit wall-clock, its
     * DATA schema (without the `kb` layout column), and bucket ->
     * relative file paths. Layout and schema travel IN the manifest so a
@@ -154,7 +176,8 @@ object SnapshotUpsert {
       schema: org.apache.spark.sql.types.StructType,
       files: Map[Int, Seq[String]],
       bucketCols: Option[Seq[String]] = None,
-      depths: Map[Int, Int] = Map.empty)
+      depths: Map[Int, Int] = Map.empty,
+      props: Map[String, String] = Map.empty)
 
   /** A manifest file that exists but lacks the `#eof` trailer: its
     * writer died mid-commit, so the version never became readable. */
@@ -243,9 +266,16 @@ object SnapshotUpsert {
         val Array(id, d) = e.split("\\.")
         id.toInt -> d.toInt
       }.toMap).getOrElse(Map.empty)
+    // #prop.<key> (r11): user-level table properties — committed
+    // atomically with the version like everything else in the header,
+    // carried forward by subsequent commits (see commitVersion), and
+    // ignored by readers from before this revision
+    val props: Map[String, String] = headers.collect {
+      case (k, v) if k.startsWith("prop.") => k.stripPrefix("prop.") -> v
+    }
     Snapshot(v, headers("nbuckets").toInt, ts,
       org.apache.spark.sql.types.StructType.fromDDL(headers("schema")), files,
-      headers.get("bucketcols").map(_.split(",", -1).toSeq), depths)
+      headers.get("bucketcols").map(_.split(",", -1).toSeq), depths, props)
   }
 
   /** Create-exclusive write of a manifest file — THE commit point of
@@ -260,18 +290,29 @@ object SnapshotUpsert {
       files: Map[Int, Seq[String]], nowMs: Long,
       bucketCols: Option[Seq[String]] = None,
       commit: CommitPrimitive = CreateExclusive,
-      depths: Map[Int, Int] = Map.empty): Unit = {
+      depths: Map[Int, Int] = Map.empty,
+      props: Map[String, String] = Map.empty): Unit = {
     // a prefix-bucketed layout is recorded IN the manifest (like
     // nBuckets): a later merge must restate it or its rows would land
     // in buckets the prefix layout never reads
     bucketCols.foreach(bc => require(
       bc.forall(c => !c.contains(",") && !c.contains("\n")),
       s"bucketCols names must not contain ',' or newlines: $bc"))
+    // prop keys parse as `prop.<key>=<value>` split on the FIRST '='
+    // (values may contain '='; keys may not) and the manifest is
+    // line-oriented, so neither side may contain a newline
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains("=") && !k.contains("\n"),
+        s"table property key '$k' must be non-empty with no '=' or newline")
+      require(!v.contains("\n"),
+        s"table property '$k' value must not contain a newline")
+    }
     fs.mkdirs(new Path(root, ManifestDir))
     val target = manifestPath(root, version)
     val body = (Iterator(s"#nbuckets=$nBuckets", s"#ts=$nowMs",
       s"#schema=${schema.toDDL}") ++
       bucketCols.iterator.map(bc => s"#bucketcols=${bc.mkString(",")}") ++
+      SortedMap.from(props).iterator.map { case (k, v) => s"#prop.$k=$v" } ++
       // split layout travels WITH the file set (like nBuckets): a split
       // and its bucket rewrites commit atomically or not at all
       (if (depths.nonEmpty)
@@ -419,7 +460,9 @@ object SnapshotUpsert {
       nowMs: Long = System.currentTimeMillis(),
       bucketCols: Seq[String] = Seq.empty,
       maxCommitAttempts: Int = 5,
-      commit: CommitPrimitive = CreateExclusive): Unit = {
+      commit: CommitPrimitive = CreateExclusive,
+      props: Map[String, String] = Map.empty,
+      expectProps: Map[String, String] = Map.empty): Unit = {
     require(keepVersions >= 2,
       "keepVersions must be >= 2: the next commit's GC must not delete " +
         "files a reader pinned to the current version may still be scanning")
@@ -451,7 +494,8 @@ object SnapshotUpsert {
       attempt += 1
       try {
         attemptUpsert(batch, batchData, root, fs, keys, orderCol, nBuckets,
-          keepVersions, keepAgeMs, tombstoneCol, nowMs, bucketCols, commit)
+          keepVersions, keepAgeMs, tombstoneCol, nowMs, bucketCols, commit,
+          props, expectProps)
         committed = true
       } catch {
         case _: ConcurrentCommitException if attempt < maxCommitAttempts => ()
@@ -464,8 +508,15 @@ object SnapshotUpsert {
       fs: FileSystem, keys: Seq[String], orderCol: String, nBuckets: Int,
       keepVersions: Int, keepAgeMs: Option[Long],
       tombstoneCol: Option[String], nowMs: Long, bucketCols: Seq[String],
-      commit: CommitPrimitive): Unit = {
+      commit: CommitPrimitive,
+      props: Map[String, String] = Map.empty,
+      expectProps: Map[String, String] = Map.empty): Unit = {
     val cur = currentSnapshot(fs, root)
+    // CAS precondition, re-checked on EVERY attempt: a retry that lost
+    // the version race re-reads the current version, so a concurrent
+    // writer that advanced an expected prop turns the retry into a
+    // clean StalePropsException instead of a silent double-apply
+    checkExpectProps(cur, root, expectProps)
     cur match {
       case Some(c) =>
         // the CURRENT manifest's header is the layout authority (it
@@ -531,7 +582,7 @@ object SnapshotUpsert {
       depths = cur.map(_.depths).getOrElse(Map.empty)) { withBucket =>
       commitVersion(withBucket, root, fs, cur, dataSchema, keys, orderCol,
         nBuckets, keepVersions, keepAgeMs, tombstoneCol, nowMs,
-        if (bucketCols.isEmpty) keys else bucketCols, commit)
+        if (bucketCols.isEmpty) keys else bucketCols, commit, props)
     }
   }
 
@@ -581,7 +632,8 @@ object SnapshotUpsert {
     // staged set, and the header flips the layout in the same commit
     val staged = stagedFiles(fs, versionDir)
     commitManifest(fs, root, version, newBuckets, cur.schema, staged, nowMs,
-      Some(if (bucketCols.isEmpty) keys else bucketCols), commit)
+      Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
+      props = cur.props)
     gc(fs, root, version, staged, Some(cur), keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
     // what merges validate against
@@ -644,7 +696,7 @@ object SnapshotUpsert {
     val staged = stagedFiles(fs, versionDir)
     val manifest = (cur.files - bucket) ++ staged
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
-      nowMs, Some(bc), commit, newDepths)
+      nowMs, Some(bc), commit, newDepths, cur.props)
     gc(fs, root, version, manifest, Some(cur), keepVersions, keepAgeMs, nowMs)
   }
 
@@ -692,7 +744,8 @@ object SnapshotUpsert {
       orderCol: String, nBuckets: Int, keepVersions: Int,
       keepAgeMs: Option[Long], tombstoneCol: Option[String],
       nowMs: Long, bucketCols: Seq[String],
-      commit: CommitPrimitive = CreateExclusive): Unit = {
+      commit: CommitPrimitive = CreateExclusive,
+      props: Map[String, String] = Map.empty): Unit = {
     val spark = withBucket.sparkSession
     val dataCols = dataSchema.fieldNames.toSeq
     val populated: Set[Int] = cur.map(_.files.keySet).getOrElse(Set.empty)
@@ -745,8 +798,13 @@ object SnapshotUpsert {
     // a keys-bucketed table by a prefix must be refused too — without
     // the record, readKeys on a pre-prefix-era layout would hash probe
     // columns that never laid the table out and silently miss rows
+    // properties CARRY FORWARD like the schema: a commit that sets
+    // none keeps the table's existing ones, a commit that sets some
+    // overrides those keys only — so a maintenance merge can never
+    // silently drop another writer's committed cursor/metadata
     commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
-      Some(bucketCols), commit, cur.map(_.depths).getOrElse(Map.empty))
+      Some(bucketCols), commit, cur.map(_.depths).getOrElse(Map.empty),
+      cur.map(_.props).getOrElse(Map.empty) ++ props)
     gc(fs, root, version, manifest, cur, keepVersions, keepAgeMs, nowMs)
   }
 
@@ -1014,6 +1072,58 @@ object SnapshotUpsert {
     currentSnapshot(fs, root).map(s => (s.version, s.schema))
   }
 
+  /** The current version's recorded bucket columns (None for a fresh
+    * table or a manifest from before the `#bucketcols` record). A
+    * selective reader uses this to decide whether [[readKeys]]' prefix
+    * contract holds for its probe columns. */
+  def currentBucketCols(spark: SparkSession, targetDir: String)
+      : Option[Seq[String]] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentSnapshot(fs, root).flatMap(_.bucketCols)
+  }
+
+  /** The current version's table properties (empty for a fresh table or
+    * one written before the `#prop.` header revision). Properties commit
+    * atomically with the version's data — a reader that sees a property
+    * value sees every file of the commit that set it — which is what
+    * makes them usable as transactional cursors (see IncrementalMv). */
+  def currentProps(spark: SparkSession, targetDir: String)
+      : Map[String, String] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentSnapshot(fs, root).map(_.props).getOrElse(Map.empty)
+  }
+
+  /** Commit a METADATA-ONLY version: the current file set, schema and
+    * layout carried forward verbatim, with `props` merged over the
+    * table's existing properties. This is how a cursor prop advances
+    * when a refresh produced no data changes (e.g. the consumed slice
+    * was empty after a base rebucket) — the advance is still a real
+    * atomic commit, subject to the same version race and `expectProps`
+    * CAS as a data commit. Returns the committed version. */
+  def setProps(spark: SparkSession, targetDir: String,
+      props: Map[String, String],
+      expectProps: Map[String, String] = Map.empty,
+      keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis(),
+      commit: CommitPrimitive = CreateExclusive): Long = {
+    require(props.nonEmpty, "setProps: props must be non-empty")
+    require(keepVersions >= 2, "keepVersions must be >= 2")
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentSnapshot(fs, root).getOrElse(
+      sys.error(s"setProps: no committed version at $targetDir — " +
+        "properties live in version manifests; commit data first"))
+    checkExpectProps(Some(cur), root, expectProps)
+    val version = cur.version + 1
+    commitManifest(fs, root, version, cur.nBuckets, cur.schema, cur.files,
+      nowMs, cur.bucketCols, commit, cur.depths, cur.props ++ props)
+    gc(fs, root, version, cur.files, Some(cur), keepVersions, keepAgeMs,
+      nowMs)
+    version
+  }
+
   /** Time-based time travel: the table as of wall-clock `tsMs` — the
     * newest version whose commit timestamp is <= tsMs ("the table as
     * the 02:00 report saw it"). Commit timestamps are the `#ts`
@@ -1174,7 +1284,8 @@ object SnapshotUpsert {
     * and unchanged rows are filtered out. */
   def changesBetween(spark: SparkSession, targetDir: String,
       fromVersion: Long, toVersion: Long, keys: Seq[String],
-      emitDeletes: Boolean = false): DataFrame = {
+      emitDeletes: Boolean = false,
+      emitBefore: Boolean = false): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetween needs fromVersion < toVersion ($fromVersion, $toVersion)")
     val root = new Path(targetDir)
@@ -1217,9 +1328,12 @@ object SnapshotUpsert {
     if (oldBuckets.isEmpty && newBuckets.isEmpty) {
       // identical manifests: empty feed with the table's schema (one
       // footer read — the only case that needs a sample)
-      return spark.createDataFrame(
+      val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
         .withColumn("_change", lit(""))
+      return if (!emitBefore) empty
+        else empty.withColumn("_before", lit(null).cast(
+          org.apache.spark.sql.types.StructType(to.schema.fields)))
     }
     // both sides read under the NEWER version's schema (schemas only
     // grow, so to.schema covers from; a column added between the two
@@ -1227,7 +1341,7 @@ object SnapshotUpsert {
     // is a now-populated new column correctly reports as an update)
     val newSide = readImage(spark, to.schema, paths(to, newBuckets))
     val oldSide = readImage(spark, to.schema, paths(from, oldBuckets))
-    diffImages(newSide, oldSide, keys, emitDeletes)
+    diffImages(newSide, oldSide, keys, emitDeletes, emitBefore)
   }
 
   /** Internal column names for [[diffImages]] that cannot collide with
@@ -1257,21 +1371,31 @@ object SnapshotUpsert {
     * feed must match them too or a null-keyed row would be re-reported
     * as a spurious insert on every diff that rewrites its bucket. */
   def diffImages(newImage: DataFrame, oldImage: DataFrame,
-      keys: Seq[String], emitDeletes: Boolean = false): DataFrame = {
+      keys: Seq[String], emitDeletes: Boolean = false,
+      emitBefore: Boolean = false): DataFrame = {
     val dataCols = newImage.columns.toSeq
     val taken = dataCols.toSet ++ oldImage.columns
     val oldP = freshPrefix("__old", taken)
+    // `emitBefore` appends `_before` — the key's row AT fromVersion as
+    // one struct of the data columns (NULL on insert) — which is what a
+    // delta consumer needs to RETRACT a changed row's old contribution
+    // (an update that moves a row between aggregation groups is
+    // invisible to the old group without it). Fixed name like
+    // `_change`; on a delete row the flat columns already carry the old
+    // values and `_before` agrees with them.
+    def before: Column = col(oldP).as("_before")
     if (!emitDeletes) {
       val old = oldImage.select(
         keys.map(k => col(k).as(s"${oldP}_$k")) :+
           struct(dataCols.map(col): _*).as(oldP): _*)
       val joinCond = keys.map(k => col(k) <=> col(s"${oldP}_$k")).reduce(_ && _)
-      newImage.join(old, joinCond, "left")
+      val base = newImage.join(old, joinCond, "left")
         .where(col(oldP).isNull ||
           !(struct(dataCols.map(col): _*) <=> col(oldP)))
         .withColumn("_change",
           when(col(oldP).isNull, "insert").otherwise("update"))
-        .select((dataCols :+ "_change").map(col): _*)
+      base.select((dataCols.map(col) :+ col("_change")) ++
+        (if (emitBefore) Seq(before) else Nil): _*)
     } else {
       // full outer: both sides packed into structs so an absent side is
       // one NULL test and delete rows surface the old image's values
@@ -1284,12 +1408,13 @@ object SnapshotUpsert {
           struct(dataCols.map(col): _*).as(newP): _*)
       val joinCond = keys.map(k =>
         col(s"${newP}_$k") <=> col(s"${oldP}_$k")).reduce(_ && _)
-      val out: Seq[Column] = dataCols.map(c =>
+      val out: Seq[Column] = (dataCols.map(c =>
         when(col(newP).isNull, col(s"$oldP.$c"))
           .otherwise(col(s"$newP.$c")).as(c)) :+
         when(col(oldP).isNull, "insert")
           .when(col(newP).isNull, "delete")
-          .otherwise("update").as("_change")
+          .otherwise("update").as("_change")) ++
+        (if (emitBefore) Seq(before) else Nil)
       nw.join(old, joinCond, "full_outer")
         .where(col(oldP).isNull || col(newP).isNull ||
           !(col(newP) <=> col(oldP)))
