@@ -134,11 +134,17 @@ object IncrementalMv {
         val minus = slice.where(col("_change") =!= "insert")
           .select((groupCols ++ sumCols)
             .map(k => col(s"_before.$k").as(k)) :+ col("_change"): _*)
+        // evaluated ONCE (checkpointed, slice-sized by construction):
+        // the probe collect below and the merge's own materialization
+        // must see the same delta rows, and the feed's pruned reads
+        // should not re-run per consumer; released by refresh() after
+        // the commit
         val deltas = plus.unionByName(contrib(minus, -1, c => col(c)))
           .groupBy(groupCols.map(col): _*)
           .agg(sum("__dn").as("__dn"),
             sumCols.flatMap(c => Seq(sum(col(s"__ds_$c")).as(s"__ds_$c"),
               sum(col(s"__dnn_$c")).as(s"__dnn_$c"))): _*)
+          .localCheckpoint(true)
 
         // current MV rows of ONLY the touched groups: point-pruned read
         // (the MV is bucketed by its group-column keys), renamed so the
@@ -173,7 +179,8 @@ object IncrementalMv {
                   nn.as(s"nn_$c"))
               }): _*)
         // a group counted down to zero rows leaves the MV entirely
-        merged.withColumn(DeadCol, col("n") === 0L)
+        (merged.withColumn(DeadCol, col("n") === 0L),
+          () => { deltas.unpersist(false); () })
     }
   }
 
@@ -203,11 +210,14 @@ object IncrementalMv {
       (v0, baseCur) =>
         val slice = SnapshotUpsert.changesBetween(spark, baseDir, v0,
           baseCur, baseKeys, emitDeletes = true, emitBefore = true)
+        // evaluated ONCE (checkpointed, slice-sized): probed, semi- or
+        // anti-joined up to three times below; released after commit
         val touched = slice.where(col("_change") =!= "delete")
           .select(groupCols.map(col): _*)
           .unionByName(slice.where(col("_change") =!= "insert")
             .select(groupCols.map(k => col(s"_before.$k").as(k)): _*))
           .distinct()
+          .localCheckpoint(true)
         val canPrune = pruneReads &&
           SnapshotUpsert.currentBucketCols(spark, baseDir)
             .exists(rec => groupCols.take(rec.size) == rec)
@@ -233,18 +243,22 @@ object IncrementalMv {
           .select(groupCols.map(col) ++
             aggFields.map(f => lit(null).cast(f.dataType).as(f.name)) :+
             lit(true).as(DeadCol): _*)
-        recomputed.unionByName(gone)
+        (recomputed.unionByName(gone),
+          () => { touched.unpersist(false); () })
     }
   }
 
   /** Shared refresh protocol: bootstrap / no-op / fold-slice, with the
     * cursor committed atomically alongside the data (see object doc).
     * `foldSlice(v0, baseCur)` returns the upsert batch — changed MV
-    * rows plus a [[DeadCol]] tombstone flag. */
+    * rows plus a [[DeadCol]] tombstone flag — and a release thunk for
+    * whatever the fold checkpointed, run after the commit either way
+    * (long-lived refresher drivers must not accumulate cached blocks
+    * per refresh). */
   private def refresh(spark: SparkSession, baseDir: String, mvDir: String,
       groupCols: Seq[String], nBuckets: Int, keepVersions: Int,
       aggregate: DataFrame => DataFrame)(
-      foldSlice: (Long, Long) => DataFrame): Long = {
+      foldSlice: (Long, Long) => (DataFrame, () => Unit)): Long = {
     val baseVersions = SnapshotUpsert.versions(spark, baseDir)
     require(baseVersions.nonEmpty,
       s"MV refresh: no committed version at base $baseDir")
@@ -271,23 +285,25 @@ object IncrementalMv {
             s"${baseVersions.head}) — the MV lost its catch-up room. " +
             "Delete the MV directory to re-bootstrap, and size the " +
             "base's keepVersions/keepAgeMs to the refresh cadence")
-        val batch = foldSlice(v0, baseCur)
-        SnapshotUpsert.upsertBatchSnapshot(batch, mvDir,
-          keys = groupCols, orderCol = "", nBuckets = nBuckets,
-          keepVersions = keepVersions, tombstoneCol = Some(DeadCol),
-          props = Map(AppliedProp -> baseCur.toString),
-          expectProps = Map(AppliedProp -> v0.toString))
-        // an EMPTY slice (a base commit that changed no net content,
-        // e.g. a rebucket) upserts nothing and therefore commits
-        // nothing — advance the cursor with a metadata-only commit so
-        // the next refresh doesn't re-diff the same versions (for the
-        // rebucket case, a cross-layout diff reads both images whole)
-        if (!SnapshotUpsert.currentProps(spark, mvDir)
-            .get(AppliedProp).contains(baseCur.toString))
-          SnapshotUpsert.setProps(spark, mvDir,
-            Map(AppliedProp -> baseCur.toString),
-            expectProps = Map(AppliedProp -> v0.toString),
-            keepVersions = keepVersions)
+        val (batch, release) = foldSlice(v0, baseCur)
+        try {
+          SnapshotUpsert.upsertBatchSnapshot(batch, mvDir,
+            keys = groupCols, orderCol = "", nBuckets = nBuckets,
+            keepVersions = keepVersions, tombstoneCol = Some(DeadCol),
+            props = Map(AppliedProp -> baseCur.toString),
+            expectProps = Map(AppliedProp -> v0.toString))
+          // an EMPTY slice (a base commit that changed no net content,
+          // e.g. a rebucket) upserts nothing and therefore commits
+          // nothing — advance the cursor with a metadata-only commit so
+          // the next refresh doesn't re-diff the same versions (for the
+          // rebucket case, a cross-layout diff reads both images whole)
+          if (!SnapshotUpsert.currentProps(spark, mvDir)
+              .get(AppliedProp).contains(baseCur.toString))
+            SnapshotUpsert.setProps(spark, mvDir,
+              Map(AppliedProp -> baseCur.toString),
+              expectProps = Map(AppliedProp -> v0.toString),
+              keepVersions = keepVersions)
+        } finally release()
         baseCur
     }
   }

@@ -63,7 +63,12 @@ object MvScale {
         .createTempDirectory(s"graft-mv-scale-$n").toString
       val base = s"$tmp/base"
       val mvD = s"$tmp/mv_delta"; val mvG = s"$tmp/mv_groups"
-      val nBuckets = 256
+      // buckets sized to a ~constant rewrite unit (the deployment
+      // contract splitOverfull maintains): with a FIXED bucket count
+      // the per-bucket row count — and with it the feed diff and merge
+      // amplification of a same-sized slice — would grow linearly with
+      // the corpus, burying the slice-tracking claim under layout debt
+      val nBuckets = math.max(64, (n / 16000L).toInt)
       def commit(b: DataFrame, del: Option[String] = None): Unit =
         SnapshotUpsert.upsertBatchSnapshot(b, base,
           keys = Seq("grp", "id"), orderCol = "", nBuckets = nBuckets,
@@ -129,7 +134,7 @@ object MvScale {
         s"groups MV diverged from recompute at n=$n " +
           s"(${gotG.size} vs ${wantG.size} rows)")
 
-      println(f"""{"rows":$n,"groups":${nGroups + 2},""" +
+      println(f"""{"rows":$n,"groups":${nGroups + 2},"nbuckets":$nBuckets,""" +
         f""""seed_s":$seedS%.2f,"boot_delta_s":$bootDeltaS%.2f,""" +
         f""""boot_groups_s":$bootGroupsS%.2f,"slice_commit_s":$sliceS%.2f,""" +
         f""""refresh_delta_s":$deltaS%.2f,"refresh_groups_s":$groupsS%.2f,""" +

@@ -272,6 +272,50 @@ class IncrementalMvSpec extends SparkSpec {
     }
   }
 
+  test("MVs chain: a second MV refreshes off the first MV's own change " +
+      "feed, exactly-once at each hop") {
+    val base = tmp(); val mv1 = tmp(); val mv2 = tmp()
+    // mv2 groups mv1's rows by their non-null count and totals their
+    // sums — contrived semantics, but it exercises the real contract:
+    // mv1 IS a snapshot table, so its feed drives a downstream MV, and
+    // an mv1 refresh that MOVES a group between nn_v values must
+    // retract from mv2's old group via the chained _before image
+    def fold2(): Unit = {
+      IncrementalMv.refreshDelta(spark, mv1, mv2, baseKeys = Seq("grp"),
+        groupCols = Seq("nn_v"), sumCols = Seq("sum_v"), nBuckets = 4)
+      ()
+    }
+    def want2(): Set[(Long, Long, Option[Long], Long)] =
+      IncrementalMv.readMv(spark, mv1).groupBy("nn_v")
+        .agg(count(lit(1)).as("n"), sum("sum_v").as("sum_sum_v"),
+          count(col("sum_v")).as("nn_sum_v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3))).toSet
+    def got2(): Set[(Long, Long, Option[Long], Long)] =
+      IncrementalMv.readMv(spark, mv2).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3))).toSet
+
+    commit(base, df((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)))
+    foldDelta(base, mv1); fold2()
+    assert(got2() == want2())
+    // this commit moves group b from nn_v=1 to nn_v=2 in mv1, and
+    // creates a fresh mv1 group c — both must flow through mv1's feed
+    commit(base, df((4L, "b", 7L), (5L, "c", 1L)))
+    foldDelta(base, mv1); fold2()
+    assert(got2() == want2())
+    // deleting all of a's rows tombstones a out of mv1 — a DELETE in
+    // mv1's feed that mv2 must retract
+    commit(base, df((1L, "a", 10L), (2L, "a", 20L))
+      .withColumn("_d", lit(true)), del = Some("_d"))
+    foldDelta(base, mv1); fold2()
+    assert(got2() == want2())
+    assert(IncrementalMv.appliedVersion(spark, mv2).contains(
+      SnapshotUpsert.versions(spark, mv1).last))
+  }
+
   test("diffImages emitBefore carries the old row: null on insert, the " +
       "old image on update and delete") {
     import spark.implicits._
