@@ -70,26 +70,35 @@ object IncrementalAnn {
           s"(e.g. ${moved.mkString(", ")}) — the old rows would survive as " +
           "stale duplicates; retire these ids first, then ingest")
     }
+    // an EXISTING idmap is always maintained, flag or no flag: [[retire]]
+    // trusts the idmap whenever one exists, so an ingest that skipped it
+    // would make later retires of these ids silently tombstone nothing
+    // (the invariant is idmap ids ⊇ live index ids, not "idmap when the
+    // caller remembered the flag")
+    val maintainMap = withIdMap ||
+      SnapshotUpsert.versions(spark, idMapDir(indexDir)).nonEmpty
     // single evaluation across the TWO commits: the idmap and the
     // index must record the SAME assignment even for a
     // non-deterministic upstream batch
-    val pinned = if (withIdMap) assigned.localCheckpoint(true) else assigned
+    val pinned = if (maintainMap) assigned.localCheckpoint(true) else assigned
     try {
-      if (withIdMap)
+      if (maintainMap)
         commitIdMap(pinned.select(col(idCol), col("cell")), indexDir,
           idCol, keepVersions)
       SnapshotUpsert.upsertBatchSnapshot(pinned, indexDir,
         keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
         keepVersions = keepVersions, bucketCols = Seq("cell"))
-    } finally if (withIdMap) pinned.unpersist(false)
+    } finally if (maintainMap) pinned.unpersist(false)
   }
 
   /** The id -> cell SIDE TABLE that makes [[retire]] slice-sized: a
     * snapshot table keyed (and bucketed) by the id alone, so resolving
     * a retire batch's cells is a [[SnapshotUpsert.readKeys]] point
-    * lookup instead of an index scan. Maintained by `withIdMap = true`
-    * on the ingest paths; backfill an existing index once with
-    * [[buildIdMap]]. The idmap commits BEFORE the index commit, so it
+    * lookup instead of an index scan. Created by `withIdMap = true` (or
+    * a one-time [[buildIdMap]] backfill); once it exists, EVERY ingest
+    * maintains it regardless of the flag — [[retire]] trusts an
+    * existing idmap, so an unmaintained one would silently retire
+    * nothing for the missing ids. The idmap commits BEFORE the index commit, so it
     * always covers every indexed id (a crash in between leaves an
     * idmap entry whose index row never landed — retiring it tombstones
     * nothing, harmless; the replayed ingest converges both tables). */
@@ -137,21 +146,24 @@ object IncrementalAnn {
     val rows = assigned.select(col(idCol), col("cell"), col(vecCol))
       .join(Similarity.pqEncode(assigned, codebook, idCol, vecCol, m),
         Seq(idCol))
+    // an existing idmap is always maintained (see ingest)
+    val maintainMap = withIdMap || SnapshotUpsert
+      .versions(batch.sparkSession, idMapDir(indexDir)).nonEmpty
     // single evaluation across the two commits (see ingest)
-    val pinned = if (withIdMap) assigned.localCheckpoint(true) else assigned
+    val pinned = if (maintainMap) assigned.localCheckpoint(true) else assigned
     val rowsPinned =
-      if (withIdMap) pinned.select(col(idCol), col("cell"), col(vecCol))
+      if (maintainMap) pinned.select(col(idCol), col("cell"), col(vecCol))
         .join(Similarity.pqEncode(pinned, codebook, idCol, vecCol, m),
           Seq(idCol))
       else rows
     try {
-      if (withIdMap)
+      if (maintainMap)
         commitIdMap(pinned.select(col(idCol), col("cell")), indexDir,
           idCol, keepVersions)
       SnapshotUpsert.upsertBatchSnapshot(rowsPinned, indexDir,
         keys = Seq("cell", idCol), orderCol = "", nBuckets = nBuckets,
         keepVersions = keepVersions, bucketCols = Seq("cell"))
-    } finally if (withIdMap) pinned.unpersist(false)
+    } finally if (maintainMap) pinned.unpersist(false)
   }
 
   /** ADC top-k over an [[ingestPq]] index: probe cells from the FIXED

@@ -96,7 +96,8 @@ object IncrementalMv {
     * floating point drift by reassociation; see the object doc). */
   def refreshDelta(spark: SparkSession, baseDir: String, mvDir: String,
       baseKeys: Seq[String], groupCols: Seq[String], sumCols: Seq[String],
-      nBuckets: Int = 64, keepVersions: Int = 2): Long = {
+      nBuckets: Int = 64, keepVersions: Int = 2,
+      pruneReads: Boolean = true): Long = {
     require(groupCols.nonEmpty, "refreshDelta: need at least one group column")
     require(groupCols.intersect(sumCols).isEmpty,
       s"refreshDelta: sumCols must not overlap groupCols " +
@@ -147,12 +148,23 @@ object IncrementalMv {
           .localCheckpoint(true)
 
         // current MV rows of ONLY the touched groups: point-pruned read
-        // (the MV is bucketed by its group-column keys), renamed so the
-        // join below needs no qualification
+        // (the MV is bucketed by its group-column keys) by default;
+        // `pruneReads = false` reads the whole MV and semi-joins — for
+        // the pathological slice touching more groups than readKeys'
+        // probe cap. Renamed so the join below needs no qualification.
         val mvSchema = SnapshotUpsert.currentVersionInfo(spark, mvDir).get._2
-        val old = SnapshotUpsert
-          .readKeys(spark, mvDir, deltas.select(groupCols.map(col): _*),
-            groupCols)
+        val oldRows =
+          if (pruneReads)
+            SnapshotUpsert.readKeys(spark, mvDir,
+              deltas.select(groupCols.map(col): _*), groupCols)
+          else {
+            val mv = SnapshotUpsert.readSnapshot(spark, mvDir)
+            val probe = deltas.select(groupCols.map(col): _*).distinct()
+            mv.join(probe,
+              groupCols.map(k => mv(k) <=> probe(k)).reduce(_ && _),
+              "left_semi")
+          }
+        val old = oldRows
           .select(groupCols.map(col) ++
             (col("n").as("__old_n") +:
               sumCols.flatMap(c => Seq(col(s"sum_$c").as(s"__old_$c"),
@@ -269,14 +281,31 @@ object IncrementalMv {
         // MV's group columns are its keys; orderCol = "" selects
         // arrival order — each refresh's row for a group replaces the
         // previous one outright.
+        //
+        // maxCommitAttempts = 1: the bootstrap has no cursor to CAS
+        // against (the prop does not exist yet), so the optimistic
+        // retry-merge must NOT fold a lost bootstrap over a competing
+        // one — two bootstraps computed at different base versions
+        // would interleave rows from both images under one cursor and
+        // the next fold would double-apply the difference. Losing the
+        // race instead restarts the whole decision: the competitor's
+        // committed cursor is now visible and this call folds forward
+        // from it (or no-ops), exactly-once either way.
         val groups = aggregate(
           SnapshotUpsert.readVersion(spark, baseDir, baseCur))
-        SnapshotUpsert.upsertBatchSnapshot(
-          groups.withColumn(DeadCol, lit(false)), mvDir,
-          keys = groupCols, orderCol = "", nBuckets = nBuckets,
-          keepVersions = keepVersions, tombstoneCol = Some(DeadCol),
-          props = Map(AppliedProp -> baseCur.toString))
-        baseCur
+        try {
+          SnapshotUpsert.upsertBatchSnapshot(
+            groups.withColumn(DeadCol, lit(false)), mvDir,
+            keys = groupCols, orderCol = "", nBuckets = nBuckets,
+            keepVersions = keepVersions, tombstoneCol = Some(DeadCol),
+            props = Map(AppliedProp -> baseCur.toString),
+            maxCommitAttempts = 1)
+          baseCur
+        } catch {
+          case _: SnapshotUpsert.ConcurrentCommitException =>
+            refresh(spark, baseDir, mvDir, groupCols, nBuckets,
+              keepVersions, aggregate)(foldSlice)
+        }
       case Some(v0) if v0 == baseCur => v0
       case Some(v0) =>
         require(baseVersions.contains(v0),

@@ -576,12 +576,18 @@ object SnapshotUpsert {
             known(f.name.toLowerCase))))
       case None => nullableTop(batchData)
     }
+    // commit timestamps must stay MONOTONE across versions (gc's
+    // age-based dropped set is a prefix, and readAsOf resolves "newest
+    // ts <= target" against them) — a RETRIED attempt still carries the
+    // caller's original nowMs, which by now can predate the winner's
+    // commit, so clamp to the current version's timestamp
+    val tsMs = math.max(nowMs, cur.map(_.commitTsMs).getOrElse(nowMs))
     UpsertSink.withPreparedBatch(batch, keys, nBuckets,
       populatedTable = cur.exists(_.files.nonEmpty),
       bucketCols = bucketCols,
       depths = cur.map(_.depths).getOrElse(Map.empty)) { withBucket =>
       commitVersion(withBucket, root, fs, cur, dataSchema, keys, orderCol,
-        nBuckets, keepVersions, keepAgeMs, tombstoneCol, nowMs,
+        nBuckets, keepVersions, keepAgeMs, tombstoneCol, tsMs,
         if (bucketCols.isEmpty) keys else bucketCols, commit, props)
     }
   }
@@ -710,7 +716,8 @@ object SnapshotUpsert {
   def splitOverfull(spark: SparkSession, targetDir: String,
       maxBucketBytes: Long, keepVersions: Int = 2,
       keepAgeMs: Option[Long] = None,
-      nowMs: Long = System.currentTimeMillis()): Seq[Int] = {
+      nowMs: Long = System.currentTimeMillis(),
+      commit: CommitPrimitive = CreateExclusive): Seq[Int] = {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentSnapshot(fs, root).getOrElse(
@@ -734,7 +741,7 @@ object SnapshotUpsert {
     val overfull = sizes.iterator
       .filter(_._2 > maxBucketBytes).map(_._1).toSeq.sorted
     overfull.foreach(b => splitBucket(spark, targetDir, b, keepVersions,
-      keepAgeMs, nowMs))
+      keepAgeMs, nowMs, commit))
     overfull
   }
 

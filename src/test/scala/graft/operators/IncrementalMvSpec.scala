@@ -95,6 +95,14 @@ class IncrementalMvSpec extends SparkSpec {
     assert(mvSet(mv).contains(("c", 1L, None, 0L)))
     // the null group vanished entirely (tombstoned, not zero-row)
     assert(!mvSet(mv).exists(_._1 == null))
+
+    // c4 folded through the UNPRUNED read path (full MV + semi-join,
+    // the escape hatch for slices past the probe cap): same content
+    commit(base, df((7L, "a", 100L), (2L, "b", 21L)))
+    IncrementalMv.refreshDelta(spark, base, mv, baseKeys = Seq("id"),
+      groupCols = Seq("grp"), sumCols = Seq("v"), nBuckets = 8,
+      pruneReads = false)
+    assert(mvSet(mv) == recompute(base))
   }
 
   test("refresh is exactly-once: no-op on an unchanged base, cursor " +
