@@ -43,6 +43,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     keys every merge against the table states)
   *   - `emitDeletes` (default true) — emit `_change='delete'` rows
   *     carrying the deleted key's last known values
+  *   - `emitBefore` (default false) — append `_before`, the key's row
+  *     at the range start as one struct of the data columns (NULL on
+  *     insert and on every bootstrap-image row) — what a delta
+  *     consumer needs to RETRACT old contributions (the streaming
+  *     face of `diffImages(emitBefore = true)`; see IncrementalMv)
   *   - `startingVersion` (default: bootstrap) — `"latest"` starts from
   *     the current version (changes only, no initial image); a number N
   *     starts the feed at versions > N; absent = BOOTSTRAP, the whole
@@ -116,9 +121,13 @@ private[streaming] object ChangeFeedSource {
         "commit the table's first version before starting a stream over " +
         "its feed (or pass an explicit schema)"))
     val meta = StructField("_change", StringType, nullable = false) +:
+      ((if (params.get("emitBefore").exists(_.toBoolean))
+        Seq(StructField("_before", StructType(dataSchema.fields),
+          nullable = true))
+      else Seq.empty) ++
       (if (params.get("withCommitVersion").exists(_.toBoolean))
         Seq(StructField("_commit_version", LongType, nullable = false))
-      else Seq.empty)
+      else Seq.empty))
     StructType(dataSchema.fields ++ meta)
   }
 }
@@ -131,6 +140,8 @@ private[streaming] class ChangeFeedSource(spark: SparkSession,
   private val keys = ChangeFeedSource.keys(params)
   private val emitDeletes =
     params.get("emitDeletes").forall(_.toBoolean)
+  private val emitBefore =
+    params.get("emitBefore").exists(_.toBoolean)
   private val withCommitVersion =
     params.get("withCommitVersion").exists(_.toBoolean)
   private val failOnDataLoss =
@@ -259,7 +270,7 @@ private[streaming] class ChangeFeedSource(spark: SparkSession,
             "false); downstream state may be missing those changes")
         if (oldest >= endV) emptySlice
         else SnapshotUpsert.changesBetween(spark, targetDir, oldest, endV,
-          keys, emitDeletes)
+          keys, emitDeletes, emitBefore)
       }
     val slice = effStart match {
       case Some(s) if s >= endV =>
@@ -268,7 +279,7 @@ private[streaming] class ChangeFeedSource(spark: SparkSession,
         emptySlice
       case Some(s) =>
         try SnapshotUpsert.changesBetween(spark, targetDir, s, endV, keys,
-          emitDeletes)
+          emitDeletes, emitBefore)
         catch { case _: java.io.FileNotFoundException => lost(s) }
       case None =>
         // bootstrap: the whole image at endV as inserts — identical to
@@ -289,8 +300,22 @@ private[streaming] class ChangeFeedSource(spark: SparkSession,
     // NULL those rows read as in the table itself.
     val have = stamped.columns.map(_.toLowerCase).toSet
     val aligned = stamped.select(pinned.fields.toSeq.map { f =>
-      if (have(f.name.toLowerCase)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (!have(f.name.toLowerCase)) lit(null).cast(f.dataType).as(f.name)
+      else if (f.name == "_before") {
+        // the inner struct can skew against the pinned one exactly like
+        // the top-level columns do (a restarted stream pins the evolved
+        // schema, then repositions over a pre-evolution range) —
+        // rebuild it field-by-field, null-filling what the range's
+        // image lacks, NULL staying NULL for inserts
+        val want = f.dataType.asInstanceOf[StructType]
+        val inner = stamped.schema(f.name).dataType
+          .asInstanceOf[StructType].fieldNames.map(_.toLowerCase).toSet
+        when(col(f.name).isNull, lit(null).cast(want))
+          .otherwise(struct(want.fields.toSeq.map { g =>
+            if (inner(g.name.toLowerCase)) col(s"${f.name}.${g.name}").as(g.name)
+            else lit(null).cast(g.dataType).as(g.name)
+          }: _*)).cast(want).as(f.name)
+      } else col(f.name)
     }: _*)
     StreamingShim.streamingDataFrame(spark,
       StreamingShim.toInternalRdd(aligned), pinned)

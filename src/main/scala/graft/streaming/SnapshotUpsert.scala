@@ -1505,11 +1505,13 @@ object SnapshotUpsert {
       withCommitVersion: Boolean = false,
       startingVersion: Option[String] = None,
       maxVersionsPerBatch: Option[Long] = None,
-      failOnDataLoss: Boolean = true): DataFrame = {
+      failOnDataLoss: Boolean = true,
+      emitBefore: Boolean = false): DataFrame = {
     var r = spark.readStream.format("graft-changes")
       .option("path", targetDir)
       .option("keys", keys.mkString(","))
       .option("emitDeletes", emitDeletes.toString)
+      .option("emitBefore", emitBefore.toString)
       .option("withCommitVersion", withCommitVersion.toString)
       .option("failOnDataLoss", failOnDataLoss.toString)
     startingVersion.foreach(v => r = r.option("startingVersion", v))

@@ -364,4 +364,50 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(ids.nonEmpty && ids.subsetOf(Set(2L, 3L, 4L, 5L, 6L)),
       s"skip-and-continue must serve the retained tail: $ids")
   }
+
+  test("emitBefore streams the old row per change: null on the bootstrap " +
+      "image and inserts, the prior version's row on update and delete") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((1L, "a", 1L), (2L, "b", 1L)), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10)
+    // (id, _change, before-status, before-v) per received row
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Option[(String, Long)])]()
+    val q = SnapshotUpsert.readChangeStream(spark, dir, Seq("id"),
+        emitDeletes = true, emitBefore = true)
+      .writeStream.option("checkpointLocation", tmp())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          val bi = r.fieldIndex("_before")
+          got.add((r.getLong(r.fieldIndex("id")),
+            r.getString(r.fieldIndex("_change")),
+            if (r.isNullAt(bi)) None
+            else { val s = r.getStruct(bi)
+              Some((s.getString(s.fieldIndex("status")),
+                s.getLong(s.fieldIndex("v")))) }))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable() // bootstrap image: _before is NULL
+      // v2: update 1, insert 3; v3: tombstone 2
+      SnapshotUpsert.upsertBatchSnapshot(
+        df((1L, "a2", 2L), (3L, "c", 2L)), dir, Seq("id"), "v",
+        nBuckets = 4, keepVersions = 10)
+      SnapshotUpsert.upsertBatchSnapshot(
+        df((2L, "x", 3L)).withColumn("_d", lit(true)), dir, Seq("id"),
+        "v", nBuckets = 4, keepVersions = 10, tombstoneCol = Some("_d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = { val it = got.iterator()
+      val b = Seq.newBuilder[(Long, String, Option[(String, Long)])]
+      while (it.hasNext) b += it.next(); b.result() }
+    assert(rows.filter(_._2 == "insert").forall(_._3.isEmpty),
+      s"inserts (incl. bootstrap) carry no before image: $rows")
+    assert(rows.contains((1L, "update", Some(("a", 1L)))),
+      s"the update must carry version 1's row as _before: $rows")
+    assert(rows.contains((2L, "delete", Some(("b", 1L)))),
+      s"the delete must carry the old row as _before: $rows")
+  }
 }
