@@ -324,6 +324,36 @@ class IncrementalMvSpec extends SparkSpec {
       SnapshotUpsert.versions(spark, mv1).last))
   }
 
+  test("always-on DAG: a live stream maintains the base and the MV " +
+      "folds inside the same foreachBatch, exact after every trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmp(); val mv = tmp()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("id", "grp", "v")
+      .writeStream.option("checkpointLocation", tmp())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // commit the micro-batch, then fold the MV: the base commit is
+        // replay-idempotent (same logical content on re-run), the fold
+        // exactly-once on its own cursor — the always-on refresh shape
+        commit(base, b)
+        foldDelta(base, mv)
+        ()
+      }
+    in.addData((1L, "a", 10L), (2L, "b", 5L))
+    val q1 = q.start(); q1.awaitTermination()
+    assert(mvSet(mv) == recompute(base))
+    in.addData((1L, "a", 11L), (3L, "b", 7L), (4L, "c", 1L))
+    val q2 = q.start(); q2.awaitTermination()
+    assert(mvSet(mv) == recompute(base))
+    assert(mvSet(mv).contains(("b", 2L, Some(12L), 2L)))
+    assert(IncrementalMv.appliedVersion(spark, mv).contains(
+      SnapshotUpsert.versions(spark, base).last))
+  }
+
   test("diffImages emitBefore carries the old row: null on insert, the " +
       "old image on update and delete") {
     import spark.implicits._
