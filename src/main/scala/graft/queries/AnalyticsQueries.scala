@@ -905,5 +905,74 @@ object AnalyticsQueries {
              | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
              |FROM base GROUP BY source""".stripMargin),
     ),
+
+    // Incremental TOP-K MV: a per-group leaderboard (top-3 docs by
+    // n_chars, ties by doc_id) maintained through updates that boost
+    // rows INTO the top and deletes that knock current leaders OUT —
+    // rank is the canonical structurally-non-retractable aggregate
+    // (a delta design cannot know the 4th-place row a deletion
+    // promotes), exactly the recompute-touched-groups case: the MV
+    // stores the top array per group, the refresh recomputes only the
+    // groups the feed touched (point-pruned via the source-prefix
+    // bucketing), and the query explodes the stored arrays for the
+    // oracle's row_number comparison. NOTE for bench readers: commits +
+    // refreshes execute at plan construction.
+    QueryDef(
+      "q_mv_topk_incremental",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-mvtopk-q").toString
+        val base = s"$tmp/base"; val mv = s"$tmp/mv"
+        def commit(b: org.apache.spark.sql.DataFrame,
+            del: Option[String] = None): Unit =
+          graft.streaming.SnapshotUpsert.upsertBatchSnapshot(b, base,
+            keys = Seq("source", "doc_id"), orderCol = "", nBuckets = 16,
+            bucketCols = Seq("source"), tombstoneCol = del)
+        def fold(): Unit = {
+          // ascending struct sort on (-n_chars, doc_id) = descending by
+          // size with ascending id tiebreak; slice keeps the top 3
+          graft.operators.IncrementalMv.refreshByGroups(s, base, mv,
+            baseKeys = Seq("source", "doc_id"), groupCols = Seq("source"),
+            aggs = Seq(slice(sort_array(collect_list(struct(
+              (-col("n_chars")).as("neg"), col("doc_id"))), asc = true),
+              1, 3).as("top")),
+            nBuckets = 16)
+          ()
+        }
+        commit(docs.filter(col("doc_id") < 300))
+        fold()
+        commit(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          .withColumn("n_chars", col("n_chars") * 3)
+          .unionByName(docs
+            .filter(col("doc_id") >= 300 && col("doc_id") < 400)))
+        fold()
+        commit(docs.filter(col("doc_id") >= 280 && col("doc_id") < 300)
+          .withColumn("_del", lit(true))
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("n_chars", col("n_chars") + 1)
+            .withColumn("_del", lit(false))),
+          del = Some("_del"))
+        fold()
+        graft.operators.IncrementalMv.readMv(s, mv)
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("pos"),
+            col("col.doc_id").as("doc_id"),
+            (-col("col.neg")).as("n_chars"))
+      },
+      Some("""WITH base AS (SELECT doc_id, source,
+             |  CASE WHEN doc_id >= 250 AND doc_id < 280 THEN n_chars * 3
+             |       WHEN doc_id < 50 THEN n_chars + 1
+             |       ELSE n_chars END AS n_chars
+             |  FROM documents
+             |  WHERE doc_id < 400 AND NOT (doc_id >= 280 AND doc_id < 300))
+             |SELECT source, CAST(rn AS BIGINT) AS pos, doc_id, n_chars
+             |FROM (SELECT source, doc_id, n_chars,
+             |   row_number() OVER (PARTITION BY source
+             |     ORDER BY n_chars DESC, doc_id) AS rn
+             | FROM base) AS ranked
+             |WHERE rn <= 3""".stripMargin),
+    ),
   )
 }

@@ -51,11 +51,14 @@ import scala.collection.immutable.SortedMap
   * silently replacing a committed manifest (the round-9 TOCTOU of
   * exists-check + rename). Object stores without atomic create plug in
   * their own conditional write (S3 `If-None-Match: *`, GCS
-  * `ifGenerationMatch=0`) via the `commit` parameter. On a raw local
-  * filesystem the Hadoop local connector's create is check-then-open
-  * (no O_EXCL), so an in-process lock additionally serializes commits
-  * across the one driver JVM — which is where accidental dual writers
-  * (two streams against one table) actually appear.
+  * `ifGenerationMatch=0`) via the `commit` parameter. On local
+  * filesystems the default primitive bypasses the Hadoop connector's
+  * check-then-open create and writes through NIO `CREATE_NEW` (true
+  * `O_EXCL`, r11), so exclusivity holds across PROCESSES there too; the
+  * in-process lock additionally serializes commits across the one
+  * driver JVM — where accidental dual writers (two streams against one
+  * table) most often appear — keeping their collisions on the cheap
+  * clean-loss path.
   *
   * Concurrent writers SERIALIZE (r11): when a commit loses the
   * version race, [[upsertBatchSnapshot]] re-reads the new current
@@ -119,11 +122,30 @@ object SnapshotUpsert {
   }
 
   /** Default [[CommitPrimitive]]: Hadoop `create(overwrite = false)`,
-    * atomic create-exclusive on HDFS-class stores (check-then-open on
-    * the raw local connector, which the JVM commit lock covers). */
+    * atomic create-exclusive on HDFS-class stores. On LOCAL filesystems
+    * (scheme `file`, where the Hadoop connector's create is
+    * check-then-open) the write goes through NIO `CREATE_NEW` instead —
+    * `O_EXCL` at the OS level — so exclusivity holds ACROSS PROCESSES
+    * too, not just across this JVM's commit lock (two drivers pointed
+    * at one local table now race safely; r11). A manifest written this
+    * way carries no `.crc` sidecar, which the checksummed local reader
+    * accepts (it verifies only when a sidecar exists). */
   object CreateExclusive extends CommitPrimitive {
     override def createExclusive(fs: FileSystem, target: Path,
         bytes: Array[Byte]): Boolean = {
+      if (fs.getScheme == "file") {
+        val p = java.nio.file.Paths.get(target.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        val out =
+          try java.nio.file.Files.newOutputStream(p,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => return false
+          }
+        try out.write(bytes) finally out.close()
+        return true
+      }
       val out =
         try fs.create(target, false)
         catch {

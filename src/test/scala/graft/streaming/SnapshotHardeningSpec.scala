@@ -737,4 +737,35 @@ class SnapshotHardeningSpec extends SparkSpec {
     assert(UpsertSink.readLatest(spark, ow).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "second")))
   }
+
+  test("the default primitive is O_EXCL on local filesystems: exclusive " +
+      "against files created by a foreign process, no JVM lock involved") {
+    val (root, fs) = hfs(tmp())
+    val t1 = new Path(root, "m1.txt")
+    // direct primitive calls — deliberately NOT through the commit
+    // path, so the in-JVM lock plays no part in what this asserts
+    assert(SnapshotUpsert.CreateExclusive.createExclusive(
+      fs, t1, "alpha".getBytes("UTF-8")))
+    assert(!SnapshotUpsert.CreateExclusive.createExclusive(
+      fs, t1, "beta".getBytes("UTF-8")),
+      "a second create of the same target must lose")
+    assert(SnapshotUpsert.readFully(fs, t1) == "alpha",
+      "the loser must not tear the winner's content")
+    // a file created by a FOREIGN process (simulated with raw NIO,
+    // outside any Hadoop or commit-lock machinery) must also win
+    val t2 = new Path(root, "m2.txt")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t2.toUri.getPath), "theirs".getBytes("UTF-8"))
+    assert(!SnapshotUpsert.CreateExclusive.createExclusive(
+      fs, t2, "mine".getBytes("UTF-8")))
+    assert(SnapshotUpsert.readFully(fs, t2) == "theirs")
+    // and the checksummed local reader accepts sidecar-less manifests:
+    // a table whose every commit went through the NIO path reads back
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir, Seq("id"),
+      "v", nBuckets = 4)
+    SnapshotUpsert.upsertBatchSnapshot(df((2L, "b", 2L)), dir, Seq("id"),
+      "v", nBuckets = 4)
+    assert(snapSet(dir) == Set((1L, "a", 1L), (2L, "b", 2L)))
+  }
 }
