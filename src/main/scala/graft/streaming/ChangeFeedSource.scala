@@ -301,20 +301,27 @@ private[streaming] class ChangeFeedSource(spark: SparkSession,
     val have = stamped.columns.map(_.toLowerCase).toSet
     val aligned = stamped.select(pinned.fields.toSeq.map { f =>
       if (!have(f.name.toLowerCase)) lit(null).cast(f.dataType).as(f.name)
-      else if (f.name == "_before") {
+      else if (emitBefore && f.name == "_before") {
         // the inner struct can skew against the pinned one exactly like
         // the top-level columns do (a restarted stream pins the evolved
         // schema, then repositions over a pre-evolution range) —
         // rebuild it field-by-field, null-filling what the range's
-        // image lacks, NULL staying NULL for inserts
+        // image lacks, NULL staying NULL for inserts. (Gated on
+        // emitBefore: without the option, a data column that happens to
+        // be named `_before` is just a column.)
         val want = f.dataType.asInstanceOf[StructType]
-        val inner = stamped.schema(f.name).dataType
-          .asInstanceOf[StructType].fieldNames.map(_.toLowerCase).toSet
-        when(col(f.name).isNull, lit(null).cast(want))
-          .otherwise(struct(want.fields.toSeq.map { g =>
-            if (inner(g.name.toLowerCase)) col(s"${f.name}.${g.name}").as(g.name)
-            else lit(null).cast(g.dataType).as(g.name)
-          }: _*)).cast(want).as(f.name)
+        val innerFields = stamped.schema(f.name).dataType
+          .asInstanceOf[StructType].fieldNames
+        if (innerFields.map(_.toLowerCase)
+            .sameElements(want.fieldNames.map(_.toLowerCase))) col(f.name)
+        else {
+          val inner = innerFields.map(_.toLowerCase).toSet
+          when(col(f.name).isNull, lit(null).cast(want))
+            .otherwise(struct(want.fields.toSeq.map { g =>
+              if (inner(g.name.toLowerCase)) col(s"${f.name}.${g.name}").as(g.name)
+              else lit(null).cast(g.dataType).as(g.name)
+            }: _*)).cast(want).as(f.name)
+        }
       } else col(f.name)
     }: _*)
     StreamingShim.streamingDataFrame(spark,

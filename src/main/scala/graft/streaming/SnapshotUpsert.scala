@@ -98,8 +98,8 @@ object SnapshotUpsert {
   private val Eof = "#eof"
 
   /** Serializes manifest creation within this JVM (see object doc:
-    * cross-process exclusivity comes from create-exclusive, which is
-    * atomic on HDFS-class stores but check-then-open on raw local). */
+    * cross-process exclusivity comes from create-exclusive — atomic on
+    * HDFS-class stores, NIO `O_EXCL` on local filesystems since r11). */
   private val commitLock = new Object
 
   /** The ONE shared mutable point of the commit protocol, made
@@ -125,15 +125,23 @@ object SnapshotUpsert {
     * atomic create-exclusive on HDFS-class stores. On LOCAL filesystems
     * (scheme `file`, where the Hadoop connector's create is
     * check-then-open) the write goes through NIO `CREATE_NEW` instead —
-    * `O_EXCL` at the OS level — so exclusivity holds ACROSS PROCESSES
-    * too, not just across this JVM's commit lock (two drivers pointed
-    * at one local table now race safely; r11). A manifest written this
+    * `O_EXCL` at the OS level — so the CREATE is exclusive ACROSS
+    * PROCESSES too, not just across this JVM's commit lock (two drivers
+    * pointed at one local table race safely on the create itself; the
+    * torn-manifest reclaim in [[commitManifest]] remains in-JVM-only,
+    * see its doc; r11). A manifest written this
     * way carries no `.crc` sidecar, which the checksummed local reader
     * accepts (it verifies only when a sidecar exists). */
   object CreateExclusive extends CommitPrimitive {
     override def createExclusive(fs: FileSystem, target: Path,
         bytes: Array[Byte]): Boolean = {
-      if (fs.getScheme == "file") {
+      // `getScheme` is optional in the FileSystem contract (the base
+      // class throws) — a connector without it takes the Hadoop path,
+      // exactly what pre-r11 code did for every store
+      val isLocal =
+        try fs.getScheme == "file"
+        catch { case _: UnsupportedOperationException => false }
+      if (isLocal) {
         val p = java.nio.file.Paths.get(target.toUri.getPath)
         java.nio.file.Files.createDirectories(p.getParent)
         val out =
@@ -305,7 +313,13 @@ object SnapshotUpsert {
     * torn-write contracts). A torn manifest left at the target by a
     * writer killed mid-commit is reclaimed first: it never committed
     * (readers skip it), and without the reclaim a replaying writer
-    * would report a spurious concurrent-commit error forever. */
+    * would report a spurious concurrent-commit error forever. The
+    * reclaim (exists -> torn-check -> delete) is serialized only by the
+    * in-JVM lock: a FOREIGN process replaying the same torn version can
+    * read this writer's in-flight manifest (no `#eof` yet), judge it
+    * torn, and delete it out from under the open stream — so the
+    * cross-process exclusivity of the create primitive does NOT extend
+    * to concurrent cross-process replays of one torn version. */
   private[streaming] def commitManifest(fs: FileSystem, root: Path,
       version: Long, nBuckets: Int,
       schema: org.apache.spark.sql.types.StructType,
