@@ -142,26 +142,52 @@ object SnapshotUpsert {
         try fs.getScheme == "file"
         catch { case _: UnsupportedOperationException => false }
       if (isLocal) {
+        // COMPLETE-OR-ABSENT local commit: the bytes are written to a
+        // private temp file first and HARD-LINKED into place — link(2)
+        // is atomic and fails if the target exists, so this is O_EXCL
+        // on a file that is already complete when it first becomes
+        // visible. A torn manifest can therefore never APPEAR at the
+        // target on a local store (a crash leaves only temp debris,
+        // swept by vacuum's unreferenced-file pass), which also removes
+        // the reclaim's cross-process race for local tables — there is
+        // never an in-flight manifest at the target to misjudge.
         val p = java.nio.file.Paths.get(target.toUri.getPath)
         java.nio.file.Files.createDirectories(p.getParent)
+        val tmp = p.getParent.resolve(
+          s".${p.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+        val out = java.nio.file.Files.newOutputStream(tmp,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try out.write(bytes) finally out.close()
+        try {
+          java.nio.file.Files.createLink(p, tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // no hard links on this local store: CREATE_NEW write, the
+            // exclusive-create-but-tearable fallback (#eof still guards)
+            val o2 =
+              try java.nio.file.Files.newOutputStream(p,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  return false
+              }
+            try o2.write(bytes) finally o2.close()
+            true
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      } else {
         val out =
-          try java.nio.file.Files.newOutputStream(p,
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
+          try fs.create(target, false)
           catch {
-            case _: java.nio.file.FileAlreadyExistsException => return false
+            case e: java.io.IOException =>
+              if (fs.exists(target)) return false else throw e
           }
         try out.write(bytes) finally out.close()
-        return true
+        true
       }
-      val out =
-        try fs.create(target, false)
-        catch {
-          case e: java.io.IOException =>
-            if (fs.exists(target)) return false else throw e
-        }
-      try out.write(bytes) finally out.close()
-      true
     }
   }
 
@@ -315,11 +341,14 @@ object SnapshotUpsert {
     * (readers skip it), and without the reclaim a replaying writer
     * would report a spurious concurrent-commit error forever. The
     * reclaim (exists -> torn-check -> delete) is serialized only by the
-    * in-JVM lock: a FOREIGN process replaying the same torn version can
-    * read this writer's in-flight manifest (no `#eof` yet), judge it
-    * torn, and delete it out from under the open stream — so the
-    * cross-process exclusivity of the create primitive does NOT extend
-    * to concurrent cross-process replays of one torn version. */
+    * in-JVM lock: on a store where a writer's in-flight manifest is
+    * VISIBLE at the target (HDFS-class create), a FOREIGN process
+    * replaying the same torn version can read it mid-write (no `#eof`
+    * yet), judge it torn, and delete it out from under the open stream —
+    * so there the create primitive's exclusivity does NOT extend to
+    * concurrent cross-process replays of one torn version. On local
+    * stores the default primitive's link-commit makes manifests
+    * COMPLETE-OR-ABSENT at the target, so this race cannot arise. */
   private[streaming] def commitManifest(fs: FileSystem, root: Path,
       version: Long, nBuckets: Int,
       schema: org.apache.spark.sql.types.StructType,

@@ -759,6 +759,14 @@ class SnapshotHardeningSpec extends SparkSpec {
     assert(!SnapshotUpsert.CreateExclusive.createExclusive(
       fs, t2, "mine".getBytes("UTF-8")))
     assert(SnapshotUpsert.readFully(fs, t2) == "theirs")
+    // the link-commit leaves no temp debris on the success or loss
+    // paths, and a crashed writer's orphan .tmp is vacuum's to sweep
+    val mdir = java.nio.file.Paths.get(root.toUri.getPath)
+    val leftovers = java.nio.file.Files.list(mdir).iterator()
+    val names = scala.collection.mutable.Buffer.empty[String]
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(names.toSet == Set("m1.txt", "m2.txt"),
+      s"no .tmp debris after commits: $names")
     // and the checksummed local reader accepts sidecar-less manifests:
     // a table whose every commit went through the NIO path reads back
     val dir = tmp()
@@ -766,6 +774,15 @@ class SnapshotHardeningSpec extends SparkSpec {
       "v", nBuckets = 4)
     SnapshotUpsert.upsertBatchSnapshot(df((2L, "b", 2L)), dir, Seq("id"),
       "v", nBuckets = 4)
+    assert(snapSet(dir) == Set((1L, "a", 1L), (2L, "b", 2L)))
+    // a crashed writer's orphan temp in _manifests is swept by vacuum
+    // once past the horizon (it matches the .v*.tmp debris pattern)
+    val orphan = java.nio.file.Paths.get(
+      new Path(dir, "_manifests/.v000000000009.txt.dead.tmp").toUri.getPath)
+    java.nio.file.Files.write(orphan, "dead".getBytes("UTF-8"))
+    val swept = SnapshotUpsert.vacuum(spark, dir, olderThanMs = -1000)
+    assert(swept.exists(_.endsWith(".v000000000009.txt.dead.tmp")),
+      s"vacuum must sweep manifest temp debris: $swept")
     assert(snapSet(dir) == Set((1L, "a", 1L), (2L, "b", 2L)))
   }
 }
