@@ -504,6 +504,46 @@ class SnapshotHardeningSpec extends SparkSpec {
     assert(snapSet(dir) == rows)
   }
 
+  test("eight writers, three batches each, all racing: every batch lands, " +
+      "versions stay dense and readable, timestamps stay monotone") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1000L, "seed", 1L)), dir,
+      Seq("id"), "v", nBuckets = 4, keepVersions = 40)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 8).map { w =>
+      val t = new Thread(() => {
+        start.await()
+        (0 until 3).foreach { b =>
+          try SnapshotUpsert.upsertBatchSnapshot(
+            df(((w * 10 + b).toLong, s"w$w-b$b", 1L)), dir, Seq("id"), "v",
+            nBuckets = 4, keepVersions = 40, maxCommitAttempts = 64)
+          catch { case e: RuntimeException => errors.add(e.getMessage); () }
+        }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"no writer may error under retry-merge: $errors")
+    val want = (for (w <- 0 until 8; b <- 0 until 3)
+      yield ((w * 10 + b).toLong, s"w$w-b$b", 1L)).toSet +
+      ((1000L, "seed", 1L))
+    assert(snapSet(dir) == want)
+    // 25 commits happened; versions are dense, each retained one is
+    // readable, and commit timestamps never regress (the retry clamp)
+    val vs = SnapshotUpsert.versions(spark, dir)
+    assert(vs == (1L to 25L).toSeq, vs.toString)
+    val hist = SnapshotUpsert.history(spark, dir)
+      .orderBy("version").collect()
+    val ts = hist.map(_.getLong(hist.head.fieldIndex("commit_ts_ms")))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b },
+      s"commit timestamps must be monotone: ${ts.mkString(",")}")
+    vs.foreach(v => SnapshotUpsert.readVersion(spark, dir, v).collect())
+    SnapshotUpsert.vacuum(spark, dir, olderThanMs = -1000L)
+    assert(snapSet(dir) == want)
+  }
+
   test("deterministic lost race: the loser re-merges the winner's rows and " +
       "commits the next version — linearizable against either order") {
     val dir = tmp()
