@@ -335,6 +335,57 @@ object AnalyticsQueries {
              |WHERE user_id % 5 = 3""".stripMargin),
     ),
 
+    // MERGE-ON-READ table (r11): the same latest-state table built as
+    // DELTA commits (SnapshotUpsert.appendDeltaSnapshot) — batch-sized
+    // layer files appended per commit, NO bucket rewrites — with a
+    // tombstone delta deleting the residue-3 users and a PARTIAL
+    // compaction (minLayers=3), so the final read crosses compacted
+    // base files, pending layers, and deleted keys in one image. The
+    // read-time fold must reproduce exactly what the equivalent CoW
+    // sequence (oracle: recompute from raw events, minus deletions)
+    // would hold. NOTE for bench readers: the delta commits + partial
+    // compaction execute at plan construction; per-pass timings see
+    // the merge-on-read fold — the steady-state read price of the
+    // write-amplification-free ingest path.
+    QueryDef(
+      "q_snapshot_mor",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        def image(in: org.apache.spark.sql.DataFrame) = in
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("top"))
+          .select(col("user_id"), col("top.event_type").as("event_type"),
+            date_format(col("top.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-mor-q").toString
+        graft.streaming.SnapshotUpsert.appendDeltaSnapshot(
+          image(ev.where(col("event_id") % 2 === 0)), dir,
+          keys = Seq("user_id"), orderCol = "", nBuckets = 16)
+        graft.streaming.SnapshotUpsert.appendDeltaSnapshot(
+          image(ev), dir, keys = Seq("user_id"), orderCol = "",
+          nBuckets = 16)
+        graft.streaming.SnapshotUpsert.appendDeltaSnapshot(
+          image(ev).where(col("user_id") % 7 === 3)
+            .withColumn("del", lit(true)), dir,
+          keys = Seq("user_id"), orderCol = "", nBuckets = 16,
+          tombstoneCol = Some("del"))
+        graft.streaming.SnapshotUpsert.compactDeltas(s, dir, minLayers = 3)
+        graft.streaming.SnapshotUpsert.readSnapshot(s, dir)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img AS (SELECT user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, event_type, ts FROM img
+             |WHERE user_id % 7 <> 3""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(

@@ -97,6 +97,13 @@ object SnapshotUpsert {
   private val BatchesDir = "batches"
   private val Eof = "#eof"
 
+  /** Layer metadata stored IN delta files (never in base files, never
+    * in batches): the commit version that wrote the layer (fold order)
+    * and the normalized tombstone flag (a delta must STATE a delete —
+    * unlike the CoW merge it cannot apply one at write time). */
+  private val DeltaVCol = "__dv"
+  private val DeltaTombCol = "__tomb"
+
   /** Serializes manifest creation within this JVM (see object doc:
     * cross-process exclusivity comes from create-exclusive — atomic on
     * HDFS-class stores, NIO `O_EXCL` on local filesystems since r11). */
@@ -233,7 +240,15 @@ object SnapshotUpsert {
       files: Map[Int, Seq[String]],
       bucketCols: Option[Seq[String]] = None,
       depths: Map[Int, Int] = Map.empty,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      deltas: Map[Int, Seq[String]] = Map.empty,
+      mergeKeys: Option[Seq[String]] = None,
+      orderCol: Option[String] = None) {
+    /** Every data file this version references (base + delta) — the
+      * reference set GC and vacuum must protect. */
+    def allRefs: Iterator[String] =
+      files.valuesIterator.flatten ++ deltas.valuesIterator.flatten
+  }
 
   /** A manifest file that exists but lacks the `#eof` trailer: its
     * writer died mid-commit, so the version never became readable. */
@@ -306,11 +321,22 @@ object SnapshotUpsert {
       .toMap
     require(headers.contains("nbuckets") && headers.contains("schema"),
       s"malformed manifest v$v at $root: missing #nbuckets/#schema headers")
-    val files = content.dropWhile(_.startsWith("#"))
-      .map { line =>
-        val Array(b, rel) = line.split('\t')
-        b.toInt -> rel
-      }.groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
+    // file lines: `<bucket>\t<rel>` is a BASE file (≤1 row per key per
+    // bucket — the CoW invariant), `<bucket>\tD\t<rel>` a DELTA file
+    // (r11 merge-on-read: batch-sized row-version layers readers fold
+    // over the base; the literal `D` can never be a path — every rel
+    // starts with `batches/`)
+    val fileLines = content.dropWhile(_.startsWith("#"))
+      .map(line => line.split('\t') match {
+        case Array(b, rel) => (b.toInt, rel, false)
+        case Array(b, "D", rel) => (b.toInt, rel, true)
+        case other => sys.error(s"malformed manifest v$v at $root: " +
+          s"unparseable file line '${other.mkString("\\t")}'")
+      })
+    val files = fileLines.filterNot(_._3)
+      .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
+    val deltas = fileLines.filter(_._3)
+      .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
     // #ts is new in this format revision; fall back to the manifest
     // file's modification time for tables written before it
     val ts = headers.get("ts").map(_.toLong)
@@ -331,7 +357,13 @@ object SnapshotUpsert {
     }
     Snapshot(v, headers("nbuckets").toInt, ts,
       org.apache.spark.sql.types.StructType.fromDDL(headers("schema")), files,
-      headers.get("bucketcols").map(_.split(",", -1).toSeq), depths, props)
+      headers.get("bucketcols").map(_.split(",", -1).toSeq), depths, props,
+      deltas,
+      // #keys / #ordercol (r11): the merge contract readers need to
+      // FOLD delta layers (group-by columns and precedence); recorded
+      // by every data commit since the revision, absent before it
+      headers.get("keys").map(_.split(",", -1).toSeq),
+      headers.get("ordercol"))
   }
 
   /** Create-exclusive write of a manifest file — THE commit point of
@@ -356,7 +388,22 @@ object SnapshotUpsert {
       bucketCols: Option[Seq[String]] = None,
       commit: CommitPrimitive = CreateExclusive,
       depths: Map[Int, Int] = Map.empty,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      deltas: Map[Int, Seq[String]] = Map.empty,
+      mergeKeys: Option[Seq[String]] = None,
+      orderCol: Option[String] = None): Unit = {
+    // the merge contract is part of the COMMIT when deltas exist:
+    // without recorded keys/ordercol no reader could fold the layers
+    require(deltas.valuesIterator.forall(_.nonEmpty),
+      "commitManifest: a bucket must not record an empty delta list")
+    require(deltas.isEmpty || (mergeKeys.nonEmpty && orderCol.nonEmpty),
+      "commitManifest: delta files need the recorded merge contract " +
+        "(#keys/#ordercol) or no reader can fold them")
+    mergeKeys.foreach(ks => require(
+      ks.nonEmpty && ks.forall(c => !c.contains(",") && !c.contains("\n")),
+      s"merge key names must be non-empty with no ',' or newlines: $ks"))
+    orderCol.foreach(o => require(!o.contains("\n") && !o.contains(","),
+      s"orderCol must not contain ',' or newlines: '$o'"))
     // a prefix-bucketed layout is recorded IN the manifest (like
     // nBuckets): a later merge must restate it or its rows would land
     // in buckets the prefix layout never reads
@@ -377,6 +424,11 @@ object SnapshotUpsert {
     val body = (Iterator(s"#nbuckets=$nBuckets", s"#ts=$nowMs",
       s"#schema=${schema.toDDL}") ++
       bucketCols.iterator.map(bc => s"#bucketcols=${bc.mkString(",")}") ++
+      // the merge contract (r11): keys and precedence recorded like the
+      // bucket layout, so delta folds and later merges validate against
+      // the manifest, not the caller's memory
+      mergeKeys.iterator.map(ks => s"#keys=${ks.mkString(",")}") ++
+      orderCol.iterator.map(o => s"#ordercol=$o") ++
       SortedMap.from(props).iterator.map { case (k, v) => s"#prop.$k=$v" } ++
       // split layout travels WITH the file set (like nBuckets): a split
       // and its bucket rewrites commit atomically or not at all
@@ -386,6 +438,9 @@ object SnapshotUpsert {
       else Iterator.empty) ++
       SortedMap.from(files).iterator.flatMap { case (b, fs0) =>
         fs0.map(f => s"$b\t$f")
+      } ++
+      SortedMap.from(deltas).iterator.flatMap { case (b, fs0) =>
+        fs0.map(f => s"$b\tD\t$f")
       } ++ Iterator(Eof)).mkString("\n")
     commitLock.synchronized {
       if (fs.exists(target)) {
@@ -568,6 +623,203 @@ object SnapshotUpsert {
     }
   }
 
+  /** Merge one batch as a DELTA commit (merge-on-read): instead of
+    * rewriting every touched bucket (copy-on-write write amplification
+    * — a batch touching K buckets rewrites K full buckets however few
+    * rows changed), the batch's per-key winners are APPENDED as one
+    * batch-sized layer file per touched bucket and the manifest
+    * records them as delta layers. Write cost is proportional to the
+    * BATCH, never to the buckets it lands in — the high-frequency
+    * ingest shape at 100 TB, where a copy-on-write commit per
+    * micro-batch would rewrite the table many times over per day.
+    *
+    * The price moves to the read: a delta-bearing bucket's readers
+    * fold its layers over the base (see [[foldDeltas]] — the fold
+    * replays the exact CoW merge rule in commit order, so
+    * readSnapshot/readKeys/changesBetween results are BIT-IDENTICAL to
+    * the copy-on-write sequence; pinned by DeltaSnapshotSpec and the
+    * `q_snapshot_mor` oracle gate). [[compactDeltas]] folds layers
+    * back into base files; `compactAt` > 0 runs that inline whenever a
+    * bucket's layer count reaches the threshold, bounding read
+    * amplification by construction. A CoW [[upsertBatchSnapshot]]
+    * touching a delta-bearing bucket also compacts it in passing.
+    *
+    * Deletes: a winning tombstone row is STORED in the layer (flagged,
+    * marker column dropped) rather than applied — the fold applies it
+    * at read time, and [[changesBetween]] reports it as a delete like
+    * any CoW delete. Same schema-evolution, retention, optimistic
+    * retry-merge, `props`/`expectProps` CAS, and layout contracts as
+    * the CoW path; the merge contract (`keys`, `orderCol`) is
+    * additionally RECORDED in the manifest, because readers need it to
+    * fold, and is frozen while any layer is pending. */
+  def appendDeltaSnapshot(batch: DataFrame, targetDir: String,
+      keys: Seq[String], orderCol: String, nBuckets: Int = 64,
+      keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
+      tombstoneCol: Option[String] = None,
+      nowMs: Long = System.currentTimeMillis(),
+      bucketCols: Seq[String] = Seq.empty,
+      maxCommitAttempts: Int = 5,
+      commit: CommitPrimitive = CreateExclusive,
+      props: Map[String, String] = Map.empty,
+      expectProps: Map[String, String] = Map.empty,
+      compactAt: Int = 0): Unit = {
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2: the next commit's GC must not delete " +
+        "files a reader pinned to the current version may still be scanning")
+    require(bucketCols.forall(keys.contains),
+      s"delta append: bucketCols (${bucketCols.mkString(",")}) must be a " +
+        "subset of the keys")
+    require(maxCommitAttempts >= 1, "maxCommitAttempts must be >= 1")
+    require(compactAt >= 0, "compactAt must be >= 0 (0 = never inline)")
+    val spark = batch.sparkSession
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    UpsertSink.validateBatch(batch, keys, tombstoneCol)
+    val batchData = org.apache.spark.sql.types.StructType(
+      batch.schema.fields.filterNot(f => tombstoneCol.contains(f.name)))
+    // same optimistic loop as the CoW path; a retry re-stages (the
+    // layer files carry the commit version, which the race moved)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      try {
+        attemptDelta(batch, batchData, root, fs, keys, orderCol, nBuckets,
+          keepVersions, keepAgeMs, tombstoneCol, nowMs, bucketCols, commit,
+          props, expectProps)
+        committed = true
+      } catch {
+        case _: ConcurrentCommitException if attempt < maxCommitAttempts => ()
+      }
+    }
+    if (compactAt > 0)
+      compactDeltas(spark, targetDir, minLayers = compactAt,
+        keepVersions = keepVersions, keepAgeMs = keepAgeMs, nowMs = nowMs,
+        maxCommitAttempts = maxCommitAttempts, commit = commit)
+  }
+
+  private def attemptDelta(batch: DataFrame,
+      batchData: org.apache.spark.sql.types.StructType, root: Path,
+      fs: FileSystem, keys: Seq[String], orderCol: String, nBuckets: Int,
+      keepVersions: Int, keepAgeMs: Option[Long],
+      tombstoneCol: Option[String], nowMs: Long, bucketCols: Seq[String],
+      commit: CommitPrimitive, props: Map[String, String],
+      expectProps: Map[String, String]): Unit = {
+    val spark = batch.sparkSession
+    val cur = currentSnapshot(fs, root)
+    checkExpectProps(cur, root, expectProps)
+    cur match {
+      case Some(c) => checkLayout(c, root, nBuckets, keys, orderCol, bucketCols)
+      case None => UpsertSink.pinLayout(fs, root, nBuckets)
+    }
+    val dataSchema = evolvedSchema(cur, batchData)
+    val dataCols = dataSchema.fieldNames.toSeq
+    val tsMs = math.max(nowMs, cur.map(_.commitTsMs).getOrElse(nowMs))
+    val version = cur.map(_.version + 1).getOrElse(1L)
+    val versionDir = newVersionDir(root, version)
+    // the delta path runs ONE action (the staging write), so the batch
+    // needs no pinning snapshot — a single evaluation by construction
+    // (each retry attempt re-evaluates, and whichever attempt commits
+    // is internally consistent, like the CoW path's per-attempt
+    // checkpoint)
+    UpsertSink.withPreparedBatch(batch, keys, nBuckets,
+      populatedTable = false, bucketCols = bucketCols,
+      depths = cur.map(_.depths).getOrElse(Map.empty)) { withBucket =>
+      val emptyExisting = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(dataSchema.fields :+
+          org.apache.spark.sql.types.StructField("kb",
+            org.apache.spark.sql.types.IntegerType)))
+      // in-batch winners ONLY (the existing rows are never read — that
+      // is the whole point); tombstone winners are kept and STATED in
+      // the layer for the read-time fold
+      UpsertSink.selectWinners(emptyExisting, withBucket, dataCols, keys,
+          orderCol, tombstoneCol, keepTombstones = true,
+          tombOut = DeltaTombCol)
+        .withColumn(DeltaVCol, lit(version))
+        .repartition(col("kb"))
+        .write.partitionBy("kb").parquet(versionDir.toString)
+    }
+    val staged = stagedFiles(fs, versionDir)
+    if (staged.isEmpty) return // empty batch: nothing to commit
+    val carried = cur.map(_.files).getOrElse(Map.empty)
+    val prevDeltas = cur.map(_.deltas).getOrElse(Map.empty)
+    val newDeltas = staged.foldLeft(prevDeltas) { case (acc, (b, fs0)) =>
+      acc.updated(b, acc.getOrElse(b, Seq.empty) ++ fs0)
+    }
+    commitManifest(fs, root, version, nBuckets, dataSchema, carried, tsMs,
+      Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
+      cur.map(_.depths).getOrElse(Map.empty),
+      cur.map(_.props).getOrElse(Map.empty) ++ props,
+      newDeltas, Some(keys), Some(orderCol))
+    gc(fs, root, version,
+      carried.valuesIterator.flatten.toSet ++
+        newDeltas.valuesIterator.flatten,
+      cur, keepVersions, keepAgeMs, nowMs)
+  }
+
+  /** Fold delta layers back into base files — the maintenance half of
+    * merge-on-read. Every bucket holding at least `minLayers` layers
+    * (capped at `maxBuckets` per call, deepest-stacked first) is
+    * rewritten as a fresh clustered base file via the same fold the
+    * readers apply, and its layers are dropped from the manifest —
+    * content-identical by construction ([[changesBetween]] across a
+    * compaction commit reports an EMPTY feed; pinned by spec). Cost is
+    * the selected buckets' bases + layers — slice-sized, never the
+    * table. Retries on a lost version race with a full re-read (a
+    * concurrent delta append may have stacked new layers meanwhile).
+    * Returns the compacted bucket ids (empty when nothing qualified). */
+  def compactDeltas(spark: SparkSession, targetDir: String,
+      minLayers: Int = 1, maxBuckets: Int = Int.MaxValue,
+      keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis(),
+      maxCommitAttempts: Int = 5,
+      commit: CommitPrimitive = CreateExclusive): Seq[Int] = {
+    require(minLayers >= 1, "compactDeltas: minLayers must be >= 1")
+    require(maxBuckets >= 1, "compactDeltas: maxBuckets must be >= 1")
+    require(keepVersions >= 2, "keepVersions must be >= 2")
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = currentSnapshot(fs, root).getOrElse(
+        sys.error(s"compactDeltas: no committed version at $targetDir"))
+      val sel = cur.deltas.toSeq.filter(_._2.size >= minLayers)
+        .sortBy { case (b, ls) => (-ls.size, b) }
+        .take(maxBuckets).map(_._1)
+      if (sel.isEmpty) return Seq.empty
+      val version = cur.version + 1
+      val versionDir = newVersionDir(root, version)
+      readMergedImage(spark, root, cur, Some(sel))
+        .withColumn("kb", UpsertSink.bucketOfLayout(
+          cur.bucketCols.getOrElse(cur.mergeKeys.getOrElse(sys.error(
+            s"compactDeltas: no recorded bucket columns at $targetDir"))),
+          cur.nBuckets, cur.depths))
+        .repartition(sel.length, col("kb"))
+        .write.partitionBy("kb").parquet(versionDir.toString)
+      // a compacted bucket whose every key was tombstoned by its
+      // layers stages NO file and correctly vanishes from the manifest
+      val staged = stagedFiles(fs, versionDir)
+      val selSet = sel.toSet
+      val manifest = cur.files.filterNot { case (b, _) => selSet(b) } ++ staged
+      val deltas = cur.deltas.filterNot { case (b, _) => selSet(b) }
+      try {
+        commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
+          math.max(nowMs, cur.commitTsMs), cur.bucketCols, commit,
+          cur.depths, cur.props, deltas, cur.mergeKeys, cur.orderCol)
+        gc(fs, root, version,
+          manifest.valuesIterator.flatten.toSet ++
+            deltas.valuesIterator.flatten,
+          Some(cur), keepVersions, keepAgeMs, nowMs)
+        return sel.sorted
+      } catch {
+        case _: ConcurrentCommitException if attempt < maxCommitAttempts => ()
+      }
+    }
+    Seq.empty // unreachable
+  }
+
   private def attemptUpsert(batch: DataFrame,
       batchData: org.apache.spark.sql.types.StructType, root: Path,
       fs: FileSystem, keys: Seq[String], orderCol: String, nBuckets: Int,
@@ -583,64 +835,10 @@ object SnapshotUpsert {
     // clean StalePropsException instead of a silent double-apply
     checkExpectProps(cur, root, expectProps)
     cur match {
-      case Some(c) =>
-        // the CURRENT manifest's header is the layout authority (it
-        // changes atomically with the file set on rebucket; the side
-        // marker can lag a crash-interrupted refresh)
-        require(c.nBuckets == nBuckets,
-          s"upsert: table at $root is laid out with nBuckets=${c.nBuckets}; " +
-            s"merging with nBuckets=$nBuckets would strand rows in stale " +
-            "buckets (use rebucket to change the layout)")
-        // the bucket-column layout is recorded in the manifest like
-        // nBuckets: a merge restating a different prefix (or forgetting
-        // the recorded one) would bucket the batch into buckets the
-        // table's layout never reads — silent duplicate keys
-        val effectiveBc = if (bucketCols.isEmpty) keys else bucketCols
-        c.bucketCols match {
-          case Some(rec) => require(effectiveBc == rec,
-            s"upsert: table at $root is bucketed by (${rec.mkString(",")}); " +
-              s"merging bucketed by (${effectiveBc.mkString(",")}) would " +
-              "strand rows in stale buckets (use rebucket to change the layout)")
-          case None => require(effectiveBc == keys,
-            s"upsert: table at $root is bucketed by its keys; merging with " +
-              s"bucketCols=(${effectiveBc.mkString(",")}) would strand rows " +
-              "in stale buckets (use rebucket to change the layout)")
-        }
-      case None =>
-        UpsertSink.pinLayout(fs, root, nBuckets)
+      case Some(c) => checkLayout(c, root, nBuckets, keys, orderCol, bucketCols)
+      case None => UpsertSink.pinLayout(fs, root, nBuckets)
     }
-    // ADDITIVE schema evolution: a batch must carry every existing
-    // data column with its recorded type (rows are FULL upserts — a
-    // partial row would silently null a column the table has values
-    // for) and may APPEND new columns, which read back as NULL on
-    // pre-evolution rows. The evolved schema commits atomically in the
-    // same manifest as the files that introduce it.
-    val dataSchema: org.apache.spark.sql.types.StructType = cur match {
-      case Some(c) =>
-        // name matching is case-INSENSITIVE like Spark's default
-        // resolution: a case-variant name must be refused here with a
-        // clear message, not appended as a duplicate that later dies
-        // in analysis with "Found duplicate column(s)"
-        c.schema.fields.foreach { f =>
-          val b = batchData.fields
-            .find(_.name.equalsIgnoreCase(f.name)).getOrElse(
-              sys.error(s"upsert: batch is missing existing column " +
-                s"'${f.name}' — rows are full upserts; additive evolution " +
-                "only appends columns"))
-          require(b.name == f.name,
-            s"upsert: batch column '${b.name}' differs only by case from " +
-              s"existing column '${f.name}'")
-          require(deepNullable(b.dataType) == deepNullable(f.dataType),
-            s"upsert: column '${f.name}' type changed " +
-              s"${f.dataType.simpleString} -> ${b.dataType.simpleString}; " +
-              "type changes are not supported")
-        }
-        val known = c.schema.fieldNames.map(_.toLowerCase).toSet
-        nullableTop(org.apache.spark.sql.types.StructType(
-          c.schema.fields ++ batchData.fields.filterNot(f =>
-            known(f.name.toLowerCase))))
-      case None => nullableTop(batchData)
-    }
+    val dataSchema = evolvedSchema(cur, batchData)
     // commit timestamps must stay MONOTONE across versions (gc's
     // age-based dropped set is a prefix, and readAsOf resolves "newest
     // ts <= target" against them) — a RETRIED attempt still carries the
@@ -690,11 +888,10 @@ object SnapshotUpsert {
       sys.error(s"rebucket: no committed version at $targetDir"))
     val version = cur.version + 1
     val versionDir = newVersionDir(root, version)
-    val allPaths = cur.files.valuesIterator.flatten
-      .map(rel => s"$root/$rel").toSeq
     // read under the recorded schema: files from before a schema
-    // evolution lack the newer columns (null-filled here)
-    spark.read.schema(cur.schema).parquet(allPaths: _*)
+    // evolution lack the newer columns (null-filled here); pending
+    // delta layers fold in, so the rewrite doubles as a full compaction
+    readMergedImage(spark, root, cur)
       .withColumn("kb", UpsertSink.bucketOf(
         if (bucketCols.isEmpty) keys else bucketCols, newBuckets))
       .repartition(newBuckets min 4096, col("kb"))
@@ -704,8 +901,9 @@ object SnapshotUpsert {
     val staged = stagedFiles(fs, versionDir)
     commitManifest(fs, root, version, newBuckets, cur.schema, staged, nowMs,
       Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
-      props = cur.props)
-    gc(fs, root, version, staged, Some(cur), keepVersions, keepAgeMs, nowMs)
+      props = cur.props, mergeKeys = Some(keys), orderCol = cur.orderCol)
+    gc(fs, root, version, staged.valuesIterator.flatten.toSet, Some(cur),
+      keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
     // what merges validate against
     UpsertSink.refreshLayoutMarker(fs, root, newBuckets)
@@ -744,7 +942,7 @@ object SnapshotUpsert {
     val bc = cur.bucketCols.getOrElse(sys.error(
       s"splitBucket: the manifest at $targetDir predates recorded bucket " +
         "columns; one fresh merge upgrades it"))
-    require(cur.files.contains(bucket),
+    require(cur.files.contains(bucket) || cur.deltas.contains(bucket),
       s"splitBucket: bucket $bucket holds no files at $targetDir " +
         "(unknown id, or empty — nothing to split)")
     val d = cur.depths.getOrElse(bucket, 0)
@@ -756,19 +954,24 @@ object SnapshotUpsert {
     val newDepths = cur.depths + (bucket -> (d + 1)) + (sibling -> (d + 1))
     val version = cur.version + 1
     val versionDir = newVersionDir(root, version)
-    // read ONLY the split bucket's files; the new depth map routes its
-    // rows onto the two children (all other rows are untouched and
-    // their buckets carried by reference)
-    spark.read.schema(cur.schema)
-      .parquet(cur.files(bucket).map(rel => s"$root/$rel"): _*)
+    // read ONLY the split bucket (its base files plus any pending delta
+    // layers, folded — the split doubles as that bucket's compaction);
+    // the new depth map routes its rows onto the two children (all
+    // other rows are untouched and their buckets carried by reference)
+    readMergedImage(spark, root, cur, Some(Seq(bucket)))
       .withColumn("kb", UpsertSink.bucketOfLayout(bc, cur.nBuckets, newDepths))
       .repartition(2, col("kb"))
       .write.partitionBy("kb").parquet(versionDir.toString)
     val staged = stagedFiles(fs, versionDir)
     val manifest = (cur.files - bucket) ++ staged
+    val deltas = cur.deltas - bucket
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
-      nowMs, Some(bc), commit, newDepths, cur.props)
-    gc(fs, root, version, manifest, Some(cur), keepVersions, keepAgeMs, nowMs)
+      nowMs, Some(bc), commit, newDepths, cur.props, deltas,
+      cur.mergeKeys, cur.orderCol)
+    gc(fs, root, version,
+      manifest.valuesIterator.flatten.toSet ++
+        deltas.valuesIterator.flatten,
+      Some(cur), keepVersions, keepAgeMs, nowMs)
   }
 
   /** One maintenance pass of [[splitBucket]]: split every bucket whose
@@ -795,7 +998,10 @@ object SnapshotUpsert {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.traverse(cur.files.toSeq) { case (b, rels) =>
+      val byBucket = (cur.files.keySet ++ cur.deltas.keySet).toSeq.map(b =>
+        b -> (cur.files.getOrElse(b, Seq.empty) ++
+          cur.deltas.getOrElse(b, Seq.empty)))
+      Await.result(Future.traverse(byBucket) { case (b, rels) =>
         Future {
           b -> scala.concurrent.blocking {
             rels.map(rel => fs.getFileStatus(new Path(root, rel)).getLen).sum
@@ -810,6 +1016,84 @@ object SnapshotUpsert {
     overfull
   }
 
+  /** Layout + merge-contract validation against the CURRENT manifest's
+    * header (the layout authority — it changes atomically with the
+    * file set on rebucket; the side marker can lag a crash-interrupted
+    * refresh), shared by the CoW and delta commit paths. */
+  private def checkLayout(c: Snapshot, root: Path, nBuckets: Int,
+      keys: Seq[String], orderCol: String, bucketCols: Seq[String]): Unit = {
+    require(c.nBuckets == nBuckets,
+      s"upsert: table at $root is laid out with nBuckets=${c.nBuckets}; " +
+        s"merging with nBuckets=$nBuckets would strand rows in stale " +
+        "buckets (use rebucket to change the layout)")
+    // the bucket-column layout is recorded in the manifest like
+    // nBuckets: a merge restating a different prefix (or forgetting
+    // the recorded one) would bucket the batch into buckets the
+    // table's layout never reads — silent duplicate keys
+    val effectiveBc = if (bucketCols.isEmpty) keys else bucketCols
+    c.bucketCols match {
+      case Some(rec) => require(effectiveBc == rec,
+        s"upsert: table at $root is bucketed by (${rec.mkString(",")}); " +
+          s"merging bucketed by (${effectiveBc.mkString(",")}) would " +
+          "strand rows in stale buckets (use rebucket to change the layout)")
+      case None => require(effectiveBc == keys,
+        s"upsert: table at $root is bucketed by its keys; merging with " +
+          s"bucketCols=(${effectiveBc.mkString(",")}) would strand rows " +
+          "in stale buckets (use rebucket to change the layout)")
+    }
+    // while delta layers are PENDING the merge contract is frozen:
+    // this commit's keys/orderCol are recorded table-wide, and a
+    // different contract would silently change how every untouched
+    // bucket's layers fold on the next read
+    if (c.deltas.nonEmpty) {
+      c.mergeKeys.foreach(rec => require(keys == rec,
+        s"upsert: table at $root has pending delta layers recorded " +
+          s"under keys (${rec.mkString(",")}); merging with keys " +
+          s"(${keys.mkString(",")}) would re-fold them under a " +
+          "different contract — compact first"))
+      c.orderCol.foreach(rec => require(orderCol == rec,
+        s"upsert: table at $root has pending delta layers recorded " +
+          s"under orderCol '$rec'; merging with orderCol '$orderCol' " +
+          "would re-fold them under a different contract — compact first"))
+    }
+  }
+
+  /** ADDITIVE schema evolution, shared by the CoW and delta commit
+    * paths: a batch must carry every existing data column with its
+    * recorded type (rows are FULL upserts — a partial row would
+    * silently null a column the table has values for) and may APPEND
+    * new columns, which read back as NULL on pre-evolution rows. The
+    * evolved schema commits atomically in the same manifest as the
+    * files that introduce it. */
+  private def evolvedSchema(cur: Option[Snapshot],
+      batchData: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = cur match {
+    case Some(c) =>
+      // name matching is case-INSENSITIVE like Spark's default
+      // resolution: a case-variant name must be refused here with a
+      // clear message, not appended as a duplicate that later dies
+      // in analysis with "Found duplicate column(s)"
+      c.schema.fields.foreach { f =>
+        val b = batchData.fields
+          .find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+            sys.error(s"upsert: batch is missing existing column " +
+              s"'${f.name}' — rows are full upserts; additive evolution " +
+              "only appends columns"))
+        require(b.name == f.name,
+          s"upsert: batch column '${b.name}' differs only by case from " +
+            s"existing column '${f.name}'")
+        require(deepNullable(b.dataType) == deepNullable(f.dataType),
+          s"upsert: column '${f.name}' type changed " +
+            s"${f.dataType.simpleString} -> ${b.dataType.simpleString}; " +
+            "type changes are not supported")
+      }
+      val known = c.schema.fieldNames.map(_.toLowerCase).toSet
+      nullableTop(org.apache.spark.sql.types.StructType(
+        c.schema.fields ++ batchData.fields.filterNot(f =>
+          known(f.name.toLowerCase))))
+    case None => nullableTop(batchData)
+  }
+
   private def commitVersion(withBucket: DataFrame, root: Path,
       fs: FileSystem, cur: Option[Snapshot],
       dataSchema: org.apache.spark.sql.types.StructType, keys: Seq[String],
@@ -820,7 +1104,8 @@ object SnapshotUpsert {
       props: Map[String, String] = Map.empty): Unit = {
     val spark = withBucket.sparkSession
     val dataCols = dataSchema.fieldNames.toSeq
-    val populated: Set[Int] = cur.map(_.files.keySet).getOrElse(Set.empty)
+    val populated: Set[Int] =
+      cur.map(c => c.files.keySet ++ c.deltas.keySet).getOrElse(Set.empty)
     val touched = withBucket.select("kb").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
@@ -828,14 +1113,15 @@ object SnapshotUpsert {
     // existing rows of the touched buckets, by explicit manifest paths
     // (structural pruning: no directory discovery at all), read under
     // the EVOLVED schema (pre-evolution files simply lack the newer
-    // columns, which parquet surfaces as NULL); kb is not stored in
-    // the files (partitionBy strips it) but is a pure function of the
-    // keys, so re-derive it
-    val toRead = touched.filter(populated)
-      .flatMap(b => cur.get.files(b)).map(rel => s"$root/$rel")
+    // columns, which parquet surfaces as NULL) with any pending DELTA
+    // layers folded in — a CoW rewrite of a delta-bearing bucket is
+    // its compaction; kb is not stored in the files (partitionBy
+    // strips it) but is a pure function of the keys, so re-derive it
+    val presentTouched = touched.filter(populated)
     val existing =
-      if (toRead.nonEmpty)
-        spark.read.schema(dataSchema).parquet(toRead: _*)
+      if (presentTouched.nonEmpty)
+        readMergedImage(spark, root, cur.get, Some(presentTouched),
+            Some(dataSchema))
           .withColumn("kb", UpsertSink.bucketOfLayout(bucketCols, nBuckets,
             cur.map(_.depths).getOrElse(Map.empty)))
       else
@@ -866,6 +1152,11 @@ object SnapshotUpsert {
     val carried = cur.map(_.files).getOrElse(Map.empty)
       .filterNot { case (b, _) => touchedSet(b) }
     val manifest = carried ++ staged
+    // a touched bucket's delta layers were FOLDED into its rewrite
+    // above, so they are dropped here — the CoW commit doubles as that
+    // bucket's compaction; untouched buckets keep their layers
+    val carriedDeltas = cur.map(_.deltas).getOrElse(Map.empty)
+      .filterNot { case (b, _) => touchedSet(b) }
     // ALWAYS recorded (not only for proper prefixes): a reader probing
     // a keys-bucketed table by a prefix must be refused too — without
     // the record, readKeys on a pre-prefix-era layout would hash probe
@@ -876,8 +1167,12 @@ object SnapshotUpsert {
     // silently drop another writer's committed cursor/metadata
     commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
       Some(bucketCols), commit, cur.map(_.depths).getOrElse(Map.empty),
-      cur.map(_.props).getOrElse(Map.empty) ++ props)
-    gc(fs, root, version, manifest, cur, keepVersions, keepAgeMs, nowMs)
+      cur.map(_.props).getOrElse(Map.empty) ++ props,
+      carriedDeltas, Some(keys), Some(orderCol))
+    gc(fs, root, version,
+      manifest.valuesIterator.flatten.toSet ++
+        carriedDeltas.valuesIterator.flatten,
+      cur, keepVersions, keepAgeMs, nowMs)
   }
 
   /** Drop versions outside the retention bounds and delete the files
@@ -898,7 +1193,7 @@ object SnapshotUpsert {
     new Path(root, f"$ManifestDir/.v$v%012d.gcretry")
 
   private def gc(fs: FileSystem, root: Path, version: Long,
-      newManifest: Map[Int, Seq[String]], prev: Option[Snapshot],
+      newRefs: Set[String], prev: Option[Snapshot],
       keepVersions: Int, keepAgeMs: Option[Long], nowMs: Long): Unit = {
     val oldestByCount = version - keepVersions + 1
     val all = listVersions(fs, root)
@@ -945,13 +1240,12 @@ object SnapshotUpsert {
     // the commit is already durable and the next commit's gc retries
     if (retained.exists(_.isEmpty)) return
     val kept: Set[String] =
-      (retained.flatMap(_.get.files.valuesIterator.flatten)
-        ++ newManifest.valuesIterator.flatten.toSeq).toSet
+      retained.flatMap(_.get.allRefs).toSet ++ newRefs
     def reap(d: Long, manifest: Path, park: Boolean): Unit = {
       val snap =
         try readManifestAt(fs, root, manifest, d)
         catch { case _: java.io.FileNotFoundException => return }
-      val stale = snap.files.valuesIterator.flatten.filterNot(kept).toSeq
+      val stale = snap.allRefs.filterNot(kept).toSeq
       val allGone = stale.map { rel =>
         val p = new Path(root, rel)
         try fs.delete(p, false) || !fs.exists(p)
@@ -1032,7 +1326,7 @@ object SnapshotUpsert {
     // committed manifest. The horizon protects a live writer's
     // in-flight staging and the live table's own fresh files.
     val referenced: Set[String] = listVersions(fs, root).flatMap { v =>
-      try readManifest(fs, root, v).files.valuesIterator.flatten.toSeq
+      try readManifest(fs, root, v).allRefs.toSeq
       catch { case _: TornManifestException => Seq.empty }
     }.toSet
     val bdir = new Path(root, BatchesDir)
@@ -1087,10 +1381,10 @@ object SnapshotUpsert {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = readManifest(fs, root, version)
-    val paths = snap.files.valuesIterator.flatten.map(rel => s"$root/$rel").toSeq
     // the version's RECORDED schema: pre-evolution files lack newer
-    // columns (read as NULL), and each version keeps its own schema
-    readImage(spark, snap.schema, paths)
+    // columns (read as NULL), and each version keeps its own schema;
+    // delta layers (merge-on-read) fold transparently
+    readMergedImage(spark, root, snap)
   }
 
   private def readImage(spark: SparkSession,
@@ -1099,6 +1393,143 @@ object SnapshotUpsert {
     if (paths.nonEmpty) spark.read.schema(schema).parquet(paths: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** The table image of `snap` restricted to `buckets` (None = every
+    * bucket), MERGE-ON-READ aware: buckets with no delta layers stream
+    * straight off their base files (the pre-delta fast path — zero
+    * overhead for a fully-compacted table), and buckets with deltas
+    * are folded by [[foldDeltas]]. `schema` lets [[changesBetween]]
+    * read an older version under the newer side's (grown) schema. */
+  private def readMergedImage(spark: SparkSession, root: Path,
+      snap: Snapshot, buckets: Option[Seq[Int]] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val sch = schema.getOrElse(snap.schema)
+    val bs: Seq[Int] = buckets.getOrElse(
+      (snap.files.keySet ++ snap.deltas.keySet).toSeq)
+    val deltaBs = bs.distinct.filter(snap.deltas.contains)
+    val plainBs = bs.distinct.filterNot(snap.deltas.contains)
+    val plain = readImage(spark, sch, plainBs.filter(snap.files.contains)
+      .flatMap(snap.files).map(rel => s"$root/$rel"))
+    if (deltaBs.isEmpty) plain
+    else plain.unionByName(foldDeltas(spark, root, snap, deltaBs, sch))
+  }
+
+  /** Fold a delta-bearing bucket set into the exact image the
+    * equivalent copy-on-write merge sequence would have produced. Per
+    * key the layers (base row at `__dv`=0, then one row-version per
+    * delta commit, each stamped with its commit version) are replayed
+    * IN COMMIT ORDER through the same rule [[UpsertSink.selectWinners]]
+    * applies batch-by-batch: a layer replaces the current winner when
+    * its order value is >= (later commit wins exact ties, like
+    * `__src`), and a REPLACING tombstone erases the key — after which
+    * any later layer lands unconditionally. This sequential replay is
+    * deliberately NOT a single argmax over all layers: the CoW merge
+    * discards a winning tombstone's marker, so a later row with a
+    * LOWER order value still resurrects the key — only the fold
+    * reproduces that (pinned by DeltaSnapshotSpec against the real CoW
+    * path). `orderCol = ""` is arrival order: every later layer
+    * replaces the current winner unconditionally.
+    *
+    * Scale shape: the group-by shuffles ONLY the delta-bearing
+    * buckets' rows (a slice the compaction policy bounds), keyed by
+    * the table's keys; in-batch ties were already resolved at append
+    * time, so each key folds a handful of single-row layers. */
+  private def foldDeltas(spark: SparkSession, root: Path, snap: Snapshot,
+      deltaBs: Seq[Int],
+      sch: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      BooleanType}
+    val keys = snap.mergeKeys.getOrElse(sys.error(
+      s"read at $root: version ${snap.version} carries delta layers but " +
+        "no recorded #keys merge contract — manifest corrupted?"))
+    val orderCol = snap.orderCol.getOrElse(sys.error(
+      s"read at $root: version ${snap.version} carries delta layers but " +
+        "no recorded #ordercol merge contract — manifest corrupted?"))
+    val base = readImage(spark, sch, deltaBs.filter(snap.files.contains)
+        .flatMap(snap.files).map(rel => s"$root/$rel"))
+      .withColumn(DeltaVCol, lit(0L)).withColumn(DeltaTombCol, lit(false))
+    val deltaRels = deltaBs.flatMap(snap.deltas)
+    val layers = spark.read
+      .schema(StructType(sch.fields ++ Seq(
+        StructField(DeltaVCol, LongType), StructField(DeltaTombCol,
+          BooleanType))))
+      .parquet(deltaRels.map(rel => s"$root/$rel"): _*)
+    val dataCols = sch.fieldNames.toSeq
+    // PLAN SHAPE: the naive fold shuffles every base row of a layered
+    // bucket through the group-by — at a production bucket size that
+    // prices a whole-bucket shuffle onto every read for however few
+    // keys the layers actually touch. When the layers are small (the
+    // design case: batch-sized commits, compaction bounding the
+    // stack), BROADCAST their key set instead: untouched base rows
+    // stream through shuffle-free (left_anti against the broadcast),
+    // and only the affected keys (base left_semi + the layers — a
+    // layer-sized set) enter the fold. Decided from the manifest's
+    // delta file sizes (driver stat fan-out, no data read); above the
+    // threshold the full fold is the honest plan — a layer set that
+    // big means compaction is overdue anyway.
+    val layerBytes = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Await.result(Future.traverse(deltaRels) { rel => Future {
+        scala.concurrent.blocking {
+          try fs.getFileStatus(new Path(root, rel)).getLen
+          catch { case _: java.io.FileNotFoundException => 0L }
+        }
+      }}, Duration.Inf).sum
+    }
+    val all =
+      if (layerBytes <= FoldBroadcastMaxBytes) {
+        val lk = layers.select(keys.map(col): _*).distinct()
+        val cond = keys.map(k => base(k) <=> lk(k)).reduce(_ && _)
+        val untouched = base.join(broadcast(lk), cond, "left_anti")
+        val affected = base.join(broadcast(lk), cond, "left_semi")
+        return untouched.select(dataCols.map(col): _*)
+          .unionByName(foldRows(affected.unionByName(layers), keys,
+            orderCol, dataCols))
+      } else base.unionByName(layers)
+    foldRows(all, keys, orderCol, dataCols)
+  }
+
+  /** Layer stack bytes above which [[foldDeltas]] stops broadcasting
+    * the layer key set and falls back to the full group-by fold.
+    * Consulted per read (a def) so tests can pin both plans. */
+  private def FoldBroadcastMaxBytes: Long =
+    sys.props.get("graft.mor.broadcastMaxBytes").map(_.toLong)
+      .getOrElse(64L << 20)
+
+  /** The sequential commit-order replay of [[foldDeltas]] over an
+    * already-assembled (base rows at `__dv`=0 + layer rows) frame. */
+  private def foldRows(all: DataFrame, keys: Seq[String], orderCol: String,
+      dataCols: Seq[String]): DataFrame = {
+    val rowsC = freshPrefix("__rows", dataCols.toSet)
+    val accC = freshPrefix("__acc", dataCols.toSet + rowsC)
+    val elem = struct(col(DeltaVCol).as("_v"),
+      (if (orderCol.isEmpty) lit(0) else col(orderCol)).as("_o"),
+      col(DeltaTombCol).as("_t"), struct(dataCols.map(col): _*).as("_r"))
+    val elemType = all.select(elem.as("_e")).schema("_e").dataType
+    val nullElem = lit(null).cast(elemType)
+    // sort by the commit version alone: a comparator touching only _v
+    // keeps non-orderable payload types (maps) legal, and versions are
+    // unique per key (one winner per delta commit, base at 0)
+    val grouped = all.groupBy(keys.map(col): _*)
+      .agg(collect_list(elem).as(rowsC))
+    val sortedRows = array_sort(col(rowsC), (l, r) =>
+      when(l("_v") < r("_v"), -1).when(l("_v") > r("_v"), 1).otherwise(0))
+    val folded = aggregate(sortedRows, nullElem, (acc, x) => {
+      val take =
+        if (orderCol.isEmpty) lit(true)
+        // null orders lose to non-null (desc NULLS LAST, like the CoW
+        // window); two nulls tie, and the later commit wins a tie
+        else acc.isNull || coalesce(x("_o") >= acc("_o"), acc("_o").isNull)
+      when(take && x("_t"), nullElem).when(take, x).otherwise(acc)
+    })
+    grouped.select(folded.as(accC))
+      .where(col(accC).isNotNull)
+      .select(dataCols.map(c => col(accC)("_r")(c).as(c)): _*)
+  }
 
   /** Every retained version's manifest, parsed ONCE, tolerant of a
     * concurrent writer's GC racing the scan: a version listed a moment
@@ -1131,7 +1562,7 @@ object SnapshotUpsert {
   def currentFileCount(spark: SparkSession, targetDir: String): Option[Int] = {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentSnapshot(fs, root).map(_.files.valuesIterator.map(_.size).sum)
+    currentSnapshot(fs, root).map(_.allRefs.size)
   }
 
   /** (version, recorded data schema) of the current committed version
@@ -1190,9 +1621,10 @@ object SnapshotUpsert {
     checkExpectProps(Some(cur), root, expectProps)
     val version = cur.version + 1
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, cur.files,
-      nowMs, cur.bucketCols, commit, cur.depths, cur.props ++ props)
-    gc(fs, root, version, cur.files, Some(cur), keepVersions, keepAgeMs,
-      nowMs)
+      nowMs, cur.bucketCols, commit, cur.depths, cur.props ++ props,
+      cur.deltas, cur.mergeKeys, cur.orderCol)
+    gc(fs, root, version, cur.allRefs.toSet, Some(cur), keepVersions,
+      keepAgeMs, nowMs)
     version
   }
 
@@ -1213,8 +1645,7 @@ object SnapshotUpsert {
       sys.error(s"readAsOf: no retained version at or before $tsMs — " +
         s"oldest retained commit is ${snaps.head.commitTsMs} " +
         "(the requested point aged out of retention, or predates the table)"))
-    readImage(spark, at.schema,
-      at.files.valuesIterator.flatten.map(rel => s"$root/$rel").toSeq)
+    readMergedImage(spark, root, at)
   }
 
   /** Table history — one row per retained version: (version,
@@ -1227,8 +1658,10 @@ object SnapshotUpsert {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readRetained(fs, root)
       .map(s => (s.version, s.commitTsMs, s.nBuckets,
-        s.files.valuesIterator.map(_.size).sum, s.schema.fields.length))
-      .toDF("version", "commit_ts_ms", "n_buckets", "n_files", "n_columns")
+        s.files.valuesIterator.map(_.size).sum, s.schema.fields.length,
+        s.deltas.valuesIterator.map(_.size).sum))
+      .toDF("version", "commit_ts_ms", "n_buckets", "n_files", "n_columns",
+        "n_delta_files")
   }
 
   /** Current table state (same contract as [[UpsertSink.readLatest]]). */
@@ -1328,10 +1761,10 @@ object SnapshotUpsert {
       .select(UpsertSink.bucketOfLayout(hashKeys, cur.nBuckets, cur.depths)
         .as("kb"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val paths = kbs.filter(cur.files.contains)
-      .flatMap(cur.files).map(rel => s"$root/$rel")
-    val image = readImage(spark, cur.schema, paths)
-    if (paths.isEmpty) image // no probed bucket exists: empty, typed
+    val present = kbs.filter(b =>
+      cur.files.contains(b) || cur.deltas.contains(b))
+    val image = readMergedImage(spark, root, cur, Some(present))
+    if (present.isEmpty) image // no probed bucket exists: empty, typed
     else {
       val cond = keys.map(k => image(k) <=> probes(k)).reduce(_ && _)
       image.join(broadcast(probes), cond, "left_semi")
@@ -1376,27 +1809,31 @@ object SnapshotUpsert {
     // bucket reads that parent + its children, never the table).
     val sameGrid = from.nBuckets == to.nBuckets &&
       from.bucketCols == to.bucketCols
+    // a bucket's CONTENT identity is its base files AND its delta
+    // layers: a delta append changes a bucket without touching its
+    // base, and a compaction changes the file set without changing
+    // content (the diff's row comparison filters that to an empty feed)
+    def ident(m: Snapshot, b: Int) = (m.files.get(b), m.deltas.get(b))
+    def bucketsOf(m: Snapshot): Set[Int] = m.files.keySet ++ m.deltas.keySet
     val (oldBuckets, newBuckets): (Seq[Int], Seq[Int]) =
       if (!sameGrid)
-        (from.files.keySet.toSeq, to.files.keySet.toSeq)
+        (bucketsOf(from).toSeq, bucketsOf(to).toSeq)
       else if (from.depths == to.depths) {
         // union of both keysets: a bucket absent from `to` (every key
         // tombstoned) is still a change the old side must surface
-        val changed = (from.files.keySet ++ to.files.keySet)
-          .filter(b => from.files.get(b) != to.files.get(b)).toSeq
+        val changed = (bucketsOf(from) ++ bucketsOf(to))
+          .filter(b => ident(from, b) != ident(to, b)).toSeq
         (changed, changed)
       } else {
-        val fc = from.files.keySet.groupBy(_ % from.nBuckets)
-        val tc = to.files.keySet.groupBy(_ % from.nBuckets)
+        val fc = bucketsOf(from).groupBy(_ % from.nBuckets)
+        val tc = bucketsOf(to).groupBy(_ % from.nBuckets)
         val classes = (fc.keySet ++ tc.keySet).filter { r0 =>
-          fc.getOrElse(r0, Set.empty).map(b => b -> from.files(b)).toMap !=
-            tc.getOrElse(r0, Set.empty).map(b => b -> to.files(b)).toMap
+          fc.getOrElse(r0, Set.empty).map(b => b -> ident(from, b)).toMap !=
+            tc.getOrElse(r0, Set.empty).map(b => b -> ident(to, b)).toMap
         }
         (classes.toSeq.flatMap(r0 => fc.getOrElse(r0, Set.empty)),
           classes.toSeq.flatMap(r0 => tc.getOrElse(r0, Set.empty)))
       }
-    def paths(m: Snapshot, buckets: Seq[Int]): Seq[String] = buckets
-      .filter(m.files.contains).flatMap(m.files).map(rel => s"$root/$rel")
     if (oldBuckets.isEmpty && newBuckets.isEmpty) {
       // identical manifests: empty feed with the table's schema (one
       // footer read — the only case that needs a sample)
@@ -1410,9 +1847,13 @@ object SnapshotUpsert {
     // both sides read under the NEWER version's schema (schemas only
     // grow, so to.schema covers from; a column added between the two
     // versions reads as NULL on the old side — a row whose only change
-    // is a now-populated new column correctly reports as an update)
-    val newSide = readImage(spark, to.schema, paths(to, newBuckets))
-    val oldSide = readImage(spark, to.schema, paths(from, oldBuckets))
+    // is a now-populated new column correctly reports as an update);
+    // each side folds ITS OWN delta layers first, so the diff compares
+    // the logical images whatever mix of delta/CoW commits lies between
+    val newSide = readMergedImage(spark, root, to, Some(newBuckets),
+      Some(to.schema))
+    val oldSide = readMergedImage(spark, root, from, Some(oldBuckets),
+      Some(to.schema))
     diffImages(newSide, oldSide, keys, emitDeletes, emitBefore)
   }
 
@@ -1599,4 +2040,24 @@ object SnapshotUpsert {
       b => upsertBatchSnapshot(b, targetDir, keys, orderCol, nBuckets,
         keepVersions, keepAgeMs, tombstoneCol, bucketCols = bucketCols,
         maxCommitAttempts = maxCommitAttempts, commit = commit))
+
+  /** Continuous MERGE-ON-READ upsert: every micro-batch commits as a
+    * batch-sized delta layer ([[appendDeltaSnapshot]]) instead of a
+    * bucket rewrite — the write-amplification-free sink for
+    * high-frequency streams, with `compactAt` (layers per bucket)
+    * bounding read amplification inline. */
+  def deltaSink(stream: DataFrame, targetDir: String, checkpoint: String,
+      keys: Seq[String], orderCol: String, nBuckets: Int = 64,
+      keepVersions: Int = 2, drainOnce: Boolean = false,
+      outputMode: String = "append", keepAgeMs: Option[Long] = None,
+      tombstoneCol: Option[String] = None,
+      bucketCols: Seq[String] = Seq.empty,
+      maxCommitAttempts: Int = 5,
+      commit: CommitPrimitive = CreateExclusive,
+      compactAt: Int = 8): StreamingQuery =
+    UpsertSink.startForeachBatch(stream, checkpoint, outputMode, drainOnce)(
+      b => appendDeltaSnapshot(b, targetDir, keys, orderCol, nBuckets,
+        keepVersions, keepAgeMs, tombstoneCol, bucketCols = bucketCols,
+        maxCommitAttempts = maxCommitAttempts, commit = commit,
+        compactAt = compactAt))
 }

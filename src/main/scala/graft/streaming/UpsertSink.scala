@@ -153,7 +153,8 @@ object UpsertSink {
   /** Column names both upsert sinks own: `kb` (layout), `__src`/`__rn`
     * (merge internals), `__old`/`_change` (change-feed internals —
     * reserved here too so a table is always feed-compatible). */
-  private[streaming] val Reserved = Seq("kb", "__src", "__rn", "__old", "_change")
+  private[streaming] val Reserved =
+    Seq("kb", "__src", "__rn", "__old", "_change", "__dv", "__tomb")
 
   /** Full batch validation, run BEFORE any side effect (layout pin,
     * schema marker): a rejected first batch must leave NO trace, or the
@@ -352,10 +353,20 @@ object UpsertSink {
     * version is a tombstone is dropped from the output — deletion is
     * applied at merge time and the marker itself is never stored, so a
     * later upsert with a higher (or arrival-later) order resurrects the
-    * key as a fresh insert. */
+    * key as a fresh insert.
+    *
+    * `keepTombstones` (merge-on-read staging): instead of APPLYING a
+    * winning tombstone (dropping the key), emit it — the output keeps
+    * one row per key including tombstone winners, with the normalized
+    * marker appended under `tombOut` (false when no `tombstoneCol` is
+    * in play). A delta layer cannot apply a delete at write time — it
+    * never sees the existing rows — so it must STATE it for the
+    * read-time fold. */
   private[streaming] def selectWinners(existing: DataFrame,
       incoming: DataFrame, dataCols: Seq[String], keys: Seq[String],
-      orderCol: String, tombstoneCol: Option[String] = None): DataFrame = {
+      orderCol: String, tombstoneCol: Option[String] = None,
+      keepTombstones: Boolean = false,
+      tombOut: String = "__tomb"): DataFrame = {
     // the tie-break hash covers the tombstone flag too: a delete and a
     // re-statement of the same row in ONE batch must resolve
     // deterministically, not by partition-local row order
@@ -371,8 +382,14 @@ object UpsertSink {
     val winners = ex.unionByName(in)
       .withColumn("__rn", row_number().over(rank))
       .where(col("__rn") === 1)
-    tombstoneCol.foldLeft(winners)((d, t) => d.where(!col(t)))
-      .select((dataCols :+ "kb").map(col): _*)
+    if (keepTombstones)
+      winners
+        .withColumn(tombOut,
+          tombstoneCol.map(col).getOrElse(lit(false)))
+        .select((dataCols :+ "kb" :+ tombOut).map(col): _*)
+    else
+      tombstoneCol.foldLeft(winners)((d, t) => d.where(!col(t)))
+        .select((dataCols :+ "kb").map(col): _*)
   }
 
   /** Continuous upsert: every micro-batch merges into `targetDir`
