@@ -386,6 +386,70 @@ object AnalyticsQueries {
              |WHERE user_id % 7 <> 3""".stripMargin),
     ),
 
+    // RANGE-PRUNED READ from manifest file stats (r11): the per-(day,
+    // user) latest-state table is day-prefix-bucketed and DECLARES ts
+    // as its clustering column (graft.cluster.cols), so every commit
+    // sorts its staged files by ts and records per-file min/max in the
+    // manifest; readRange then serves a time window opening ONLY the
+    // files whose recorded range overlaps — file-level data skipping
+    // decided from the manifest alone, before any footer is read. A
+    // delta commit re-stating the newest day exercises the layered
+    // all-or-nothing pruning rule inside the same read. The window is
+    // data-derived (min(ts)+2d .. +4d) so the gate holds at every SF;
+    // both sides compare the CANONICAL STRING form, which orders
+    // chronologically for the fixed layout.
+    QueryDef(
+      "q_snapshot_range",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        val img = ev
+          .groupBy(to_date(col("ts")).cast("string").as("day"),
+            col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("top"))
+          .select(col("day"), col("user_id"),
+            col("top.event_type").as("event_type"),
+            date_format(col("top.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-range-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(img, dir,
+          keys = Seq("day", "user_id"), orderCol = "", nBuckets = 32,
+          bucketCols = Seq("day"),
+          props = Map(graft.streaming.SnapshotUpsert.ClusterColsProp -> "ts"))
+        // a layered bucket in the read path: the newest day re-lands
+        // as a delta commit (identical rows — arrival order replaces)
+        val lastDay = img.agg(max(col("day"))).head.getString(0)
+        graft.streaming.SnapshotUpsert.appendDeltaSnapshot(
+          img.where(col("day") === lastDay), dir,
+          keys = Seq("day", "user_id"), orderCol = "", nBuckets = 32,
+          bucketCols = Seq("day"))
+        val bounds = ev.agg(
+          date_format(min(col("ts")) + expr("INTERVAL 2 DAY"),
+            "yyyy-MM-dd HH:mm:ss").as("lo"),
+          date_format(min(col("ts")) + expr("INTERVAL 4 DAY"),
+            "yyyy-MM-dd HH:mm:ss").as("hi")).head()
+        graft.streaming.SnapshotUpsert.readRange(s, dir, "ts",
+          bounds.getString(0), bounds.getString(1))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts
+             |  FROM e GROUP BY 1, 2),
+             |b AS (SELECT
+             |  strftime(date_trunc('second', min(ts)) + INTERVAL 2 DAY,
+             |    '%Y-%m-%d %H:%M:%S') AS lo,
+             |  strftime(date_trunc('second', min(ts)) + INTERVAL 4 DAY,
+             |    '%Y-%m-%d %H:%M:%S') AS hi FROM events)
+             |SELECT img.* FROM img, b
+             |WHERE img.ts >= b.lo AND img.ts <= b.hi""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(

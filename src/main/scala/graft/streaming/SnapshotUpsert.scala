@@ -104,6 +104,15 @@ object SnapshotUpsert {
   private val DeltaVCol = "__dv"
   private val DeltaTombCol = "__tomb"
 
+  /** Table property declaring the clustering columns: staged files are
+    * sorted by them within each bucket (tight parquet row-group stats
+    * for the scan's own pushdown) and their per-file min/max ranges
+    * are recorded in the manifest (`S` lines), which [[readRange]]
+    * prunes by BEFORE any footer is opened. Set it once on any commit
+    * (`props = Map(SnapshotUpsert.ClusterColsProp -> "ts")`); it
+    * carries forward like every property. */
+  val ClusterColsProp = "graft.cluster.cols"
+
   /** Serializes manifest creation within this JVM (see object doc:
     * cross-process exclusivity comes from create-exclusive — atomic on
     * HDFS-class stores, NIO `O_EXCL` on local filesystems since r11). */
@@ -243,11 +252,18 @@ object SnapshotUpsert {
       props: Map[String, String] = Map.empty,
       deltas: Map[Int, Seq[String]] = Map.empty,
       mergeKeys: Option[Seq[String]] = None,
-      orderCol: Option[String] = None) {
+      orderCol: Option[String] = None,
+      stats: Map[String, Map[String, (String, String)]] = Map.empty) {
     /** Every data file this version references (base + delta) — the
       * reference set GC and vacuum must protect. */
     def allRefs: Iterator[String] =
       files.valuesIterator.flatten ++ deltas.valuesIterator.flatten
+    /** Declared clustering columns (the `graft.cluster.cols` table
+      * property): staged files sort by them within each bucket and
+      * record per-file min/max in the manifest for range pruning. */
+    def clusterCols: Seq[String] =
+      props.get(ClusterColsProp).map(_.split(",", -1).toSeq)
+        .getOrElse(Seq.empty)
   }
 
   /** A manifest file that exists but lacks the `#eof` trailer: its
@@ -326,7 +342,25 @@ object SnapshotUpsert {
     // (r11 merge-on-read: batch-sized row-version layers readers fold
     // over the base; the literal `D` can never be a path — every rel
     // starts with `batches/`)
-    val fileLines = content.dropWhile(_.startsWith("#"))
+    val bodyLines = content.dropWhile(_.startsWith("#"))
+    // `S` lines (r11 range stats): `S\t<rel>\t<col>\t<b64min>\t<b64max>`
+    // — per-file min/max of a clustering column, base64 over the
+    // value's canonical string form (the manifest is line/tab-oriented
+    // and string values may contain both)
+    def deB64(s: String): String = new String(
+      java.util.Base64.getDecoder.decode(s), "UTF-8")
+    val stats: Map[String, Map[String, (String, String)]] = bodyLines
+      .collect { case l if l.startsWith("S\t") =>
+        l.split('\t') match {
+          case Array(_, rel, c, mn, mx) => (rel, c, deB64(mn), deB64(mx))
+          case other => sys.error(s"malformed manifest v$v at $root: " +
+            s"unparseable stats line '${other.mkString("\\t")}'")
+        }
+      }
+      .groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+      }
+    val fileLines = bodyLines.filterNot(_.startsWith("S\t"))
       .map(line => line.split('\t') match {
         case Array(b, rel) => (b.toInt, rel, false)
         case Array(b, "D", rel) => (b.toInt, rel, true)
@@ -363,7 +397,7 @@ object SnapshotUpsert {
       // FOLD delta layers (group-by columns and precedence); recorded
       // by every data commit since the revision, absent before it
       headers.get("keys").map(_.split(",", -1).toSeq),
-      headers.get("ordercol"))
+      headers.get("ordercol"), stats)
   }
 
   /** Create-exclusive write of a manifest file — THE commit point of
@@ -391,7 +425,9 @@ object SnapshotUpsert {
       props: Map[String, String] = Map.empty,
       deltas: Map[Int, Seq[String]] = Map.empty,
       mergeKeys: Option[Seq[String]] = None,
-      orderCol: Option[String] = None): Unit = {
+      orderCol: Option[String] = None,
+      stats: Map[String, Map[String, (String, String)]] = Map.empty)
+      : Unit = {
     // the merge contract is part of the COMMIT when deltas exist:
     // without recorded keys/ordercol no reader could fold the layers
     require(deltas.valuesIterator.forall(_.nonEmpty),
@@ -441,6 +477,19 @@ object SnapshotUpsert {
       } ++
       SortedMap.from(deltas).iterator.flatMap { case (b, fs0) =>
         fs0.map(f => s"$b\tD\t$f")
+      } ++ {
+        def b64(s: String): String = java.util.Base64.getEncoder
+          .encodeToString(s.getBytes("UTF-8"))
+        // only files this manifest still references may carry stats
+        val live = files.valuesIterator.flatten.toSet ++
+          deltas.valuesIterator.flatten
+        SortedMap.from(stats).iterator
+          .filter { case (rel, _) => live(rel) }
+          .flatMap { case (rel, cols) =>
+            SortedMap.from(cols).iterator.map { case (c, (mn, mx)) =>
+              s"S\t$rel\t$c\t${b64(mn)}\t${b64(mx)}"
+            }
+          }
       } ++ Iterator(Eof)).mkString("\n")
     commitLock.synchronized {
       if (fs.exists(target)) {
@@ -485,6 +534,148 @@ object SnapshotUpsert {
     // unbounded await is deliberate: the commit cannot proceed without
     // the listing, and the store's own RPC timeouts bound a stuck call
     Await.result(listed, Duration.Inf).toMap
+  }
+
+  /** Types whose CANONICAL STRING form we can compare correctly on the
+    * driver for range pruning: integrals parse to Long; booleans to
+    * Boolean; string/date/timestamp canonical forms order
+    * lexicographically (ISO date/time layouts; variable-length
+    * fraction digits still compare correctly digit-wise). Floats are
+    * deliberately excluded — their string round-trip ordering is not
+    * worth the risk of a false prune. Unsupported clustering columns
+    * still get SORTED files (type-generic); they just record no stats
+    * and never prune. */
+  private def statsComparable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+        DateType | TimestampType | BooleanType => true
+      case _ => false
+    }
+  }
+
+  private def statCompare(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        java.lang.Long.compare(a.toLong, b.toLong)
+      case BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+      case _ => a.compareTo(b)
+    }
+  }
+
+  /** Per-file min/max of the supported clustering columns over a
+    * just-staged version directory — ONE column-pruned re-read of the
+    * staged slice, grouped by file. Files whose column is all-NULL
+    * record nothing for it (and are therefore never pruned by it);
+    * rows with NULL in the column never match a range predicate, so
+    * min/max over the non-null values is exactly the prunable range. */
+  private def computeStats(spark: SparkSession, versionDir: Path,
+      cols: Seq[String], schema: org.apache.spark.sql.types.StructType)
+      : Map[String, Map[String, (String, String)]] = {
+    val usable = cols.filter(c => schema.fields.find(_.name == c)
+      .exists(f => statsComparable(f.dataType)))
+    if (usable.isEmpty) return Map.empty
+    val aggs = usable.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val marker = s"$BatchesDir/${versionDir.getName}/"
+    spark.read.schema(
+        org.apache.spark.sql.types.StructType(
+          schema.fields.filter(f => usable.contains(f.name))))
+      .parquet(versionDir.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+      .flatMap { r =>
+        val f = r.getString(0)
+        val i = f.indexOf(marker)
+        if (i < 0) None
+        else Some(f.substring(i) -> usable.flatMap { c =>
+          val mn = r.getAs[String](s"__mn_$c")
+          val mx = r.getAs[String](s"__mx_$c")
+          if (mn == null || mx == null) None else Some(c -> (mn, mx))
+        }.toMap)
+      }
+      .filter(_._2.nonEmpty).toMap
+  }
+
+  /** Range-pruning plan over the CURRENT manifest: (kept base files of
+    * UNLAYERED buckets, kept LAYERED bucket ids). Per-file pruning is
+    * sound only where each row lives in exactly one referenced file —
+    * unlayered buckets; a layered bucket is all-or-nothing, because
+    * dropping just its base could flip a fold (an out-of-range base
+    * row can out-rank an in-range layer row). A file with no recorded
+    * stats for the column is never pruned, so missing/legacy stats
+    * degrade to reading, not to wrong answers. */
+  private[streaming] def rangePlan(cur: Snapshot, column: String,
+      loS: String, hiS: String): (Seq[String], Seq[Int]) = {
+    val dt = cur.schema(column).dataType
+    def disjoint(rel: String): Boolean = cur.stats.get(rel)
+      .flatMap(_.get(column)).exists { case (mn, mx) =>
+        statCompare(dt, mx, loS) < 0 || statCompare(dt, mn, hiS) > 0
+      }
+    val allB = (cur.files.keySet ++ cur.deltas.keySet).toSeq.sorted
+    val plainKept = allB.filterNot(cur.deltas.contains)
+      .flatMap(b => cur.files.getOrElse(b, Seq.empty)).filterNot(disjoint)
+    val layeredKept = allB.filter(cur.deltas.contains).filter { b =>
+      !(cur.files.getOrElse(b, Seq.empty) ++ cur.deltas(b)).forall(disjoint)
+    }
+    (plainKept, layeredKept)
+  }
+
+  /** (kept file count, total file count) a [[readRange]] with these
+    * bounds would read — the pruning decision exposed for audits and
+    * specs, one manifest read, no data access. */
+  private[streaming] def rangeKept(spark: SparkSession, targetDir: String,
+      column: String, loS: String, hiS: String): (Int, Int) = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentSnapshot(fs, root).getOrElse(
+      sys.error(s"rangeKept: no committed version at $targetDir"))
+    val (plainKept, layeredKept) = rangePlan(cur, column, loS, hiS)
+    val kept = plainKept.size + layeredKept.map(b =>
+      cur.files.getOrElse(b, Seq.empty).size + cur.deltas(b).size).sum
+    (kept, cur.allRefs.size)
+  }
+
+  /** The current table restricted to `column BETWEEN lo AND hi`
+    * (inclusive), reading ONLY the files whose manifest-recorded
+    * min/max range can intersect — file-level data skipping from the
+    * manifest alone, no footer opened for a pruned file. Requires the
+    * table to have declared the column in [[ClusterColsProp]] for the
+    * stats to exist (reads stay CORRECT without them — every unstated
+    * file is kept, and the exact predicate is always applied after
+    * pruning). At 100 TB this is the difference between "scan the
+    * table for last week" and "open last week's files": commit-ordered
+    * data clusters naturally by time, so a time-ranged read touches
+    * the few files whose range overlaps. */
+  def readRange(spark: SparkSession, targetDir: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentSnapshot(fs, root).getOrElse(
+      sys.error(s"readRange: no committed version at $targetDir"))
+    require(cur.schema.fieldNames.contains(column),
+      s"readRange: no column '$column' in the table (names are exact)")
+    val dt = cur.schema(column).dataType
+    // canonicalize the bounds through the engine's own cast — the same
+    // path that produced the recorded stats strings
+    val b = spark.range(1).select(
+      lit(lo).cast(dt).cast("string").as("lo"),
+      lit(hi).cast(dt).cast("string").as("hi")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(1),
+      s"readRange: bounds ($lo, $hi) must cast non-null to ${dt.simpleString}")
+    val (plainKept, layeredKept) = rangePlan(cur, column, b.getString(0),
+      b.getString(1))
+    val plain = readImage(spark, cur.schema,
+      plainKept.map(rel => s"$root/$rel"))
+    val img =
+      if (layeredKept.isEmpty) plain
+      else plain.unionByName(
+        foldDeltas(spark, root, cur, layeredKept, cur.schema))
+    img.where(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt))
   }
 
   /** A fresh staging directory UNIQUE to this commit attempt
@@ -717,6 +908,12 @@ object SnapshotUpsert {
     val tsMs = math.max(nowMs, cur.map(_.commitTsMs).getOrElse(nowMs))
     val version = cur.map(_.version + 1).getOrElse(1L)
     val versionDir = newVersionDir(root, version)
+    val effProps = cur.map(_.props).getOrElse(Map.empty) ++ props
+    val cluster = effProps.get(ClusterColsProp)
+      .map(_.split(",", -1).toSeq).getOrElse(Seq.empty)
+    cluster.foreach(c => require(dataSchema.fieldNames.contains(c),
+      s"delta append: clustering column '$c' ($ClusterColsProp) is not a " +
+        "table column"))
     // the delta path runs ONE action (the staging write), so the batch
     // needs no pinning snapshot — a single evaluation by construction
     // (each retry attempt re-evaluates, and whichever attempt commits
@@ -733,11 +930,13 @@ object SnapshotUpsert {
       // in-batch winners ONLY (the existing rows are never read — that
       // is the whole point); tombstone winners are kept and STATED in
       // the layer for the read-time fold
-      UpsertSink.selectWinners(emptyExisting, withBucket, dataCols, keys,
-          orderCol, tombstoneCol, keepTombstones = true,
+      val layer = UpsertSink.selectWinners(emptyExisting, withBucket,
+          dataCols, keys, orderCol, tombstoneCol, keepTombstones = true,
           tombOut = DeltaTombCol)
         .withColumn(DeltaVCol, lit(version))
         .repartition(col("kb"))
+      (if (cluster.isEmpty) layer
+       else layer.sortWithinPartitions(("kb" +: cluster).map(col): _*))
         .write.partitionBy("kb").parquet(versionDir.toString)
     }
     val staged = stagedFiles(fs, versionDir)
@@ -747,11 +946,16 @@ object SnapshotUpsert {
     val newDeltas = staged.foldLeft(prevDeltas) { case (acc, (b, fs0)) =>
       acc.updated(b, acc.getOrElse(b, Seq.empty) ++ fs0)
     }
+    // layer files record ranges too: they can only WIDEN a bucket's
+    // effective range, and readRange's layered all-or-nothing check
+    // needs every file of the bucket to be provably disjoint
+    val stats = cur.map(_.stats).getOrElse(Map.empty) ++
+      (if (cluster.isEmpty) Map.empty
+       else computeStats(spark, versionDir, cluster, dataSchema))
     commitManifest(fs, root, version, nBuckets, dataSchema, carried, tsMs,
       Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
-      cur.map(_.depths).getOrElse(Map.empty),
-      cur.map(_.props).getOrElse(Map.empty) ++ props,
-      newDeltas, Some(keys), Some(orderCol))
+      cur.map(_.depths).getOrElse(Map.empty), effProps,
+      newDeltas, Some(keys), Some(orderCol), stats)
     gc(fs, root, version,
       carried.valuesIterator.flatten.toSet ++
         newDeltas.valuesIterator.flatten,
@@ -791,12 +995,15 @@ object SnapshotUpsert {
       if (sel.isEmpty) return Seq.empty
       val version = cur.version + 1
       val versionDir = newVersionDir(root, version)
-      readMergedImage(spark, root, cur, Some(sel))
+      val folded = readMergedImage(spark, root, cur, Some(sel))
         .withColumn("kb", UpsertSink.bucketOfLayout(
           cur.bucketCols.getOrElse(cur.mergeKeys.getOrElse(sys.error(
             s"compactDeltas: no recorded bucket columns at $targetDir"))),
           cur.nBuckets, cur.depths))
         .repartition(sel.length, col("kb"))
+      (if (cur.clusterCols.isEmpty) folded
+       else folded.sortWithinPartitions(
+         ("kb" +: cur.clusterCols).map(col): _*))
         .write.partitionBy("kb").parquet(versionDir.toString)
       // a compacted bucket whose every key was tombstoned by its
       // layers stages NO file and correctly vanishes from the manifest
@@ -804,10 +1011,13 @@ object SnapshotUpsert {
       val selSet = sel.toSet
       val manifest = cur.files.filterNot { case (b, _) => selSet(b) } ++ staged
       val deltas = cur.deltas.filterNot { case (b, _) => selSet(b) }
+      val stats = cur.stats ++
+        (if (cur.clusterCols.isEmpty) Map.empty
+         else computeStats(spark, versionDir, cur.clusterCols, cur.schema))
       try {
         commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
           math.max(nowMs, cur.commitTsMs), cur.bucketCols, commit,
-          cur.depths, cur.props, deltas, cur.mergeKeys, cur.orderCol)
+          cur.depths, cur.props, deltas, cur.mergeKeys, cur.orderCol, stats)
         gc(fs, root, version,
           manifest.valuesIterator.flatten.toSet ++
             deltas.valuesIterator.flatten,
@@ -891,17 +1101,23 @@ object SnapshotUpsert {
     // read under the recorded schema: files from before a schema
     // evolution lack the newer columns (null-filled here); pending
     // delta layers fold in, so the rewrite doubles as a full compaction
-    readMergedImage(spark, root, cur)
+    val rebucketed = readMergedImage(spark, root, cur)
       .withColumn("kb", UpsertSink.bucketOf(
         if (bucketCols.isEmpty) keys else bucketCols, newBuckets))
       .repartition(newBuckets min 4096, col("kb"))
+    (if (cur.clusterCols.isEmpty) rebucketed
+     else rebucketed.sortWithinPartitions(
+       ("kb" +: cur.clusterCols).map(col): _*))
       .write.partitionBy("kb").parquet(versionDir.toString)
     // nothing is carried: the new layout's manifest is exactly the
     // staged set, and the header flips the layout in the same commit
     val staged = stagedFiles(fs, versionDir)
     commitManifest(fs, root, version, newBuckets, cur.schema, staged, nowMs,
       Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
-      props = cur.props, mergeKeys = Some(keys), orderCol = cur.orderCol)
+      props = cur.props, mergeKeys = Some(keys), orderCol = cur.orderCol,
+      stats =
+        if (cur.clusterCols.isEmpty) Map.empty
+        else computeStats(spark, versionDir, cur.clusterCols, cur.schema))
     gc(fs, root, version, staged.valuesIterator.flatten.toSet, Some(cur),
       keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
@@ -958,16 +1174,22 @@ object SnapshotUpsert {
     // layers, folded — the split doubles as that bucket's compaction);
     // the new depth map routes its rows onto the two children (all
     // other rows are untouched and their buckets carried by reference)
-    readMergedImage(spark, root, cur, Some(Seq(bucket)))
+    val splitImg = readMergedImage(spark, root, cur, Some(Seq(bucket)))
       .withColumn("kb", UpsertSink.bucketOfLayout(bc, cur.nBuckets, newDepths))
       .repartition(2, col("kb"))
+    (if (cur.clusterCols.isEmpty) splitImg
+     else splitImg.sortWithinPartitions(
+       ("kb" +: cur.clusterCols).map(col): _*))
       .write.partitionBy("kb").parquet(versionDir.toString)
     val staged = stagedFiles(fs, versionDir)
     val manifest = (cur.files - bucket) ++ staged
     val deltas = cur.deltas - bucket
+    val stats = cur.stats ++
+      (if (cur.clusterCols.isEmpty) Map.empty
+       else computeStats(spark, versionDir, cur.clusterCols, cur.schema))
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
       nowMs, Some(bc), commit, newDepths, cur.props, deltas,
-      cur.mergeKeys, cur.orderCol)
+      cur.mergeKeys, cur.orderCol, stats)
     gc(fs, root, version,
       manifest.valuesIterator.flatten.toSet ++
         deltas.valuesIterator.flatten,
@@ -1134,12 +1356,24 @@ object SnapshotUpsert {
     val version = cur.map(_.version + 1).getOrElse(1L)
     val versionDir = newVersionDir(root, version)
 
+    // declared clustering (ClusterColsProp, effective THIS commit):
+    // staged files sort within each bucket — tight row-group stats for
+    // the scan's own pushdown — and record per-file ranges below
+    val effProps = cur.map(_.props).getOrElse(Map.empty) ++ props
+    val cluster = effProps.get(ClusterColsProp)
+      .map(_.split(",", -1).toSeq).getOrElse(Seq.empty)
+    cluster.foreach(c => require(dataSchema.fieldNames.contains(c),
+      s"upsert: clustering column '$c' ($ClusterColsProp) is not a " +
+        "table column"))
+
     // one clustered file per touched bucket, written to an immutable
     // fresh directory — no live path is read and overwritten, so no
     // lineage truncation is needed and the merge is evaluated ONCE
-    UpsertSink.selectWinners(existing, withBucket, dataCols, keys, orderCol,
-        tombstoneCol)
+    val winners = UpsertSink.selectWinners(existing, withBucket, dataCols,
+        keys, orderCol, tombstoneCol)
       .repartition(touched.length, col("kb"))
+    (if (cluster.isEmpty) winners
+     else winners.sortWithinPartitions(("kb" +: cluster).map(col): _*))
       .write.partitionBy("kb").parquet(versionDir.toString)
 
     // staged buckets from the job's committed output; the carry set
@@ -1165,10 +1399,12 @@ object SnapshotUpsert {
     // none keeps the table's existing ones, a commit that sets some
     // overrides those keys only — so a maintenance merge can never
     // silently drop another writer's committed cursor/metadata
+    val stats = cur.map(_.stats).getOrElse(Map.empty) ++
+      (if (cluster.isEmpty) Map.empty
+       else computeStats(spark, versionDir, cluster, dataSchema))
     commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
       Some(bucketCols), commit, cur.map(_.depths).getOrElse(Map.empty),
-      cur.map(_.props).getOrElse(Map.empty) ++ props,
-      carriedDeltas, Some(keys), Some(orderCol))
+      effProps, carriedDeltas, Some(keys), Some(orderCol), stats)
     gc(fs, root, version,
       manifest.valuesIterator.flatten.toSet ++
         carriedDeltas.valuesIterator.flatten,
@@ -1622,7 +1858,7 @@ object SnapshotUpsert {
     val version = cur.version + 1
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, cur.files,
       nowMs, cur.bucketCols, commit, cur.depths, cur.props ++ props,
-      cur.deltas, cur.mergeKeys, cur.orderCol)
+      cur.deltas, cur.mergeKeys, cur.orderCol, cur.stats)
     gc(fs, root, version, cur.allRefs.toSet, Some(cur), keepVersions,
       keepAgeMs, nowMs)
     version
