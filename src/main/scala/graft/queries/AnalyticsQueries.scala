@@ -450,6 +450,60 @@ object AnalyticsQueries {
              |WHERE img.ts >= b.lo AND img.ts <= b.hi""".stripMargin),
     ),
 
+    // SQL RELATION over the snapshot table (r11, SnapshotRelation):
+    // the same day-bucketed, ts-clustered table served through a
+    // manifest-backed FileIndex under Spark's own parquet scan — a
+    // PLAIN spark.sql WHERE clause (day equality + a residual modulo)
+    // gets bucket pruning and stats skipping automatically, with no
+    // bespoke read API in the query text. The probed day is computed
+    // first and interpolated as a LITERAL so the pushed conjunct is
+    // prunable (a scalar subquery would not be); the oracle recomputes
+    // the image and derives the same day. Pruning exactness is pinned
+    // by SnapshotRelationSpec via the executed scan's numFiles metric;
+    // this gate pins end-to-end RESULTS through the relation.
+    QueryDef(
+      "q_snapshot_sql",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        val img = ev
+          .groupBy(to_date(col("ts")).cast("string").as("day"),
+            col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("top"))
+          .select(col("day"), col("user_id"),
+            col("top.event_type").as("event_type"),
+            date_format(col("top.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-sqlrel-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(img, dir,
+          keys = Seq("day", "user_id"), orderCol = "", nBuckets = 32,
+          bucketCols = Seq("day"),
+          props = Map(graft.streaming.SnapshotUpsert.ClusterColsProp -> "ts"))
+        val probeDay = ev.agg(date_format(
+          min(col("ts")) + expr("INTERVAL 3 DAY"), "yyyy-MM-dd").as("d"))
+          .head.getString(0)
+        graft.streaming.SnapshotRelation.registerSqlView(
+          s, "snap_sql_rel", dir)
+        s.sql("SELECT day, user_id, event_type, ts FROM snap_sql_rel " +
+          s"WHERE day = '$probeDay' AND user_id % 5 = 2")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts
+             |  FROM e GROUP BY 1, 2),
+             |b AS (SELECT strftime(date_trunc('second', min(ts))
+             |    + INTERVAL 3 DAY, '%Y-%m-%d') AS d FROM events)
+             |SELECT img.day, img.user_id, img.event_type, img.ts
+             |FROM img, b
+             |WHERE img.day = b.d AND img.user_id % 5 = 2""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(

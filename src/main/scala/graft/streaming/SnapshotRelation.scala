@@ -1,0 +1,327 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.RelationShim
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The snapshot table as a FIRST-CLASS Spark SQL relation: a
+  * manifest-backed [[FileIndex]] handed to Spark's own parquet scan,
+  * so a plain `WHERE` clause — written in SQL or the DataFrame API,
+  * with no knowledge of the table layout — gets the same file-level
+  * skipping the bespoke [[SnapshotUpsert.readKeys]] /
+  * [[SnapshotUpsert.readRange]] APIs perform:
+  *
+  *   - **bucket pruning**: equality / IN predicates covering the
+  *     table's recorded bucket columns are hashed through the SAME
+  *     column expression the writer buckets by
+  *     ([[UpsertSink.bucketOfLayout]], split-layout aware), and only
+  *     the hit buckets' files are listed to the scan;
+  *   - **range pruning**: comparison predicates on the declared
+  *     clustering columns ([[SnapshotUpsert.ClusterColsProp]]) are
+  *     checked against the manifest's per-file min/max stats
+  *     (`S` lines) and provably-disjoint files never reach the scan —
+  *     no footer is opened for them.
+  *
+  * This is the lakehouse integration pattern (Delta Lake's
+  * `TahoeLogFileIndex`): the table format contributes ONLY the file
+  * listing decision, and everything downstream is stock Spark —
+  * vectorized parquet reads, row-group predicate pushdown UNDER the
+  * file skipping, column pruning, whole-stage codegen, AQE. Catalyst
+  * also sees an honest `sizeInBytes` from the index, so a
+  * small-after-pruning snapshot side of a join is broadcast like any
+  * other small relation.
+  *
+  * Pruning here is best-effort and CONSERVATIVE by construction: a
+  * predicate shape the extractor does not recognize, a bucket-key
+  * cross product past [[SnapshotFileIndex.MaxEnumeratedKeys]], or a
+  * file with no recorded stats all degrade to READING, never to a
+  * wrong answer — Spark re-applies every predicate on the rows the
+  * scan returns, so skipping is purely a performance decision. At
+  * 100 TB that asymmetry is the point: the worst case is the scan you
+  * would have done anyway; the common case (point lookup on the key,
+  * time-range on the clustering column) opens a handful of files
+  * chosen from one manifest read.
+  *
+  * The relation maps a version's BASE files directly, so it refuses a
+  * version carrying merge-on-read delta layers (a file-level listing
+  * cannot fold row versions) — `compact` the table first, or read
+  * through [[SnapshotUpsert.readSnapshot]], which folds. Like every
+  * reader here it pins ONE committed manifest: concurrent commits
+  * never tear the view, and a pinned version stays readable until
+  * retention drops it.
+  */
+object SnapshotRelation {
+
+  /** The table (current version, or `version` for time travel) as a
+    * SQL-ready DataFrame relation with manifest-driven file skipping.
+    * The version is pinned at call time — re-call to see later
+    * commits. */
+  def readSql(spark: SparkSession, targetDir: String,
+      version: Option[Long] = None): DataFrame = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = version match {
+      case Some(v) => SnapshotUpsert.readManifest(fs, root, v)
+      case None => SnapshotUpsert.currentSnapshot(fs, root).getOrElse(
+        sys.error(s"snapshot relation: no committed version at $targetDir"))
+    }
+    require(snap.deltas.isEmpty,
+      s"snapshot relation: version ${snap.version} at $targetDir carries " +
+        "merge-on-read delta layers, which a file-level relation cannot " +
+        "fold — compact(...) the table first, or read through " +
+        "readSnapshot/readVersion (they fold layers transparently)")
+    val index = new SnapshotFileIndex(spark, root, snap)
+    RelationShim.parquetRelation(spark, index, snap.schema)
+  }
+
+  /** Register the table under `name` for `spark.sql` queries; returns
+    * the underlying relation. Same version-pinning contract as
+    * [[readSql]]. */
+  def registerSqlView(spark: SparkSession, name: String, targetDir: String,
+      version: Option[Long] = None): DataFrame = {
+    val df = readSql(spark, targetDir, version)
+    df.createOrReplaceTempView(name)
+    df
+  }
+}
+
+/** Manifest-backed file index over one committed snapshot version.
+  * All listing decisions come from the manifest (file set, bucket
+  * layout + split depths, clustering stats); storage is touched once,
+  * to stat the referenced batch directories in parallel — bounded by
+  * the referenced-directory count, never a table walk. */
+final class SnapshotFileIndex private[streaming] (
+    spark: SparkSession, root: Path, snap: SnapshotUpsert.Snapshot)
+  extends FileIndex {
+
+  import SnapshotFileIndex.MaxEnumeratedKeys
+
+  /** (bucket, relative path) of every base file the version references. */
+  private val relsByBucket: Seq[(Int, String)] =
+    snap.files.toSeq.sortBy(_._1).flatMap { case (b, fs0) => fs0.map(b -> _) }
+
+  override def rootPaths: Seq[Path] = Seq(root)
+  override def partitionSchema: StructType = new StructType()
+  /** A committed manifest is immutable — there is nothing to refresh.
+    * (A NEW readSql call pins the then-current version.) */
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] =
+    relsByBucket.map { case (_, rel) => new Path(root, rel).toString }.toArray
+
+  /** One parallel stat pass over the referenced files' parent
+    * directories (same fan-out rationale as the commit path's staged
+    * listing: thousands of serial round-trips would otherwise sit on
+    * the driver's planning path). Missing files mean retention GC'd a
+    * version a reader still holds — fail loudly, like readVersion
+    * would. */
+  private lazy val statusByRel: Map[String, FileStatus] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rels = relsByBucket.map(_._2)
+    val byParent = rels.groupBy(rel => rel.substring(0, rel.lastIndexOf('/')))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = byParent.toSeq.map { case (parent, rs) =>
+      Future {
+        val wanted = rs.toSet
+        fs.listStatus(new Path(root, parent)).iterator
+          .map(st => s"$parent/${st.getPath.getName}" -> st)
+          .filter { case (rel, _) => wanted(rel) }
+          .toSeq
+      }
+    }
+    val got = Await.result(Future.sequence(futs), Duration.Inf).flatten.toMap
+    val missing = rels.filterNot(got.contains)
+    require(missing.isEmpty,
+      s"snapshot relation at $root: version ${snap.version} references " +
+        s"files no longer on storage (retention dropped the version? " +
+        s"first: ${missing.take(3).mkString(", ")})")
+    got
+  }
+
+  override lazy val sizeInBytes: Long = statusByRel.valuesIterator.map(_.getLen).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = keptRels(dataFilters)
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(statusByRel).toArray))
+  }
+
+  /** The file-skipping decision, exposed for specs and audits: which
+    * relative paths survive the given pushed-down conjuncts. */
+  private[streaming] def keptRels(dataFilters: Seq[Expression]): Seq[String] = {
+    val afterBucket: Seq[(Int, String)] = bucketCandidates(dataFilters) match {
+      case Some(keep) => relsByBucket.filter { case (b, _) => keep(b) }
+      case None => relsByBucket
+    }
+    val bounds = rangeBounds(dataFilters)
+    if (bounds.isEmpty) afterBucket.map(_._2)
+    else afterBucket.map(_._2).filterNot { rel =>
+      bounds.exists { case (c, dt, los, his) =>
+        snap.stats.get(rel).flatMap(_.get(c)).exists { case (mn, mx) =>
+          los.exists(lo => SnapshotUpsert.statCompare(dt, mx, lo) < 0) ||
+            his.exists(hi => SnapshotUpsert.statCompare(dt, mn, hi) > 0)
+        }
+      }
+    }
+  }
+
+  /** Bucket ids the pushed equality predicates can possibly hit, or
+    * None when the filters don't pin every bucket column to a small
+    * finite candidate set. The ids come from evaluating the WRITER'S
+    * bucket expression over the candidate tuples (one driver-local
+    * job) — consistent with the written layout by construction,
+    * including split depths, exactly like readKeys routes probes. */
+  private def bucketCandidates(filters: Seq[Expression]): Option[Set[Int]] =
+    snap.bucketCols.flatMap { bc =>
+      if (!bc.forall(snap.schema.fieldNames.contains)) return None
+      val perCol = bc.map(c => equalityCandidates(c, filters))
+      if (perCol.exists(_.isEmpty)) None
+      else {
+        val lists: Seq[Seq[Any]] = perCol.map(_.get.toSeq)
+        if (lists.exists(_.isEmpty)) Some(Set.empty)
+        else {
+          val count = lists.foldLeft(1L)((n, l) => n * l.size)
+          if (count > MaxEnumeratedKeys) None
+          else {
+            val tuples = lists.foldLeft(Seq(Seq.empty[Any])) { (acc, l) =>
+              for { t <- acc; v <- l } yield t :+ v
+            }
+            Some(bucketsFor(bc, tuples))
+          }
+        }
+      }
+    }
+
+  /** Candidate values for `c` implied by the conjuncts: None =
+    * unconstrained, Some(set) = rows matching ALL conjuncts can only
+    * carry these values (an empty set = provably no row matches).
+    * Only literals of the column's exact recorded type count — the
+    * bucket hash is type-sensitive, and Catalyst wraps cross-type
+    * comparisons in casts we deliberately don't see through. */
+  private def equalityCandidates(c: String,
+      filters: Seq[Expression]): Option[Set[Any]] = {
+    val dt = snap.schema(c).dataType
+    val conv = CatalystTypeConverters.createToScalaConverter(dt)
+    def attrIs(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == c
+      case _ => false
+    }
+    def typedLit(e: Expression): Option[Literal] = e match {
+      case l: Literal
+        if DataType.equalsStructurally(l.dataType, dt,
+          ignoreNullability = true) => Some(l)
+      case _ => None
+    }
+    var out: Option[Set[Any]] = None
+    def and(s: Set[Any]): Unit = out = Some(out.fold(s)(_ intersect s))
+    filters.foreach {
+      case EqualTo(a, r) if attrIs(a) => typedLit(r).foreach { l =>
+        // `= NULL` matches nothing: the empty candidate set is exact
+        and(if (l.value == null) Set.empty else Set(conv(l.value)))
+      }
+      case EqualTo(r, a) if attrIs(a) => typedLit(r).foreach { l =>
+        and(if (l.value == null) Set.empty else Set(conv(l.value)))
+      }
+      // null-safe equality DOES match a null key (a real key to the
+      // bucket hash, same as the merge groups it)
+      case EqualNullSafe(a, r) if attrIs(a) =>
+        typedLit(r).foreach(l => and(Set(conv(l.value))))
+      case EqualNullSafe(r, a) if attrIs(a) =>
+        typedLit(r).foreach(l => and(Set(conv(l.value))))
+      case In(a, vs) if attrIs(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        val ls = vs.map(_.asInstanceOf[Literal])
+        if (ls.forall(l => DataType.equalsStructurally(l.dataType, dt,
+          ignoreNullability = true)))
+          // IN's null element matches nothing (SQL three-valued logic)
+          and(ls.iterator.filter(_.value != null).map(l => conv(l.value)).toSet)
+      case InSet(a: Attribute, vs) if a.name == c =>
+        and(vs.iterator.filter(_ != null).map(conv).toSet)
+      case _ =>
+    }
+    out
+  }
+
+  private def bucketsFor(bc: Seq[String], tuples: Seq[Seq[Any]]): Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(bc.map(c => snap.schema(c).copy(nullable = true)))
+    val rows: java.util.List[Row] = tuples.map(Row.fromSeq).asJava
+    spark.createDataFrame(rows, schema)
+      .select(UpsertSink.bucketOfLayout(bc, snap.nBuckets, snap.depths)
+        .as("kb"))
+      .collect().map(_.getInt(0)).toSet
+  }
+
+  /** Per clustering column: every lower and upper bound the conjuncts
+    * state, canonicalized to the stats' string form through the SAME
+    * cast path that produced them (readRange's rule). Strict bounds
+    * are treated as inclusive — conservative, never wrong. */
+  private def rangeBounds(filters: Seq[Expression])
+      : Seq[(String, DataType, Seq[String], Seq[String])] = {
+    val cols = snap.clusterCols.filter(c =>
+      snap.schema.fieldNames.contains(c) &&
+        SnapshotUpsert.statsComparable(snap.schema(c).dataType))
+    if (cols.isEmpty) return Seq.empty
+    val raw: Seq[(String, DataType, Seq[Any], Seq[Any])] = cols.map { c =>
+      val dt = snap.schema(c).dataType
+      def attrIs(e: Expression): Boolean = e match {
+        case a: Attribute => a.name == c
+        case _ => false
+      }
+      def v(e: Expression): Option[Any] = e match {
+        case l: Literal if l.value != null &&
+          DataType.equalsStructurally(l.dataType, dt,
+            ignoreNullability = true) => Some(l.value)
+        case _ => None
+      }
+      val los = Seq.newBuilder[Any]
+      val his = Seq.newBuilder[Any]
+      filters.foreach {
+        case GreaterThan(a, r) if attrIs(a) => v(r).foreach(los += _)
+        case GreaterThanOrEqual(a, r) if attrIs(a) => v(r).foreach(los += _)
+        case LessThan(a, r) if attrIs(a) => v(r).foreach(his += _)
+        case LessThanOrEqual(a, r) if attrIs(a) => v(r).foreach(his += _)
+        case GreaterThan(r, a) if attrIs(a) => v(r).foreach(his += _)
+        case GreaterThanOrEqual(r, a) if attrIs(a) => v(r).foreach(his += _)
+        case LessThan(r, a) if attrIs(a) => v(r).foreach(los += _)
+        case LessThanOrEqual(r, a) if attrIs(a) => v(r).foreach(los += _)
+        case EqualTo(a, r) if attrIs(a) =>
+          v(r).foreach { x => los += x; his += x }
+        case EqualTo(r, a) if attrIs(a) =>
+          v(r).foreach { x => los += x; his += x }
+        case _ =>
+      }
+      (c, dt, los.result(), his.result())
+    }
+    val constrained = raw.filter(r => r._3.nonEmpty || r._4.nonEmpty)
+    if (constrained.isEmpty) return Seq.empty
+    // canonicalize every bound in ONE tiny local job (mirrors
+    // readRange: lit(v).cast(dt).cast("string") is the exact path the
+    // recorded stats took)
+    val exprs = constrained.flatMap { case (_, dt, los, his) =>
+      val conv = CatalystTypeConverters.createToScalaConverter(dt)
+      (los ++ his).map(x => lit(conv(x)).cast(dt).cast("string"))
+    }
+    val row = spark.range(1)
+      .select(exprs.zipWithIndex.map { case (e, i) => e.as(s"b$i") }: _*)
+      .head()
+    var i = -1
+    def next(): Option[String] = { i += 1; Option(row.getString(i)) }
+    constrained.map { case (c, dt, los, his) =>
+      (c, dt, los.flatMap(_ => next()), his.flatMap(_ => next()))
+    }
+  }
+}
+
+object SnapshotFileIndex {
+  /** Cap on the bucket-key tuples enumerated from IN-lists: past this
+    * the equality set no longer looks like a point lookup and pruning
+    * is declined (reading everything is correct; hashing thousands of
+    * candidates buys little once most buckets are hit anyway). */
+  val MaxEnumeratedKeys = 1024
+}

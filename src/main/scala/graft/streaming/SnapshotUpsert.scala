@@ -317,7 +317,7 @@ object SnapshotUpsert {
     } finally in.close()
   }
 
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Snapshot =
+  private[streaming] def readManifest(fs: FileSystem, root: Path, v: Long): Snapshot =
     readManifestAt(fs, root, manifestPath(root, v), v)
 
   private def readManifestAt(fs: FileSystem, root: Path, path: Path,
@@ -545,7 +545,7 @@ object SnapshotUpsert {
     * worth the risk of a false prune. Unsupported clustering columns
     * still get SORTED files (type-generic); they just record no stats
     * and never prune. */
-  private def statsComparable(
+  private[streaming] def statsComparable(
       dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
@@ -555,7 +555,7 @@ object SnapshotUpsert {
     }
   }
 
-  private def statCompare(dt: org.apache.spark.sql.types.DataType,
+  private[streaming] def statCompare(dt: org.apache.spark.sql.types.DataType,
       a: String, b: String): Int = {
     import org.apache.spark.sql.types._
     dt match {
@@ -696,7 +696,7 @@ object SnapshotUpsert {
   /** Newest committed snapshot with ONE manifest read in the steady
     * state (going through committedVersions would parse the newest
     * manifest for the torn check, discard it, and re-read it). */
-  private def currentSnapshot(fs: FileSystem, root: Path): Option[Snapshot] = {
+  private[streaming] def currentSnapshot(fs: FileSystem, root: Path): Option[Snapshot] = {
     val all = listVersions(fs, root)
     all.lastOption.flatMap { last =>
       try Some(readManifest(fs, root, last))

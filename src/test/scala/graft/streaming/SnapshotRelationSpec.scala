@@ -1,0 +1,260 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The snapshot table as a plain Spark SQL relation
+  * ([[SnapshotRelation]]): a manifest-backed FileIndex under Spark's
+  * own parquet scan. Every test asserts BOTH directions: results are
+  * identical to the reference reader (readSnapshot/readVersion — file
+  * skipping is a performance decision, never a semantic one), and the
+  * skipping actually happened (the executed scan's own `numFiles`
+  * metric, or the index's kept-file decision directly). */
+class SnapshotRelationSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-rel").toString
+
+  private def df(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("id", "status", "v")
+  }
+
+  private def asSet(d: DataFrame): Set[(Long, String, Long)] =
+    d.select("id", "status", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  /** numFiles the executed scan reports — the end-to-end pruning pin. */
+  private def scannedFiles(d: DataFrame): Long = {
+    d.collect()
+    val plan = d.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  private def index(dir: String): SnapshotFileIndex = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new SnapshotFileIndex(spark, root,
+      SnapshotUpsert.currentSnapshot(fs, root).get)
+  }
+
+  private def totalFiles(dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotUpsert.currentSnapshot(fs, root).get.allRefs.size
+  }
+
+  /** id -> bucket under the CURRENT layout, via the writer's expression. */
+  private def bucketsOf(dir: String, ids: Seq[Long]): Set[Int] = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = SnapshotUpsert.currentSnapshot(fs, root).get
+    ids.toDF("id").select(
+      UpsertSink.bucketOfLayout(Seq("id"), cur.nBuckets, cur.depths).as("kb"))
+      .collect().map(_.getInt(0)).toSet
+  }
+
+  private def filesOfBuckets(dir: String, kbs: Set[Int]): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = SnapshotUpsert.currentSnapshot(fs, root).get
+    kbs.toSeq.map(b => cur.files.getOrElse(b, Seq.empty).size).sum
+  }
+
+  private def seed(dir: String, n: Int = 8): Unit = {
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L until 64L).map(i => (i, s"s$i", 1L)): _*), dir, Seq("id"),
+      "v", nBuckets = n, keepVersions = 10)
+    // second commit exercises the merge (winners by v) and leaves some
+    // buckets multi-file across staging dirs
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L until 64L by 2L).map(i => (i, s"u$i", 2L)): _*), dir,
+      Seq("id"), "v", nBuckets = n, keepVersions = 10)
+  }
+
+  test("the relation serves the merged image, registers for SQL, and " +
+      "matches the reference reader exactly") {
+    val dir = tmp()
+    seed(dir)
+    val rel = SnapshotRelation.readSql(spark, dir)
+    assert(asSet(rel) == asSet(SnapshotUpsert.readSnapshot(spark, dir)))
+    SnapshotRelation.registerSqlView(spark, "snap_rel_v", dir)
+    val got = spark.sql(
+      "SELECT status FROM snap_rel_v WHERE id = 6").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("u6"))
+  }
+
+  test("a key-equality predicate reads ONLY the probed bucket's files " +
+      "(executed scan metric), and an IN list reads the union") {
+    val dir = tmp()
+    seed(dir)
+    SnapshotRelation.registerSqlView(spark, "snap_rel_pt", dir)
+    val total = totalFiles(dir)
+
+    val one = spark.sql("SELECT * FROM snap_rel_pt WHERE id = 5")
+    val expectOne = filesOfBuckets(dir, bucketsOf(dir, Seq(5L)))
+    assert(scannedFiles(one) == expectOne && expectOne < total,
+      s"expected $expectOne of $total files")
+    assert(asSet(one) == Set((5L, "s5", 1L)))
+
+    val in = spark.sql("SELECT * FROM snap_rel_pt WHERE id IN (3, 9, 12)")
+    val expectIn = filesOfBuckets(dir, bucketsOf(dir, Seq(3L, 9L, 12L)))
+    assert(scannedFiles(in) == expectIn && expectIn < total)
+    assert(asSet(in) == Set((3L, "s3", 1L), (9L, "s9", 1L), (12L, "u12", 2L)))
+
+    // unconstrained key: everything is read
+    assert(scannedFiles(
+      spark.sql("SELECT * FROM snap_rel_pt WHERE status = 's5'")) == total)
+
+    // contradictory equalities: provably empty, zero files
+    val none = spark.sql("SELECT * FROM snap_rel_pt WHERE id = 3 AND id = 9")
+    assert(none.collect().isEmpty)
+  }
+
+  test("pruning is conservative: unsupported shapes read everything and " +
+      "stay correct; an absent key returns nothing") {
+    val dir = tmp()
+    seed(dir)
+    val rel = SnapshotRelation.readSql(spark, dir)
+    // modulo predicate: no pruning, right answer
+    val m = rel.where(col("id") % 16L === 1L)
+    assert(scannedFiles(m) == totalFiles(dir))
+    assert(asSet(m) == Set((1L, "s1", 1L), (17L, "s17", 1L),
+      (33L, "s33", 1L), (49L, "s49", 1L)))
+    // absent key: pruned to its (existing) bucket, empty result
+    assert(SnapshotRelation.readSql(spark, dir)
+      .where(col("id") === 1000000L).collect().isEmpty)
+  }
+
+  test("comparison predicates on the declared clustering column skip " +
+      "files by the manifest stats — same decision as readRange") {
+    import spark.implicits._
+    val dir = tmp()
+    // the deployment shape for time-ranged serving (RangeStatsSpec):
+    // (day, id) keys bucketed by the day prefix, clustered by v, so
+    // each day-bucket's file records a narrow v range
+    val rows = for (day <- 0L until 10L; i <- 0L until 10L)
+      yield (day, day * 10L + i, s"d$day", day * 10L + i)
+    SnapshotUpsert.upsertBatchSnapshot(
+      rows.toDF("day", "id", "status", "v"), dir, Seq("day", "id"), "",
+      nBuckets = 16, bucketCols = Seq("day"), keepVersions = 10,
+      props = Map(SnapshotUpsert.ClusterColsProp -> "v"))
+    SnapshotRelation.registerSqlView(spark, "snap_rel_rng", dir)
+
+    val q = spark.sql(
+      "SELECT * FROM snap_rel_rng WHERE v >= 25 AND v <= 34")
+    val (kept, total) = SnapshotUpsert.rangeKept(spark, dir, "v", "25", "34")
+    assert(kept < total, s"test shape must actually prune: $kept/$total")
+    assert(scannedFiles(q) == kept)
+    assert(q.collect().map(_.getLong(3)).sorted.toSeq == (25L to 34L))
+
+    // combined bucket + range pruning: the intersection decides
+    val both = spark.sql(
+      "SELECT * FROM snap_rel_rng WHERE day = 3 AND v >= 30 AND v <= 39")
+    assert(scannedFiles(both) <= math.min(kept.toLong,
+      filesOfBuckets(dir, {
+        val root = new Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cur = SnapshotUpsert.currentSnapshot(fs, root).get
+        Seq(3L).toDF("day").select(UpsertSink.bucketOfLayout(
+          Seq("day"), cur.nBuckets, cur.depths).as("kb"))
+          .collect().map(_.getInt(0)).toSet
+      }).toLong))
+    assert(both.count() == 10)
+    // one-sided bound still prunes
+    val oneSided = spark.sql("SELECT * FROM snap_rel_rng WHERE v > 84")
+    assert(scannedFiles(oneSided) < total)
+    assert(oneSided.count() == 15)
+  }
+
+  test("a split (mixed-depth) layout routes equality probes through the " +
+      "recorded depth map") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L until 64L).map(i => (i, s"s$i", 1L)): _*), dir, Seq("id"),
+      "v", nBuckets = 4, keepVersions = 10)
+    SnapshotUpsert.splitBucket(spark, dir, 0, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(
+      df((0L until 64L by 2L).map(i => (i, s"u$i", 2L)): _*), dir,
+      Seq("id"), "v", nBuckets = 4, keepVersions = 10)
+    SnapshotRelation.registerSqlView(spark, "snap_rel_split", dir)
+    val full = asSet(SnapshotUpsert.readSnapshot(spark, dir))
+    for (k <- Seq(0L, 7L, 13L, 40L)) {
+      val q = spark.sql(s"SELECT * FROM snap_rel_split WHERE id = $k")
+      assert(asSet(q) == full.filter(_._1 == k), s"key $k")
+      assert(scannedFiles(q) == filesOfBuckets(dir, bucketsOf(dir, Seq(k))),
+        s"key $k routed wrong")
+    }
+  }
+
+  test("merge-on-read delta layers are refused with a pointer to " +
+      "compact; compaction makes the relation servable again") {
+    val dir = tmp()
+    seed(dir)
+    SnapshotUpsert.appendDeltaSnapshot(
+      df((0L until 8L).map(i => (i, s"d$i", 3L)): _*), dir, Seq("id"),
+      "v", nBuckets = 8, keepVersions = 10)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotRelation.readSql(spark, dir)
+    }
+    assert(e.getMessage.contains("delta layers") &&
+      e.getMessage.contains("compact"))
+    SnapshotUpsert.compactDeltas(spark, dir, keepVersions = 10)
+    assert(asSet(SnapshotRelation.readSql(spark, dir)) ==
+      asSet(SnapshotUpsert.readSnapshot(spark, dir)))
+  }
+
+  test("time travel: a version-pinned relation serves that version and " +
+      "ignores later commits; schema evolution null-fills old files") {
+    val dir = tmp()
+    seed(dir) // versions 1 and 2
+    val v1 = SnapshotRelation.readSql(spark, dir, version = Some(1L))
+    assert(asSet(v1) == asSet(SnapshotUpsert.readVersion(spark, dir, 1L)))
+    assert(asSet(v1).forall(_._3 == 1L)) // pre-merge image
+
+    // additive evolution: later commit carries an extra column
+    import spark.implicits._
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((1L, "w1", 5L, "extra")).toDF("id", "status", "v", "note"),
+      dir, Seq("id"), "v", nBuckets = 8, keepVersions = 10)
+    val evolved = SnapshotRelation.readSql(spark, dir)
+    assert(evolved.schema.fieldNames.toSeq ==
+      Seq("id", "status", "v", "note"))
+    val notes = evolved.select("id", "note").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(notes(1L).contains("extra"))
+    assert(notes(2L).isEmpty, "pre-evolution rows must null-fill")
+    // and the evolved relation still answers SQL with pruning intact
+    SnapshotRelation.registerSqlView(spark, "snap_rel_evo", dir)
+    assert(spark.sql("SELECT note FROM snap_rel_evo WHERE id = 1")
+      .collect().map(_.getString(0)).toSeq == Seq("extra"))
+  }
+
+  test("the index reports an honest sizeInBytes and its kept-file " +
+      "decision is exact for direct probes") {
+    val dir = tmp()
+    seed(dir)
+    val idx = index(dir)
+    assert(idx.sizeInBytes > 0)
+    val rel = SnapshotRelation.readSql(spark, dir)
+    val attr = org.apache.spark.sql.GraftSqlBridge.expression(rel("id"))
+    val eq5 = org.apache.spark.sql.catalyst.expressions.EqualTo(
+      attr, org.apache.spark.sql.catalyst.expressions.Literal(5L))
+    val kept = idx.keptRels(Seq(eq5))
+    assert(kept.size == filesOfBuckets(dir, bucketsOf(dir, Seq(5L))))
+    // no filters: everything
+    assert(idx.keptRels(Seq.empty).size == totalFiles(dir))
+  }
+}
