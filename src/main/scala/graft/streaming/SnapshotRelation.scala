@@ -47,13 +47,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * time-range on the clustering column) opens a handful of files
   * chosen from one manifest read.
   *
-  * The relation maps a version's BASE files directly, so it refuses a
-  * version carrying merge-on-read delta layers (a file-level listing
-  * cannot fold row versions) — `compact` the table first, or read
-  * through [[SnapshotUpsert.readSnapshot]], which folds. Like every
-  * reader here it pins ONE committed manifest: concurrent commits
-  * never tear the view, and a pinned version stays readable until
-  * retention drops it.
+  * Merge-on-read delta layers compose transparently: buckets without
+  * layers are served through the pruned file-level relation, and
+  * layered buckets — a slice the compaction policy bounds — fold
+  * through the layer's exact replay ([[SnapshotUpsert]] foldDeltas)
+  * and union in. Predicates still push into BOTH branches (Catalyst
+  * moves filters through the union); only the file-skipping decision
+  * is limited to the relation side, mirroring `readRange`'s
+  * all-or-nothing rule for layered buckets. A fully-compacted table is
+  * one clean scan. Like every reader here the relation pins ONE
+  * committed manifest: concurrent commits never tear the view, and a
+  * pinned version stays readable until retention drops it.
   */
 object SnapshotRelation {
 
@@ -70,13 +74,18 @@ object SnapshotRelation {
       case None => SnapshotUpsert.currentSnapshot(fs, root).getOrElse(
         sys.error(s"snapshot relation: no committed version at $targetDir"))
     }
-    require(snap.deltas.isEmpty,
-      s"snapshot relation: version ${snap.version} at $targetDir carries " +
-        "merge-on-read delta layers, which a file-level relation cannot " +
-        "fold — compact(...) the table first, or read through " +
-        "readSnapshot/readVersion (they fold layers transparently)")
-    val index = new SnapshotFileIndex(spark, root, snap)
-    RelationShim.parquetRelation(spark, index, snap.schema)
+    // layered buckets cannot be served file-level (a listing cannot
+    // fold row versions): exclude them from the relation and union
+    // their exact fold back in — same composition readMergedImage uses
+    val layered = snap.deltas.keySet
+    val baseSnap =
+      if (layered.isEmpty) snap
+      else snap.copy(files = snap.files.filterNot { case (b, _) => layered(b) })
+    val index = new SnapshotFileIndex(spark, root, baseSnap)
+    val relDf = RelationShim.parquetRelation(spark, index, snap.schema)
+    if (layered.isEmpty) relDf
+    else relDf.unionByName(SnapshotUpsert.foldDeltas(
+      spark, root, snap, layered.toSeq.sorted, snap.schema))
   }
 
   /** Register the table under `name` for `spark.sql` queries; returns
@@ -113,15 +122,27 @@ final class SnapshotFileIndex private[streaming] (
   override def inputFiles: Array[String] =
     relsByBucket.map { case (_, rel) => new Path(root, rel).toString }.toArray
 
-  /** One parallel stat pass over the referenced files' parent
+  /** File statuses for planning. Current-format manifests record every
+    * referenced file's byte length (`L` lines), so planning touches
+    * storage ZERO times — statuses are synthesized from the manifest
+    * (the mod-time is the version's commit stamp; parquet reads use
+    * only path + length). Files a legacy manifest lists without a
+    * length fall back to one parallel stat pass over their parent
     * directories (same fan-out rationale as the commit path's staged
-    * listing: thousands of serial round-trips would otherwise sit on
-    * the driver's planning path). Missing files mean retention GC'd a
-    * version a reader still holds — fail loudly, like readVersion
-    * would. */
+    * listing). Missing files mean retention GC'd a version a reader
+    * still holds — fail loudly, like readVersion would. */
   private lazy val statusByRel: Map[String, FileStatus] = {
+    val all = relsByBucket.map(_._2)
+    val (have, missing) = all.partition(snap.lens.contains)
+    val synth = have.iterator.map { rel =>
+      rel -> new FileStatus(snap.lens(rel), false, 1, 128L << 20,
+        snap.commitTsMs, new Path(root, rel))
+    }.toMap
+    if (missing.isEmpty) synth else synth ++ listRels(missing)
+  }
+
+  private def listRels(rels: Seq[String]): Map[String, FileStatus] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rels = relsByBucket.map(_._2)
     val byParent = rels.groupBy(rel => rel.substring(0, rel.lastIndexOf('/')))
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -136,11 +157,11 @@ final class SnapshotFileIndex private[streaming] (
       }
     }
     val got = Await.result(Future.sequence(futs), Duration.Inf).flatten.toMap
-    val missing = rels.filterNot(got.contains)
-    require(missing.isEmpty,
+    val absent = rels.filterNot(got.contains)
+    require(absent.isEmpty,
       s"snapshot relation at $root: version ${snap.version} references " +
         s"files no longer on storage (retention dropped the version? " +
-        s"first: ${missing.take(3).mkString(", ")})")
+        s"first: ${absent.take(3).mkString(", ")})")
     got
   }
 

@@ -253,7 +253,8 @@ object SnapshotUpsert {
       deltas: Map[Int, Seq[String]] = Map.empty,
       mergeKeys: Option[Seq[String]] = None,
       orderCol: Option[String] = None,
-      stats: Map[String, Map[String, (String, String)]] = Map.empty) {
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      lens: Map[String, Long] = Map.empty) {
     /** Every data file this version references (base + delta) — the
       * reference set GC and vacuum must protect. */
     def allRefs: Iterator[String] =
@@ -360,7 +361,20 @@ object SnapshotUpsert {
       .groupBy(_._1).map { case (rel, rows) =>
         rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
       }
-    val fileLines = bodyLines.filterNot(_.startsWith("S\t"))
+    // `L` lines (r11 file lengths): `L\t<rel>\t<bytes>` — the staged
+    // listing's sizes travel in the manifest, so a reader can plan
+    // splits (the SQL relation's FileIndex) without ANY storage round
+    // trip; absent on legacy manifests (readers fall back to listing)
+    val lens: Map[String, Long] = bodyLines
+      .collect { case l if l.startsWith("L\t") =>
+        l.split('\t') match {
+          case Array(_, rel, n) => rel -> n.toLong
+          case other => sys.error(s"malformed manifest v$v at $root: " +
+            s"unparseable length line '${other.mkString("\\t")}'")
+        }
+      }.toMap
+    val fileLines = bodyLines
+      .filterNot(l => l.startsWith("S\t") || l.startsWith("L\t"))
       .map(line => line.split('\t') match {
         case Array(b, rel) => (b.toInt, rel, false)
         case Array(b, "D", rel) => (b.toInt, rel, true)
@@ -397,7 +411,7 @@ object SnapshotUpsert {
       // FOLD delta layers (group-by columns and precedence); recorded
       // by every data commit since the revision, absent before it
       headers.get("keys").map(_.split(",", -1).toSeq),
-      headers.get("ordercol"), stats)
+      headers.get("ordercol"), stats, lens)
   }
 
   /** Create-exclusive write of a manifest file — THE commit point of
@@ -426,7 +440,8 @@ object SnapshotUpsert {
       deltas: Map[Int, Seq[String]] = Map.empty,
       mergeKeys: Option[Seq[String]] = None,
       orderCol: Option[String] = None,
-      stats: Map[String, Map[String, (String, String)]] = Map.empty)
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      lens: Map[String, Long] = Map.empty)
       : Unit = {
     // the merge contract is part of the COMMIT when deltas exist:
     // without recorded keys/ordercol no reader could fold the layers
@@ -490,6 +505,13 @@ object SnapshotUpsert {
               s"S\t$rel\t$c\t${b64(mn)}\t${b64(mx)}"
             }
           }
+      } ++ {
+        // file lengths (like stats: only live references)
+        val live = files.valuesIterator.flatten.toSet ++
+          deltas.valuesIterator.flatten
+        SortedMap.from(lens).iterator
+          .filter { case (rel, _) => live(rel) }
+          .map { case (rel, n) => s"L\t$rel\t$n" }
       } ++ Iterator(Eof)).mkString("\n")
     commitLock.synchronized {
       if (fs.exists(target)) {
@@ -512,8 +534,15 @@ object SnapshotUpsert {
     * of sequential round-trips (an RPC each on an object store) inside
     * the one serial section of the commit. FileSystem instances are
     * thread-safe (Spark lists through them concurrently all the time). */
-  private def stagedFiles(fs: FileSystem, versionDir: Path)
-      : Map[Int, Seq[String]] = {
+  /** The staged listing, name-keyed for the manifest entry plus the
+    * byte lengths the same listing returned for free — recorded as
+    * manifest `L` lines so readers never re-stat. */
+  private[streaming] case class Staged(files: Map[Int, Seq[String]],
+      lens: Map[String, Long]) {
+    def isEmpty: Boolean = files.isEmpty
+  }
+
+  private def stagedFiles(fs: FileSystem, versionDir: Path): Staged = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -526,14 +555,19 @@ object SnapshotUpsert {
       // exact serialization this fan-out exists to avoid on a small
       // driver facing thousands of buckets
       b -> scala.concurrent.blocking {
-        fs.listStatus(d.getPath).iterator.map(_.getPath.getName)
-          .filter(_.endsWith(".parquet"))
-          .map(n => s"$BatchesDir/${versionDir.getName}/kb=$b/$n").toSeq
+        fs.listStatus(d.getPath).iterator
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st =>
+            (s"$BatchesDir/${versionDir.getName}/kb=$b/${st.getPath.getName}",
+              st.getLen))
+          .toSeq
       }
     }}
     // unbounded await is deliberate: the commit cannot proceed without
     // the listing, and the store's own RPC timeouts bound a stuck call
-    Await.result(listed, Duration.Inf).toMap
+    val byBucket = Await.result(listed, Duration.Inf)
+    Staged(byBucket.map { case (b, fs0) => b -> fs0.map(_._1) }.toMap,
+      byBucket.iterator.flatMap(_._2).toMap)
   }
 
   /** Types whose CANONICAL STRING form we can compare correctly on the
@@ -943,7 +977,7 @@ object SnapshotUpsert {
     if (staged.isEmpty) return // empty batch: nothing to commit
     val carried = cur.map(_.files).getOrElse(Map.empty)
     val prevDeltas = cur.map(_.deltas).getOrElse(Map.empty)
-    val newDeltas = staged.foldLeft(prevDeltas) { case (acc, (b, fs0)) =>
+    val newDeltas = staged.files.foldLeft(prevDeltas) { case (acc, (b, fs0)) =>
       acc.updated(b, acc.getOrElse(b, Seq.empty) ++ fs0)
     }
     // layer files record ranges too: they can only WIDEN a bucket's
@@ -955,7 +989,8 @@ object SnapshotUpsert {
     commitManifest(fs, root, version, nBuckets, dataSchema, carried, tsMs,
       Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
       cur.map(_.depths).getOrElse(Map.empty), effProps,
-      newDeltas, Some(keys), Some(orderCol), stats)
+      newDeltas, Some(keys), Some(orderCol), stats,
+      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens)
     gc(fs, root, version,
       carried.valuesIterator.flatten.toSet ++
         newDeltas.valuesIterator.flatten,
@@ -1009,7 +1044,8 @@ object SnapshotUpsert {
       // layers stages NO file and correctly vanishes from the manifest
       val staged = stagedFiles(fs, versionDir)
       val selSet = sel.toSet
-      val manifest = cur.files.filterNot { case (b, _) => selSet(b) } ++ staged
+      val manifest = cur.files.filterNot { case (b, _) => selSet(b) } ++
+        staged.files
       val deltas = cur.deltas.filterNot { case (b, _) => selSet(b) }
       val stats = cur.stats ++
         (if (cur.clusterCols.isEmpty) Map.empty
@@ -1017,7 +1053,8 @@ object SnapshotUpsert {
       try {
         commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
           math.max(nowMs, cur.commitTsMs), cur.bucketCols, commit,
-          cur.depths, cur.props, deltas, cur.mergeKeys, cur.orderCol, stats)
+          cur.depths, cur.props, deltas, cur.mergeKeys, cur.orderCol, stats,
+          cur.lens ++ staged.lens)
         gc(fs, root, version,
           manifest.valuesIterator.flatten.toSet ++
             deltas.valuesIterator.flatten,
@@ -1112,14 +1149,16 @@ object SnapshotUpsert {
     // nothing is carried: the new layout's manifest is exactly the
     // staged set, and the header flips the layout in the same commit
     val staged = stagedFiles(fs, versionDir)
-    commitManifest(fs, root, version, newBuckets, cur.schema, staged, nowMs,
+    commitManifest(fs, root, version, newBuckets, cur.schema, staged.files,
+      nowMs,
       Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
       props = cur.props, mergeKeys = Some(keys), orderCol = cur.orderCol,
       stats =
         if (cur.clusterCols.isEmpty) Map.empty
-        else computeStats(spark, versionDir, cur.clusterCols, cur.schema))
-    gc(fs, root, version, staged.valuesIterator.flatten.toSet, Some(cur),
-      keepVersions, keepAgeMs, nowMs)
+        else computeStats(spark, versionDir, cur.clusterCols, cur.schema),
+      lens = staged.lens)
+    gc(fs, root, version, staged.files.valuesIterator.flatten.toSet,
+      Some(cur), keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
     // what merges validate against
     UpsertSink.refreshLayoutMarker(fs, root, newBuckets)
@@ -1182,14 +1221,14 @@ object SnapshotUpsert {
        ("kb" +: cur.clusterCols).map(col): _*))
       .write.partitionBy("kb").parquet(versionDir.toString)
     val staged = stagedFiles(fs, versionDir)
-    val manifest = (cur.files - bucket) ++ staged
+    val manifest = (cur.files - bucket) ++ staged.files
     val deltas = cur.deltas - bucket
     val stats = cur.stats ++
       (if (cur.clusterCols.isEmpty) Map.empty
        else computeStats(spark, versionDir, cur.clusterCols, cur.schema))
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
       nowMs, Some(bc), commit, newDepths, cur.props, deltas,
-      cur.mergeKeys, cur.orderCol, stats)
+      cur.mergeKeys, cur.orderCol, stats, cur.lens ++ staged.lens)
     gc(fs, root, version,
       manifest.valuesIterator.flatten.toSet ++
         deltas.valuesIterator.flatten,
@@ -1385,7 +1424,7 @@ object SnapshotUpsert {
     val staged = stagedFiles(fs, versionDir)
     val carried = cur.map(_.files).getOrElse(Map.empty)
       .filterNot { case (b, _) => touchedSet(b) }
-    val manifest = carried ++ staged
+    val manifest = carried ++ staged.files
     // a touched bucket's delta layers were FOLDED into its rewrite
     // above, so they are dropped here — the CoW commit doubles as that
     // bucket's compaction; untouched buckets keep their layers
@@ -1404,7 +1443,8 @@ object SnapshotUpsert {
        else computeStats(spark, versionDir, cluster, dataSchema))
     commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
       Some(bucketCols), commit, cur.map(_.depths).getOrElse(Map.empty),
-      effProps, carriedDeltas, Some(keys), Some(orderCol), stats)
+      effProps, carriedDeltas, Some(keys), Some(orderCol), stats,
+      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens)
     gc(fs, root, version,
       manifest.valuesIterator.flatten.toSet ++
         carriedDeltas.valuesIterator.flatten,
@@ -1671,7 +1711,7 @@ object SnapshotUpsert {
     * buckets' rows (a slice the compaction policy bounds), keyed by
     * the table's keys; in-batch ties were already resolved at append
     * time, so each key folds a handful of single-row layers. */
-  private def foldDeltas(spark: SparkSession, root: Path, snap: Snapshot,
+  private[streaming] def foldDeltas(spark: SparkSession, root: Path, snap: Snapshot,
       deltaBs: Seq[Int],
       sch: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.types.{StructType, StructField, LongType,
@@ -1858,7 +1898,7 @@ object SnapshotUpsert {
     val version = cur.version + 1
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, cur.files,
       nowMs, cur.bucketCols, commit, cur.depths, cur.props ++ props,
-      cur.deltas, cur.mergeKeys, cur.orderCol, cur.stats)
+      cur.deltas, cur.mergeKeys, cur.orderCol, cur.stats, cur.lens)
     gc(fs, root, version, cur.allRefs.toSet, Some(cur), keepVersions,
       keepAgeMs, nowMs)
     version

@@ -37,7 +37,8 @@ class DeltaSnapshotSpec extends SparkSpec {
   private def manifestShape(dir: String, v: Long): (Map[Int, Int], Map[Int, Int]) = {
     val lines = scala.io.Source.fromFile(
       f"$dir/_manifests/v$v%012d.txt", "UTF-8").getLines().toVector
-    val fl = lines.filterNot(l => l.isEmpty || l.startsWith("#"))
+    val fl = lines.filterNot(l => l.isEmpty || l.startsWith("#") ||
+        l.startsWith("S\t") || l.startsWith("L\t"))
       .map(_.split('\t'))
     (fl.filter(_.length == 2).groupBy(_(0).toInt).map { case (b, g) => b -> g.size },
       fl.filter(_.length == 3).groupBy(_(0).toInt).map { case (b, g) => b -> g.size })

@@ -199,19 +199,27 @@ class SnapshotRelationSpec extends SparkSpec {
     }
   }
 
-  test("merge-on-read delta layers are refused with a pointer to " +
-      "compact; compaction makes the relation servable again") {
+  test("merge-on-read delta layers compose: layered buckets fold in, " +
+      "the rest serve file-level, and SQL sees one exact image") {
     val dir = tmp()
     seed(dir)
+    // layer a few buckets, including a tombstone the fold must apply
     SnapshotUpsert.appendDeltaSnapshot(
       df((0L until 8L).map(i => (i, s"d$i", 3L)): _*), dir, Seq("id"),
       "v", nBuckets = 8, keepVersions = 10)
-    val e = intercept[IllegalArgumentException] {
-      SnapshotRelation.readSql(spark, dir)
-    }
-    assert(e.getMessage.contains("delta layers") &&
-      e.getMessage.contains("compact"))
+    SnapshotUpsert.appendDeltaSnapshot(
+      df((4L, "gone", 4L)).withColumn("del", lit(true)), dir, Seq("id"),
+      "v", nBuckets = 8, keepVersions = 10, tombstoneCol = Some("del"))
+    val expect = asSet(SnapshotUpsert.readSnapshot(spark, dir))
+    assert(asSet(SnapshotRelation.readSql(spark, dir)) == expect)
+    assert(!expect.exists(_._1 == 4L), "tombstone must fold out")
+    SnapshotRelation.registerSqlView(spark, "snap_rel_mor", dir)
+    assert(spark.sql("SELECT status FROM snap_rel_mor WHERE id = 5")
+      .collect().map(_.getString(0)).toSeq == Seq("d5"))
+    // after compaction the table is one clean pruned scan again
     SnapshotUpsert.compactDeltas(spark, dir, keepVersions = 10)
+    val q = SnapshotRelation.readSql(spark, dir).where(col("id") === 5L)
+    assert(scannedFiles(q) == filesOfBuckets(dir, bucketsOf(dir, Seq(5L))))
     assert(asSet(SnapshotRelation.readSql(spark, dir)) ==
       asSet(SnapshotUpsert.readSnapshot(spark, dir)))
   }
@@ -240,6 +248,92 @@ class SnapshotRelationSpec extends SparkSpec {
     SnapshotRelation.registerSqlView(spark, "snap_rel_evo", dir)
     assert(spark.sql("SELECT note FROM snap_rel_evo WHERE id = 1")
       .collect().map(_.getString(0)).toSeq == Seq("extra"))
+  }
+
+  test("manifests record every referenced file's length through every " +
+      "operation, so relation planning touches storage zero times") {
+    val dir = tmp()
+    seed(dir)
+    SnapshotUpsert.appendDeltaSnapshot(
+      df((0L until 8L).map(i => (i, s"d$i", 3L)): _*), dir, Seq("id"),
+      "v", nBuckets = 8, keepVersions = 10)
+    SnapshotUpsert.compactDeltas(spark, dir, keepVersions = 10)
+    SnapshotUpsert.splitBucket(spark, dir, 1, keepVersions = 10)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = SnapshotUpsert.currentSnapshot(fs, root).get
+    // coverage: every reference has a recorded length, and it's true
+    assert(cur.allRefs.toSet == cur.lens.keySet)
+    cur.lens.foreach { case (rel, n) =>
+      assert(fs.getFileStatus(new Path(root, rel)).getLen == n, rel)
+    }
+    // the zero-RPC pin: hide the data directories — planning (listing,
+    // pruning, sizeInBytes) must still succeed from the manifest alone
+    val rel = SnapshotRelation.readSql(spark, dir)
+    val hidden = new Path(dir, "batches_hidden")
+    assert(fs.rename(new Path(dir, "batches"), hidden))
+    try {
+      val idx = index(dir)
+      assert(idx.sizeInBytes == cur.lens.values.sum)
+      assert(idx.listFiles(Seq.empty, Seq.empty).head.files.size ==
+        cur.allRefs.size)
+    } finally assert(fs.rename(hidden, new Path(dir, "batches")))
+    // and the relation still actually reads
+    assert(asSet(rel) == asSet(SnapshotUpsert.readSnapshot(spark, dir)))
+  }
+
+  test("a legacy manifest without length lines falls back to listing " +
+      "and serves identically") {
+    val dir = tmp()
+    seed(dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = SnapshotUpsert.versions(spark, dir).last
+    val mf = new java.io.File(f"$dir/_manifests/v$v%012d.txt")
+    val stripped = scala.io.Source.fromFile(mf, "UTF-8").getLines()
+      .filterNot(_.startsWith("L\t")).mkString("\n")
+    val w = new java.io.FileWriter(mf); w.write(stripped); w.close()
+    val cur = SnapshotUpsert.currentSnapshot(fs, root).get
+    assert(cur.lens.isEmpty)
+    val rel = SnapshotRelation.readSql(spark, dir)
+    assert(asSet(rel) == asSet(SnapshotUpsert.readSnapshot(spark, dir)))
+    assert(index(dir).sizeInBytes > 0)
+  }
+
+  test("the standing BM25 postings index is SQL-servable: a term " +
+      "equality prunes to that term's bucket and matches the bespoke " +
+      "probe row-for-row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-relidx").toString
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "bloom filters skip data files"),
+      (3L, "spark prunes partitions and files"),
+      (4L, "manifest stats make range reads cheap"))
+      .toDF("doc_id", "text")
+    graft.operators.IncrementalText.ingest(docs, dir, "text", "doc_id",
+      nBuckets = 8, keepVersions = 10)
+    val postings = s"$dir/postings"
+    SnapshotRelation.registerSqlView(spark, "postings_sql", postings)
+    // numFiles is a driver-side metric sent when the scan lists files
+    // (lazily, once per plan) — read it on a FRESH plan, not a reused
+    // one whose metrics were reset by a second execution
+    def q = spark.sql(
+      "SELECT doc_id, tf_cnt FROM postings_sql WHERE term = 'spark'")
+    val viaSql = q.collect().map(_.toString).sorted.toSeq
+    val viaKeys = SnapshotUpsert.readKeys(spark, postings,
+        Seq("spark").toDF("term"), Seq("term"))
+      .select("doc_id", "tf_cnt").collect().map(_.toString).sorted.toSeq
+    assert(viaSql == viaKeys && viaSql.size == 2)
+    // the scan opened exactly the probed term's bucket files
+    val root = new Path(postings)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = SnapshotUpsert.currentSnapshot(fs, root).get
+    val kb = Seq("spark").toDF("term").select(UpsertSink.bucketOfLayout(
+      Seq("term"), cur.nBuckets, cur.depths).as("kb")).head.getInt(0)
+    assert(scannedFiles(q) == cur.files.getOrElse(kb, Seq.empty).size)
+    assert(cur.allRefs.size > cur.files.getOrElse(kb, Seq.empty).size,
+      "test shape must actually prune")
   }
 
   test("the index reports an honest sizeInBytes and its kept-file " +

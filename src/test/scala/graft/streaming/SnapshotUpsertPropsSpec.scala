@@ -232,7 +232,8 @@ object SnapshotUpsertPropsSpec extends Properties("SnapshotUpsert") {
       new java.io.File(s"$dir/_manifests").listFiles()
         .filter(_.getName.endsWith(".txt")).sortBy(_.getName).last,
       "UTF-8").getLines().toVector
-    lines.filterNot(_.startsWith("#"))
+    lines.filterNot(l => l.startsWith("#") ||
+        l.startsWith("S\t") || l.startsWith("L\t"))
       .map(_.split('\t')(0).toInt).distinct.sorted
   }
 }

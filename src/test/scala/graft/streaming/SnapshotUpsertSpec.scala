@@ -27,7 +27,8 @@ class SnapshotUpsertSpec extends SparkSpec {
   private def manifestFiles(dir: String, v: Long): Map[Int, Seq[String]] = {
     val lines = scala.io.Source.fromFile(
       f"$dir/_manifests/v$v%012d.txt", "UTF-8").getLines().toVector
-    lines.filterNot(l => l.isEmpty || l.startsWith("#"))
+    lines.filterNot(l => l.isEmpty || l.startsWith("#") ||
+        l.startsWith("S\t") || l.startsWith("L\t"))
       .map { l => val Array(b, rel) = l.split('\t'); b.toInt -> rel }
       .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
   }
