@@ -504,6 +504,51 @@ object AnalyticsQueries {
              |WHERE img.day = b.d AND img.user_id % 5 = 2""".stripMargin),
     ),
 
+    // MERGE INTO (r11, SnapshotUpsert.mergeInto): SQL-MERGE semantics
+    // on the snapshot table — the target holds per-user counts over
+    // one event slice, the source over an overlapping slice (overlap
+    // = user_id % 3 = 0), and the merge applies WHEN MATCHED AND
+    // (t.cnt+s.cnt) % 5 = 0 THEN DELETE (delete outranks update),
+    // WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.cnt (the increment
+    // shape the latest-state upsert cannot express), WHEN NOT MATCHED
+    // THEN INSERT. The oracle recomputes the same actions as a FULL
+    // OUTER JOIN. NOTE for bench readers: the seed commit + merge
+    // execute at plan construction; per-pass timings see the final
+    // snapshot read.
+    QueryDef(
+      "q_snapshot_merge_into",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+        def counts(cond: org.apache.spark.sql.Column) = ev.where(cond)
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-merge-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(
+          counts(col("user_id") % 2 === 0 || col("user_id") % 3 === 0),
+          dir, keys = Seq("user_id"), orderCol = "", nBuckets = 16)
+        graft.streaming.SnapshotUpsert.mergeInto(
+          counts(col("user_id") % 2 === 1 || col("user_id") % 3 === 0),
+          dir, keys = Seq("user_id"),
+          updateSet = Map("cnt" -> (col("t.cnt") + col("s.cnt"))),
+          deleteCond = Some((col("t.cnt") + col("s.cnt")) % 5 === 0))
+        graft.streaming.SnapshotUpsert.readSnapshot(s, dir)
+      },
+      Some("""WITH t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events WHERE user_id % 2 = 0 OR user_id % 3 = 0
+             |  GROUP BY user_id),
+             |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events WHERE user_id % 2 = 1 OR user_id % 3 = 0
+             |  GROUP BY user_id)
+             |SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+             |  CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+             |    THEN t.cnt + s.cnt
+             |    WHEN t.user_id IS NOT NULL THEN t.cnt
+             |    ELSE s.cnt END AS cnt
+             |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+             |WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+             |  AND (t.cnt + s.cnt) % 5 = 0)""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(

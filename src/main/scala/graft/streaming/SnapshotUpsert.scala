@@ -1102,6 +1102,227 @@ object SnapshotUpsert {
     }
   }
 
+  /** SQL `MERGE INTO` semantics against the snapshot table: per key,
+    * WHEN MATCHED [AND updateCond] THEN UPDATE SET (the `updateSet`
+    * expressions), WHEN MATCHED AND deleteCond THEN DELETE, WHEN NOT
+    * MATCHED [AND insertCond] THEN INSERT the source row — the general
+    * conditional-DML shape [[upsertBatchSnapshot]]'s whole-row
+    * latest-state rule cannot express (e.g. `SET cnt = t.cnt + s.cnt`,
+    * the increment merge; delete-if-condition; insert-only loads).
+    *
+    * Expressions reference the two sides as STRUCT columns `t` (the
+    * target's current row) and `s` (the source row): `col("t.cnt") +
+    * col("s.cnt")`. Delete wins over update when both conditions hold
+    * (stated rule, pinned by spec); a matched row with no applicable
+    * action — `updateSet` empty or `updateCond` false — is carried
+    * UNCHANGED. `updateAll = true` is the convenience whole-row
+    * replacement (`SET c = s.c` for every non-key column). Key columns
+    * cannot be assigned (a key rewrite would move the row's bucket;
+    * MERGE-matched keys are equal by definition anyway).
+    *
+    * Contract mirrors SQL MERGE: the SOURCE must be key-unique — a key
+    * with two source rows is refused (one job, checked once per call),
+    * exactly the standard MERGE cardinality violation. The source
+    * carries the table's full data schema (additive evolution applies,
+    * like every commit path). The TARGET must exist — seed with
+    * [[upsertBatchSnapshot]]; target rows are unique per key by the
+    * CoW invariant.
+    *
+    * Scale shape = the CoW merge's: the source is bucketed by the
+    * table's recorded layout, ONLY the touched buckets' current rows
+    * are read (manifest-pruned, delta layers folded — the rewrite
+    * doubles as their compaction) and rewritten clustered; untouched
+    * buckets carry by reference. Same atomic manifest commit, same
+    * optimistic retry on a lost version race (the re-merge recomputes
+    * every action against the winner's rows), same retention/GC,
+    * `props`/`expectProps` CAS, and change-feed visibility (a deleted
+    * key surfaces as `_change='delete'` like any CoW delete). */
+  def mergeInto(source: DataFrame, targetDir: String, keys: Seq[String],
+      updateSet: Map[String, Column] = Map.empty,
+      updateAll: Boolean = false,
+      updateCond: Option[Column] = None,
+      deleteCond: Option[Column] = None,
+      insert: Boolean = true,
+      insertCond: Option[Column] = None,
+      keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis(),
+      maxCommitAttempts: Int = 5,
+      commit: CommitPrimitive = CreateExclusive,
+      props: Map[String, String] = Map.empty,
+      expectProps: Map[String, String] = Map.empty): Unit = {
+    require(keepVersions >= 2, "keepVersions must be >= 2")
+    require(maxCommitAttempts >= 1, "maxCommitAttempts must be >= 1")
+    require(!(updateAll && updateSet.nonEmpty),
+      "mergeInto: updateAll replaces every non-key column from the " +
+        "source; it cannot be combined with explicit updateSet entries")
+    require(!updateSet.keySet.exists(keys.contains),
+      s"mergeInto: key columns ${updateSet.keySet.filter(keys.contains)
+        .mkString(",")} cannot be assigned — a key rewrite would move " +
+        "the row out of its bucket (and matched keys are equal anyway)")
+    val spark = source.sparkSession
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    UpsertSink.validateBatch(source, keys, None)
+    updateSet.keys.foreach(c => require(source.columns.contains(c),
+      s"mergeInto: updateSet assigns unknown column '$c'"))
+    // SQL MERGE's cardinality rule: two source rows for one key would
+    // make the action result order-dependent — refuse, like the
+    // standard's "cannot update the same row twice"
+    val dup = source.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      "mergeInto: the source has more than one row for some key — " +
+        "MERGE requires a key-unique source (the SQL cardinality rule); " +
+        "pre-aggregate the source")
+    val sourceData = org.apache.spark.sql.types.StructType(
+      source.schema.fields)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      try {
+        attemptMerge(source, sourceData, root, fs, keys, updateSet,
+          updateAll, updateCond, deleteCond, insert, insertCond,
+          keepVersions, keepAgeMs, nowMs, commit, props, expectProps)
+        committed = true
+      } catch {
+        case _: ConcurrentCommitException if attempt < maxCommitAttempts => ()
+      }
+    }
+  }
+
+  /** Predicate-based row-level DELETE: remove every current row
+    * matching `cond`, as one atomic commit. Sugar over [[mergeInto]]
+    * (source = the matching rows, always-delete, no insert), with the
+    * matching set planned through the SQL relation
+    * ([[SnapshotRelation.readSql]]) — a predicate the relation's
+    * file-skipping recognizes (key equality, clustered range) reads
+    * only the overlapping files to FIND its rows, so `DELETE WHERE
+    * day = X` costs the day's slice, not a table scan. The predicate
+    * is evaluated ONCE against the call-time snapshot (the relation
+    * pins its manifest): if a concurrent writer commits mid-retry, the
+    * keys that matched THEN are deleted even where their rows changed
+    * — the same single-evaluation contract as readKeys' probe. */
+  def deleteWhere(spark: SparkSession, targetDir: String, cond: Column,
+      keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis(),
+      maxCommitAttempts: Int = 5,
+      commit: CommitPrimitive = CreateExclusive): Unit = {
+    val (rows, keys) = matchingRows(spark, targetDir, cond)
+    mergeInto(rows, targetDir, keys,
+      deleteCond = Some(lit(true)), insert = false,
+      keepVersions = keepVersions, keepAgeMs = keepAgeMs, nowMs = nowMs,
+      maxCommitAttempts = maxCommitAttempts, commit = commit)
+  }
+
+  /** Predicate-based row-level UPDATE: apply `set` (expressions over
+    * the `t` struct, e.g. `Map("status" -> lower(col("t.status")))`)
+    * to every current row matching `cond`, one atomic commit. Same
+    * planning and single-evaluation contract as [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, targetDir: String, cond: Column,
+      set: Map[String, Column],
+      keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis(),
+      maxCommitAttempts: Int = 5,
+      commit: CommitPrimitive = CreateExclusive): Unit = {
+    require(set.nonEmpty, "updateWhere: set must assign at least one column")
+    val (rows, keys) = matchingRows(spark, targetDir, cond)
+    mergeInto(rows, targetDir, keys, updateSet = set, insert = false,
+      keepVersions = keepVersions, keepAgeMs = keepAgeMs, nowMs = nowMs,
+      maxCommitAttempts = maxCommitAttempts, commit = commit)
+  }
+
+  /** The rows `cond` selects from the current snapshot (via the SQL
+    * relation, so recognizable predicates file-skip) plus the table's
+    * recorded merge keys — the source a predicate-DML merge needs. */
+  private def matchingRows(spark: SparkSession, targetDir: String,
+      cond: Column): (DataFrame, Seq[String]) = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentSnapshot(fs, root).getOrElse(sys.error(
+      s"predicate DML: no committed version at $targetDir"))
+    val keys = cur.mergeKeys.getOrElse(sys.error(
+      s"predicate DML: the table at $targetDir predates the recorded " +
+        "merge contract (#keys); one new commit upgrades it, or call " +
+        "mergeInto with explicit keys"))
+    (SnapshotRelation.readSql(spark, targetDir).where(cond), keys)
+  }
+
+  private def attemptMerge(source: DataFrame,
+      sourceData: org.apache.spark.sql.types.StructType, root: Path,
+      fs: FileSystem, keys: Seq[String], updateSet: Map[String, Column],
+      updateAll: Boolean, updateCond: Option[Column],
+      deleteCond: Option[Column], insert: Boolean,
+      insertCond: Option[Column], keepVersions: Int,
+      keepAgeMs: Option[Long], nowMs: Long, commit: CommitPrimitive,
+      props: Map[String, String],
+      expectProps: Map[String, String]): Unit = {
+    val cur = currentSnapshot(fs, root).getOrElse(sys.error(
+      s"mergeInto: no committed version at $root — MERGE needs an " +
+        "existing target; seed the table with upsertBatchSnapshot"))
+    checkExpectProps(Some(cur), root, expectProps)
+    val bc = cur.bucketCols.getOrElse(keys)
+    // layout + frozen-contract validation exactly like a CoW merge;
+    // the table's own recorded precedence satisfies the delta check
+    // (a MERGE rewrite folds and compacts touched layered buckets)
+    checkLayout(cur, root, cur.nBuckets, keys,
+      cur.orderCol.getOrElse(""), bc)
+    val dataSchema = evolvedSchema(Some(cur), sourceData)
+    val dataCols = dataSchema.fieldNames.toSeq
+    val effectiveSet =
+      if (updateAll)
+        dataCols.filterNot(keys.contains).map(c => c -> col(s"s.$c")).toMap
+      else updateSet
+    val tsMs = math.max(nowMs, cur.commitTsMs)
+    UpsertSink.withPreparedBatch(source, keys, cur.nBuckets,
+      populatedTable = cur.files.nonEmpty, bucketCols = bc,
+      depths = cur.depths) { withBucket =>
+      commitVersion(withBucket, root, fs, Some(cur), dataSchema, keys,
+        cur.orderCol.getOrElse(""), cur.nBuckets, keepVersions, keepAgeMs,
+        None, tsMs, bc, commit, props,
+        mergeRule = Some(mergeActionRule(dataCols, keys, effectiveSet,
+          updateCond, deleteCond, insert, insertCond)))
+    }
+  }
+
+  /** The MERGE action decision as one row rule over (existing rows of
+    * the touched buckets) FULL OUTER JOIN (source), null-safe on the
+    * keys. Output rows REPLACE the touched buckets, so "no action"
+    * must carry the target row through — only an applicable DELETE
+    * (or a non-inserted source-only row) drops one. */
+  private def mergeActionRule(dataCols: Seq[String], keys: Seq[String],
+      updateSet: Map[String, Column], updateCond: Option[Column],
+      deleteCond: Option[Column], insert: Boolean,
+      insertCond: Option[Column])
+      : (DataFrame, DataFrame) => DataFrame = { (existing, incoming) =>
+    val t = existing.select(struct(dataCols.map(col): _*).as("t"),
+      col("kb").as("__tkb"))
+    val s = incoming.select(struct(dataCols.map(col): _*).as("s"),
+      col("kb").as("__skb"))
+    val on = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val j = t.join(s, on, "full_outer")
+    val matched = col("__tkb").isNotNull && col("__skb").isNotNull
+    val uRow = struct(dataCols.map(c =>
+      updateSet.getOrElse(c, col(s"t.$c")).as(c)): _*)
+    // a NULL condition is SQL-false for its action
+    val del = coalesce(deleteCond.getOrElse(lit(false)), lit(false))
+    val upd = coalesce(updateCond.getOrElse(lit(true)), lit(false))
+    val ins =
+      if (insert) coalesce(insertCond.getOrElse(lit(true)), lit(false))
+      else lit(false)
+    val out = when(matched && del, lit(null)) // DELETE outranks UPDATE
+      .when(matched && upd,
+        if (updateSet.isEmpty) col("t") else uRow)
+      .when(matched, col("t")) // matched, no applicable action: carry
+      .when(col("__skb").isNotNull && ins, col("s"))
+      .when(col("__skb").isNotNull, lit(null)) // not matched, no insert
+      .otherwise(col("t")) // target-only row in a touched bucket
+    j.select(out.as("__r"),
+        coalesce(col("__tkb"), col("__skb")).as("kb"))
+      .where(col("__r").isNotNull)
+      .select(dataCols.map(c => col(s"__r.$c").as(c)) :+ col("kb"): _*)
+  }
+
   /** Rewrite the table into a new bucket layout as one committed
     * version — the growth path when the table has outgrown the bucket
     * count it was created with (each bucket should stay a comfortable
@@ -1362,7 +1583,9 @@ object SnapshotUpsert {
       keepAgeMs: Option[Long], tombstoneCol: Option[String],
       nowMs: Long, bucketCols: Seq[String],
       commit: CommitPrimitive = CreateExclusive,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      mergeRule: Option[(DataFrame, DataFrame) => DataFrame] = None)
+      : Unit = {
     val spark = withBucket.sparkSession
     val dataCols = dataSchema.fieldNames.toSeq
     val populated: Set[Int] =
@@ -1407,9 +1630,12 @@ object SnapshotUpsert {
 
     // one clustered file per touched bucket, written to an immutable
     // fresh directory — no live path is read and overwritten, so no
-    // lineage truncation is needed and the merge is evaluated ONCE
-    val winners = UpsertSink.selectWinners(existing, withBucket, dataCols,
-        keys, orderCol, tombstoneCol)
+    // lineage truncation is needed and the merge is evaluated ONCE.
+    // The row rule is pluggable (mergeInto supplies MERGE-action
+    // semantics); the default is the keyed latest-state winner rule.
+    val winners = mergeRule.map(rule => rule(existing, withBucket))
+      .getOrElse(UpsertSink.selectWinners(existing, withBucket, dataCols,
+        keys, orderCol, tombstoneCol))
       .repartition(touched.length, col("kb"))
     (if (cluster.isEmpty) winners
      else winners.sortWithinPartitions(("kb" +: cluster).map(col): _*))

@@ -33,8 +33,13 @@ object UpsertScale {
     // `stream` = chain's DAG with the downstream maintained by the
     // r11 STREAMING SOURCE over the change feed (graft-changes,
     // AvailableNow drains) instead of the batch cursor loop
+    // `merge` = snapshot's seed, then the small/broad batches applied
+    // through mergeInto (updateAll + insert — MERGE's whole-row shape)
+    // instead of the upsert rule: pins that the conditional-DML path
+    // keeps the slice-tracking cost shape at a production bucket count
     val mode = args.lift(3).getOrElse("overwrite")
-    require(Seq("overwrite", "snapshot", "chain", "stream").contains(mode),
+    require(
+      Seq("overwrite", "snapshot", "chain", "stream", "merge").contains(mode),
       s"bad mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -57,14 +62,20 @@ object UpsertScale {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    def merge(batch: DataFrame): Unit =
-      if (mode != "overwrite")
+    var seeded = false
+    def merge(batch: DataFrame): Unit = {
+      if (mode == "merge" && seeded)
+        SnapshotUpsert.mergeInto(batch, target, Seq("user_id"),
+          updateAll = true, keepVersions = 8)
+      else if (mode != "overwrite")
         // retain every version so the change feed can be timed across
         // both the small and the broad merge below
         SnapshotUpsert.upsertBatchSnapshot(batch, target, Seq("user_id"),
           "ts", nBuckets, keepVersions = 8)
       else
         UpsertSink.upsertBatch(batch, target, Seq("user_id"), "ts", nBuckets)
+      seeded = true
+    }
 
     def readTable(): DataFrame =
       if (mode != "overwrite") SnapshotUpsert.readSnapshot(spark, target)
