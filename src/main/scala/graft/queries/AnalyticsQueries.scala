@@ -549,6 +549,38 @@ object AnalyticsQueries {
              |  AND (t.cnt + s.cnt) % 5 = 0)""".stripMargin),
     ),
 
+    // Predicate DML (r11, deleteWhere/updateWhere): row-level UPDATE
+    // then DELETE by predicate, each one atomic commit, the matching
+    // rows planned through the SQL relation. Sequence: per-user count
+    // table; UPDATE cnt = cnt * 2 WHERE cnt % 3 = 0; DELETE WHERE
+    // cnt % 7 = 0 (evaluated on the post-update image). The oracle
+    // replays both statements as CASE + filter over the recomputed
+    // counts. NOTE for bench readers: seed + both DML commits execute
+    // at plan construction; per-pass timings see the final read.
+    QueryDef(
+      "q_snapshot_dml",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+        val counts = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-dml-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(counts, dir,
+          keys = Seq("user_id"), orderCol = "", nBuckets = 16)
+        graft.streaming.SnapshotUpsert.updateWhere(s, dir,
+          col("cnt") % 3 === 0, Map("cnt" -> (col("t.cnt") * 2L)))
+        graft.streaming.SnapshotUpsert.deleteWhere(s, dir,
+          col("cnt") % 7 === 0)
+        graft.streaming.SnapshotUpsert.readSnapshot(s, dir)
+      },
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY user_id),
+             |u AS (SELECT user_id,
+             |  CASE WHEN cnt % 3 = 0 THEN cnt * 2 ELSE cnt END AS cnt
+             |  FROM c)
+             |SELECT user_id, cnt FROM u WHERE cnt % 7 <> 0"""
+        .stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(

@@ -1280,7 +1280,7 @@ object SnapshotUpsert {
       commitVersion(withBucket, root, fs, Some(cur), dataSchema, keys,
         cur.orderCol.getOrElse(""), cur.nBuckets, keepVersions, keepAgeMs,
         None, tsMs, bc, commit, props,
-        mergeRule = Some(mergeActionRule(dataCols, keys, effectiveSet,
+        mergeRule = Some(mergeActionRule(dataSchema, keys, effectiveSet,
           updateCond, deleteCond, insert, insertCond)))
     }
   }
@@ -1290,11 +1290,13 @@ object SnapshotUpsert {
     * keys. Output rows REPLACE the touched buckets, so "no action"
     * must carry the target row through — only an applicable DELETE
     * (or a non-inserted source-only row) drops one. */
-  private def mergeActionRule(dataCols: Seq[String], keys: Seq[String],
+  private def mergeActionRule(
+      dataSchema: org.apache.spark.sql.types.StructType, keys: Seq[String],
       updateSet: Map[String, Column], updateCond: Option[Column],
       deleteCond: Option[Column], insert: Boolean,
       insertCond: Option[Column])
       : (DataFrame, DataFrame) => DataFrame = { (existing, incoming) =>
+    val dataCols = dataSchema.fieldNames.toSeq
     val t = existing.select(struct(dataCols.map(col): _*).as("t"),
       col("kb").as("__tkb"))
     val s = incoming.select(struct(dataCols.map(col): _*).as("s"),
@@ -1320,7 +1322,12 @@ object SnapshotUpsert {
     j.select(out.as("__r"),
         coalesce(col("__tkb"), col("__skb")).as("kb"))
       .where(col("__r").isNotNull)
-      .select(dataCols.map(c => col(s"__r.$c").as(c)) :+ col("kb"): _*)
+      // assignment cast to the RECORDED column type (SQL MERGE's rule):
+      // an update expression of a wider type would otherwise widen the
+      // whole output column through when-branch coercion, and the
+      // staged parquet would no longer match the table's schema
+      .select(dataCols.map(c =>
+        col(s"__r.$c").cast(dataSchema(c).dataType).as(c)) :+ col("kb"): _*)
   }
 
   /** Rewrite the table into a new bucket layout as one committed

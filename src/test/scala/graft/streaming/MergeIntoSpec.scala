@@ -177,6 +177,22 @@ class MergeIntoSpec extends SparkSpec {
     assert(!snapSet(dir).exists(_._1 == 3L))
   }
 
+  test("an update expression of a wider type is assignment-cast to the " +
+      "recorded column type, so later reads keep working") {
+    val dir = tmp()
+    seed(dir)
+    // double expression into a LONG column: SQL MERGE's assignment
+    // cast applies; without it the whole output column would widen
+    // through when-branch coercion and poison the table's schema
+    SnapshotUpsert.mergeInto(
+      df((10L, "w", 3L)), dir, Seq("id"),
+      updateSet = Map("cnt" -> (col("t.cnt") * lit(1.5))),
+      insert = false, keepVersions = 10)
+    assert(snapSet(dir).contains((10L, "s10", 15L))) // 10 * 1.5 = 15.0 -> 15L
+    // and the table still round-trips through every reader
+    assert(SnapshotRelation.readSql(spark, dir).count() == 20)
+  }
+
   test("a null key matches null-safely, like every other reader and " +
       "merge in the layer") {
     import spark.implicits._
