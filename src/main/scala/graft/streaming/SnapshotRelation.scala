@@ -61,17 +61,29 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object SnapshotRelation {
 
-  /** The table (current version, or `version` for time travel) as a
+  /** The table (current version; `version` for version-pinned time
+    * travel; `asOfMs` for wall-clock time travel — the newest version
+    * committed at or before that instant, readAsOf's rule) as a
     * SQL-ready DataFrame relation with manifest-driven file skipping.
-    * The version is pinned at call time — re-call to see later
-    * commits. */
+    * The resolved version is pinned at call time — re-call to see
+    * later commits. */
   def readSql(spark: SparkSession, targetDir: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      asOfMs: Option[Long] = None): DataFrame = {
+    require(version.isEmpty || asOfMs.isEmpty,
+      "snapshot relation: pass version OR asOfMs, not both")
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = version match {
-      case Some(v) => SnapshotUpsert.readManifest(fs, root, v)
-      case None => SnapshotUpsert.currentSnapshot(fs, root).getOrElse(
+    val snap = (version, asOfMs) match {
+      case (Some(v), _) => SnapshotUpsert.readManifest(fs, root, v)
+      case (_, Some(ts)) =>
+        val snaps = SnapshotUpsert.readRetained(fs, root)
+        require(snaps.nonEmpty,
+          s"snapshot relation: no committed version at $targetDir")
+        snaps.filter(_.commitTsMs <= ts).lastOption.getOrElse(sys.error(
+          s"snapshot relation: no retained version at or before $ts — " +
+            s"oldest retained commit is ${snaps.head.commitTsMs}"))
+      case _ => SnapshotUpsert.currentSnapshot(fs, root).getOrElse(
         sys.error(s"snapshot relation: no committed version at $targetDir"))
     }
     // layered buckets cannot be served file-level (a listing cannot
@@ -92,8 +104,9 @@ object SnapshotRelation {
     * the underlying relation. Same version-pinning contract as
     * [[readSql]]. */
   def registerSqlView(spark: SparkSession, name: String, targetDir: String,
-      version: Option[Long] = None): DataFrame = {
-    val df = readSql(spark, targetDir, version)
+      version: Option[Long] = None,
+      asOfMs: Option[Long] = None): DataFrame = {
+    val df = readSql(spark, targetDir, version, asOfMs)
     df.createOrReplaceTempView(name)
     df
   }
@@ -167,9 +180,17 @@ final class SnapshotFileIndex private[streaming] (
 
   override lazy val sizeInBytes: Long = statusByRel.valuesIterator.map(_.getLen).sum
 
+  // listFiles is called more than once per query (plan stats, then
+  // execution); memoize the decision by the filters' canonical form so
+  // the bucket-hash routing job runs once, not per call
+  private val keptMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = keptRels(dataFilters)
+    val memoKey = dataFilters.map(_.canonicalized.toString).sorted
+      .mkString(" ")
+    val kept = keptMemo.computeIfAbsent(memoKey, _ => keptRels(dataFilters))
     Seq(PartitionDirectory(InternalRow.empty, kept.map(statusByRel).toArray))
   }
 

@@ -2047,7 +2047,7 @@ object SnapshotUpsert {
     * is skipped rather than crashing a read-only API. The NEWEST
     * manifest is never GC'd, so the current-state guarantee is
     * unaffected. */
-  private def readRetained(fs: FileSystem, root: Path): Seq[Snapshot] =
+  private[streaming] def readRetained(fs: FileSystem, root: Path): Seq[Snapshot] =
     listVersions(fs, root).flatMap { v =>
       try Some(readManifest(fs, root, v))
       catch {

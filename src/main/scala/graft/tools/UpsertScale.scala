@@ -37,9 +37,15 @@ object UpsertScale {
     // through mergeInto (updateAll + insert — MERGE's whole-row shape)
     // instead of the upsert rule: pins that the conditional-DML path
     // keeps the slice-tracking cost shape at a production bucket count
+    // `sqlrel` = snapshot's seed + merges, then a point-lookup
+    // comparison: the bespoke readKeys probe vs the SAME lookup
+    // through the SQL relation's automatic file skipping (WHERE
+    // user_id IN (...)) — pins that the no-special-API read path
+    // keeps the pruned-serve cost at a production bucket count
     val mode = args.lift(3).getOrElse("overwrite")
     require(
-      Seq("overwrite", "snapshot", "chain", "stream", "merge").contains(mode),
+      Seq("overwrite", "snapshot", "chain", "stream", "merge", "sqlrel")
+        .contains(mode),
       s"bad mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -197,6 +203,31 @@ object UpsertScale {
       Some((smallFeed, broadFeed, rebucketSecs))
     } else None
 
+    // sqlrel mode: the same 100-key point lookup through (a) readKeys
+    // (bespoke probe API) and (b) the SQL relation (plain WHERE ... IN,
+    // manifest-planned file skipping). Fresh relation per pass so the
+    // timing includes planning (manifest read + bucket-hash routing).
+    val sqlRelSecs = if (mode == "sqlrel") {
+      import spark.implicits._
+      val probe = readTable().select("user_id").distinct()
+        .limit(100).collect().map(_.getLong(0)).toSeq
+      def best(f: => Long): Double =
+        (1 to 3).map(_ => { val t0 = System.nanoTime(); val n = f
+          require(n > 0); (System.nanoTime() - t0) / 1e9 }).min
+      val viaKeys = best {
+        SnapshotUpsert.readKeys(spark, target, probe.toDF("user_id"),
+          Seq("user_id")).count()
+      }
+      val viaSql = best {
+        graft.streaming.SnapshotRelation.readSql(spark, target)
+          .where(col("user_id").isin(probe: _*)).count()
+      }
+      System.err.println(
+        f"[upsert-scale] point lookup 100 keys: readKeys=$viaKeys%.2fs " +
+          f"sqlRelation=$viaSql%.2fs")
+      Some((viaKeys, viaSql))
+    } else None
+
     System.err.println(f"[upsert-scale] mode=$mode table=$tableRows " +
       f"seed=$seedSecs%.1fs " +
       f"small($smallKeys keys, $smallTouched buckets)=$smallSecs%.1fs " +
@@ -211,6 +242,9 @@ object UpsertScale {
       feedSecs.map { case (s, b, r) =>
         f""","feed_small_secs":$s%.1f,"feed_broad_secs":$b%.1f,""" +
           f""""rebucket_secs":$r%.1f"""
+      }.getOrElse("") +
+      sqlRelSecs.map { case (k, q) =>
+        f""","readkeys_secs":$k%.2f,"sqlrel_secs":$q%.2f"""
       }.getOrElse("") +
       (if (chainSecs.isEmpty) "}"
        else chainSecs.map { case (k, v) => f""""chain_${k}_secs":$v%.1f""" }

@@ -336,6 +336,27 @@ class SnapshotRelationSpec extends SparkSpec {
       "test shape must actually prune")
   }
 
+  test("asOfMs resolves the newest version at or before the instant " +
+      "(wall-clock time travel through the relation)") {
+    val dir = tmp()
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "v1", 1L)), dir, Seq("id"),
+      "v", nBuckets = 2, keepVersions = 10, nowMs = 1000L)
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "v2", 2L)), dir, Seq("id"),
+      "v", nBuckets = 2, keepVersions = 10, nowMs = 2000L)
+    assert(asSet(SnapshotRelation.readSql(spark, dir,
+      asOfMs = Some(1500L))) == Set((1L, "v1", 1L)))
+    assert(asSet(SnapshotRelation.readSql(spark, dir,
+      asOfMs = Some(2000L))) == Set((1L, "v2", 2L)))
+    val e = intercept[RuntimeException] {
+      SnapshotRelation.readSql(spark, dir, asOfMs = Some(10L))
+    }
+    assert(e.getMessage.contains("no retained version"))
+    intercept[IllegalArgumentException] {
+      SnapshotRelation.readSql(spark, dir, version = Some(1L),
+        asOfMs = Some(1500L))
+    }
+  }
+
   test("the index reports an honest sizeInBytes and its kept-file " +
       "decision is exact for direct probes") {
     val dir = tmp()
