@@ -220,8 +220,8 @@ final class SnapshotFileIndex private[streaming] (
     * job) — consistent with the written layout by construction,
     * including split depths, exactly like readKeys routes probes. */
   private def bucketCandidates(filters: Seq[Expression]): Option[Set[Int]] =
-    snap.bucketCols.flatMap { bc =>
-      if (!bc.forall(snap.schema.fieldNames.contains)) return None
+    snap.bucketCols.filter(_.forall(snap.schema.fieldNames.contains))
+      .flatMap { bc =>
       val perCol = bc.map(c => equalityCandidates(c, filters))
       if (perCol.exists(_.isEmpty)) None
       else {
