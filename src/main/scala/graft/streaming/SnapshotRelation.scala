@@ -25,7 +25,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     clustering columns ([[SnapshotUpsert.ClusterColsProp]]) are
   *     checked against the manifest's per-file min/max stats
   *     (`S` lines) and provably-disjoint files never reach the scan —
-  *     no footer is opened for them.
+  *     no footer is opened for them;
+  *   - **value-set pruning**: equality / IN predicates on the declared
+  *     low-cardinality columns ([[SnapshotUpsert.ValueSetColsProp]])
+  *     skip every file whose recorded exact distinct set (`V` lines)
+  *     lacks all candidate values — the categorical complement of the
+  *     ranges (`WHERE lang = 'de'` opens only files holding German
+  *     rows, whatever bucket or range they sit in).
   *
   * This is the lakehouse integration pattern (Delta Lake's
   * `TahoeLogFileIndex`): the table format contributes ONLY the file
@@ -195,21 +201,65 @@ final class SnapshotFileIndex private[streaming] (
   }
 
   /** The file-skipping decision, exposed for specs and audits: which
-    * relative paths survive the given pushed-down conjuncts. */
+    * relative paths survive the given pushed-down conjuncts — bucket
+    * hash, then clustering-range stats, then categorical value sets. */
   private[streaming] def keptRels(dataFilters: Seq[Expression]): Seq[String] = {
     val afterBucket: Seq[(Int, String)] = bucketCandidates(dataFilters) match {
       case Some(keep) => relsByBucket.filter { case (b, _) => keep(b) }
       case None => relsByBucket
     }
     val bounds = rangeBounds(dataFilters)
-    if (bounds.isEmpty) afterBucket.map(_._2)
-    else afterBucket.map(_._2).filterNot { rel =>
-      bounds.exists { case (c, dt, los, his) =>
-        snap.stats.get(rel).flatMap(_.get(c)).exists { case (mn, mx) =>
-          los.exists(lo => SnapshotUpsert.statCompare(dt, mx, lo) < 0) ||
-            his.exists(hi => SnapshotUpsert.statCompare(dt, mn, hi) > 0)
+    val afterRange =
+      if (bounds.isEmpty) afterBucket.map(_._2)
+      else afterBucket.map(_._2).filterNot { rel =>
+        bounds.exists { case (c, dt, los, his) =>
+          snap.stats.get(rel).flatMap(_.get(c)).exists { case (mn, mx) =>
+            los.exists(lo => SnapshotUpsert.statCompare(dt, mx, lo) < 0) ||
+              his.exists(hi => SnapshotUpsert.statCompare(dt, mn, hi) > 0)
+          }
         }
       }
+    val vsCands = valueCandidates(dataFilters)
+    if (vsCands.isEmpty) afterRange
+    else afterRange.filterNot { rel =>
+      vsCands.exists { case (c, cands) =>
+        // recorded set present AND disjoint from the candidates =
+        // provably no matching row in the file; no record = keep
+        snap.valueSets.get(rel).flatMap(_.get(c))
+          .exists(rec => rec.intersect(cands).isEmpty)
+      }
+    }
+  }
+
+  /** Canonical-string equality candidates on the declared value-set
+    * columns. A null candidate (null-safe probe) declines pruning for
+    * its column — recorded sets exclude NULLs, so a file's set cannot
+    * prove the absence of a null row. An EMPTY candidate set is kept:
+    * contradictory equalities prune every recorded file. */
+  private def valueCandidates(filters: Seq[Expression])
+      : Seq[(String, Set[String])] = {
+    val cols = snap.valueSetCols.filter(snap.schema.fieldNames.contains)
+    if (cols.isEmpty) return Seq.empty
+    val raw = cols.flatMap { c =>
+      equalityCandidates(c, filters) match {
+        case Some(vs) if !vs.contains(null) => Some((c, vs))
+        case _ => None
+      }
+    }
+    if (raw.isEmpty) return Seq.empty
+    // canonicalize through the engine's own cast — the exact path that
+    // produced the recorded sets (computeValueSets' cast-to-string)
+    val exprs = raw.flatMap { case (c, vs) =>
+      val dt = snap.schema(c).dataType
+      vs.toSeq.map(v => lit(v).cast(dt).cast("string"))
+    }
+    if (exprs.isEmpty) return raw.map { case (c, _) => (c, Set.empty[String]) }
+    val row = spark.range(1)
+      .select(exprs.zipWithIndex.map { case (e, i) => e.as(s"v$i") }: _*)
+      .head()
+    var i = -1
+    raw.map { case (c, vs) =>
+      c -> vs.toSeq.flatMap { _ => i += 1; Option(row.getString(i)) }.toSet
     }
   }
 

@@ -113,6 +113,22 @@ object SnapshotUpsert {
     * carries forward like every property. */
   val ClusterColsProp = "graft.cluster.cols"
 
+  /** Table property declaring LOW-CARDINALITY columns whose exact
+    * per-file distinct values are recorded in the manifest (`V` lines,
+    * capped at [[MaxValueSetSize]] values per file — a file past the
+    * cap records nothing and is never pruned by the column). The
+    * categorical complement of [[ClusterColsProp]]'s ranges: an
+    * equality/IN predicate on the column (through the SQL relation)
+    * skips every file whose recorded set lacks the value — `WHERE
+    * lang = 'de'` opens only the files that contain German rows,
+    * whatever bucket or range they sit in. */
+  val ValueSetColsProp = "graft.valueset.cols"
+
+  /** Per-file distinct-value cap for [[ValueSetColsProp]] recording:
+    * past this the column is not low-cardinality IN THAT FILE and
+    * exact sets stop paying for their manifest bytes. */
+  val MaxValueSetSize = 32
+
   /** Serializes manifest creation within this JVM (see object doc:
     * cross-process exclusivity comes from create-exclusive — atomic on
     * HDFS-class stores, NIO `O_EXCL` on local filesystems since r11). */
@@ -254,7 +270,8 @@ object SnapshotUpsert {
       mergeKeys: Option[Seq[String]] = None,
       orderCol: Option[String] = None,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
-      lens: Map[String, Long] = Map.empty) {
+      lens: Map[String, Long] = Map.empty,
+      valueSets: Map[String, Map[String, Set[String]]] = Map.empty) {
     /** Every data file this version references (base + delta) — the
       * reference set GC and vacuum must protect. */
     def allRefs: Iterator[String] =
@@ -264,6 +281,12 @@ object SnapshotUpsert {
       * record per-file min/max in the manifest for range pruning. */
     def clusterCols: Seq[String] =
       props.get(ClusterColsProp).map(_.split(",", -1).toSeq)
+        .getOrElse(Seq.empty)
+    /** Declared low-cardinality columns ([[ValueSetColsProp]]): staged
+      * files record their exact per-file distinct values (capped) for
+      * categorical file skipping. */
+    def valueSetCols: Seq[String] =
+      props.get(ValueSetColsProp).map(_.split(",", -1).toSeq)
         .getOrElse(Seq.empty)
   }
 
@@ -361,6 +384,25 @@ object SnapshotUpsert {
       .groupBy(_._1).map { case (rel, rows) =>
         rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
       }
+    // `V` lines (r11 value sets): `V\t<rel>\t<col>\t<b64v1,b64v2,...>`
+    // — a file's exact distinct values of a declared low-cardinality
+    // column (each value base64 over its canonical string form; the
+    // list may be EMPTY: an all-null file, prunable by any non-null
+    // equality). Absent = not recorded (cardinality cap, legacy) =
+    // never pruned.
+    val valueSets: Map[String, Map[String, Set[String]]] = bodyLines
+      .collect { case l if l.startsWith("V\t") =>
+        l.split('\t') match {
+          case Array(_, rel, c, vs) => (rel, c,
+            vs.split(",", -1).toSeq.filter(_.nonEmpty).map(deB64).toSet)
+          case Array(_, rel, c) => (rel, c, Set.empty[String])
+          case other => sys.error(s"malformed manifest v$v at $root: " +
+            s"unparseable value-set line '${other.mkString("\\t")}'")
+        }
+      }
+      .groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> r._3).toMap
+      }
     // `L` lines (r11 file lengths): `L\t<rel>\t<bytes>` — the staged
     // listing's sizes travel in the manifest, so a reader can plan
     // splits (the SQL relation's FileIndex) without ANY storage round
@@ -374,7 +416,8 @@ object SnapshotUpsert {
         }
       }.toMap
     val fileLines = bodyLines
-      .filterNot(l => l.startsWith("S\t") || l.startsWith("L\t"))
+      .filterNot(l => l.startsWith("S\t") || l.startsWith("L\t") ||
+        l.startsWith("V\t"))
       .map(line => line.split('\t') match {
         case Array(b, rel) => (b.toInt, rel, false)
         case Array(b, "D", rel) => (b.toInt, rel, true)
@@ -411,7 +454,7 @@ object SnapshotUpsert {
       // FOLD delta layers (group-by columns and precedence); recorded
       // by every data commit since the revision, absent before it
       headers.get("keys").map(_.split(",", -1).toSeq),
-      headers.get("ordercol"), stats, lens)
+      headers.get("ordercol"), stats, lens, valueSets)
   }
 
   /** Create-exclusive write of a manifest file — THE commit point of
@@ -441,7 +484,8 @@ object SnapshotUpsert {
       mergeKeys: Option[Seq[String]] = None,
       orderCol: Option[String] = None,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
-      lens: Map[String, Long] = Map.empty)
+      lens: Map[String, Long] = Map.empty,
+      valueSets: Map[String, Map[String, Set[String]]] = Map.empty)
       : Unit = {
     // the merge contract is part of the COMMIT when deltas exist:
     // without recorded keys/ordercol no reader could fold the layers
@@ -503,6 +547,21 @@ object SnapshotUpsert {
           .flatMap { case (rel, cols) =>
             SortedMap.from(cols).iterator.map { case (c, (mn, mx)) =>
               s"S\t$rel\t$c\t${b64(mn)}\t${b64(mx)}"
+            }
+          }
+      } ++ {
+        // value sets (like stats: only live references; values b64
+        // over canonical strings — the manifest is line/tab/comma
+        // oriented and values may contain all three)
+        def b64(s: String): String = java.util.Base64.getEncoder
+          .encodeToString(s.getBytes("UTF-8"))
+        val live = files.valuesIterator.flatten.toSet ++
+          deltas.valuesIterator.flatten
+        SortedMap.from(valueSets).iterator
+          .filter { case (rel, _) => live(rel) }
+          .flatMap { case (rel, cols) =>
+            SortedMap.from(cols).iterator.map { case (c, vs) =>
+              s"V\t$rel\t$c\t${vs.toSeq.sorted.map(b64).mkString(",")}"
             }
           }
       } ++ {
@@ -634,6 +693,52 @@ object SnapshotUpsert {
       }
       .filter(_._2.nonEmpty).toMap
   }
+
+  /** Per-file exact distinct values of the declared low-cardinality
+    * columns over a just-staged version directory — same one-pass,
+    * file-grouped re-read shape as [[computeStats]]. A file whose
+    * distinct count exceeds [[MaxValueSetSize]] records nothing for
+    * the column (not low-cardinality THERE; never pruned by it), and
+    * NULLs are excluded (equality never matches them; a null-safe
+    * probe declines value-set pruning). Declare only genuinely
+    * low-cardinality columns: the aggregation buffers each file's
+    * distinct set before the cap applies, like any collect_set. */
+  private def computeValueSets(spark: SparkSession, versionDir: Path,
+      cols: Seq[String], schema: org.apache.spark.sql.types.StructType)
+      : Map[String, Map[String, Set[String]]] = {
+    val usable = cols.filter(schema.fieldNames.contains)
+    if (usable.isEmpty) return Map.empty
+    val aggs = usable.map(c =>
+      collect_set(col(c).cast("string")).as(s"__vs_$c"))
+    val marker = s"$BatchesDir/${versionDir.getName}/"
+    spark.read.schema(
+        org.apache.spark.sql.types.StructType(
+          schema.fields.filter(f => usable.contains(f.name))))
+      .parquet(versionDir.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+      .flatMap { r =>
+        val f = r.getString(0)
+        val i = f.indexOf(marker)
+        if (i < 0) None
+        else Some(f.substring(i) -> usable.flatMap { c =>
+          val vs = r.getSeq[String](r.fieldIndex(s"__vs_$c")).toSet
+          if (vs.size <= MaxValueSetSize) Some(c -> vs) else None
+        }.toMap)
+      }
+      .filter(_._2.nonEmpty).toMap
+  }
+
+  /** Value sets for a staged slice under the effective props, merged
+    * over the carried-forward map — the shared per-commit-site shape
+    * (mirrors how stats carry). */
+  private def mergedValueSets(spark: SparkSession, versionDir: Path,
+      vsCols: Seq[String],
+      prev: Map[String, Map[String, Set[String]]],
+      schema: org.apache.spark.sql.types.StructType)
+      : Map[String, Map[String, Set[String]]] =
+    prev ++ (if (vsCols.isEmpty) Map.empty
+             else computeValueSets(spark, versionDir, vsCols, schema))
 
   /** Range-pruning plan over the CURRENT manifest: (kept base files of
     * UNLAYERED buckets, kept LAYERED bucket ids). Per-file pruning is
@@ -986,11 +1091,15 @@ object SnapshotUpsert {
     val stats = cur.map(_.stats).getOrElse(Map.empty) ++
       (if (cluster.isEmpty) Map.empty
        else computeStats(spark, versionDir, cluster, dataSchema))
+    val vsets = mergedValueSets(spark, versionDir,
+      effProps.get(ValueSetColsProp).map(_.split(",", -1).toSeq)
+        .getOrElse(Seq.empty),
+      cur.map(_.valueSets).getOrElse(Map.empty), dataSchema)
     commitManifest(fs, root, version, nBuckets, dataSchema, carried, tsMs,
       Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
       cur.map(_.depths).getOrElse(Map.empty), effProps,
       newDeltas, Some(keys), Some(orderCol), stats,
-      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens)
+      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens, vsets)
     gc(fs, root, version,
       carried.valuesIterator.flatten.toSet ++
         newDeltas.valuesIterator.flatten,
@@ -1050,11 +1159,13 @@ object SnapshotUpsert {
       val stats = cur.stats ++
         (if (cur.clusterCols.isEmpty) Map.empty
          else computeStats(spark, versionDir, cur.clusterCols, cur.schema))
+      val vsets = mergedValueSets(spark, versionDir, cur.valueSetCols,
+        cur.valueSets, cur.schema)
       try {
         commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
           math.max(nowMs, cur.commitTsMs), cur.bucketCols, commit,
           cur.depths, cur.props, deltas, cur.mergeKeys, cur.orderCol, stats,
-          cur.lens ++ staged.lens)
+          cur.lens ++ staged.lens, vsets)
         gc(fs, root, version,
           manifest.valuesIterator.flatten.toSet ++
             deltas.valuesIterator.flatten,
@@ -1384,7 +1495,9 @@ object SnapshotUpsert {
       stats =
         if (cur.clusterCols.isEmpty) Map.empty
         else computeStats(spark, versionDir, cur.clusterCols, cur.schema),
-      lens = staged.lens)
+      lens = staged.lens,
+      valueSets = mergedValueSets(spark, versionDir, cur.valueSetCols,
+        Map.empty, cur.schema))
     gc(fs, root, version, staged.files.valuesIterator.flatten.toSet,
       Some(cur), keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
@@ -1456,7 +1569,9 @@ object SnapshotUpsert {
        else computeStats(spark, versionDir, cur.clusterCols, cur.schema))
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
       nowMs, Some(bc), commit, newDepths, cur.props, deltas,
-      cur.mergeKeys, cur.orderCol, stats, cur.lens ++ staged.lens)
+      cur.mergeKeys, cur.orderCol, stats, cur.lens ++ staged.lens,
+      mergedValueSets(spark, versionDir, cur.valueSetCols, cur.valueSets,
+        cur.schema))
     gc(fs, root, version,
       manifest.valuesIterator.flatten.toSet ++
         deltas.valuesIterator.flatten,
@@ -1674,10 +1789,14 @@ object SnapshotUpsert {
     val stats = cur.map(_.stats).getOrElse(Map.empty) ++
       (if (cluster.isEmpty) Map.empty
        else computeStats(spark, versionDir, cluster, dataSchema))
+    val vsets = mergedValueSets(spark, versionDir,
+      effProps.get(ValueSetColsProp).map(_.split(",", -1).toSeq)
+        .getOrElse(Seq.empty),
+      cur.map(_.valueSets).getOrElse(Map.empty), dataSchema)
     commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
       Some(bucketCols), commit, cur.map(_.depths).getOrElse(Map.empty),
       effProps, carriedDeltas, Some(keys), Some(orderCol), stats,
-      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens)
+      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens, vsets)
     gc(fs, root, version,
       manifest.valuesIterator.flatten.toSet ++
         carriedDeltas.valuesIterator.flatten,
@@ -2131,7 +2250,8 @@ object SnapshotUpsert {
     val version = cur.version + 1
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, cur.files,
       nowMs, cur.bucketCols, commit, cur.depths, cur.props ++ props,
-      cur.deltas, cur.mergeKeys, cur.orderCol, cur.stats, cur.lens)
+      cur.deltas, cur.mergeKeys, cur.orderCol, cur.stats, cur.lens,
+      cur.valueSets)
     gc(fs, root, version, cur.allRefs.toSet, Some(cur), keepVersions,
       keepAgeMs, nowMs)
     version

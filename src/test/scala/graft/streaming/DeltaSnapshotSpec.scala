@@ -38,7 +38,8 @@ class DeltaSnapshotSpec extends SparkSpec {
     val lines = scala.io.Source.fromFile(
       f"$dir/_manifests/v$v%012d.txt", "UTF-8").getLines().toVector
     val fl = lines.filterNot(l => l.isEmpty || l.startsWith("#") ||
-        l.startsWith("S\t") || l.startsWith("L\t"))
+        l.startsWith("S\t") ||
+        l.startsWith("L\t") || l.startsWith("V\t"))
       .map(_.split('\t'))
     (fl.filter(_.length == 2).groupBy(_(0).toInt).map { case (b, g) => b -> g.size },
       fl.filter(_.length == 3).groupBy(_(0).toInt).map { case (b, g) => b -> g.size })

@@ -336,6 +336,50 @@ class SnapshotRelationSpec extends SparkSpec {
       "test shape must actually prune")
   }
 
+  test("equality on a declared value-set column skips every file whose " +
+      "recorded exact distinct set lacks the value") {
+    import spark.implicits._
+    val dir = tmp()
+    // 10 day-buckets; each day's status is one of three groups, so a
+    // group equality should open only ~a third of the files
+    val rows = for (day <- 0L until 10L; i <- 0L until 10L)
+      yield (day, day * 10L + i, s"g${day % 3}", day * 10L + i)
+    SnapshotUpsert.upsertBatchSnapshot(
+      rows.toDF("day", "id", "status", "v"), dir, Seq("day", "id"), "",
+      nBuckets = 16, bucketCols = Seq("day"), keepVersions = 10,
+      props = Map(SnapshotUpsert.ValueSetColsProp -> "status"))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = SnapshotUpsert.currentSnapshot(fs, root).get
+    // every referenced file recorded its status set
+    val allRels = cur.files.valuesIterator.flatten.toSeq
+    assert(allRels.nonEmpty &&
+      allRels.forall(r => cur.valueSets.get(r).exists(_.contains("status"))))
+    val expect = allRels.count(r => cur.valueSets(r)("status").contains("g0"))
+    assert(expect < allRels.size, "test shape must actually prune")
+
+    SnapshotRelation.registerSqlView(spark, "snap_rel_vs", dir)
+    def q = spark.sql("SELECT * FROM snap_rel_vs WHERE status = 'g0'")
+    assert(q.count() == 40) // days 0,3,6,9 x 10 rows
+    assert(scannedFiles(q) == expect)
+    // IN list unions the candidates' files
+    def qin = spark.sql(
+      "SELECT * FROM snap_rel_vs WHERE status IN ('g0','g1')")
+    assert(qin.count() == 70)
+    assert(scannedFiles(qin) == allRels.count(r =>
+      cur.valueSets(r)("status").exists(Set("g0", "g1"))))
+    // a value no file holds: zero files, empty result
+    def qmiss = spark.sql(
+      "SELECT * FROM snap_rel_vs WHERE status = 'nope'")
+    assert(qmiss.collect().isEmpty && scannedFiles(qmiss) == 0)
+    // composition: value-set AND range candidates intersect... with a
+    // bucket-column equality the decision is the tightest of all three
+    def qboth = spark.sql(
+      "SELECT * FROM snap_rel_vs WHERE status = 'g0' AND day = 3")
+    assert(qboth.count() == 10)
+    assert(scannedFiles(qboth) <= expect)
+  }
+
   test("asOfMs resolves the newest version at or before the instant " +
       "(wall-clock time travel through the relation)") {
     val dir = tmp()

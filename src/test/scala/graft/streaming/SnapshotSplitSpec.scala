@@ -38,7 +38,8 @@ class SnapshotSplitSpec extends SparkSpec {
         .filter(_.getName.endsWith(".txt")).sortBy(_.getName).last, "UTF-8")
       .getLines().toVector
     lines.filterNot(l => l.startsWith("#") ||
-      l.startsWith("S\t") || l.startsWith("L\t")).map { l =>
+      l.startsWith("S\t") ||
+        l.startsWith("L\t") || l.startsWith("V\t")).map { l =>
       val Array(b, rel) = l.split('\t'); (b.toInt, rel)
     }.groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).toSet }
   }

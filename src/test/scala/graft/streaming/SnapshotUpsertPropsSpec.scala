@@ -233,7 +233,8 @@ object SnapshotUpsertPropsSpec extends Properties("SnapshotUpsert") {
         .filter(_.getName.endsWith(".txt")).sortBy(_.getName).last,
       "UTF-8").getLines().toVector
     lines.filterNot(l => l.startsWith("#") ||
-        l.startsWith("S\t") || l.startsWith("L\t"))
+        l.startsWith("S\t") ||
+        l.startsWith("L\t") || l.startsWith("V\t"))
       .map(_.split('\t')(0).toInt).distinct.sorted
   }
 }

@@ -28,7 +28,8 @@ class SnapshotUpsertSpec extends SparkSpec {
     val lines = scala.io.Source.fromFile(
       f"$dir/_manifests/v$v%012d.txt", "UTF-8").getLines().toVector
     lines.filterNot(l => l.isEmpty || l.startsWith("#") ||
-        l.startsWith("S\t") || l.startsWith("L\t"))
+        l.startsWith("S\t") ||
+        l.startsWith("L\t") || l.startsWith("V\t"))
       .map { l => val Array(b, rel) = l.split('\t'); b.toInt -> rel }
       .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
   }
