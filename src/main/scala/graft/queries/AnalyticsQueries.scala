@@ -504,6 +504,57 @@ object AnalyticsQueries {
              |WHERE img.day = b.d AND img.user_id % 5 = 2""".stripMargin),
     ),
 
+    // VALUE-SET file skipping (r11, ValueSetColsProp): the per-(day,
+    // user) image declares event_type as a low-cardinality column, so
+    // every staged file records its exact distinct event types in the
+    // manifest (V lines); the SQL relation then serves an equality on
+    // event_type opening only the files whose recorded set holds the
+    // probed value (derived as min(event_type) so the gate is
+    // SF-independent). The oracle recomputes the image and applies
+    // the same derived equality. Pruning exactness is pinned by
+    // SnapshotRelationSpec's numFiles checks; this gates RESULTS.
+    // NOTE for bench readers: the commit executes at plan
+    // construction; per-pass timings see the pruned SQL read.
+    QueryDef(
+      "q_snapshot_valueset",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        val img = ev
+          .groupBy(to_date(col("ts")).cast("string").as("day"),
+            col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("top"))
+          .select(col("day"), col("user_id"),
+            col("top.event_type").as("event_type"),
+            date_format(col("top.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-vset-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(img, dir,
+          keys = Seq("day", "user_id"), orderCol = "", nBuckets = 32,
+          bucketCols = Seq("day"),
+          props = Map(
+            graft.streaming.SnapshotUpsert.ValueSetColsProp -> "event_type"))
+        val probe = img.agg(min(col("event_type"))).head.getString(0)
+        graft.streaming.SnapshotRelation.registerSqlView(
+          s, "snap_vset_rel", dir)
+        s.sql("SELECT day, user_id, event_type, ts FROM snap_vset_rel " +
+          s"WHERE event_type = '$probe'")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts
+             |  FROM e GROUP BY 1, 2),
+             |b AS (SELECT min(event_type) AS et FROM img)
+             |SELECT img.day, img.user_id, img.event_type, img.ts
+             |FROM img, b WHERE img.event_type = b.et""".stripMargin),
+    ),
+
     // MERGE INTO (r11, SnapshotUpsert.mergeInto): SQL-MERGE semantics
     // on the snapshot table — the target holds per-user counts over
     // one event slice, the source over an overlapping slice (overlap
