@@ -68,11 +68,15 @@ object EnrichmentCache {
     }
   }
 
-  /** Overwrite this source's partition only (dynamic partition
-    * overwrite; the reference wrote the `source_name=` path directly). */
+  /** Overwrite this source's partition only. The dynamic-overwrite mode
+    * is WRITER-SCOPED (a DataFrameWriter option), not set session-wide:
+    * the reference sets the session conf once at startup
+    * (ap/dependencies.py:40), but a session-wide flip would silently
+    * change the semantics of every later overwrite write in the same
+    * session — scoping it here keeps parity for THIS write only. */
   def writeCache(spark: SparkSession, merged: DataFrame, cachePath: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     TableIO.writeTable(merged, cachePath, AdvisorySchemas.enrichmentCache,
-      mode = SaveMode.Overwrite, partitionKeys = Seq("source_name"))
+      mode = SaveMode.Overwrite, partitionKeys = Seq("source_name"),
+      options = Map("partitionOverwriteMode" -> "dynamic"))
   }
 }

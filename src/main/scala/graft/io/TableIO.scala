@@ -178,10 +178,12 @@ object TableIO {
       partitionKeys: Seq[String] = Seq.empty,
       partitions: Int = 0,
       format: Format = Parquet,
+      options: Map[String, String] = Map.empty,
   ): Unit = {
     val cast = castToSchema(df, schema)
     val sized = if (partitions > 0) cast.repartition(partitions) else cast
     val w = sized.write.mode(mode).partitionBy(partitionKeys: _*)
+      .options(options)
     format match {
       case Parquet => w.parquet(path)
       case Orc => w.orc(path)

@@ -175,7 +175,19 @@ final class SnapshotFileIndex private[streaming] (
           .toSeq
       }
     }
-    val got = Await.result(Future.sequence(futs), Duration.Inf).flatten.toMap
+    // bounded: this path only serves pre-`L`-line legacy manifests, and
+    // an unbounded await here would wedge QUERY PLANNING (not a commit)
+    // on one hung store call — fail the plan loudly instead
+    val got =
+      try Await.result(Future.sequence(futs), Duration(5, "min"))
+        .flatten.toMap
+      catch {
+        case _: java.util.concurrent.TimeoutException => sys.error(
+          s"snapshot relation at $root: listing legacy-manifest files " +
+            s"timed out after 5 minutes (${byParent.size} directories); " +
+            "the store is not responding — retry, or rewrite the table " +
+            "once with a current writer to record file lengths (L lines)")
+      }
     val absent = rels.filterNot(got.contains)
     require(absent.isEmpty,
       s"snapshot relation at $root: version ${snap.version} references " +
@@ -195,14 +207,17 @@ final class SnapshotFileIndex private[streaming] (
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val memoKey = dataFilters.map(_.canonicalized.toString).sorted
-      .mkString(" ")
+      .mkString("\u0000")
     val kept = keptMemo.computeIfAbsent(memoKey, _ => keptRels(dataFilters))
     Seq(PartitionDirectory(InternalRow.empty, kept.map(statusByRel).toArray))
   }
 
   /** The file-skipping decision, exposed for specs and audits: which
     * relative paths survive the given pushed-down conjuncts — bucket
-    * hash, then clustering-range stats, then categorical value sets. */
+    * hash, then clustering/key-range stats, then categorical value
+    * sets, then bloom sidecars (the high-cardinality tier, consulted
+    * LAST so its per-file sidecar reads are paid only for files the
+    * cheaper zero-IO tiers could not already dismiss). */
   private[streaming] def keptRels(dataFilters: Seq[Expression]): Seq[String] = {
     val afterBucket: Seq[(Int, String)] = bucketCandidates(dataFilters) match {
       case Some(keep) => relsByBucket.filter { case (b, _) => keep(b) }
@@ -214,31 +229,114 @@ final class SnapshotFileIndex private[streaming] (
       else afterBucket.map(_._2).filterNot { rel =>
         bounds.exists { case (c, dt, los, his) =>
           snap.stats.get(rel).flatMap(_.get(c)).exists { case (mn, mx) =>
-            los.exists(lo => SnapshotUpsert.statCompare(dt, mx, lo) < 0) ||
-              his.exists(hi => SnapshotUpsert.statCompare(dt, mn, hi) > 0)
+            los.exists(lo =>
+              SnapshotUpsert.statCompareOpt(dt, mx, lo).exists(_ < 0)) ||
+              his.exists(hi =>
+                SnapshotUpsert.statCompareOpt(dt, mn, hi).exists(_ > 0))
           }
         }
       }
-    val vsCands = valueCandidates(dataFilters)
-    if (vsCands.isEmpty) afterRange
-    else afterRange.filterNot { rel =>
-      vsCands.exists { case (c, cands) =>
-        // recorded set present AND disjoint from the candidates =
-        // provably no matching row in the file; no record = keep
-        snap.valueSets.get(rel).flatMap(_.get(c))
-          .exists(rec => rec.intersect(cands).isEmpty)
+    val vsCands = valueCandidates(dataFilters, snap.valueSetCols)
+    val afterValues =
+      if (vsCands.isEmpty) afterRange
+      else afterRange.filterNot { rel =>
+        vsCands.exists { case (c, cands) =>
+          // recorded set present AND disjoint from the candidates =
+          // provably no matching row in the file; no record = keep.
+          // Timestamp sets recorded by a pre-r12 writer are in the
+          // session-zone ISO form, not canonical micros — comparing
+          // them against micros candidates would FALSELY prune, so a
+          // set holding any non-canonical value is treated as absent
+          snap.valueSets.get(rel).flatMap(_.get(c)).exists { rec =>
+            val canonical =
+              snap.schema(c).dataType !=
+                org.apache.spark.sql.types.TimestampType ||
+                rec.forall(_.toLongOption.isDefined)
+            canonical && rec.intersect(cands).isEmpty
+          }
+        }
+      }
+    bloomPrune(dataFilters, afterValues)
+  }
+
+  /** Bloom-sidecar pruning: equality/IN candidates on the declared
+    * [[SnapshotUpsert.BloomColsProp]] columns drop every file whose
+    * recorded bloom contains NONE of the candidate values. Consulted
+    * only below [[SnapshotFileIndex.MaxBloomProbeFiles]] surviving
+    * files: each probe is one sidecar GET, and past that count the
+    * predicate no longer looks like a point lookup — reading the data
+    * is the honest plan, exactly the MaxEnumeratedKeys rationale.
+    * Sidecars load in one bounded parallel fan-out, memoized for the
+    * index's lifetime; a missing/unreadable sidecar keeps its file
+    * (conservative, like every tier here). */
+  private def bloomPrune(filters: Seq[Expression],
+      rels: Seq[String]): Seq[String] = {
+    val cols = snap.bloomCols.filter(snap.schema.fieldNames.contains)
+    if (cols.isEmpty || rels.isEmpty ||
+      rels.size > SnapshotFileIndex.MaxBloomProbeFiles) return rels
+    val cands = valueCandidates(filters, cols)
+    if (cands.isEmpty) return rels
+    // only files with a recorded bloom for some candidate column can
+    // prune; load exactly those sidecars
+    val needed: Seq[(String, String, String)] = rels.flatMap { rel =>
+      cands.flatMap { case (c, _) =>
+        snap.blooms.get(rel).flatMap(_.get(c)).map(side => (rel, c, side))
+      }
+    }
+    if (needed.isEmpty) return rels
+    val loaded = loadBlooms(needed.map(_._3).distinct)
+    rels.filterNot { rel =>
+      cands.exists { case (c, vs) =>
+        snap.blooms.get(rel).flatMap(_.get(c)).exists { side =>
+          loaded.get(side).exists(bf =>
+            // an EMPTY candidate set (contradictory equalities) prunes
+            // every bloom-recorded file, like the value-set tier
+            vs.forall(v => !bf.mightContainString(v)))
+        }
       }
     }
   }
 
-  /** Canonical-string equality candidates on the declared value-set
-    * columns. A null candidate (null-safe probe) declines pruning for
-    * its column — recorded sets exclude NULLs, so a file's set cannot
-    * prove the absence of a null row. An EMPTY candidate set is kept:
-    * contradictory equalities prune every recorded file. */
-  private def valueCandidates(filters: Seq[Expression])
-      : Seq[(String, Set[String])] = {
-    val cols = snap.valueSetCols.filter(snap.schema.fieldNames.contains)
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def loadBlooms(sides: Seq[String])
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = sides.map { side =>
+      Future {
+        side -> bloomMemo.computeIfAbsent(side, _ =>
+          scala.concurrent.blocking {
+            try {
+              val in = fs.open(new Path(root, side))
+              try Some(
+                org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+              finally in.close()
+            } catch { case _: java.io.IOException => None }
+          })
+      }
+    }
+    try Await.result(Future.sequence(futs), Duration(5, "min"))
+      .collect { case (s, Some(bf)) => s -> bf }.toMap
+    catch {
+      // planning must not wedge on a hung sidecar GET: no blooms, no
+      // pruning — the scan reads what the cheaper tiers kept
+      case _: java.util.concurrent.TimeoutException => Map.empty
+    }
+  }
+
+  /** Canonical-string equality candidates on the given columns (the
+    * declared value-set or bloom columns). A null candidate (null-safe
+    * probe) declines pruning for its column — recorded sets/blooms
+    * exclude NULLs, so neither can prove the absence of a null row. An
+    * EMPTY candidate set is kept: contradictory equalities prune every
+    * recorded file. */
+  private def valueCandidates(filters: Seq[Expression],
+      declared: Seq[String]): Seq[(String, Set[String])] = {
+    val cols = declared.filter(snap.schema.fieldNames.contains)
     if (cols.isEmpty) return Seq.empty
     val raw = cols.flatMap { c =>
       equalityCandidates(c, filters) match {
@@ -247,11 +345,13 @@ final class SnapshotFileIndex private[streaming] (
       }
     }
     if (raw.isEmpty) return Seq.empty
-    // canonicalize through the engine's own cast — the exact path that
-    // produced the recorded sets (computeValueSets' cast-to-string)
+    // canonicalize through the engine's own canonical form — the exact
+    // path that produced the recorded sets and bloom insertions
+    // (timezone-pinned for timestamps, plain cast otherwise)
     val exprs = raw.flatMap { case (c, vs) =>
       val dt = snap.schema(c).dataType
-      vs.toSeq.map(v => lit(v).cast(dt).cast("string"))
+      vs.toSeq.map(v =>
+        SnapshotUpsert.canonicalValue(lit(v).cast(dt), dt))
     }
     if (exprs.isEmpty) return raw.map { case (c, _) => (c, Set.empty[String]) }
     val row = spark.range(1)
@@ -393,11 +493,12 @@ final class SnapshotFileIndex private[streaming] (
     val constrained = raw.filter(r => r._3.nonEmpty || r._4.nonEmpty)
     if (constrained.isEmpty) return Seq.empty
     // canonicalize every bound in ONE tiny local job (mirrors
-    // readRange: lit(v).cast(dt).cast("string") is the exact path the
-    // recorded stats took)
+    // readRange: canonicalValue over lit(v).cast(dt) is the exact path
+    // the recorded stats took — timezone-pinned for timestamps)
     val exprs = constrained.flatMap { case (_, dt, los, his) =>
       val conv = CatalystTypeConverters.createToScalaConverter(dt)
-      (los ++ his).map(x => lit(conv(x)).cast(dt).cast("string"))
+      (los ++ his).map(x =>
+        SnapshotUpsert.canonicalValue(lit(conv(x)).cast(dt), dt))
     }
     val row = spark.range(1)
       .select(exprs.zipWithIndex.map { case (e, i) => e.as(s"b$i") }: _*)
@@ -416,4 +517,13 @@ object SnapshotFileIndex {
     * is declined (reading everything is correct; hashing thousands of
     * candidates buys little once most buckets are hit anyway). */
   val MaxEnumeratedKeys = 1024
+
+  /** Cap on the files whose bloom sidecars one plan will fetch: each
+    * probe is a storage GET, and a candidate set still spanning more
+    * files than this after the zero-IO tiers is not a point lookup —
+    * scanning is the honest plan. Overridable for specs via the
+    * `graft.bloom.maxProbeFiles` system property. */
+  def MaxBloomProbeFiles: Int =
+    sys.props.get("graft.bloom.maxProbeFiles").map(_.toInt)
+      .getOrElse(4096)
 }

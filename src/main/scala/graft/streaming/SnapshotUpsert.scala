@@ -129,6 +129,39 @@ object SnapshotUpsert {
     * exact sets stop paying for their manifest bytes. */
   val MaxValueSetSize = 32
 
+  /** Table property declaring HIGH-CARDINALITY columns whose per-file
+    * membership is recorded as a BLOOM FILTER sidecar (manifest `B`
+    * lines referencing `_blooms/` files written at commit) — the
+    * skipping tier above [[ValueSetColsProp]]'s exact 32-value sets:
+    * a point predicate on a non-bucket id/url column opens only the
+    * files whose bloom might contain the value. False positives read
+    * extra files (never wrong answers); sizing via
+    * [[BloomNdvProp]]/[[BloomFppProp]]. */
+  val BloomColsProp = "graft.bloom.cols"
+
+  /** Expected distinct values PER FILE used to size bloom sidecars
+    * (default 100000, ~110 KB/file/column at the default fpp). A file
+    * holding more distinct values than this degrades the false-positive
+    * rate — extra reads, never wrong answers. */
+  val BloomNdvProp = "graft.bloom.ndv"
+
+  /** Target false-positive rate for bloom sidecars (default 0.03). */
+  val BloomFppProp = "graft.bloom.fpp"
+
+  /** The manifest format revision THIS engine writes and the newest it
+    * reads. Readers REJECT a manifest whose recorded `#format` exceeds
+    * this with a clear upgrade error instead of tripping over a body
+    * line they cannot parse (the pre-r12 failure mode: a `V`/`L` line
+    * hit an old reader's `'V'.toInt` and threw a bare
+    * NumberFormatException). The rule going forward: any new header
+    * (`#key=…`) is ignorable by old readers (headers parse into a map),
+    * but any new BODY line kind requires a format bump so old readers
+    * fail loudly and explainably. History: 1 = bucket file lines only;
+    * 2 = S/L/V stat lines, #depths/#keys/#ordercol/#prop headers (r11,
+    * unstamped); 3 = `#format` stamp itself, B bloom-sidecar lines,
+    * timezone-pinned timestamp canonicalization (r12). */
+  val ManifestFormat = 3
+
   /** Serializes manifest creation within this JVM (see object doc:
     * cross-process exclusivity comes from create-exclusive — atomic on
     * HDFS-class stores, NIO `O_EXCL` on local filesystems since r11). */
@@ -271,11 +304,14 @@ object SnapshotUpsert {
       orderCol: Option[String] = None,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       lens: Map[String, Long] = Map.empty,
-      valueSets: Map[String, Map[String, Set[String]]] = Map.empty) {
-    /** Every data file this version references (base + delta) — the
-      * reference set GC and vacuum must protect. */
+      valueSets: Map[String, Map[String, Set[String]]] = Map.empty,
+      blooms: Map[String, Map[String, String]] = Map.empty) {
+    /** Every file this version references (base + delta data files,
+      * plus bloom sidecars) — the reference set GC and vacuum must
+      * protect. */
     def allRefs: Iterator[String] =
-      files.valuesIterator.flatten ++ deltas.valuesIterator.flatten
+      files.valuesIterator.flatten ++ deltas.valuesIterator.flatten ++
+        blooms.valuesIterator.flatMap(_.valuesIterator)
     /** Declared clustering columns (the `graft.cluster.cols` table
       * property): staged files sort by them within each bucket and
       * record per-file min/max in the manifest for range pruning. */
@@ -287,6 +323,10 @@ object SnapshotUpsert {
       * categorical file skipping. */
     def valueSetCols: Seq[String] =
       props.get(ValueSetColsProp).map(_.split(",", -1).toSeq)
+        .getOrElse(Seq.empty)
+    /** Declared bloom-sidecar columns ([[BloomColsProp]]). */
+    def bloomCols: Seq[String] =
+      props.get(BloomColsProp).map(_.split(",", -1).toSeq)
         .getOrElse(Seq.empty)
   }
 
@@ -361,6 +401,14 @@ object SnapshotUpsert {
       .toMap
     require(headers.contains("nbuckets") && headers.contains("schema"),
       s"malformed manifest v$v at $root: missing #nbuckets/#schema headers")
+    // `#format` (r12): readers refuse manifests from a NEWER format
+    // revision with an actionable error instead of tripping over a body
+    // line kind they cannot parse; manifests without the stamp predate
+    // it and parse as before
+    headers.get("format").map(_.toInt).filter(_ > ManifestFormat)
+      .foreach(f => sys.error(s"manifest v$v at $root was written in " +
+        s"format $f but this reader supports formats <= $ManifestFormat " +
+        "— upgrade the reader before querying this table"))
     // file lines: `<bucket>\t<rel>` is a BASE file (≤1 row per key per
     // bucket — the CoW invariant), `<bucket>\tD\t<rel>` a DELTA file
     // (r11 merge-on-read: batch-sized row-version layers readers fold
@@ -415,9 +463,25 @@ object SnapshotUpsert {
             s"unparseable length line '${other.mkString("\\t")}'")
         }
       }.toMap
+    // `B` lines (r12 bloom sidecars): `B\t<rel>\t<col>\t<sidecarRel>` —
+    // a data file's per-column membership bloom, stored as its own
+    // sidecar file under `_blooms/` (FP-sized filters are tens-to-
+    // hundreds of KB each; inlining them would balloon a production
+    // manifest to GBs). Absent = not recorded = never pruned.
+    val blooms: Map[String, Map[String, String]] = bodyLines
+      .collect { case l if l.startsWith("B\t") =>
+        l.split('\t') match {
+          case Array(_, rel, c, side) => (rel, c, side)
+          case other => sys.error(s"malformed manifest v$v at $root: " +
+            s"unparseable bloom line '${other.mkString("\\t")}'")
+        }
+      }
+      .groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> r._3).toMap
+      }
     val fileLines = bodyLines
       .filterNot(l => l.startsWith("S\t") || l.startsWith("L\t") ||
-        l.startsWith("V\t"))
+        l.startsWith("V\t") || l.startsWith("B\t"))
       .map(line => line.split('\t') match {
         case Array(b, rel) => (b.toInt, rel, false)
         case Array(b, "D", rel) => (b.toInt, rel, true)
@@ -454,7 +518,7 @@ object SnapshotUpsert {
       // FOLD delta layers (group-by columns and precedence); recorded
       // by every data commit since the revision, absent before it
       headers.get("keys").map(_.split(",", -1).toSeq),
-      headers.get("ordercol"), stats, lens, valueSets)
+      headers.get("ordercol"), stats, lens, valueSets, blooms)
   }
 
   /** Create-exclusive write of a manifest file — THE commit point of
@@ -485,7 +549,8 @@ object SnapshotUpsert {
       orderCol: Option[String] = None,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       lens: Map[String, Long] = Map.empty,
-      valueSets: Map[String, Map[String, Set[String]]] = Map.empty)
+      valueSets: Map[String, Map[String, Set[String]]] = Map.empty,
+      blooms: Map[String, Map[String, String]] = Map.empty)
       : Unit = {
     // the merge contract is part of the COMMIT when deltas exist:
     // without recorded keys/ordercol no reader could fold the layers
@@ -516,8 +581,8 @@ object SnapshotUpsert {
     }
     fs.mkdirs(new Path(root, ManifestDir))
     val target = manifestPath(root, version)
-    val body = (Iterator(s"#nbuckets=$nBuckets", s"#ts=$nowMs",
-      s"#schema=${schema.toDDL}") ++
+    val body = (Iterator(s"#format=$ManifestFormat", s"#nbuckets=$nBuckets",
+      s"#ts=$nowMs", s"#schema=${schema.toDDL}") ++
       bucketCols.iterator.map(bc => s"#bucketcols=${bc.mkString(",")}") ++
       // the merge contract (r11): keys and precedence recorded like the
       // bucket layout, so delta folds and later merges validate against
@@ -571,6 +636,17 @@ object SnapshotUpsert {
         SortedMap.from(lens).iterator
           .filter { case (rel, _) => live(rel) }
           .map { case (rel, n) => s"L\t$rel\t$n" }
+      } ++ {
+        // bloom sidecar references (like stats: only live data files)
+        val live = files.valuesIterator.flatten.toSet ++
+          deltas.valuesIterator.flatten
+        SortedMap.from(blooms).iterator
+          .filter { case (rel, _) => live(rel) }
+          .flatMap { case (rel, cols) =>
+            SortedMap.from(cols).iterator.map { case (c, side) =>
+              s"B\t$rel\t$c\t$side"
+            }
+          }
       } ++ Iterator(Eof)).mkString("\n")
     commitLock.synchronized {
       if (fs.exists(target)) {
@@ -648,14 +724,42 @@ object SnapshotUpsert {
     }
   }
 
-  private[streaming] def statCompare(dt: org.apache.spark.sql.types.DataType,
-      a: String, b: String): Int = {
+  /** The engine's ONE canonical string form for recorded stats, value
+    * sets, bloom probes, AND the read-side candidates compared against
+    * them. For TimestampType the form is the instant's epoch MICROS as
+    * a decimal string — the internal UTC value, independent of
+    * `spark.sql.session.timeZone`. A plain cast-to-string renders a
+    * timestamp IN the session zone, so a table written under one zone
+    * and read under another would canonicalize the same instant to two
+    * different strings and file skipping would FALSELY prune files
+    * that do hold matching rows (r12, advisor finding). Every other
+    * stats-comparable type casts zone-independently (DateType is a
+    * local day count; integrals/booleans/strings are untouched). */
+  private[streaming] def canonicalValue(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.TimestampType =>
+      unix_micros(c).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** Three-way comparison of two canonical strings of `dt`, or None
+    * when either side is not in the CURRENT canonical form — timestamp
+    * stats recorded by a pre-r12 writer are session-zone ISO strings,
+    * not micros, and those strings CARRY FORWARD in later manifests.
+    * Callers treat None as "cannot prove", i.e. keep the file: legacy
+    * stats degrade to reading, never to a false prune. */
+  private[streaming] def statCompareOpt(
+      dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Option[Int] = {
     import org.apache.spark.sql.types._
     dt match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        java.lang.Long.compare(a.toLong, b.toLong)
-      case BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
-      case _ => a.compareTo(b)
+      case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+        for (x <- a.toLongOption; y <- b.toLongOption)
+          yield java.lang.Long.compare(x, y)
+      case BooleanType =>
+        for (x <- a.toBooleanOption; y <- b.toBooleanOption)
+          yield java.lang.Boolean.compare(x, y)
+      case _ => Some(a.compareTo(b))
     }
   }
 
@@ -671,9 +775,14 @@ object SnapshotUpsert {
     val usable = cols.filter(c => schema.fields.find(_.name == c)
       .exists(f => statsComparable(f.dataType)))
     if (usable.isEmpty) return Map.empty
-    val aggs = usable.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c")))
+    // min/max run over the NATIVE type, then canonicalize (min of the
+    // canonical strings would order "10" < "9"); for timestamps the
+    // canonical form commutes with min/max (unix_micros is monotone)
+    val aggs = usable.flatMap { c =>
+      val dt = schema(c).dataType
+      Seq(canonicalValue(min(col(c)), dt).as(s"__mn_$c"),
+        canonicalValue(max(col(c)), dt).as(s"__mx_$c"))
+    }
     val marker = s"$BatchesDir/${versionDir.getName}/"
     spark.read.schema(
         org.apache.spark.sql.types.StructType(
@@ -695,27 +804,57 @@ object SnapshotUpsert {
   }
 
   /** Per-file exact distinct values of the declared low-cardinality
-    * columns over a just-staged version directory — same one-pass,
-    * file-grouped re-read shape as [[computeStats]]. A file whose
-    * distinct count exceeds [[MaxValueSetSize]] records nothing for
-    * the column (not low-cardinality THERE; never pruned by it), and
-    * NULLs are excluded (equality never matches them; a null-safe
-    * probe declines value-set pruning). Declare only genuinely
-    * low-cardinality columns: the aggregation buffers each file's
-    * distinct set before the cap applies, like any collect_set. */
+    * columns over a just-staged version directory — same file-grouped
+    * re-read shape as [[computeStats]]. A file whose distinct count
+    * exceeds [[MaxValueSetSize]] records nothing for the column (not
+    * low-cardinality THERE; never pruned by it), and NULLs are
+    * excluded (equality never matches them; a null-safe probe declines
+    * value-set pruning).
+    *
+    * BOUNDED in two passes (r12, advisor finding): an exact
+    * collect_set buffers each file's FULL distinct set before any cap
+    * applies, so a mistakenly-declared high-cardinality column (an id)
+    * would materialize millions of strings per aggregation buffer. A
+    * first constant-memory pass (per-file approx_count_distinct)
+    * disqualifies such files; the exact collect then runs only over
+    * rows of files that plausibly fit (approx <= 2*cap — the 5% rsd
+    * sketch cannot miss a 100x blowout by that margin), masked
+    * per-(file, column) so a file qualifying for one column never
+    * buffers another column's large set. The exact cap still applies
+    * after the exact collect, as before. */
   private def computeValueSets(spark: SparkSession, versionDir: Path,
       cols: Seq[String], schema: org.apache.spark.sql.types.StructType)
       : Map[String, Map[String, Set[String]]] = {
     val usable = cols.filter(schema.fieldNames.contains)
     if (usable.isEmpty) return Map.empty
-    val aggs = usable.map(c =>
-      collect_set(col(c).cast("string")).as(s"__vs_$c"))
     val marker = s"$BatchesDir/${versionDir.getName}/"
-    spark.read.schema(
+    val staged = spark.read.schema(
         org.apache.spark.sql.types.StructType(
           schema.fields.filter(f => usable.contains(f.name))))
       .parquet(versionDir.toString)
-      .groupBy(input_file_name().as("__f"))
+    // pass 1: constant-memory per-file cardinality screen
+    val approxAggs = usable.map(c =>
+      approx_count_distinct(col(c)).as(s"__ac_$c"))
+    val approx = staged.groupBy(input_file_name().as("__f"))
+      .agg(approxAggs.head, approxAggs.tail: _*).collect()
+    val qualifying: Map[String, Set[String]] = usable.map { c =>
+      c -> approx.iterator.filter(r =>
+        r.getLong(r.fieldIndex(s"__ac_$c")) <= 2L * MaxValueSetSize)
+        .map(_.getString(0)).toSet
+    }.toMap
+    if (qualifying.valuesIterator.forall(_.isEmpty)) return Map.empty
+    val allFiles = approx.map(_.getString(0)).toSet
+    // pass 2: exact sets, masked to qualifying files per column
+    val aggs = usable.map { c =>
+      val dt = schema(c).dataType
+      val q = qualifying(c)
+      val v =
+        if (q == allFiles) canonicalValue(col(c), dt)
+        else when(input_file_name().isin(q.toSeq: _*),
+          canonicalValue(col(c), dt))
+      collect_set(v).as(s"__vs_$c")
+    }
+    staged.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
       .flatMap { r =>
         val f = r.getString(0)
@@ -723,7 +862,9 @@ object SnapshotUpsert {
         if (i < 0) None
         else Some(f.substring(i) -> usable.flatMap { c =>
           val vs = r.getSeq[String](r.fieldIndex(s"__vs_$c")).toSet
-          if (vs.size <= MaxValueSetSize) Some(c -> vs) else None
+          if (qualifying(c).contains(f) && vs.size <= MaxValueSetSize)
+            Some(c -> vs)
+          else None
         }.toMap)
       }
       .filter(_._2.nonEmpty).toMap
@@ -740,20 +881,139 @@ object SnapshotUpsert {
     prev ++ (if (vsCols.isEmpty) Map.empty
              else computeValueSets(spark, versionDir, vsCols, schema))
 
+  /** Build per-file bloom sidecars for the declared [[BloomColsProp]]
+    * columns of a just-staged version directory, write them under
+    * `<versionDir>/_blooms/` (underscore-prefixed: invisible to every
+    * parquet listing), and return the manifest references. The build
+    * is distributed and CONSTANT-MEMORY per task — each partition
+    * inserts its rows' canonical strings into fixed-size filters (no
+    * value buffering, unlike a collect_set), partial filters merge by
+    * (file, column), and only the finished filters (one per staged
+    * file x column, tens of KB each) reach the driver, which writes
+    * each as its own sidecar. Sizing comes from [[BloomNdvProp]] /
+    * [[BloomFppProp]]: a file holding more distinct values than the
+    * declared NDV degrades the false-positive rate — extra reads,
+    * never wrong answers. Values are inserted in the engine's ONE
+    * canonical string form ([[canonicalValue]]), the same form the
+    * read side probes with, so timestamp blooms are session-timezone
+    * independent by construction. */
+  private def computeBlooms(spark: SparkSession, root: Path,
+      versionDir: Path, cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      ndv: Long, fpp: Double): Map[String, Map[String, String]] = {
+    val usable = cols.filter(schema.fieldNames.contains)
+    if (usable.isEmpty) return Map.empty
+    val marker = s"$BatchesDir/${versionDir.getName}/"
+    val sel = input_file_name().as("__f") +:
+      usable.map(c => canonicalValue(col(c), schema(c).dataType).as(c))
+    val staged = spark.read.schema(
+        org.apache.spark.sql.types.StructType(
+          schema.fields.filter(f => usable.contains(f.name))))
+      .parquet(versionDir.toString)
+      .select(sel: _*)
+    val nCols = usable.size
+    val built: Array[((String, String), Array[Byte])] = staged.rdd
+      .mapPartitions { rows =>
+        import org.apache.spark.util.sketch.BloomFilter
+        val acc = scala.collection.mutable.HashMap
+          .empty[(String, String), BloomFilter]
+        rows.foreach { r =>
+          val f = r.getString(0)
+          var i = 0
+          while (i < nCols) {
+            if (!r.isNullAt(i + 1)) {
+              acc.getOrElseUpdate((f, usable(i)),
+                BloomFilter.create(ndv, fpp)).putString(r.getString(i + 1))
+            }
+            i += 1
+          }
+        }
+        acc.iterator.map { case (k, bf) =>
+          val out = new java.io.ByteArrayOutputStream()
+          bf.writeTo(out)
+          k -> out.toByteArray
+        }
+      }
+      .reduceByKey { (a, b) =>
+        import org.apache.spark.util.sketch.BloomFilter
+        val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+        fa.mergeInPlace(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+        val out = new java.io.ByteArrayOutputStream()
+        fa.writeTo(out)
+        out.toByteArray
+      }
+      .collect()
+    if (built.isEmpty) return Map.empty
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    built.iterator.flatMap { case ((f, c), bytes) =>
+      val i = f.indexOf(marker)
+      if (i < 0) None
+      else {
+        val dataRel = f.substring(i)
+        // batches/vN-x/kb=3/part-….parquet -> _blooms/kb=3__part-….__c.bloom
+        val name = dataRel.stripPrefix(marker).replace("/", "__")
+        val sideRel = s"${marker}_blooms/$name.$c.bloom"
+        val out = fs.create(new Path(root, sideRel), true)
+        try out.write(bytes) finally out.close()
+        Some(dataRel -> (c, sideRel))
+      }
+    }.toSeq.groupBy(_._1).map { case (rel, rows) =>
+      rel -> rows.map(_._2).toMap
+    }
+  }
+
+  /** Bloom sidecars for a staged slice under the effective props,
+    * merged over the carried-forward references (mirrors
+    * [[mergedValueSets]]). */
+  private def mergedBlooms(spark: SparkSession, root: Path,
+      versionDir: Path, effProps: Map[String, String],
+      prev: Map[String, Map[String, String]],
+      schema: org.apache.spark.sql.types.StructType)
+      : Map[String, Map[String, String]] = {
+    val cols = effProps.get(BloomColsProp).map(_.split(",", -1).toSeq)
+      .getOrElse(Seq.empty)
+    prev ++ (if (cols.isEmpty) Map.empty
+             else computeBlooms(spark, root, versionDir, cols, schema,
+               effProps.get(BloomNdvProp).map(_.toLong).getOrElse(100000L),
+               effProps.get(BloomFppProp).map(_.toDouble).getOrElse(0.03)))
+  }
+
   /** Range-pruning plan over the CURRENT manifest: (kept base files of
-    * UNLAYERED buckets, kept LAYERED bucket ids). Per-file pruning is
-    * sound only where each row lives in exactly one referenced file —
-    * unlayered buckets; a layered bucket is all-or-nothing, because
-    * dropping just its base could flip a fold (an out-of-range base
-    * row can out-rank an in-range layer row). A file with no recorded
-    * stats for the column is never pruned, so missing/legacy stats
-    * degrade to reading, not to wrong answers. */
+    * UNLAYERED buckets, kept LAYERED bucket ids, droppable base files
+    * WITHIN kept layered buckets). Per-file pruning is sound only
+    * where each row lives in exactly one referenced file — unlayered
+    * buckets; a layered bucket is all-or-nothing, because dropping
+    * just its base could flip a fold. Concretely (why "apply the range
+    * skipping inside the fold" is NOT sound in general): base row
+    * (K, x=3, order=100) and delta row (K, x=20, order=50) — the true
+    * fold keeps the base row (higher order), which the `x > 10`
+    * predicate then drops, so K is absent from the result; a fold that
+    * skipped the base file (its max(x)=5 is provably out of range)
+    * would emit the stale delta row, which IS in range and would
+    * wrongly survive.
+    *
+    * The sound refinement (r12): a layered bucket's base file may be
+    * dropped from the fold when it is BOTH predicate-disjoint AND
+    * provably key-disjoint from every one of the bucket's layer files
+    * — then no key in the file can participate in any fold decision,
+    * so its rows only ever pass through unchanged and the predicate
+    * would discard them anyway. Key-disjointness is proved from the
+    * recorded min/max range of the table's FIRST bucket column (a full
+    * key match implies equality on the bucket prefix): recorded for
+    * both base and layer files since r12. This fires in the
+    * append-mostly shape — layers inserting NEW key ranges (time- or
+    * id-ordered) never overlap old base files — and degrades to the
+    * all-or-nothing fold wherever stats are missing or ranges overlap.
+    * A file with no recorded stats for the column is never pruned, so
+    * missing/legacy stats degrade to reading, not to wrong answers. */
   private[streaming] def rangePlan(cur: Snapshot, column: String,
-      loS: String, hiS: String): (Seq[String], Seq[Int]) = {
+      loS: String, hiS: String): (Seq[String], Seq[Int], Set[String]) = {
     val dt = cur.schema(column).dataType
     def disjoint(rel: String): Boolean = cur.stats.get(rel)
       .flatMap(_.get(column)).exists { case (mn, mx) =>
-        statCompare(dt, mx, loS) < 0 || statCompare(dt, mn, hiS) > 0
+        statCompareOpt(dt, mx, loS).exists(_ < 0) ||
+          statCompareOpt(dt, mn, hiS).exists(_ > 0)
       }
     val allB = (cur.files.keySet ++ cur.deltas.keySet).toSeq.sorted
     val plainKept = allB.filterNot(cur.deltas.contains)
@@ -761,7 +1021,25 @@ object SnapshotUpsert {
     val layeredKept = allB.filter(cur.deltas.contains).filter { b =>
       !(cur.files.getOrElse(b, Seq.empty) ++ cur.deltas(b)).forall(disjoint)
     }
-    (plainKept, layeredKept)
+    // within kept layered buckets: base files droppable by the
+    // predicate-disjoint AND key-disjoint-from-every-layer rule
+    val keyCol = cur.bucketCols.orElse(cur.mergeKeys).flatMap(_.headOption)
+      .filter(c => cur.schema.fieldNames.contains(c) &&
+        statsComparable(cur.schema(c).dataType))
+    def keyRange(rel: String): Option[(String, String)] =
+      keyCol.flatMap(k => cur.stats.get(rel).flatMap(_.get(k)))
+    val kdt = keyCol.map(cur.schema(_).dataType)
+    def keyDisjoint(a: (String, String), b: (String, String)): Boolean =
+      statCompareOpt(kdt.get, a._2, b._1).exists(_ < 0) ||
+        statCompareOpt(kdt.get, b._2, a._1).exists(_ < 0)
+    val foldDroppable: Set[String] = layeredKept.iterator.flatMap { b =>
+      val layerRanges = cur.deltas(b).map(keyRange)
+      cur.files.getOrElse(b, Seq.empty).filter { rel =>
+        disjoint(rel) && keyRange(rel).exists(fr =>
+          layerRanges.forall(_.exists(lr => keyDisjoint(fr, lr))))
+      }
+    }.toSet
+    (plainKept, layeredKept, foldDroppable)
   }
 
   /** (kept file count, total file count) a [[readRange]] with these
@@ -773,10 +1051,12 @@ object SnapshotUpsert {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentSnapshot(fs, root).getOrElse(
       sys.error(s"rangeKept: no committed version at $targetDir"))
-    val (plainKept, layeredKept) = rangePlan(cur, column, loS, hiS)
+    val (plainKept, layeredKept, foldDrop) = rangePlan(cur, column, loS, hiS)
     val kept = plainKept.size + layeredKept.map(b =>
-      cur.files.getOrElse(b, Seq.empty).size + cur.deltas(b).size).sum
-    (kept, cur.allRefs.size)
+      cur.files.getOrElse(b, Seq.empty).count(!foldDrop(_)) +
+        cur.deltas(b).size).sum
+    (kept, (cur.files.valuesIterator.flatten ++
+      cur.deltas.valuesIterator.flatten).size)
   }
 
   /** The current table restricted to `column BETWEEN lo AND hi`
@@ -799,21 +1079,22 @@ object SnapshotUpsert {
     require(cur.schema.fieldNames.contains(column),
       s"readRange: no column '$column' in the table (names are exact)")
     val dt = cur.schema(column).dataType
-    // canonicalize the bounds through the engine's own cast — the same
-    // path that produced the recorded stats strings
+    // canonicalize the bounds through the engine's own canonical form —
+    // the same path that produced the recorded stats strings
     val b = spark.range(1).select(
-      lit(lo).cast(dt).cast("string").as("lo"),
-      lit(hi).cast(dt).cast("string").as("hi")).head()
+      canonicalValue(lit(lo).cast(dt), dt).as("lo"),
+      canonicalValue(lit(hi).cast(dt), dt).as("hi")).head()
     require(!b.isNullAt(0) && !b.isNullAt(1),
       s"readRange: bounds ($lo, $hi) must cast non-null to ${dt.simpleString}")
-    val (plainKept, layeredKept) = rangePlan(cur, column, b.getString(0),
-      b.getString(1))
+    val (plainKept, layeredKept, foldDrop) = rangePlan(cur, column,
+      b.getString(0), b.getString(1))
     val plain = readImage(spark, cur.schema,
       plainKept.map(rel => s"$root/$rel"))
     val img =
       if (layeredKept.isEmpty) plain
       else plain.unionByName(
-        foldDeltas(spark, root, cur, layeredKept, cur.schema))
+        foldDeltas(spark, root, cur, layeredKept, cur.schema,
+          dropBaseRels = foldDrop))
     img.where(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt))
   }
 
@@ -1087,19 +1368,26 @@ object SnapshotUpsert {
     }
     // layer files record ranges too: they can only WIDEN a bucket's
     // effective range, and readRange's layered all-or-nothing check
-    // needs every file of the bucket to be provably disjoint
+    // needs every file of the bucket to be provably disjoint. Bucket
+    // columns are ALWAYS recorded alongside (r12): their per-file
+    // ranges prove key-disjointness between a layer and a base file,
+    // which is what lets rangePlan drop base files inside a layered
+    // bucket soundly
+    val statCols = (cluster ++
+      (if (bucketCols.isEmpty) keys else bucketCols)).distinct
     val stats = cur.map(_.stats).getOrElse(Map.empty) ++
-      (if (cluster.isEmpty) Map.empty
-       else computeStats(spark, versionDir, cluster, dataSchema))
+      computeStats(spark, versionDir, statCols, dataSchema)
     val vsets = mergedValueSets(spark, versionDir,
       effProps.get(ValueSetColsProp).map(_.split(",", -1).toSeq)
         .getOrElse(Seq.empty),
       cur.map(_.valueSets).getOrElse(Map.empty), dataSchema)
+    val blms = mergedBlooms(spark, root, versionDir, effProps,
+      cur.map(_.blooms).getOrElse(Map.empty), dataSchema)
     commitManifest(fs, root, version, nBuckets, dataSchema, carried, tsMs,
       Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
       cur.map(_.depths).getOrElse(Map.empty), effProps,
       newDeltas, Some(keys), Some(orderCol), stats,
-      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens, vsets)
+      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens, vsets, blms)
     gc(fs, root, version,
       carried.valuesIterator.flatten.toSet ++
         newDeltas.valuesIterator.flatten,
@@ -1156,16 +1444,18 @@ object SnapshotUpsert {
       val manifest = cur.files.filterNot { case (b, _) => selSet(b) } ++
         staged.files
       val deltas = cur.deltas.filterNot { case (b, _) => selSet(b) }
-      val stats = cur.stats ++
-        (if (cur.clusterCols.isEmpty) Map.empty
-         else computeStats(spark, versionDir, cur.clusterCols, cur.schema))
+      val stats = cur.stats ++ computeStats(spark, versionDir,
+        (cur.clusterCols ++ cur.bucketCols.getOrElse(Seq.empty)).distinct,
+        cur.schema)
       val vsets = mergedValueSets(spark, versionDir, cur.valueSetCols,
         cur.valueSets, cur.schema)
+      val blms = mergedBlooms(spark, root, versionDir, cur.props,
+        cur.blooms, cur.schema)
       try {
         commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
           math.max(nowMs, cur.commitTsMs), cur.bucketCols, commit,
           cur.depths, cur.props, deltas, cur.mergeKeys, cur.orderCol, stats,
-          cur.lens ++ staged.lens, vsets)
+          cur.lens ++ staged.lens, vsets, blms)
         gc(fs, root, version,
           manifest.valuesIterator.flatten.toSet ++
             deltas.valuesIterator.flatten,
@@ -1345,7 +1635,13 @@ object SnapshotUpsert {
 
   /** The rows `cond` selects from the current snapshot (via the SQL
     * relation, so recognizable predicates file-skip) plus the table's
-    * recorded merge keys — the source a predicate-DML merge needs. */
+    * recorded merge keys — the source a predicate-DML merge needs.
+    * The matches are MATERIALIZED (eager localCheckpoint) before the
+    * merge's optimistic retry loop: the relation pins the pre-DML
+    * version, and on a lost version race the WINNING commit's GC (at
+    * the default keepVersions=2) may drop that version's files — a
+    * retry re-evaluating the pinned plan against deleted files would
+    * die with FileNotFoundException instead of retrying cleanly. */
   private def matchingRows(spark: SparkSession, targetDir: String,
       cond: Column): (DataFrame, Seq[String]) = {
     val root = new Path(targetDir)
@@ -1356,7 +1652,9 @@ object SnapshotUpsert {
       s"predicate DML: the table at $targetDir predates the recorded " +
         "merge contract (#keys); one new commit upgrades it, or call " +
         "mergeInto with explicit keys"))
-    (SnapshotRelation.readSql(spark, targetDir).where(cond), keys)
+    val rows = SnapshotRelation.readSql(spark, targetDir).where(cond)
+      .localCheckpoint(true)
+    (rows, keys)
   }
 
   private def attemptMerge(source: DataFrame,
@@ -1492,11 +1790,14 @@ object SnapshotUpsert {
       nowMs,
       Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
       props = cur.props, mergeKeys = Some(keys), orderCol = cur.orderCol,
-      stats =
-        if (cur.clusterCols.isEmpty) Map.empty
-        else computeStats(spark, versionDir, cur.clusterCols, cur.schema),
+      stats = computeStats(spark, versionDir,
+        (cur.clusterCols ++
+          (if (bucketCols.isEmpty) keys else bucketCols)).distinct,
+        cur.schema),
       lens = staged.lens,
       valueSets = mergedValueSets(spark, versionDir, cur.valueSetCols,
+        Map.empty, cur.schema),
+      blooms = mergedBlooms(spark, root, versionDir, cur.props,
         Map.empty, cur.schema))
     gc(fs, root, version, staged.files.valuesIterator.flatten.toSet,
       Some(cur), keepVersions, keepAgeMs, nowMs)
@@ -1564,13 +1865,14 @@ object SnapshotUpsert {
     val staged = stagedFiles(fs, versionDir)
     val manifest = (cur.files - bucket) ++ staged.files
     val deltas = cur.deltas - bucket
-    val stats = cur.stats ++
-      (if (cur.clusterCols.isEmpty) Map.empty
-       else computeStats(spark, versionDir, cur.clusterCols, cur.schema))
+    val stats = cur.stats ++ computeStats(spark, versionDir,
+      (cur.clusterCols ++ bc).distinct, cur.schema)
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
       nowMs, Some(bc), commit, newDepths, cur.props, deltas,
       cur.mergeKeys, cur.orderCol, stats, cur.lens ++ staged.lens,
       mergedValueSets(spark, versionDir, cur.valueSetCols, cur.valueSets,
+        cur.schema),
+      mergedBlooms(spark, root, versionDir, cur.props, cur.blooms,
         cur.schema))
     gc(fs, root, version,
       manifest.valuesIterator.flatten.toSet ++
@@ -1786,17 +2088,22 @@ object SnapshotUpsert {
     // none keeps the table's existing ones, a commit that sets some
     // overrides those keys only — so a maintenance merge can never
     // silently drop another writer's committed cursor/metadata
+    // bucket columns always recorded alongside the clustering columns
+    // (r12): per-file key ranges power layered-bucket fold pruning and
+    // key-range skipping through the SQL relation
     val stats = cur.map(_.stats).getOrElse(Map.empty) ++
-      (if (cluster.isEmpty) Map.empty
-       else computeStats(spark, versionDir, cluster, dataSchema))
+      computeStats(spark, versionDir, (cluster ++ bucketCols).distinct,
+        dataSchema)
     val vsets = mergedValueSets(spark, versionDir,
       effProps.get(ValueSetColsProp).map(_.split(",", -1).toSeq)
         .getOrElse(Seq.empty),
       cur.map(_.valueSets).getOrElse(Map.empty), dataSchema)
+    val blms = mergedBlooms(spark, root, versionDir, effProps,
+      cur.map(_.blooms).getOrElse(Map.empty), dataSchema)
     commitManifest(fs, root, version, nBuckets, dataSchema, manifest, nowMs,
       Some(bucketCols), commit, cur.map(_.depths).getOrElse(Map.empty),
       effProps, carriedDeltas, Some(keys), Some(orderCol), stats,
-      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens, vsets)
+      cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens, vsets, blms)
     gc(fs, root, version,
       manifest.valuesIterator.flatten.toSet ++
         carriedDeltas.valuesIterator.flatten,
@@ -2065,7 +2372,8 @@ object SnapshotUpsert {
     * time, so each key folds a handful of single-row layers. */
   private[streaming] def foldDeltas(spark: SparkSession, root: Path, snap: Snapshot,
       deltaBs: Seq[Int],
-      sch: org.apache.spark.sql.types.StructType): DataFrame = {
+      sch: org.apache.spark.sql.types.StructType,
+      dropBaseRels: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.types.{StructType, StructField, LongType,
       BooleanType}
     val keys = snap.mergeKeys.getOrElse(sys.error(
@@ -2074,8 +2382,13 @@ object SnapshotUpsert {
     val orderCol = snap.orderCol.getOrElse(sys.error(
       s"read at $root: version ${snap.version} carries delta layers but " +
         "no recorded #ordercol merge contract — manifest corrupted?"))
+    // dropBaseRels: base files [[rangePlan]] proved BOTH predicate- and
+    // key-disjoint from this read — excluding them cannot change any
+    // fold decision (no shared keys with any layer) and their
+    // pass-through rows would not match the caller's predicate anyway
     val base = readImage(spark, sch, deltaBs.filter(snap.files.contains)
-        .flatMap(snap.files).map(rel => s"$root/$rel"))
+        .flatMap(snap.files).filterNot(dropBaseRels)
+        .map(rel => s"$root/$rel"))
       .withColumn(DeltaVCol, lit(0L)).withColumn(DeltaTombCol, lit(false))
     val deltaRels = deltaBs.flatMap(snap.deltas)
     val layers = spark.read
