@@ -555,6 +555,64 @@ object AnalyticsQueries {
              |FROM img, b WHERE img.event_type = b.et""".stripMargin),
     ),
 
+    // BLOOM-SIDECAR file skipping (r12, BloomColsProp): the same
+    // day-bucketed image declares event_id — HIGH-cardinality and NOT
+    // a bucket column, exactly the case the 32-value exact sets cannot
+    // serve — so every commit writes a per-file membership bloom
+    // sidecar (_blooms/, manifest B lines). A point IN-probe on two
+    // data-derived event ids then opens only the files whose bloom
+    // might contain them instead of scanning the table. False
+    // positives cost extra reads, never rows; SnapshotBloomSpec pins
+    // the kept-file counts, this gates end-to-end RESULTS. NOTE for
+    // bench readers: the commit executes at plan construction;
+    // per-pass timings see the bloom-pruned SQL read.
+    QueryDef(
+      "q_snapshot_bloom",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        val img = ev
+          .groupBy(to_date(col("ts")).cast("string").as("day"),
+            col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("top"))
+          .select(col("day"), col("user_id"),
+            col("top.event_id").as("event_id"),
+            col("top.event_type").as("event_type"),
+            date_format(col("top.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bloom-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(img, dir,
+          keys = Seq("day", "user_id"), orderCol = "", nBuckets = 32,
+          bucketCols = Seq("day"),
+          props = Map(
+            graft.streaming.SnapshotUpsert.BloomColsProp -> "event_id"))
+        val b = img.agg(min(col("event_id")).as("lo"),
+          max(col("event_id")).as("hi")).head()
+        graft.streaming.SnapshotRelation.registerSqlView(
+          s, "snap_bloom_rel", dir)
+        s.sql("SELECT day, user_id, event_id, event_type, ts " +
+          "FROM snap_bloom_rel " +
+          s"WHERE event_id IN (${b.getLong(0)}, ${b.getLong(1)})")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_id AS event_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts
+             |  FROM e GROUP BY 1, 2),
+             |b AS (SELECT min(event_id) AS lo, max(event_id) AS hi
+             |  FROM img)
+             |SELECT img.day, img.user_id, img.event_id, img.event_type,
+             |  img.ts
+             |FROM img, b WHERE img.event_id IN (b.lo, b.hi)""".stripMargin),
+    ),
+
     // MERGE INTO (r11, SnapshotUpsert.mergeInto): SQL-MERGE semantics
     // on the snapshot table — the target holds per-user counts over
     // one event slice, the source over an overlapping slice (overlap

@@ -116,6 +116,30 @@ object SnapshotRelation {
     df.createOrReplaceTempView(name)
     df
   }
+
+  /** Audit: (kept files, total base files) the relation would open for
+    * an equality/IN probe of `values` on `column` — the file-skipping
+    * decision alone (bucket hash, range stats, value sets, bloom
+    * sidecars), no data read. What scale rehearsals and operators use
+    * to check a declared skipping column actually prunes. */
+  def equalityKept(spark: SparkSession, targetDir: String,
+      column: String, values: Seq[Any]): (Int, Int) = {
+    import org.apache.spark.sql.catalyst.expressions.{In => CatalystIn}
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = SnapshotUpsert.currentSnapshot(fs, root).getOrElse(
+      sys.error(s"equalityKept: no committed version at $targetDir"))
+    require(snap.schema.fieldNames.contains(column),
+      s"equalityKept: no column '$column' in the table")
+    val dt = snap.schema(column).dataType
+    val attr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference(column, dt)()
+    val lits = values.map(v =>
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt))
+    val index = new SnapshotFileIndex(spark, root, snap)
+    val kept = index.keptRels(Seq(CatalystIn(attr, lits)))
+    (kept.size, snap.files.valuesIterator.map(_.size).sum)
+  }
 }
 
 /** Manifest-backed file index over one committed snapshot version.

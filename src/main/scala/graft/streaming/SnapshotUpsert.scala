@@ -912,7 +912,7 @@ object SnapshotUpsert {
       .parquet(versionDir.toString)
       .select(sel: _*)
     val nCols = usable.size
-    val built: Array[((String, String), Array[Byte])] = staged.rdd
+    val built = staged.rdd
       .mapPartitions { rows =>
         import org.apache.spark.util.sketch.BloomFilter
         val acc = scala.collection.mutable.HashMap
@@ -943,22 +943,37 @@ object SnapshotUpsert {
         fa.writeTo(out)
         out.toByteArray
       }
-      .collect()
-    if (built.isEmpty) return Map.empty
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    built.iterator.flatMap { case ((f, c), bytes) =>
-      val i = f.indexOf(marker)
-      if (i < 0) None
-      else {
-        val dataRel = f.substring(i)
-        // batches/vN-x/kb=3/part-….parquet -> _blooms/kb=3__part-….__c.bloom
-        val name = dataRel.stripPrefix(marker).replace("/", "__")
-        val sideRel = s"${marker}_blooms/$name.$c.bloom"
-        val out = fs.create(new Path(root, sideRel), true)
-        try out.write(bytes) finally out.close()
-        Some(dataRel -> (c, sideRel))
-      }
-    }.toSeq.groupBy(_._1).map { case (rel, rows) =>
+    // STREAM the finished filters to the driver (toLocalIterator pulls
+    // one partition at a time — memory stays one partition's blooms,
+    // not the whole commit's) and fan each chunk's sidecar PUTs out in
+    // parallel like every other driver-side storage round in the
+    // commit path
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val refs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (String, String))]
+    built.toLocalIterator.grouped(256).foreach { chunk =>
+      val written = Await.result(Future.traverse(chunk) {
+        case ((f, c), bytes) => Future {
+          val i = f.indexOf(marker)
+          if (i < 0) None
+          else scala.concurrent.blocking {
+            val dataRel = f.substring(i)
+            // batches/vN-x/kb=3/part-*.parquet
+            //   -> batches/vN-x/_blooms/kb=3__part-*.parquet.<col>.bloom
+            val name = dataRel.stripPrefix(marker).replace("/", "__")
+            val sideRel = s"${marker}_blooms/$name.$c.bloom"
+            val out = fs.create(new Path(root, sideRel), true)
+            try out.write(bytes) finally out.close()
+            Some(dataRel -> (c, sideRel))
+          }
+        }
+      }, Duration.Inf)
+      refs ++= written.flatten
+    }
+    refs.groupBy(_._1).map { case (rel, rows) =>
       rel -> rows.map(_._2).toMap
     }
   }
@@ -1389,8 +1404,8 @@ object SnapshotUpsert {
       newDeltas, Some(keys), Some(orderCol), stats,
       cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens, vsets, blms)
     gc(fs, root, version,
-      carried.valuesIterator.flatten.toSet ++
-        newDeltas.valuesIterator.flatten,
+      refsWithBlooms(carried.valuesIterator.flatten.toSet ++
+        newDeltas.valuesIterator.flatten, blms),
       cur, keepVersions, keepAgeMs, nowMs)
   }
 
@@ -1457,8 +1472,8 @@ object SnapshotUpsert {
           cur.depths, cur.props, deltas, cur.mergeKeys, cur.orderCol, stats,
           cur.lens ++ staged.lens, vsets, blms)
         gc(fs, root, version,
-          manifest.valuesIterator.flatten.toSet ++
-            deltas.valuesIterator.flatten,
+          refsWithBlooms(manifest.valuesIterator.flatten.toSet ++
+            deltas.valuesIterator.flatten, blms),
           Some(cur), keepVersions, keepAgeMs, nowMs)
         return sel.sorted
       } catch {
@@ -1786,6 +1801,8 @@ object SnapshotUpsert {
     // nothing is carried: the new layout's manifest is exactly the
     // staged set, and the header flips the layout in the same commit
     val staged = stagedFiles(fs, versionDir)
+    val blms = mergedBlooms(spark, root, versionDir, cur.props,
+      Map.empty, cur.schema)
     commitManifest(fs, root, version, newBuckets, cur.schema, staged.files,
       nowMs,
       Some(if (bucketCols.isEmpty) keys else bucketCols), commit,
@@ -1797,9 +1814,9 @@ object SnapshotUpsert {
       lens = staged.lens,
       valueSets = mergedValueSets(spark, versionDir, cur.valueSetCols,
         Map.empty, cur.schema),
-      blooms = mergedBlooms(spark, root, versionDir, cur.props,
-        Map.empty, cur.schema))
-    gc(fs, root, version, staged.files.valuesIterator.flatten.toSet,
+      blooms = blms)
+    gc(fs, root, version,
+      refsWithBlooms(staged.files.valuesIterator.flatten.toSet, blms),
       Some(cur), keepVersions, keepAgeMs, nowMs)
     // best-effort marker refresh for humans; the manifest header is
     // what merges validate against
@@ -1867,16 +1884,17 @@ object SnapshotUpsert {
     val deltas = cur.deltas - bucket
     val stats = cur.stats ++ computeStats(spark, versionDir,
       (cur.clusterCols ++ bc).distinct, cur.schema)
+    val splitBlms = mergedBlooms(spark, root, versionDir, cur.props,
+      cur.blooms, cur.schema)
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, manifest,
       nowMs, Some(bc), commit, newDepths, cur.props, deltas,
       cur.mergeKeys, cur.orderCol, stats, cur.lens ++ staged.lens,
       mergedValueSets(spark, versionDir, cur.valueSetCols, cur.valueSets,
         cur.schema),
-      mergedBlooms(spark, root, versionDir, cur.props, cur.blooms,
-        cur.schema))
+      splitBlms)
     gc(fs, root, version,
-      manifest.valuesIterator.flatten.toSet ++
-        deltas.valuesIterator.flatten,
+      refsWithBlooms(manifest.valuesIterator.flatten.toSet ++
+        deltas.valuesIterator.flatten, splitBlms),
       Some(cur), keepVersions, keepAgeMs, nowMs)
   }
 
@@ -2105,8 +2123,8 @@ object SnapshotUpsert {
       effProps, carriedDeltas, Some(keys), Some(orderCol), stats,
       cur.map(_.lens).getOrElse(Map.empty) ++ staged.lens, vsets, blms)
     gc(fs, root, version,
-      manifest.valuesIterator.flatten.toSet ++
-        carriedDeltas.valuesIterator.flatten,
+      refsWithBlooms(manifest.valuesIterator.flatten.toSet ++
+        carriedDeltas.valuesIterator.flatten, blms),
       cur, keepVersions, keepAgeMs, nowMs)
   }
 
@@ -2124,6 +2142,18 @@ object SnapshotUpsert {
     * unreferenced files), while leaving it listed would present a
     * partially-deleted version as readable/retained to time travel and
     * the cursor's age-out check. */
+  /** The just-committed version's FULL reference set for GC
+    * protection: its data files plus those files' bloom sidecars (the
+    * committed manifest's B lines are filtered the same way). Without
+    * the sidecars in `newRefs`, a sidecar first written in a version
+    * being dropped — but carried forward by the current commit —
+    * would be reaped out from under the live manifest. */
+  private def refsWithBlooms(dataRefs: Set[String],
+      blooms: Map[String, Map[String, String]]): Set[String] =
+    dataRefs ++ blooms.iterator
+      .filter { case (rel, _) => dataRefs(rel) }
+      .flatMap(_._2.valuesIterator)
+
   private def gcRetryPath(root: Path, v: Long): Path =
     new Path(root, f"$ManifestDir/.v$v%012d.gcretry")
 
@@ -2564,7 +2594,7 @@ object SnapshotUpsert {
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, cur.files,
       nowMs, cur.bucketCols, commit, cur.depths, cur.props ++ props,
       cur.deltas, cur.mergeKeys, cur.orderCol, cur.stats, cur.lens,
-      cur.valueSets)
+      cur.valueSets, cur.blooms)
     gc(fs, root, version, cur.allRefs.toSet, Some(cur), keepVersions,
       keepAgeMs, nowMs)
     version

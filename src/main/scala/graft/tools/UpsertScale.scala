@@ -42,10 +42,16 @@ object UpsertScale {
     // through the SQL relation's automatic file skipping (WHERE
     // user_id IN (...)) — pins that the no-special-API read path
     // keeps the pruned-serve cost at a production bucket count
+    // `bloom` = seed a latest-state table carrying event_id (HIGH-
+    // cardinality, NOT the bucket column), declare it in
+    // BloomColsProp, then measure (a) the commit-time overhead of
+    // building the sidecars vs the identical seed without them and
+    // (b) a point probe on event_id: files opened (equalityKept) and
+    // wall time vs the same probe with the bloom tier disabled
     val mode = args.lift(3).getOrElse("overwrite")
     require(
-      Seq("overwrite", "snapshot", "chain", "stream", "merge", "sqlrel")
-        .contains(mode),
+      Seq("overwrite", "snapshot", "chain", "stream", "merge", "sqlrel",
+        "bloom").contains(mode),
       s"bad mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -66,6 +72,61 @@ object UpsertScale {
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    if (mode == "bloom") {
+      val img = graft.queries.QueryDef.loadEvents(spark, sfDir)
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("top"))
+        .select(col("user_id"), col("top.event_id").as("event_id"),
+          col("top.event_type").as("event_type"), col("top.ts").as("ts"))
+        .localCheckpoint(true)
+      val tableRows = img.count()
+      // size each file's bloom to ~4x its expected key count
+      val ndv = math.max(1024L, 4L * tableRows / nBuckets)
+      val seedSecs = timed {
+        SnapshotUpsert.upsertBatchSnapshot(img, target, Seq("user_id"),
+          "ts", nBuckets, keepVersions = 8,
+          props = Map(SnapshotUpsert.BloomColsProp -> "event_id",
+            SnapshotUpsert.BloomNdvProp -> ndv.toString))
+      }
+      val plain = java.nio.file.Files
+        .createTempDirectory("graft-upsert-scale-nb").toString
+      val seedPlainSecs = timed {
+        SnapshotUpsert.upsertBatchSnapshot(img, plain, Seq("user_id"),
+          "ts", nBuckets, keepVersions = 8)
+      }
+      val probes = img.select("event_id").limit(5).collect()
+        .map(_.getLong(0)).toSeq
+      val (kept, total) = graft.streaming.SnapshotRelation
+        .equalityKept(spark, target, "event_id", probes)
+      def best(f: => Long): Double =
+        (1 to 3).map(_ => { val t0 = System.nanoTime(); val n = f
+          require(n > 0); (System.nanoTime() - t0) / 1e9 }).min
+      val pruned = best {
+        graft.streaming.SnapshotRelation.readSql(spark, target)
+          .where(col("event_id").isin(probes: _*)).count()
+      }
+      val full = {
+        System.setProperty("graft.bloom.maxProbeFiles", "0")
+        try best {
+          graft.streaming.SnapshotRelation.readSql(spark, target)
+            .where(col("event_id").isin(probes: _*)).count()
+        } finally System.clearProperty("graft.bloom.maxProbeFiles")
+      }
+      System.err.println(f"[upsert-scale] bloom: table=$tableRows " +
+        f"seed=$seedSecs%.1fs (plain $seedPlainSecs%.1fs) " +
+        f"probe opens $kept of $total files, " +
+        f"pruned=$pruned%.2fs full=$full%.2fs")
+      println(s"""{"metric":"bloom_scale","sf":"$sfDir",""" +
+        s""""n_buckets":$nBuckets,"table_rows":$tableRows,""" +
+        f""""seed_secs":$seedSecs%.1f,"seed_plain_secs":$seedPlainSecs%.1f,""" +
+        s""""probe_keys":${probes.size},"files_opened":$kept,""" +
+        s""""files_total":$total,""" +
+        f""""probe_secs":$pruned%.2f,"noprune_secs":$full%.2f}""")
+      spark.stop()
+      return
     }
 
     var seeded = false
