@@ -154,6 +154,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.KllQuantilesExpr(exprs(0), ranks)
       },
     ))
+    // SQL-text UPDATE / MERGE INTO for graft-catalog snapshot tables
+    // (DELETE needs no rule — the table's SupportsDelete serves it);
+    // a resolution rule so the conversion happens before Spark's
+    // row-level-operation rewrites reject the table
+    ext.injectResolutionRule(session =>
+      graft.catalog.GraftDmlRule(session))
     // auto-accelerate the portable HOF dot-product pattern
     ext.injectOptimizerRule(_ => FuseDotProduct)
     // rewrite pure range joins (p >= s AND p < s + L, no equi key)

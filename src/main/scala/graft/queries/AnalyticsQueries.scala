@@ -690,6 +690,42 @@ object AnalyticsQueries {
         .stripMargin),
     ),
 
+    // V2 TABLE CATALOG (r12, graft.catalog.GraftCatalog): the snapshot
+    // table resolved BY NAME in plain SQL text — no temp-view
+    // registration, no bespoke read API. The statement sequence is
+    // catalog-native end to end: `DELETE FROM graft.t WHERE ...` runs
+    // through Spark's own filter-delete path (SupportsDelete ->
+    // deleteWhere's atomic commit), and the final SELECT is served
+    // through the V1Scan bridge to the readSql relation, so manifest
+    // file skipping applies to the catalog-resolved name exactly as it
+    // does to the API reads (GraftCatalogSpec pins skipping + time
+    // travel; GraftDmlSqlSpec pins SQL-text MERGE/UPDATE, which need
+    // session extensions the shared driver session does not carry).
+    // NOTE for bench readers: the seed commit + DELETE execute at plan
+    // construction; per-pass timings see the catalog SELECT.
+    QueryDef(
+      "q_snapshot_catalog",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+        val counts = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-cat-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(counts,
+          s"$root/events_latest", keys = Seq("user_id"), orderCol = "",
+          nBuckets = 16)
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.root", root)
+        s.sql("DELETE FROM graft.events_latest WHERE cnt % 7 = 0")
+        s.sql("SELECT user_id, cnt FROM graft.events_latest " +
+          "WHERE user_id % 3 = 1")
+      },
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, cnt FROM c
+             |WHERE cnt % 7 <> 0 AND user_id % 3 = 1""".stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(

@@ -2518,6 +2518,31 @@ object SnapshotUpsert {
       }
     }
 
+  /** Resolve a reader's version pin the way [[SnapshotRelation.readSql]]
+    * does — newest committed version, an explicit version, or the
+    * newest version committed at or before `asOfMs` — and return it
+    * with that version's recorded data schema. None = no committed
+    * version satisfies the pin (fresh table, or an asOf before the
+    * oldest retained commit). The public face the SQL catalog
+    * ([[graft.catalog.GraftCatalog]]) resolves names through. */
+  def resolvePin(spark: SparkSession, targetDir: String,
+      version: Option[Long] = None, asOfMs: Option[Long] = None)
+      : Option[(Long, org.apache.spark.sql.types.StructType)] = {
+    require(version.isEmpty || asOfMs.isEmpty,
+      "resolvePin: pass version OR asOfMs, not both")
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (version, asOfMs) match {
+      case (Some(v), _) =>
+        try { val m = readManifest(fs, root, v); Some((m.version, m.schema)) }
+        catch { case _: java.io.FileNotFoundException => None }
+      case (_, Some(ts)) =>
+        readRetained(fs, root).filter(_.commitTsMs <= ts).lastOption
+          .map(m => (m.version, m.schema))
+      case _ => currentSnapshot(fs, root).map(m => (m.version, m.schema))
+    }
+  }
+
   /** Bucket count of the current committed version (None for a fresh
     * table) — so maintenance callers need not restate the layout the
     * manifest already records. */
@@ -2555,6 +2580,18 @@ object SnapshotUpsert {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     currentSnapshot(fs, root).flatMap(_.bucketCols)
+  }
+
+  /** The table's RECORDED merge contract — (#keys, #ordercol) from the
+    * current manifest. What the SQL MERGE rule validates the statement
+    * against: a MERGE joining on anything but the recorded keys would
+    * break the one-row-per-key bucket invariant. */
+  def currentMergeContract(spark: SparkSession, targetDir: String)
+      : Option[(Seq[String], String)] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentSnapshot(fs, root).flatMap(s =>
+      s.mergeKeys.map(ks => (ks, s.orderCol.getOrElse(""))))
   }
 
   /** The current version's table properties (empty for a fresh table or
