@@ -270,6 +270,179 @@ object IncrementalAnn {
     else SnapshotUpsert.readKeys(spark, indexDir, cellProbes, Seq("cell"))
   }
 
+  /** Split ONE oversized (or drifted) cell of the standing index in
+    * place — the LINEAR-HASHING move applied to centroids, retiring
+    * the layer's last table-sized maintenance event (pre-r12 the only
+    * answer to corpus growth beyond the trained cell count was a full
+    * centroid retrain + index rebuild): the cell's rows are read as a
+    * point lookup (its buckets only), re-divided between two child
+    * centroids, and the MOVED half commits as one atomic batch
+    * (tombstone old key + insert new key); every other cell is
+    * untouched. Cost tracks the CELL, never the corpus.
+    *
+    * Child centroids: pass `children` explicitly (deterministic
+    * reassignment by argmax cosine — the oracle-checkable path, same
+    * contract as [[Similarity.assignCells]]), or omit them and the
+    * split LEARNS them from the cell's own vectors — a spherical
+    * 2-means seeded by the deterministic farthest-pair rule (the row
+    * least similar to the cell mean, then the row least similar to
+    * THAT), `lloydIters` refinement passes, every step a slice-sized
+    * aggregation (nothing corpus-wide, nothing driver-side but the
+    * two dim-length mean vectors).
+    *
+    * Returns the UPDATED centroid table — the split cell's row
+    * replaced by the two children (`cell` keeps the old id for the
+    * stay-side so only movers rewrite; `newCellId` must be unused,
+    * default = max existing + 1). The centroid table is the caller's
+    * fixed artifact: persist the returned frame wherever the old one
+    * lived before the next ingest/search uses it.
+    *
+    * Crash contract: the index commit lands first, then the idmap's
+    * moved-id update. A crash between the two leaves moved ids mapped
+    * to the OLD cell — re-running splitCell with the SAME `newCellId`
+    * detects the landed index commit (the new cell already holds
+    * rows) and repairs the idmap instead of re-splitting; the PQ
+    * codes ride along unchanged (they encode the raw vector, not the
+    * cell). */
+  def splitCell(spark: SparkSession, indexDir: String,
+      centroids: DataFrame, cell: Long, idCol: String, vecCol: String,
+      newCellId: Option[Long] = None, keepVersions: Int = 2,
+      lloydIters: Int = 2,
+      children: Option[(Array[Double], Array[Double])] = None)
+      : DataFrame = {
+    import spark.implicits._
+    val cellType = centroids.schema("cell").dataType
+    val centType = centroids.schema("centroid").dataType
+    val newId: Long = newCellId.getOrElse(
+      centroids.agg(max(col("cell").cast("long"))).head.getLong(0) + 1L)
+    require(newId != cell, s"splitCell: newCellId $newId is the split cell")
+    require(centroids.where(col("cell").cast("long") === newId).isEmpty,
+      s"splitCell: cell id $newId already exists in the centroid table")
+    val hasIdMap = SnapshotUpsert.versions(spark, idMapDir(indexDir)).nonEmpty
+
+    def updatedCentroids(c1: Array[Double], c2: Array[Double]): DataFrame =
+      centroids.where(col("cell").cast("long") =!= cell).unionByName(
+        Seq((cell, c1), (newId, c2)).toDF("cell", "centroid")
+          .select(col("cell").cast(cellType).as("cell"),
+            col("centroid").cast(centType).as("centroid")))
+
+    def cellMean(rows: DataFrame): Array[Double] = rows
+      .select(posexplode(col(vecCol).cast("array<double>")))
+      .groupBy("pos").agg(avg("col").as("m")).orderBy("pos")
+      .collect().map(_.getDouble(1))
+
+    // resume detection: rows already landed under the new cell mean a
+    // prior run's INDEX commit succeeded — repair the idmap (the only
+    // thing that can still be stale) and return centroids recomputed
+    // from the two cells' committed content
+    val landed = SnapshotUpsert.readKeys(spark, indexDir,
+      Seq(newId).toDF("cell").select(col("cell").cast(cellType)),
+      Seq("cell"))
+    if (!landed.isEmpty) {
+      if (hasIdMap)
+        commitIdMap(landed.select(col(idCol),
+          col("cell")), indexDir, idCol, keepVersions)
+      val stay = SnapshotUpsert.readKeys(spark, indexDir,
+        Seq(cell).toDF("cell").select(col("cell").cast(cellType)),
+        Seq("cell"))
+      return updatedCentroids(cellMean(stay), cellMean(landed))
+    }
+
+    val rows = SnapshotUpsert.readKeys(spark, indexDir,
+      Seq(cell).toDF("cell").select(col("cell").cast(cellType)),
+      Seq("cell")).localCheckpoint(true)
+    try {
+      require(rows.count() >= 2,
+        s"splitCell: cell $cell holds fewer than 2 vectors")
+      val v = col(vecCol).cast("array<double>")
+
+      val (c1, c2) = children.getOrElse {
+        // deterministic farthest-pair seed, then Lloyd refinement —
+        // each step one slice aggregation
+        val mean = cellMean(rows)
+        def leastSimilarTo(ref: Array[Double]): Array[Double] = rows
+          .orderBy(Similarity.cosine(v, lit(ref)).asc, col(idCol).asc)
+          .select(v).head().getSeq[Double](0).toArray
+        var a = leastSimilarTo(mean)
+        var b = leastSimilarTo(a)
+        var i = 0
+        while (i < lloydIters) {
+          val side = Similarity.cosine(v, lit(a)) >=
+            Similarity.cosine(v, lit(b))
+          val ms = rows.select(side.as("s"), posexplode(v))
+            .groupBy("s", "pos").agg(avg("col").as("m"))
+            .collect()
+            .map(r => (r.getBoolean(0), r.getInt(1), r.getDouble(2)))
+          val na = ms.filter(_._1).sortBy(_._2).map(_._3)
+          val nb = ms.filterNot(_._1).sortBy(_._2).map(_._3)
+          // a side emptied out: the seed split is already the answer
+          if (na.nonEmpty && nb.nonEmpty) { a = na; b = nb }
+          i += 1
+        }
+        (a, b)
+      }
+
+      // final deterministic division (argmax cosine; tie -> stay)
+      val stays = Similarity.cosine(v, lit(c1)) >=
+        Similarity.cosine(v, lit(c2))
+      val movers = rows.where(!stays)
+      val dataCols = rows.columns.toSeq
+      val inserts = movers
+        .withColumn("cell", lit(newId).cast(cellType))
+        .select(dataCols.map(col): _*)
+        .withColumn("_deleted", lit(false))
+      val tombs = dataCols.filterNot(c => c == idCol || c == "cell")
+        .foldLeft(movers.select(col(idCol), col("cell")))((d, c) =>
+          d.withColumn(c, lit(null).cast(rows.schema(c).dataType)))
+        .select(dataCols.map(col): _*)
+        .withColumn("_deleted", lit(true))
+      // one atomic commit: movers appear in the child cell and vanish
+      // from the parent in the same version — readers never see a
+      // vector twice or not at all
+      SnapshotUpsert.upsertBatchSnapshot(inserts.unionByName(tombs),
+        indexDir, keys = Seq("cell", idCol), orderCol = "",
+        nBuckets = SnapshotUpsert.currentBuckets(spark, indexDir).get,
+        keepVersions = keepVersions, tombstoneCol = Some("_deleted"),
+        bucketCols = Seq("cell"))
+      if (hasIdMap)
+        commitIdMap(movers.select(col(idCol))
+          .withColumn("cell", lit(newId).cast(cellType)),
+          indexDir, idCol, keepVersions)
+      updatedCentroids(c1, c2)
+    } finally rows.unpersist(false)
+  }
+
+  /** One maintenance pass: split every cell holding more than
+    * `maxCellRows` vectors (largest first, up to `maxCells` per call),
+    * threading the centroid updates through. The per-cell row counts
+    * come from ONE column-pruned scan of the index's `cell` column —
+    * the splits themselves stay slice-sized. Returns the updated
+    * centroid table (identical frame when nothing qualified); the
+    * caller persists it as the new fixed artifact.
+    *
+    * Budget policy (measured, AnnSplitScale r12): size `maxCellRows`
+    * to ~`2 * sqrt(currentCorpusRows)` so the steady-state cell count
+    * tracks the sqrt-N rule ([[Similarity.autoCells]]) as the corpus
+    * grows. A FIXED budget drives the cell count LINEAR in N, the
+    * probed mass fraction at fixed nProbe collapses, and recall sags
+    * (0.61 vs a same-cell-count rebuild's 0.86 by 6x growth in the
+    * fixed-budget rehearsal run); under the sqrt budget the
+    * split-grown layout holds recall parity with periodic full
+    * rebuilds across a full decade of growth. */
+  def splitOversized(spark: SparkSession, indexDir: String,
+      centroids: DataFrame, maxCellRows: Long, idCol: String,
+      vecCol: String, maxCells: Int = 16, keepVersions: Int = 2)
+      : DataFrame = {
+    val over = readIndex(spark, indexDir)
+      .groupBy(col("cell").cast("long").as("cell")).count()
+      .where(col("count") > maxCellRows)
+      .orderBy(col("count").desc, col("cell").asc)
+      .limit(maxCells).collect().map(_.getLong(0))
+    over.foldLeft(centroids)((cents, c) =>
+      splitCell(spark, indexDir, cents, c, idCol, vecCol,
+        keepVersions = keepVersions))
+  }
+
   /** Maintain the standing index from a STREAM of embeddings: each
     * micro-batch assigns against the FIXED `centroids` and commits
     * (one [[ingest]] per batch). Replayed micro-batches converge

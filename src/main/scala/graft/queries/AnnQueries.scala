@@ -245,6 +245,75 @@ object AnnQueries {
              |FROM ranked WHERE rank <= 5""".stripMargin),
     ),
 
+    // IN-PLACE CELL SPLIT on the standing index (r12,
+    // IncrementalAnn.splitCell — the centroid-level linear-hashing
+    // move that retires the full-retrain maintenance event): the
+    // whole corpus is ingested against 16 fixed centroids, then cell
+    // 0 splits between two EXPLICIT child centroids (vec_id 16/17's
+    // embeddings — the deterministic, oracle-checkable path; the
+    // learned 2-means path is spec-pinned in IncrementalAnnSplitSpec)
+    // as one atomic commit (movers tombstone + re-insert; every other
+    // cell untouched), and the search runs against the post-split
+    // layout with the UPDATED centroid table. The oracle replays the
+    // assignment, the argmax division of cell 0, the centroid-table
+    // edit, and the probe+rerank. NOTE for bench readers: ingest +
+    // split execute at plan construction; per-pass timings see the
+    // pruned post-split search.
+    QueryDef(
+      "q_sim_topk_ivf_split",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"),
+            col("embedding").cast("array<double>").as("centroid"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-annsplit-q").toString
+        graft.operators.IncrementalAnn.ingest(e, dir, centroids,
+          "vec_id", "embedding", nBuckets = 16)
+        val ch = e.filter(col("vec_id").isin(16L, 17L))
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val updated = graft.operators.IncrementalAnn.splitCell(s, dir,
+          centroids, 0L, "vec_id", "embedding", newCellId = Some(16L),
+          children = Some((ch(0), ch(1))))
+        graft.operators.IncrementalAnn.topKLazy(s, dir, updated,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 4)._1
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent0 AS (SELECT vec_id AS cell, v AS centroid FROM e WHERE vec_id < 16),
+             |ch AS (SELECT
+             |  (SELECT v FROM e WHERE vec_id = 16) AS c1,
+             |  (SELECT v FROM e WHERE vec_id = 17) AS c2),
+             |asg0 AS (SELECT vec_id, v, cell FROM (
+             |  SELECT e.vec_id, e.v, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rn
+             |  FROM e, cent0 c) WHERE rn = 1),
+             |asg AS (SELECT vec_id, v,
+             |  CASE WHEN cell = 0 THEN
+             |    CASE WHEN list_cosine_similarity(v, (SELECT c1 FROM ch)) >=
+             |              list_cosine_similarity(v, (SELECT c2 FROM ch))
+             |         THEN 0 ELSE 16 END
+             |  ELSE cell END AS cell FROM asg0),
+             |cent AS (SELECT cell, centroid FROM cent0 WHERE cell <> 0
+             |  UNION ALL SELECT 0 AS cell, c1 AS centroid FROM ch
+             |  UNION ALL SELECT 16 AS cell, c2 AS centroid FROM ch),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |  SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cell ASC) AS pr
+             |  FROM e q, cent c WHERE q.vec_id < 8) WHERE pr <= 4),
+             |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             |  list_cosine_similarity(p.qv, a.v) AS cos
+             |  FROM asg a JOIN probes p ON a.cell = p.cell
+             |  WHERE a.vec_id != p.query_id),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rank
+             |FROM ranked WHERE rank <= 5""".stripMargin),
+    ),
+
     // The INCREMENTAL ANN ingest loop (IncrementalAnn): cell
     // assignments committed to a standing snapshot-table index in TWO
     // ingests (vec_id parity halves), then probe-and-rerank against

@@ -99,10 +99,13 @@ object EventStreams {
     * itself. The remaining approximation is cross-BATCH: an orphan
     * emitted in batch N is final and cannot be extended by a
     * still-later row in batch N+1 (that row starts a new orphan
-    * session) — exact orphan stitching would need per-key session
-    * LISTS, unbounded state on an adversarial feed. Batch jobs that
-    * need exact semantics over historical data should use the batch
-    * sessionizer (`q_sessionize_batch`), which sees all rows at once. */
+    * session). That is this variant's LATENCY choice — sessions emit
+    * the moment a successor supersedes them, so finality cannot wait
+    * for the watermark. [[sessionizeExact]] (r12) removes the
+    * approximation by carrying every non-finalized chain in state and
+    * emitting only watermark-final sessions — batch-identical output
+    * at watermark-delay latency. Batch jobs over historical data can
+    * also use the batch sessionizer (`q_sessionize_batch`). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       watermark: String = "2 hours"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -209,6 +212,79 @@ object EventStreams {
             }
             out.reverseIterator
           }
+      }
+  }
+
+  case class ChainsState(chains: List[SessionState])
+
+  /** EXACT sessionization — [[sessionize]]'s remaining cross-batch
+    * approximation removed: per key the state holds EVERY session
+    * chain the watermark has not yet finalized (not just the newest),
+    * so a late arrival in batch N+1 extends — or BRIDGES — chains
+    * opened in batch N exactly as the batch sessionizer would have
+    * merged them. A chain is emitted only once the watermark passes
+    * `last + gap`: by the watermark contract no admissible row can
+    * ever extend it again, so the emission is FINAL by construction —
+    * over any feed the watermark admits, the closed-session multiset
+    * equals the batch sessionizer's output on the same rows (pinned
+    * by the stream-batch-exact spec, including a late arrival split
+    * across two micro-batches). Spark's one-batch late-filter lag is
+    * aligned with this rule: batch N+1's filter admits rows >= batch
+    * N's watermark, and a chain emitted at batch N needed
+    * `last + gap < wm_N` — an admissible row therefore lands strictly
+    * past the emitted chain's horizon and can never re-open it.
+    *
+    * The price vs [[sessionize]] is LATENCY and state: a closed
+    * session surfaces when the watermark passes it (the watermark
+    * delay), not the moment a successor burst supersedes it, and the
+    * per-key state holds up to `watermark / gap + 1` concurrent
+    * chains (bounded because the watermark bounds admissible
+    * lateness — ~5 for the defaults here). Pick per consumer:
+    * dashboards wanting sessions the moment the next burst starts
+    * keep [[sessionize]]'s single-chain low-latency form; training
+    * pipelines wanting batch-identical sessions take this one. */
+  def sessionizeExact(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val clampToWatermark = events.isStreaming
+    events.withWatermark("ts", watermark).groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChainsState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[ChainsState]) =>
+          // batch execution has no watermark: every chain is final at
+          // the single invocation's end (the batch saw all rows)
+          val wm =
+            if (clampToWatermark) state.getCurrentWatermarkMs()
+            else Long.MaxValue
+          var chains = state.getOption.map(_.chains).getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              // a row can touch SEVERAL chains (it bridges the ones
+              // whose gap windows it falls between) — merge them all
+              val (touch, rest) = chains.partition(c =>
+                t >= c.first - gapMs && t <= c.last + gapMs)
+              val merged = touch.foldLeft(SessionState(1, t, t))((m, c) =>
+                SessionState(m.n + c.n, math.min(m.first, c.first),
+                  math.max(m.last, c.last)))
+              chains = merged :: rest
+            }
+          }
+          val (done, live) = chains.partition(_.last + gapMs < wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(ChainsState(live))
+            if (clampToWatermark) {
+              // wake when the earliest live chain becomes final; the
+              // wm+1 clamp survives watermark jumps wider than the gap
+              // (same hazard sessionize documents)
+              val next = live.map(_.last + gapMs).min
+              state.setTimeoutTimestamp(math.max(next, wm + 1))
+            }
+          }
+          done.sortBy(_.first).map(c => Session(userId, c.n,
+            new java.sql.Timestamp(c.first), new java.sql.Timestamp(c.last),
+            closed = true)).iterator
       }
   }
 

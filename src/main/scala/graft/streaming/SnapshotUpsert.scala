@@ -1940,6 +1940,48 @@ object SnapshotUpsert {
     overfull
   }
 
+  /** One table's maintenance knobs, composed for [[maintain]]:
+    * zero/None disables a step. Defaults compact eagerly-enough for
+    * read amplification (4 layers), split nothing (bucket budgets are
+    * table-specific), and sweep debris older than a week. */
+  case class MaintenancePolicy(
+      compactMinLayers: Int = 4,
+      compactMaxBuckets: Int = 64,
+      maxBucketBytes: Option[Long] = None,
+      vacuumOlderThanMs: Option[Long] = Some(7L * 24 * 3600 * 1000),
+      keepVersions: Int = 2,
+      keepAgeMs: Option[Long] = None)
+
+  case class MaintenanceReport(compacted: Seq[Int], split: Seq[Int],
+      vacuumed: Seq[String])
+
+  /** ONE scheduled maintenance pass per table: fold overdue delta
+    * layers back into base files ([[compactDeltas]]), split buckets
+    * past their byte budget ([[splitBucket]] via [[splitOverfull]]),
+    * and sweep unreferenced debris ([[vacuum]]) — in that order
+    * (compaction first, so the split pass measures post-fold bytes;
+    * vacuum last, so it sees whatever the first two dropped). Each
+    * step is the same slice-sized operation operators previously
+    * scheduled separately; the policy object is what a per-table cron
+    * entry carries. Returns what happened, for observability. */
+  def maintain(spark: SparkSession, targetDir: String,
+      policy: MaintenancePolicy = MaintenancePolicy(),
+      nowMs: Long = System.currentTimeMillis()): MaintenanceReport = {
+    val compacted =
+      if (policy.compactMinLayers > 0)
+        compactDeltas(spark, targetDir, minLayers = policy.compactMinLayers,
+          maxBuckets = policy.compactMaxBuckets,
+          keepVersions = policy.keepVersions, keepAgeMs = policy.keepAgeMs,
+          nowMs = nowMs)
+      else Seq.empty
+    val split = policy.maxBucketBytes.map(b =>
+      splitOverfull(spark, targetDir, b, policy.keepVersions,
+        policy.keepAgeMs, nowMs)).getOrElse(Seq.empty)
+    val vacuumed = policy.vacuumOlderThanMs.map(h =>
+      vacuum(spark, targetDir, h, nowMs)).getOrElse(Seq.empty)
+    MaintenanceReport(compacted, split, vacuumed)
+  }
+
   /** Layout + merge-contract validation against the CURRENT manifest's
     * header (the layout authority — it changes atomically with the
     * file set on rebucket; the side marker can lag a crash-interrupted
