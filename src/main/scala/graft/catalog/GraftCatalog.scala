@@ -241,6 +241,30 @@ final class GraftTable(tableName: String, val dir: String,
       .reduceOption(_ && _).getOrElse(lit(true))
     SnapshotUpsert.deleteWhere(spark, dir, cond)
   }
+
+  // Spark's DELETE path actually negotiates the V2 predicate flavor,
+  // and SupportsDelete's DEFAULT V2-to-V1 bridge drops every predicate
+  // the narrow V1 Filter algebra cannot state (`cnt % 7 = 0` refused
+  // the whole statement — caught by the q_snapshot_catalog gate's
+  // first real run). General V2 predicates round-trip losslessly
+  // through Spark's own SQL builder instead: build the predicate's
+  // SQL text, parse it back as a Column, and hand it to deleteWhere —
+  // the predicate-DML path evaluates it exactly; only genuinely
+  // unbuildable predicates refuse the statement (never partially).
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = predicates.forall(p => GraftFilters.v2ToColumn(p).nonEmpty)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    require(pinVersion.isEmpty && pinAsOfMs.isEmpty,
+      "graft catalog: DELETE against a time-travelled table is not a " +
+        "thing — committed versions are immutable")
+    val cond = predicates.flatMap(GraftFilters.v2ToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    SnapshotUpsert.deleteWhere(spark, dir, cond)
+  }
 }
 
 private[catalog] final class GraftScanBuilder(spark: SparkSession,
@@ -304,6 +328,19 @@ private[catalog] final class GraftV1Scan(spark: SparkSession,
   * and delete paths. None = not translatable (the caller degrades:
   * scans skip less, deletes are refused whole). */
 object GraftFilters {
+
+  /** General V2 predicate -> Column, via Spark's own SQL builder
+    * (lossless for everything the builder can print — arithmetic,
+    * CASE, string ops — far past the V1 Filter algebra). None = the
+    * builder cannot express it; callers refuse whole. */
+  def v2ToColumn(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Column] =
+    try Some(org.apache.spark.sql.functions.expr(
+      new org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder()
+        .build(p)))
+    catch { case _: Exception => None }
+
   def toColumn(f: Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))

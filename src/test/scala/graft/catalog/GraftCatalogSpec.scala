@@ -80,6 +80,21 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 20L)
   }
 
+  test("DELETE with a predicate the V1 Filter algebra cannot state " +
+      "(arithmetic) still runs through the V2 predicate bridge") {
+    // regression: SupportsDelete's default V2-to-V1 bridge refused
+    // `id % 3 = 0` wholesale ("Cannot delete from table"), caught by
+    // q_snapshot_catalog's first real bench run
+    val root = freshRoot()
+    install(root)
+    val dir = s"$root/mod"
+    seed(dir, (0L until 12L).map(i => (i, s"s$i", 1L)))
+    spark.sql("DELETE FROM graft.mod WHERE id % 3 = 0")
+    val left = spark.sql("SELECT id FROM graft.mod").collect()
+      .map(_.getLong(0)).toSet
+    assert(left == (0L until 12L).filter(_ % 3 != 0).toSet, left.toString)
+  }
+
   test("catalog SELECT goes through the relation's file skipping " +
       "(point predicate reads fewer rows' files than a full scan)") {
     val root = freshRoot()
