@@ -48,6 +48,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the checker's expected-set contract (r12): a query that FAILED
+    // above leaves no output dir, and the checker must count it as a
+    // failure rather than silently narrowing the checked set — so the
+    // run records exactly which queries it was asked for (subset runs
+    // list the subset; full runs list the whole registry)
+    val asked = (if (only.isEmpty) SparkEntry.queries.keySet else only)
+      .toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/requested.json"),
+      asked.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -49,6 +49,22 @@ def main(sfdir, outdir):
 
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
+    # a query Verify FAILED to build leaves no output dir at all — it
+    # must count as a failure, not silently narrow the checked set
+    # (r12 lesson: a broken q_snapshot_catalog hid behind "ALL PASS"
+    # of the queries that did land). Subset runs stay usable: when the
+    # outdir holds only some queries, only the oracle entries for the
+    # present-or-requested names are expected — Verify dumps
+    # oracle_sql.json for EVERY registered query, so "expected" is the
+    # dump filtered to subset markers when present.
+    requested = f"{outdir}/requested.json"
+    expected = (set(json.load(open(requested)))
+                if os.path.exists(requested) else set(oracle))
+    present = {n for n in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, n))}
+    for name in sorted(expected - present):
+        print(f"{name}: MISSING (Verify failed to build/run it)")
+        failures += 1
     for name in sorted(os.listdir(outdir)):
         qdir = os.path.join(outdir, name)
         if not os.path.isdir(qdir):
