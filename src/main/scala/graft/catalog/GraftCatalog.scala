@@ -33,6 +33,11 @@ import java.util
   *   - `DELETE FROM graft.t WHERE ...` — Spark's native
   *     filter-delete path ([[SupportsDelete]]) routed to
   *     [[SnapshotUpsert.deleteWhere]]'s atomic commit;
+  *   - `INSERT INTO graft.t VALUES/SELECT ...` — the batch merges
+  *     through `upsertBatchSnapshot` under the table's RECORDED
+  *     layout and merge contract (on a keyed latest-state table,
+  *     insert IS a merge; a blind append would break the
+  *     one-row-per-key invariant every reader folds by);
   *   - `UPDATE` / `MERGE INTO` — SQL text routed to
   *     [[SnapshotUpsert.updateWhere]] / [[SnapshotUpsert.mergeInto]]
   *     by the resolution rules [[graft.GraftExtensions]] injects

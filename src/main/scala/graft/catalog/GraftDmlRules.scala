@@ -64,6 +64,19 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           m.notMatchedBySourceActions).forall(actionResolved) =>
       convertMerge(m)
 
+    // INSERT INTO graft.t ... — the batch rides the table's OWN merge
+    // path (upsertBatchSnapshot under the RECORDED layout and merge
+    // contract): on a keyed latest-state table "insert" IS a merge —
+    // a row restating an existing key replaces it by the recorded
+    // precedence, new keys land, and the commit is atomic/retried
+    // like every writer's. A blind file append would silently break
+    // the one-row-per-key invariant every reader folds by.
+    case a: AppendData if graftTarget(a.table).isDefined &&
+        a.query.resolved =>
+      val (tbl, _) = graftTarget(a.table).get
+      requireCurrentPin(tbl, "INSERT")
+      GraftInsertCommand(tbl.dir, a.query)
+
     case _ => plan
   }
 
@@ -257,6 +270,39 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     GraftMergeCommand(tbl.dir, keys, m.sourceTable, updateSet, updateAll,
       updateCond, deleteCond, insert, insertCond)
+  }
+}
+
+/** Eager `INSERT INTO graft.t ...` — the batch merges through
+  * [[SnapshotUpsert.upsertBatchSnapshot]] under the table's RECORDED
+  * layout and merge contract (nBuckets, bucketCols, #keys, #ordercol
+  * all come from the manifest — SQL text states none of them). The
+  * query's columns align to the table schema POSITIONALLY with an
+  * assignment cast, standard `INSERT INTO t SELECT/VALUES`
+  * semantics. */
+case class GraftInsertCommand(dir: String, sourcePlan: LogicalPlan)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (keys, orderCol) = SnapshotUpsert.currentMergeContract(spark, dir)
+      .getOrElse(sys.error(
+        s"graft catalog INSERT: the table at $dir predates the recorded " +
+          "merge contract (#keys); one fresh commit upgrades it"))
+    val nBuckets = SnapshotUpsert.currentBuckets(spark, dir).get
+    val bucketCols = SnapshotUpsert.currentBucketCols(spark, dir)
+      .getOrElse(keys)
+    val schema = SnapshotUpsert.resolvePin(spark, dir).get._2
+    val q = GraftSqlBridge.ofRows(spark, sourcePlan)
+    require(q.columns.length == schema.fields.length,
+      s"graft catalog INSERT: the query provides ${q.columns.length} " +
+        s"columns, the table has ${schema.fields.length} — rows are " +
+        "full upserts; provide every column")
+    val aligned = q.toDF(schema.fieldNames.toSeq: _*)
+      .select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          .as(f.name)).toSeq: _*)
+    SnapshotUpsert.upsertBatchSnapshot(aligned, dir, keys, orderCol,
+      nBuckets = nBuckets, bucketCols = bucketCols)
+    Seq.empty
   }
 }
 

@@ -113,6 +113,34 @@ class GraftDmlSqlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO merges through the recorded contract: new keys " +
+      "land, restated keys replace by the recorded precedence, one " +
+      "atomic commit") {
+    withExtSession { s =>
+      val root = Files.createTempDirectory("graft-dmlsql").toString
+      install(s, root)
+      // orderCol = cnt: higher cnt wins a restated key
+      import s.implicits._
+      SnapshotUpsert.upsertBatchSnapshot(
+        Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("id", "status", "cnt"),
+        s"$root/ins", Seq("id"), "cnt", nBuckets = 8, keepVersions = 10)
+      s.sql("INSERT INTO graft.ins VALUES (2, 'b2', 9), (3, 'c', 1)")
+      val got = s.sql("SELECT id, status, cnt FROM graft.ins").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((1L, "a", 5L), (2L, "b2", 9L), (3L, "c", 1L)),
+        got.toString)
+      // a LOSING restatement (lower cnt) leaves the row unchanged —
+      // INSERT is the table's merge, not a blind append
+      s.sql("INSERT INTO graft.ins VALUES (2, 'stale', 1)")
+      assert(s.sql("SELECT status FROM graft.ins WHERE id = 2")
+        .head.getString(0) == "b2")
+      // and SELECT via a subquery source works too
+      s.sql("INSERT INTO graft.ins SELECT id + 10, status, cnt " +
+        "FROM graft.ins WHERE id = 1")
+      assert(s.sql("SELECT count(*) FROM graft.ins").head.getLong(0) == 4L)
+    }
+  }
+
   test("unfaithful statements are refused with actionable errors, " +
       "not reinterpreted") {
     withExtSession { s =>
