@@ -184,6 +184,35 @@ class SnapshotBloomSpec extends SparkSpec {
       s"expected only the sidecar-less file kept, got $kept")
   }
 
+  test("blooms compose with a SPLIT bucket layout: sidecars regenerate " +
+      "for the children and probes stay exact across mixed depths") {
+    val dir = tmp()
+    seed(dir)
+    // split g1's bucket (uid 37 lives in g1): children get fresh
+    // files, whose blooms must be written by the split commit
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s0 = SnapshotUpsert.currentSnapshot(fs, root).get
+    val g1Bucket = {
+      import spark.implicits._
+      Seq("g1").toDF("grp").select(
+        UpsertSink.bucketOfLayout(Seq("grp"), s0.nBuckets, s0.depths)
+          .as("kb")).head.getInt(0)
+    }
+    SnapshotUpsert.splitBucket(spark, dir, g1Bucket, keepVersions = 10)
+    val s1 = snap(dir)
+    s1.files.valuesIterator.flatten.foreach { rel =>
+      assert(s1.blooms.get(rel).flatMap(_.get("uid")).nonEmpty,
+        s"bloom missing for post-split file $rel")
+    }
+    // the probe still opens a pruned set and answers exactly
+    SnapshotRelation.registerSqlView(spark, "snap_bloom_split", dir)
+    val q = spark.sql("SELECT * FROM snap_bloom_split WHERE uid = 37")
+    assert(asSet(q) == Set(("g1", 37L, 1L)))
+    assert(scannedFiles(q) <
+      s1.files.valuesIterator.map(_.size).sum)
+  }
+
   test("retention GC deletes the dropped version's sidecars with its " +
       "data files; live sidecars survive") {
     val dir = tmp()
