@@ -92,18 +92,30 @@ object SnapshotRelation {
       case _ => SnapshotUpsert.currentSnapshot(fs, root).getOrElse(
         sys.error(s"snapshot relation: no committed version at $targetDir"))
     }
-    // layered buckets cannot be served file-level (a listing cannot
-    // fold row versions): exclude them from the relation and union
-    // their exact fold back in — same composition readMergedImage uses
+    // layered buckets cannot be served file-level wholesale (a listing
+    // cannot fold row versions): their key-OVERLAPPING base files and
+    // layers union in through the exact fold. But base files provably
+    // key-disjoint from every layer in their bucket pass through the
+    // fold unchanged for EVERY query, so those stay in the relation —
+    // where a pushed predicate gets the full file-skipping stack
+    // (bucket hash, range stats, value sets, blooms) instead of the
+    // fold branch's read-everything
     val layered = snap.deltas.keySet
+    val passThrough =
+      if (layered.isEmpty) Set.empty[String]
+      else SnapshotUpsert.passThroughBase(snap)
     val baseSnap =
       if (layered.isEmpty) snap
-      else snap.copy(files = snap.files.filterNot { case (b, _) => layered(b) })
+      else snap.copy(files = snap.files.flatMap { case (b, fs0) =>
+        val keep = if (layered(b)) fs0.filter(passThrough) else fs0
+        if (keep.isEmpty) None else Some(b -> keep)
+      })
     val index = new SnapshotFileIndex(spark, root, baseSnap)
     val relDf = RelationShim.parquetRelation(spark, index, snap.schema)
     if (layered.isEmpty) relDf
     else relDf.unionByName(SnapshotUpsert.foldDeltas(
-      spark, root, snap, layered.toSeq.sorted, snap.schema))
+      spark, root, snap, layered.toSeq.sorted, snap.schema,
+      dropBaseRels = passThrough))
   }
 
   /** Register the table under `name` for `spark.sql` queries; returns

@@ -1038,23 +1038,42 @@ object SnapshotUpsert {
     }
     // within kept layered buckets: base files droppable by the
     // predicate-disjoint AND key-disjoint-from-every-layer rule
-    val keyCol = cur.bucketCols.orElse(cur.mergeKeys).flatMap(_.headOption)
-      .filter(c => cur.schema.fieldNames.contains(c) &&
-        statsComparable(cur.schema(c).dataType))
-    def keyRange(rel: String): Option[(String, String)] =
-      keyCol.flatMap(k => cur.stats.get(rel).flatMap(_.get(k)))
-    val kdt = keyCol.map(cur.schema(_).dataType)
-    def keyDisjoint(a: (String, String), b: (String, String)): Boolean =
-      statCompareOpt(kdt.get, a._2, b._1).exists(_ < 0) ||
-        statCompareOpt(kdt.get, b._2, a._1).exists(_ < 0)
+    val passThrough = passThroughBase(cur)
     val foldDroppable: Set[String] = layeredKept.iterator.flatMap { b =>
-      val layerRanges = cur.deltas(b).map(keyRange)
-      cur.files.getOrElse(b, Seq.empty).filter { rel =>
-        disjoint(rel) && keyRange(rel).exists(fr =>
+      cur.files.getOrElse(b, Seq.empty)
+        .filter(rel => disjoint(rel) && passThrough(rel))
+    }.toSet
+    (plainKept, layeredKept, foldDroppable)
+  }
+
+  /** Base files of `snap`'s LAYERED buckets provably key-disjoint from
+    * every one of their bucket's delta layers — proved from the
+    * recorded min/max of the table's first bucket column, exactly
+    * [[rangePlan]]'s rule. No key in such a file can participate in
+    * any fold decision (no replace, no tombstone), so its rows pass
+    * through the fold UNCHANGED for every query: a reader may serve
+    * these files outside the fold — through the file-skipping SQL
+    * relation, say — without changing any result. Missing stats mean
+    * a file is never claimed pass-through (conservative). */
+  private[streaming] def passThroughBase(snap: Snapshot): Set[String] = {
+    if (snap.deltas.isEmpty) return Set.empty
+    val keyCol = snap.bucketCols.orElse(snap.mergeKeys).flatMap(_.headOption)
+      .filter(c => snap.schema.fieldNames.contains(c) &&
+        statsComparable(snap.schema(c).dataType))
+    if (keyCol.isEmpty) return Set.empty
+    val kdt = snap.schema(keyCol.get).dataType
+    def keyRange(rel: String): Option[(String, String)] =
+      snap.stats.get(rel).flatMap(_.get(keyCol.get))
+    def keyDisjoint(a: (String, String), b: (String, String)): Boolean =
+      statCompareOpt(kdt, a._2, b._1).exists(_ < 0) ||
+        statCompareOpt(kdt, b._2, a._1).exists(_ < 0)
+    snap.deltas.keysIterator.flatMap { b =>
+      val layerRanges = snap.deltas(b).map(keyRange)
+      snap.files.getOrElse(b, Seq.empty).filter { rel =>
+        keyRange(rel).exists(fr =>
           layerRanges.forall(_.exists(lr => keyDisjoint(fr, lr))))
       }
     }.toSet
-    (plainKept, layeredKept, foldDroppable)
   }
 
   /** (kept file count, total file count) a [[readRange]] with these
@@ -2454,10 +2473,12 @@ object SnapshotUpsert {
     val orderCol = snap.orderCol.getOrElse(sys.error(
       s"read at $root: version ${snap.version} carries delta layers but " +
         "no recorded #ordercol merge contract — manifest corrupted?"))
-    // dropBaseRels: base files [[rangePlan]] proved BOTH predicate- and
-    // key-disjoint from this read — excluding them cannot change any
-    // fold decision (no shared keys with any layer) and their
-    // pass-through rows would not match the caller's predicate anyway
+    // dropBaseRels: base files proved key-disjoint from every layer in
+    // their bucket — excluding them cannot change any fold decision (no
+    // shared keys with any layer), so the caller either proved their
+    // pass-through rows predicate-disjoint too (readRange via
+    // rangePlan) or serves them through another branch (readSql's
+    // file-skipping relation)
     val base = readImage(spark, sch, deltaBs.filter(snap.files.contains)
         .flatMap(snap.files).filterNot(dropBaseRels)
         .map(rel => s"$root/$rel"))

@@ -30,14 +30,24 @@ class SnapshotRelationSpec extends SparkSpec {
     d.select("id", "status", "v").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
 
-  /** numFiles the executed scan reports — the end-to-end pruning pin. */
+  /** numFiles the executed scan reports — the end-to-end pruning pin.
+    * AQE wraps materialized subtrees in query stages whose plans are
+    * not children of the outer tree, so the walk recurses into them. */
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] =
+    p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectScans(s.plan)
+    }.flatten
+
   private def scannedFiles(d: DataFrame): Long = {
     d.collect()
     val plan = d.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val scans = plan.collect { case f: FileSourceScanExec => f }
+    val scans = collectScans(plan)
     assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
     scans.map(_.metrics("numFiles").value).sum
   }
@@ -399,6 +409,112 @@ class SnapshotRelationSpec extends SparkSpec {
       SnapshotRelation.readSql(spark, dir, version = Some(1L),
         asOfMs = Some(1500L))
     }
+  }
+
+  test("pass-through base files of LAYERED buckets keep file-level " +
+      "predicate pruning; key-overlapping base stays in the fold and a " +
+      "stale lower-order delta can never resurrect through a predicate") {
+    import spark.implicits._
+    val dir = tmp()
+    def mk(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("day", "id", "status", "v")
+    // one base commit: days 0..19, v = day*10+i — each day-bucket's
+    // single file records a narrow v range over its own days
+    val props = Map(SnapshotUpsert.ClusterColsProp -> "v")
+    SnapshotUpsert.upsertBatchSnapshot(
+      mk(for (d <- 0L until 20L; i <- 0L until 10L)
+        yield (d, d * 10L + i, s"d$d", d * 10L + i)), dir,
+      Seq("day", "id"), "v", nBuckets = 16, bucketCols = Seq("day"),
+      keepVersions = 10, props = props)
+    val root = new Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketOfDay(d: Long) = {
+      val c = SnapshotUpsert.currentSnapshot(hfs, root).get
+      Seq(d).toDF("day")
+        .select(UpsertSink.bucketOfLayout(
+          Seq("day"), c.nBuckets, c.depths).as("kb"))
+        .collect().map(_.getInt(0)).head
+    }
+    val b3 = bucketOfDay(3L)
+    // layers: one NEW key — a day >= 20, chosen to land in a POPULATED
+    // bucket other than day-3's, so that bucket's base files are
+    // key-disjoint from the layer — and one STALE overwrite of
+    // (day 3, id 30) with a LOWER order value (fold keeps base, v=30)
+    val cur0 = SnapshotUpsert.currentSnapshot(hfs, root).get
+    val dNew = (20L until 200L).find { d =>
+      val b = bucketOfDay(d)
+      b != b3 && cur0.files.get(b).exists(_.nonEmpty)
+    }.get
+    SnapshotUpsert.appendDeltaSnapshot(
+      mk(Seq((dNew, 99990L, "new", 99999L))), dir, Seq("day", "id"), "v",
+      nBuckets = 16, bucketCols = Seq("day"), keepVersions = 10)
+    SnapshotUpsert.appendDeltaSnapshot(
+      mk(Seq((3L, 30L, "stale", -5L))), dir, Seq("day", "id"), "v",
+      nBuckets = 16, bucketCols = Seq("day"), keepVersions = 10)
+
+    val cur = SnapshotUpsert.currentSnapshot(hfs, root).get
+    assert(cur.deltas.nonEmpty)
+    val pass = SnapshotUpsert.passThroughBase(cur)
+    val bNew = bucketOfDay(dNew)
+    // dNew's bucket: its base files (days <= 19, all below the layer's
+    // day range) are pass-through; in day-3's bucket the file covering
+    // day 3 overlaps its layer and must stay folded
+    assert(cur.files(bNew).nonEmpty && cur.files(bNew).forall(pass),
+      s"bucket $bNew base must be pass-through")
+    assert(pass.nonEmpty)
+    def dayRange(rel: String) = cur.stats(rel)("day")
+    val coveringB3 = cur.files(b3).filter { rel =>
+      val (mn, mx) = dayRange(rel); mn.toLong <= 3L && mx.toLong >= 3L
+    }
+    assert(coveringB3.nonEmpty && coveringB3.forall(!pass(_)),
+      "the base file overlapping the day=3 layer must stay folded")
+
+    // exactness: the relation is the reference image, predicates or not
+    val full = SnapshotRelation.readSql(spark, dir)
+    val ref = SnapshotUpsert.readSnapshot(spark, dir)
+    def img(d: DataFrame) = d.select("day", "id", "status", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(img(full) == img(ref))
+    assert(img(ref).exists(t => t._2 == 30L && t._3 == "d3" && t._4 == 30L),
+      "higher-order base row must win the fold")
+
+    // resurrect-proof: a predicate matching ONLY the stale delta row
+    // returns nothing — the overlapping base file stayed in the fold
+    assert(SnapshotRelation.readSql(spark, dir)
+      .where(col("v") >= -10L && col("v") <= -1L).collect().isEmpty)
+
+    // the pruning pin: a range predicate over one day d0 living in
+    // neither layered bucket opens d0's file plus ONLY the fold branch
+    // (overlapping base + layers) — every pass-through file of the
+    // layered buckets is skipped by its v-range stats
+    val d0 = (0L until 20L).find(d =>
+      bucketOfDay(d) != bNew && bucketOfDay(d) != b3).get
+    val q = SnapshotRelation.readSql(spark, dir)
+      .where(col("v") >= d0 * 10L && col("v") <= d0 * 10L + 9L)
+    assert(q.count() >= 10) // d0's rows (plus any v-overlapping days)
+    val scanned = scannedFiles(q)
+    val layeredRels = cur.deltas.keySet
+      .flatMap(b => cur.files.getOrElse(b, Seq.empty))
+    val overlapBase = layeredRels.count(!pass(_))
+    val layerFiles = cur.deltas.valuesIterator.map(_.size).sum
+    // relation side = unlayered-bucket files + pass-through; kept =
+    // those whose recorded v range intersects the window
+    val keptRel = cur.files.valuesIterator.flatten.count { rel =>
+      (!layeredRels(rel) || pass(rel)) && {
+        val (mn, mx) = cur.stats(rel)("v")
+        mn.toLong <= d0 * 10L + 9L && mx.toLong >= d0 * 10L
+      }
+    }
+    // the fold's broadcast path reads its base files twice (anti +
+    // semi) and its layers twice (key-set distinct + replay union) —
+    // bound with those factors; the point is that NO pass-through file
+    // appears in any branch
+    assert(scanned <= (keptRel + 2 * overlapBase + 2 * layerFiles).toLong,
+      s"$scanned vs keptRel=$keptRel overlap=$overlapBase " +
+        s"layers=$layerFiles")
+    assert(keptRel < cur.files.valuesIterator.map(_.size).sum,
+      "test shape must actually prune relation-side files")
   }
 
   test("the index reports an honest sizeInBytes and its kept-file " +
