@@ -70,7 +70,8 @@ import java.util
   * (the newest at load time, or the time-travel pin): concurrent
   * commits never tear a running query; re-resolve the name to see
   * later versions (Spark reloads per statement). */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var initRoot: Option[String] = None
@@ -169,6 +170,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft catalog: rename the table directory instead")
+
+  // ProcedureCatalog: maintenance as SQL-standard CALL statements
+  // (`CALL graft.system.maintain(table => 't')` — Iceberg's runbook
+  // shape); implementations in [[GraftProcedures]]
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system")),
+      s"graft catalog: procedures live in the 'system' namespace " +
+        s"(got ${ident.namespace.mkString(".")}.${ident.name})")
+    GraftProcedures.load(ident.name, n => s"${root()}/$n").getOrElse(
+      sys.error(s"graft catalog: no procedure '${ident.name}' — " +
+        s"available: ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // SupportsNamespaces: one implicit flat namespace (plus "default")
   override def listNamespaces(): Array[Array[String]] =

@@ -1,0 +1,175 @@
+package graft.catalog
+
+import graft.streaming.SnapshotUpsert
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.Collections
+
+/** Table-maintenance STORED PROCEDURES for the graft catalog — the
+  * operator actions the SQL-text surface deliberately keeps out of
+  * DML, reachable as SQL-standard `CALL` statements (Spark 4's V2
+  * `ProcedureCatalog`; the same shape as Iceberg's `system.*`
+  * procedures, so a lakehouse operator's runbook translates 1:1):
+  *
+  *   - `CALL graft.system.maintain(table => 't')` — the one-call
+  *     policy pass ([[SnapshotUpsert.maintain]]): overdue delta
+  *     compaction, overfull-bucket splits, debris vacuum, one report.
+  *   - `CALL graft.system.restore(table => 't', version => 7)` —
+  *     rollback-as-forward-commit ([[SnapshotUpsert.restore]]).
+  *   - `CALL graft.system.compact(table => 't', min_layers => 2)` —
+  *     just the delta fold ([[SnapshotUpsert.compactDeltas]]).
+  *   - `CALL graft.system.vacuum(table => 't', older_than_ms => ...)`
+  *     — just the debris sweep ([[SnapshotUpsert.vacuum]]).
+  *
+  * Each procedure returns one result row (what happened — versions,
+  * bucket ids, swept paths) through a driver-local scan: maintenance
+  * reports are bounded driver-side metadata by construction, never
+  * data. Parameters use the analyzer's own named-argument and
+  * DEFAULT machinery, so `CALL` sites state only what they override. */
+private[catalog] object GraftProcedures {
+
+  /** The procedures, by lower-case name (namespace `system` or bare). */
+  def load(name: String, dirOf: String => String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "maintain" => Some(new MaintainProcedure(dirOf))
+      case "restore" => Some(new RestoreProcedure(dirOf))
+      case "compact" => Some(new CompactProcedure(dirOf))
+      case "vacuum" => Some(new VacuumProcedure(dirOf))
+      case _ => None
+    }
+
+  val names: Seq[String] = Seq("compact", "maintain", "restore", "vacuum")
+
+  private def str(r: InternalRow, i: Int): String = {
+    require(!r.isNullAt(i), "procedure argument must not be NULL")
+    r.getUTF8String(i).toString
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def result(schema: StructType, values: Any*)
+      : java.util.Iterator[Scan] = {
+    val row = InternalRow.fromSeq(values)
+    Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }).iterator()
+  }
+
+  private abstract class GraftProcedure(procName: String,
+      dirOf: String => String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def dir(r: InternalRow): String = dirOf(str(r, 0))
+    protected def spark: SparkSession = SparkSession.active
+    protected val tableParam: ProcedureParameter =
+      ProcedureParameter.in("table", StringType)
+        .comment("table name in this catalog").build()
+  }
+
+  private final class MaintainProcedure(dirOf: String => String)
+    extends GraftProcedure("maintain", dirOf) {
+    override def description: String =
+      "one maintenance pass: compact overdue delta layers, split " +
+        "overfull buckets, vacuum debris; returns what happened"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("compact_min_layers", IntegerType)
+        .defaultValue("4").comment("fold buckets with >= this many " +
+          "pending delta layers; 0 disables").build(),
+      ProcedureParameter.in("max_bucket_bytes", LongType)
+        .defaultValue("CAST(NULL AS BIGINT)")
+        .comment("split buckets past this many live bytes; NULL disables")
+        .build(),
+      ProcedureParameter.in("vacuum_older_than_ms", LongType)
+        .defaultValue((7L * 24 * 3600 * 1000).toString)
+        .comment("sweep unreferenced debris older than this; NULL " +
+          "disables").build(),
+      ProcedureParameter.in("keep_versions", IntegerType)
+        .defaultValue("2").comment("retention window for the commits " +
+          "the pass makes").build())
+    private val out = StructType(Seq(
+      StructField("compacted_buckets", StringType),
+      StructField("split_buckets", StringType),
+      StructField("vacuumed_paths", StringType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rep = SnapshotUpsert.maintain(spark, dir(input),
+        SnapshotUpsert.MaintenancePolicy(
+          compactMinLayers = input.getInt(1),
+          maxBucketBytes =
+            if (input.isNullAt(2)) None else Some(input.getLong(2)),
+          vacuumOlderThanMs =
+            if (input.isNullAt(3)) None else Some(input.getLong(3)),
+          keepVersions = input.getInt(4)))
+      result(out, utf8(rep.compacted.mkString(",")),
+        utf8(rep.split.mkString(",")), utf8(rep.vacuumed.mkString(",")))
+    }
+  }
+
+  private final class RestoreProcedure(dirOf: String => String)
+    extends GraftProcedure("restore", dirOf) {
+    override def description: String =
+      "re-publish an earlier committed version's content at the head " +
+        "as a NEW commit (zero data movement; history stays readable)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("version", LongType)
+        .comment("committed version to restore to " +
+          "(see the table's history)").build(),
+      ProcedureParameter.in("keep_versions", IntegerType)
+        .defaultValue("2").build())
+    private val out = StructType(Seq(
+      StructField("restored_to_version", LongType),
+      StructField("new_head_version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val d = dir(input)
+      SnapshotUpsert.restore(spark, d, input.getLong(1),
+        keepVersions = input.getInt(2))
+      result(out, input.getLong(1),
+        SnapshotUpsert.versions(spark, d).last)
+    }
+  }
+
+  private final class CompactProcedure(dirOf: String => String)
+    extends GraftProcedure("compact", dirOf) {
+    override def description: String =
+      "fold pending merge-on-read delta layers back into base files"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("min_layers", IntegerType)
+        .defaultValue("1").build(),
+      ProcedureParameter.in("keep_versions", IntegerType)
+        .defaultValue("2").build())
+    private val out = StructType(Seq(
+      StructField("compacted_buckets", StringType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ids = SnapshotUpsert.compactDeltas(spark, dir(input),
+        minLayers = input.getInt(1), keepVersions = input.getInt(2))
+      result(out, utf8(ids.mkString(",")))
+    }
+  }
+
+  private final class VacuumProcedure(dirOf: String => String)
+    extends GraftProcedure("vacuum", dirOf) {
+    override def description: String =
+      "sweep unreferenced crash debris older than the horizon"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      ProcedureParameter.in("older_than_ms", LongType)
+        .defaultValue((7L * 24 * 3600 * 1000).toString).build())
+    private val out = StructType(Seq(
+      StructField("deleted_paths", StringType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val deleted = SnapshotUpsert.vacuum(spark, dir(input),
+        input.getLong(1))
+      result(out, utf8(deleted.mkString(",")))
+    }
+  }
+}

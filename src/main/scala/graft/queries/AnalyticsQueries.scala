@@ -450,6 +450,72 @@ object AnalyticsQueries {
              |WHERE img.ts >= b.lo AND img.ts <= b.hi""".stripMargin),
     ),
 
+    // Z-ORDER CLUSTERED LAYOUT (r12, ClusterLayout): the same
+    // latest-state table written with TWO declared clustering columns
+    // (ts, user_id) under graft.cluster.layout=zorder and a per-file
+    // row cap, so each bucket stages several Morton-ordered runs, each
+    // covering a small (ts x user_id) RECTANGLE whose per-file ranges
+    // the manifest records. A correlated two-dimension box (time
+    // window AND user slice, both data-derived literals) then prunes
+    // on both dimensions through the plain SQL relation — the pruning
+    // trade itself (linear owns one dimension, z-order serves both) is
+    // pinned by ZOrderSpec with executed-scan numFiles; this gate pins
+    // end-to-end RESULTS through a z-ordered table at every SF.
+    QueryDef(
+      "q_snapshot_zorder",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        val img = ev
+          .groupBy(to_date(col("ts")).cast("string").as("day"),
+            col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("top"))
+          .select(col("day"), col("user_id"),
+            col("top.event_type").as("event_type"),
+            date_format(col("top.ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-zorder-q").toString
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(img, dir,
+          keys = Seq("day", "user_id"), orderCol = "", nBuckets = 8,
+          bucketCols = Seq("day"),
+          props = Map(
+            graft.streaming.SnapshotUpsert.ClusterColsProp -> "ts,user_id",
+            graft.streaming.ClusterLayout.LayoutProp -> "zorder",
+            graft.streaming.ClusterLayout.MaxFileRowsProp -> "512"))
+        val b = ev.agg(
+          date_format(min(col("ts")) + expr("INTERVAL 2 DAY"),
+            "yyyy-MM-dd HH:mm:ss").as("lo"),
+          date_format(min(col("ts")) + expr("INTERVAL 4 DAY"),
+            "yyyy-MM-dd HH:mm:ss").as("hi"),
+          (max(col("user_id")) / 4).cast("long").as("ulo"),
+          (max(col("user_id")) / 2).cast("long").as("uhi")).head()
+        graft.streaming.SnapshotRelation.readSql(s, dir)
+          .where(col("ts") >= b.getString(0) && col("ts") <= b.getString(1) &&
+            col("user_id") >= b.getLong(2) && col("user_id") <= b.getLong(3))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  date_trunc('second', ts) AS ts FROM events),
+             |img AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  user_id,
+             |  (max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).event_type AS event_type,
+             |  strftime((max(struct_pack(ts := ts, event_id := event_id,
+             |     event_type := event_type))).ts, '%Y-%m-%d %H:%M:%S') AS ts
+             |  FROM e GROUP BY 1, 2),
+             |b AS (SELECT
+             |  strftime(date_trunc('second', min(ts)) + INTERVAL 2 DAY,
+             |    '%Y-%m-%d %H:%M:%S') AS lo,
+             |  strftime(date_trunc('second', min(ts)) + INTERVAL 4 DAY,
+             |    '%Y-%m-%d %H:%M:%S') AS hi,
+             |  CAST(max(user_id) // 4 AS BIGINT) AS ulo,
+             |  CAST(max(user_id) // 2 AS BIGINT) AS uhi FROM events)
+             |SELECT img.* FROM img, b
+             |WHERE img.ts >= b.lo AND img.ts <= b.hi
+             |  AND img.user_id >= b.ulo AND img.user_id <= b.uhi"""
+        .stripMargin),
+    ),
+
     // SQL RELATION over the snapshot table (r11, SnapshotRelation):
     // the same day-bucketed, ts-clustered table served through a
     // manifest-backed FileIndex under Spark's own parquet scan — a

@@ -129,6 +129,16 @@ object SnapshotRelation {
     df
   }
 
+  /** Audit: base files the current version references — the
+    * denominator for pruning measurements (layers excluded). */
+  def totalFiles(spark: SparkSession, targetDir: String): Int = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotUpsert.currentSnapshot(fs, root).getOrElse(
+      sys.error(s"totalFiles: no committed version at $targetDir"))
+      .files.valuesIterator.map(_.size).sum
+  }
+
   /** Audit: (kept files, total base files) the relation would open for
     * an equality/IN probe of `values` on `column` — the file-skipping
     * decision alone (bucket hash, range stats, value sets, bloom

@@ -1389,9 +1389,9 @@ object SnapshotUpsert {
           tombOut = DeltaTombCol)
         .withColumn(DeltaVCol, lit(version))
         .repartition(col("kb"))
-      (if (cluster.isEmpty) layer
-       else layer.sortWithinPartitions(("kb" +: cluster).map(col): _*))
-        .write.partitionBy("kb").parquet(versionDir.toString)
+      ClusterLayout.sorted(layer, cluster, effProps)
+        .write.options(ClusterLayout.writerOptions(effProps))
+        .partitionBy("kb").parquet(versionDir.toString)
     }
     val staged = stagedFiles(fs, versionDir)
     if (staged.isEmpty) return // empty batch: nothing to commit
@@ -1467,10 +1467,9 @@ object SnapshotUpsert {
             s"compactDeltas: no recorded bucket columns at $targetDir"))),
           cur.nBuckets, cur.depths))
         .repartition(sel.length, col("kb"))
-      (if (cur.clusterCols.isEmpty) folded
-       else folded.sortWithinPartitions(
-         ("kb" +: cur.clusterCols).map(col): _*))
-        .write.partitionBy("kb").parquet(versionDir.toString)
+      ClusterLayout.sorted(folded, cur.clusterCols, cur.props)
+        .write.options(ClusterLayout.writerOptions(cur.props))
+        .partitionBy("kb").parquet(versionDir.toString)
       // a compacted bucket whose every key was tombstoned by its
       // layers stages NO file and correctly vanishes from the manifest
       val staged = stagedFiles(fs, versionDir)
@@ -1813,10 +1812,9 @@ object SnapshotUpsert {
       .withColumn("kb", UpsertSink.bucketOf(
         if (bucketCols.isEmpty) keys else bucketCols, newBuckets))
       .repartition(newBuckets min 4096, col("kb"))
-    (if (cur.clusterCols.isEmpty) rebucketed
-     else rebucketed.sortWithinPartitions(
-       ("kb" +: cur.clusterCols).map(col): _*))
-      .write.partitionBy("kb").parquet(versionDir.toString)
+    ClusterLayout.sorted(rebucketed, cur.clusterCols, cur.props)
+      .write.options(ClusterLayout.writerOptions(cur.props))
+      .partitionBy("kb").parquet(versionDir.toString)
     // nothing is carried: the new layout's manifest is exactly the
     // staged set, and the header flips the layout in the same commit
     val staged = stagedFiles(fs, versionDir)
@@ -1894,10 +1892,9 @@ object SnapshotUpsert {
     val splitImg = readMergedImage(spark, root, cur, Some(Seq(bucket)))
       .withColumn("kb", UpsertSink.bucketOfLayout(bc, cur.nBuckets, newDepths))
       .repartition(2, col("kb"))
-    (if (cur.clusterCols.isEmpty) splitImg
-     else splitImg.sortWithinPartitions(
-       ("kb" +: cur.clusterCols).map(col): _*))
-      .write.partitionBy("kb").parquet(versionDir.toString)
+    ClusterLayout.sorted(splitImg, cur.clusterCols, cur.props)
+      .write.options(ClusterLayout.writerOptions(cur.props))
+      .partitionBy("kb").parquet(versionDir.toString)
     val staged = stagedFiles(fs, versionDir)
     val manifest = (cur.files - bucket) ++ staged.files
     val deltas = cur.deltas - bucket
@@ -1999,6 +1996,69 @@ object SnapshotUpsert {
     val vacuumed = policy.vacuumOlderThanMs.map(h =>
       vacuum(spark, targetDir, h, nowMs)).getOrElse(Seq.empty)
     MaintenanceReport(compacted, split, vacuumed)
+  }
+
+  /** RESTORE the table to an earlier committed `version` — as a NEW
+    * commit that re-publishes that version's manifest content (file
+    * set, schema, layout, props, stats, deltas, blooms) at the head,
+    * never by deleting history: readers pinned to intermediate
+    * versions keep working, the change feed reports the restore as an
+    * ordinary version step, and a second restore can undo the first.
+    * Zero data movement — the old files are re-referenced, not
+    * rewritten (they still exist because restore only reaches
+    * versions inside the retention window; beyond it GC has swept
+    * them, checked here with an actionable error).
+    *
+    * Same optimistic commit discipline as every writer: the head is
+    * re-read per attempt, so a restore racing an ingest lands after
+    * it (last writer wins the version sequence, as with any two
+    * writers). Restoring to the current head is a no-op. */
+  def restore(spark: SparkSession, targetDir: String, version: Long,
+      keepVersions: Int = 2, keepAgeMs: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis(),
+      commit: CommitPrimitive = CreateExclusive,
+      maxCommitAttempts: Int = 5): Unit = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      try {
+        val cur = currentSnapshot(fs, root).getOrElse(sys.error(
+          s"restore: no committed version at $targetDir"))
+        if (cur.version == version) return
+        val target =
+          try readManifest(fs, root, version)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              sys.error(s"restore: version $version does not exist at " +
+                s"$targetDir (committed: ${committedVersions(fs, root)
+                  .mkString(", ")}) — it was never committed or GC " +
+                "already dropped it; raise keepVersions/keepAgeMs to " +
+                "widen the restore window")
+          }
+        // retention races: the manifest can outlive some of its files
+        // only transiently (a parked partial delete), and a restore
+        // must never publish a head with holes
+        val missing = target.allRefs
+          .filterNot(rel => fs.exists(new Path(root, rel))).take(3).toSeq
+        require(missing.isEmpty,
+          s"restore: version $version references files GC already " +
+            s"removed (e.g. ${missing.mkString(", ")}); the version is " +
+            "outside the effective retention window")
+        val newV = cur.version + 1
+        commitManifest(fs, root, newV, target.nBuckets, target.schema,
+          target.files, nowMs, target.bucketCols, commit, target.depths,
+          target.props, target.deltas, target.mergeKeys, target.orderCol,
+          target.stats, target.lens, target.valueSets, target.blooms)
+        gc(fs, root, newV, target.allRefs.toSet, Some(cur),
+          keepVersions, keepAgeMs, nowMs)
+        committed = true
+      } catch {
+        case _: ConcurrentCommitException if attempt < maxCommitAttempts =>
+      }
+    }
   }
 
   /** Layout + merge-contract validation against the CURRENT manifest's
@@ -2140,9 +2200,9 @@ object SnapshotUpsert {
       .getOrElse(UpsertSink.selectWinners(existing, withBucket, dataCols,
         keys, orderCol, tombstoneCol))
       .repartition(touched.length, col("kb"))
-    (if (cluster.isEmpty) winners
-     else winners.sortWithinPartitions(("kb" +: cluster).map(col): _*))
-      .write.partitionBy("kb").parquet(versionDir.toString)
+    ClusterLayout.sorted(winners, cluster, effProps)
+      .write.options(ClusterLayout.writerOptions(effProps))
+      .partitionBy("kb").parquet(versionDir.toString)
 
     // staged buckets from the job's committed output; the carry set
     // excludes every TOUCHED bucket, not just the staged ones — a
