@@ -792,6 +792,43 @@ object AnalyticsQueries {
              |WHERE cnt % 7 <> 0 AND user_id % 3 = 1""".stripMargin),
     ),
 
+    // RESTORE as a stored procedure (r12, GraftProcedures): v1 = the
+    // true per-user counts, v2 = a destructive overwrite (doubled),
+    // then `CALL graft.system.restore` rolls back to v1 AS A FORWARD
+    // COMMIT (zero data movement — v3 re-references v1's files;
+    // history stays readable) and the catalog SELECT reads the
+    // restored head. The oracle recomputes the v1 image from source —
+    // so the gate proves the overwrite really landed AND the restore
+    // really undid it, through SQL text end to end.
+    QueryDef(
+      "q_snapshot_restore",
+      (s, d) => {
+        val ev = QueryDef.loadEvents(s, d)
+        val counts = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-restore-q").toString
+        val dir = s"$root/user_counts"
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(counts, dir,
+          keys = Seq("user_id"), orderCol = "", nBuckets = 16,
+          keepVersions = 10)
+        graft.streaming.SnapshotUpsert.upsertBatchSnapshot(
+          counts.withColumn("cnt", col("cnt") * 2L), dir,
+          keys = Seq("user_id"), orderCol = "", nBuckets = 16,
+          keepVersions = 10)
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.root", root)
+        s.sql("CALL graft.system.restore(table => 'user_counts', " +
+          "version => 1, keep_versions => 10)").collect()
+        s.sql("SELECT user_id, cnt FROM graft.user_counts " +
+          "WHERE user_id % 4 = 2")
+      },
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, cnt FROM c WHERE user_id % 4 = 2"""
+        .stripMargin),
+    ),
+
     // CUBE grouping sets (all 4 combinations of the two dims), with
     // grouping_id disambiguating real NULLs from subtotal rows.
     QueryDef(
