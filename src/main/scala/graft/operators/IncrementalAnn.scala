@@ -432,15 +432,116 @@ object IncrementalAnn {
   def splitOversized(spark: SparkSession, indexDir: String,
       centroids: DataFrame, maxCellRows: Long, idCol: String,
       vecCol: String, maxCells: Int = 16, keepVersions: Int = 2)
-      : DataFrame = {
+      : DataFrame =
+    splitOversizedWithIds(spark, indexDir, centroids, maxCellRows,
+      idCol, vecCol, maxCells, keepVersions)._1
+
+  /** [[splitOversized]] returning the split cell ids too — the seeds
+    * a scheduled [[rebalance]] needs (children are found from there:
+    * a child's centroid is by construction among its parent's nearest
+    * siblings, so the neighbor expansion covers it). */
+  def splitOversizedWithIds(spark: SparkSession, indexDir: String,
+      centroids: DataFrame, maxCellRows: Long, idCol: String,
+      vecCol: String, maxCells: Int = 16, keepVersions: Int = 2)
+      : (DataFrame, Seq[Long]) = {
     val over = readIndex(spark, indexDir)
       .groupBy(col("cell").cast("long").as("cell")).count()
       .where(col("count") > maxCellRows)
       .orderBy(col("count").desc, col("cell").asc)
       .limit(maxCells).collect().map(_.getLong(0))
-    over.foldLeft(centroids)((cents, c) =>
+    (over.foldLeft(centroids)((cents, c) =>
       splitCell(spark, indexDir, cents, c, idCol, vecCol,
-        keepVersions = keepVersions))
+        keepVersions = keepVersions)), over.toSeq)
+  }
+
+  /** Re-home the given cells' vectors to their CURRENT nearest
+    * centroid — the inter-subtree mass move that greedy hierarchical
+    * splits structurally cannot make (a split only divides ONE cell's
+    * region; a vector whose nearest centroid changed because a
+    * NEIGHBORING region split stays put and stops being probed —
+    * the measured recall sag past ~5x growth in AnnSplitScale's r12
+    * decade). One atomic commit, same tombstone+insert shape as
+    * [[splitCell]]: a mover appears under its new cell and vanishes
+    * from its old one in the same version. PQ codes ride along
+    * unchanged (they encode the VECTOR against the fixed codebook,
+    * not a cell residual). Returns the number of moved vectors.
+    *
+    * Cost: the listed cells' rows (bucket-pruned [[SnapshotUpsert
+    * .readKeys]]) x the broadcast centroid table — scan-local compute,
+    * slice-sized I/O; never the index. */
+  def reassign(spark: SparkSession, indexDir: String,
+      centroids: DataFrame, cells: Seq[Long], idCol: String,
+      vecCol: String, keepVersions: Int = 2): Long = {
+    import spark.implicits._
+    if (cells.isEmpty) return 0L
+    val cellType = centroids.schema("cell").dataType
+    val rows = SnapshotUpsert.readKeys(spark, indexDir,
+      cells.toDF("cell").select(col("cell").cast(cellType)), Seq("cell"))
+    val dataCols = rows.columns.toSeq
+    // current-nearest assignment over the SAME argmax the ingest path
+    // uses (identical tie-breaks, so an unmoved vector re-derives its
+    // own cell exactly)
+    val rehomed = Similarity.assignCells(
+      rows.withColumnRenamed("cell", "__home"), centroids, idCol, vecCol)
+    val movers = rehomed.where(col("cell") =!= col("__home"))
+      .localCheckpoint(true)
+    try {
+      val n = movers.count()
+      if (n == 0) return 0L
+      val inserts = movers.select(dataCols.map(col): _*)
+        .withColumn("_deleted", lit(false))
+      val tombs = dataCols.filterNot(c => c == idCol || c == "cell")
+        .foldLeft(movers.select(col(idCol), col("__home").as("cell")))(
+          (d, c) => d.withColumn(c,
+            lit(null).cast(movers.schema(c).dataType)))
+        .select(dataCols.map(col): _*)
+        .withColumn("_deleted", lit(true))
+      SnapshotUpsert.upsertBatchSnapshot(inserts.unionByName(tombs),
+        indexDir, keys = Seq("cell", idCol), orderCol = "",
+        nBuckets = SnapshotUpsert.currentBuckets(spark, indexDir).get,
+        keepVersions = keepVersions, tombstoneCol = Some("_deleted"),
+        bucketCols = Seq("cell"))
+      if (SnapshotUpsert.versions(spark, idMapDir(indexDir)).nonEmpty)
+        commitIdMap(movers.select(col(idCol), col("cell")), indexDir,
+          idCol, keepVersions)
+      n
+    } finally movers.unpersist(false)
+  }
+
+  /** Post-split neighborhood rebalance: [[reassign]] over the freshly
+    * split cells AND each one's `neighbors` nearest sibling cells (by
+    * centroid cosine) — exactly where inter-subtree drift
+    * concentrates, because a split plants new centroids whose true
+    * members sit in the ADJACENT cells the split never read. Run it
+    * after [[splitOversized]] with the returned split ids (plus their
+    * children, already in `seedCells` via the updated centroid table);
+    * scheduled this way the decade rehearsal holds its recall floor
+    * without the table-sized retrain (AnnSplitScale r12).
+    * Returns the number of moved vectors. */
+  def rebalance(spark: SparkSession, indexDir: String,
+      centroids: DataFrame, seedCells: Seq[Long], idCol: String,
+      vecCol: String, neighbors: Int = 3, keepVersions: Int = 2)
+      : Long = {
+    import spark.implicits._
+    if (seedCells.isEmpty) return 0L
+    val cellL = col("cell").cast("long")
+    val seeds = centroids.where(cellL.isin(seedCells: _*))
+      .select(cellL.as("scell"), col("centroid").as("scent"))
+    // per seed, the k nearest OTHER centroids: seeds x broadcast
+    // centroids is (|seeds| x C) tiny rows, collapsed map-side
+    val near = seeds.crossJoin(broadcast(
+        centroids.select(cellL.as("ncell"), col("centroid"))))
+      .where(col("ncell") =!= col("scell"))
+      .withColumn("__sim", Similarity.cosine(
+        col("scent").cast("array<double>"),
+        col("centroid").cast("array<double>")))
+      .groupBy("scell")
+      .agg(slice(reverse(array_sort(collect_list(
+        struct(col("__sim"), col("ncell"))))), 1, neighbors).as("top"))
+      .select(explode(col("top.ncell")).as("cell"))
+      .collect().map(_.getLong(0))
+    reassign(spark, indexDir, centroids,
+      (seedCells ++ near).distinct, idCol, vecCol, keepVersions)
   }
 
   /** Maintain the standing index from a STREAM of embeddings: each

@@ -314,6 +314,56 @@ object AnnQueries {
              |FROM ranked WHERE rank <= 5""".stripMargin),
     ),
 
+    // NEIGHBORHOOD REBALANCE on the standing index (r12,
+    // IncrementalAnn.reassign — the inter-subtree mass move greedy
+    // hierarchical splits cannot make): the corpus is ingested against
+    // 12 OLD centroids, then 4 new centroids appear (as splits
+    // elsewhere would plant them) and reassign re-homes every drifted
+    // vector to its CURRENT argmax cell in one atomic commit. The
+    // committed index must then BE the fresh assignment under all 16
+    // centroids — so the oracle is exactly q_sim_topk_ivf's (16-cell
+    // assign + probe + rerank): any vector left in a stale cell
+    // surfaces as a missing/extra neighbor. NOTE for bench readers:
+    // ingest + reassign execute at plan construction; per-pass timings
+    // see the post-rebalance search.
+    QueryDef(
+      "q_sim_topk_ivf_rebalance",
+      (s, d) => {
+        val e = QueryDef.load(s, d, "embeddings")
+        def cents(n: Int) = e.filter(col("vec_id") < n)
+          .select(col("vec_id").as("cell"),
+            col("embedding").cast("array<double>").as("centroid"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-annreb-q").toString
+        graft.operators.IncrementalAnn.ingest(e, dir, cents(12),
+          "vec_id", "embedding", nBuckets = 16)
+        graft.operators.IncrementalAnn.reassign(s, dir, cents(16),
+          (0L until 12L).toSeq, "vec_id", "embedding")
+        graft.operators.IncrementalAnn.topKLazy(s, dir, cents(16),
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nProbe = 4)._1
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cell, v AS centroid FROM e WHERE vec_id < 16),
+             |asg AS (SELECT vec_id, v, cell FROM (
+             |  SELECT e.vec_id, e.v, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell ASC) AS rn
+             |  FROM e, cent c) WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |  SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+             |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cell ASC) AS pr
+             |  FROM e q, cent c WHERE q.vec_id < 8) WHERE pr <= 4),
+             |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             |  list_cosine_similarity(p.qv, a.v) AS cos
+             |  FROM asg a JOIN probes p ON a.cell = p.cell
+             |  WHERE a.vec_id != p.query_id),
+             |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+             |SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rank
+             |FROM ranked WHERE rank <= 5""".stripMargin),
+    ),
+
     // The INCREMENTAL ANN ingest loop (IncrementalAnn): cell
     // assignments committed to a standing snapshot-table index in TWO
     // ingests (vec_id parity halves), then probe-and-rerank against

@@ -22,13 +22,20 @@ import org.apache.spark.sql.functions._
   *     total.
   *
   * Usage: runMain graft.tools.AnnSplitScale <embeddingsDir> [steps]
-  * (slices by vec_id modulo; dir holds embeddings.parquet). Prints
-  * one JSON line per step. */
+  * [rebalance] (slices by vec_id modulo; dir holds
+  * embeddings.parquet). With the `rebalance` flag the maintained arm
+  * runs [[IncrementalAnn.rebalance]] after each split pass (seeded on
+  * the split cells, neighbor expansion 3) — the r12 answer to the
+  * measured past-5x recall sag of splits alone (a split can divide a
+  * region but never move mass between sibling subtrees; rebalance
+  * re-homes the drifted vectors around each split site). Prints one
+  * JSON line per step. */
 object AnnSplitScale {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: AnnSplitScale <embeddingsDir> [steps]")
     val dir = args(0)
     val steps = args.lift(1).map(_.toInt).getOrElse(10)
+    val doRebalance = args.lift(2).contains("rebalance")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -103,13 +110,20 @@ object AnnSplitScale {
           "embedding", nBuckets = cells0, keepVersions = 2)
       }
       var splits = 0
+      var moved = 0L
+      var rebS = 0.0
       val splitS = timed {
         val before = centroids.count()
-        centroids = IncrementalAnn.splitOversized(spark, split,
-          centroids, cellBudget((n / steps) * step), "vec_id",
-          "embedding", maxCells = 256, keepVersions = 2)
-          .localCheckpoint(true)
+        val (cents, splitIds) = IncrementalAnn.splitOversizedWithIds(
+          spark, split, centroids, cellBudget((n / steps) * step),
+          "vec_id", "embedding", maxCells = 256, keepVersions = 2)
+        centroids = cents.localCheckpoint(true)
         splits = (centroids.count() - before).toInt
+        if (doRebalance) rebS = timed {
+          moved = IncrementalAnn.rebalance(spark, split, centroids,
+            splitIds, "vec_id", "embedding", neighbors = 3,
+            keepVersions = 2)
+        }
       }
       val cellsNow = centroids.count().toInt
       // the control: full rebuild at the SAME cell count — fresh
@@ -131,12 +145,13 @@ object AnnSplitScale {
         ingestedSoFar)
       System.err.println(f"[split-scale] step=$step vecs=${(n / steps) * step} " +
         f"cells=$cellsNow splits=$splits split_s=$splitS%.1f " +
-        f"rebuild_s=$rebuildS%.1f " +
+        f"moved=$moved reb_s=$rebS%.1f rebuild_s=$rebuildS%.1f " +
         f"split(rec=$recS%.3f s=$secS%.2f files=$fS/$tS) " +
         f"rebuilt(rec=$recC%.3f s=$secC%.2f files=$fC/$tC)")
       println(s"""{"metric":"ann_split_scale","step":$step,""" +
         s""""vecs":${(n / steps) * step},"cells":$cellsNow,""" +
         f""""splits":$splits,"split_s":$splitS%.2f,""" +
+        s""""rebalanced":$moved,""" + f""""rebalance_s":$rebS%.2f,""" +
         f""""rebuild_s":$rebuildS%.2f,"ingest_s":$ingS%.2f,""" +
         f""""recall_split":$recS%.4f,"search_split_s":$secS%.2f,""" +
         s""""files_split":"$fS/$tS",""" +
