@@ -40,10 +40,12 @@ private[catalog] object GraftProcedures {
       case "restore" => Some(new RestoreProcedure(dirOf))
       case "compact" => Some(new CompactProcedure(dirOf))
       case "vacuum" => Some(new VacuumProcedure(dirOf))
+      case "history" => Some(new HistoryProcedure(dirOf))
       case _ => None
     }
 
-  val names: Seq[String] = Seq("compact", "maintain", "restore", "vacuum")
+  val names: Seq[String] =
+    Seq("compact", "history", "maintain", "restore", "vacuum")
 
   private def str(r: InternalRow, i: Int): String = {
     require(!r.isNullAt(i), "procedure argument must not be NULL")
@@ -153,6 +155,41 @@ private[catalog] object GraftProcedures {
       val ids = SnapshotUpsert.compactDeltas(spark, dir(input),
         minLayers = input.getInt(1), keepVersions = input.getInt(2))
       result(out, utf8(ids.mkString(",")))
+    }
+  }
+
+  private final class HistoryProcedure(dirOf: String => String)
+    extends GraftProcedure("history", dirOf) {
+    override def description: String =
+      "the table's retained committed versions, newest first — the " +
+        "restore / time-travel picker"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(tableParam)
+    private val out = StructType(Seq(
+      StructField("version", LongType),
+      StructField("commit_ts_ms", LongType),
+      StructField("n_buckets", IntegerType),
+      StructField("n_files", IntegerType),
+      StructField("n_columns", IntegerType),
+      StructField("n_delta_files", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // bounded by retention (keepVersions/keepAgeMs manifests), the
+      // same driver-side metadata every commit already lists. NB the
+      // local must NOT be named `rows`: inside the anon LocalScan that
+      // name resolves to the method being overridden, and the
+      // self-call compiles to an infinite tail-recursive loop.
+      val hist = SnapshotUpsert.history(spark, dir(input))
+        .orderBy(org.apache.spark.sql.functions.desc("version"))
+        .collect()
+        // Seq[Any], NOT Seq(...): mixed Long/Int elements unify by
+        // NUMERIC WIDENING to Seq[Long], silently boxing the int
+        // columns as Longs under an int schema (CCE at projection)
+        .map(r => InternalRow.fromSeq(Seq[Any](r.getLong(0), r.getLong(1),
+          r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] = hist
+      }).iterator()
     }
   }
 

@@ -86,10 +86,23 @@ class GraftProceduresSpec extends SparkSpec {
       .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
     assert(chain.contains("frobnicate") && chain.contains("maintain"),
       chain)
-    // discovery: SHOW PROCEDURES lists the four
+    // discovery: SHOW PROCEDURES lists all five
     val listed = spark.sql("SHOW PROCEDURES IN graft.system")
       .collect().map(_.toString).mkString
-    assert(Seq("maintain", "restore", "compact", "vacuum")
+    assert(Seq("maintain", "restore", "compact", "vacuum", "history")
       .forall(listed.contains), listed)
+  }
+
+  test("CALL graft.system.history returns the retained versions " +
+      "newest first — the restore picker") {
+    val root = install()
+    val dir = s"$root/h"
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir,
+      Seq("id"), "v", nBuckets = 2, keepVersions = 10)
+    SnapshotUpsert.upsertBatchSnapshot(df((2L, "b", 1L)), dir,
+      Seq("id"), "v", nBuckets = 2, keepVersions = 10)
+    val h = spark.sql("CALL graft.system.history(table => 'h')").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L), h.toSeq)
+    assert(h.head.getInt(2) == 2) // n_buckets rides along
   }
 }
