@@ -251,6 +251,12 @@ final class GraftTable(tableName: String, val dir: String,
     val m = new util.HashMap[String, String]()
     m.put("location", dir)
     m.put("version", pinned.toString)
+    // the pinned manifest's recorded layout + table props, so SHOW
+    // TBLPROPERTIES / DESCRIBE EXTENDED answer "how is this table
+    // laid out" without the Scala API (one extra manifest read, only
+    // on the DESCRIBE-style paths that call properties())
+    SnapshotUpsert.describeVersion(spark, dir, pinned)
+      .foreach { case (k, v) => m.put(k, v) }
     m
   }
 

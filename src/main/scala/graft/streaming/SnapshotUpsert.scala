@@ -2666,6 +2666,26 @@ object SnapshotUpsert {
     }
   }
 
+  /** Observability: one committed version's recorded layout, merge
+    * contract, file counts, and table properties as a flat string map
+    * (props under their own keys, layout under `graft.*`) — what a
+    * catalog's `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED` surfaces. */
+  def describeVersion(spark: SparkSession, targetDir: String,
+      version: Long): Map[String, String] = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(fs, root, version)
+    m.props ++ Map(
+      "graft.nBuckets" -> m.nBuckets.toString,
+      "graft.commitTsMs" -> m.commitTsMs.toString,
+      "graft.nFiles" -> m.files.valuesIterator.map(_.size).sum.toString,
+      "graft.nDeltaFiles" ->
+        m.deltas.valuesIterator.map(_.size).sum.toString) ++
+      m.bucketCols.map(bc => "graft.bucketCols" -> bc.mkString(",")) ++
+      m.mergeKeys.map(ks => "graft.mergeKeys" -> ks.mkString(",")) ++
+      m.orderCol.map(o => "graft.orderCol" -> o)
+  }
+
   /** Bucket count of the current committed version (None for a fresh
     * table) — so maintenance callers need not restate the layout the
     * manifest already records. */

@@ -45,6 +45,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.t1").head.getLong(0) == 41L)
   }
 
+  test("SHOW TBLPROPERTIES surfaces the recorded layout and props") {
+    val root = freshRoot()
+    install(root)
+    val dir = s"$root/tp"
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((1L, "a", 1L)).toDF("id", "status", "v"), dir, Seq("id"), "v",
+      nBuckets = 4, keepVersions = 10,
+      props = Map("graft.cluster.cols" -> "v"))
+    val got = spark.sql("SHOW TBLPROPERTIES graft.tp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("graft.nBuckets") == "4", got)
+    assert(got("graft.mergeKeys") == "id" && got("graft.orderCol") == "v")
+    assert(got("graft.cluster.cols") == "v")
+    // `location` is a RESERVED property Spark filters from SHOW
+    // TBLPROPERTIES (it shows in DESCRIBE EXTENDED instead)
+    assert(got("graft.nFiles").toInt >= 1 && got("version") == "1")
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF pin committed versions") {
     val root = freshRoot()
     install(root)
