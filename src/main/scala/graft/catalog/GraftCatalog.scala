@@ -156,10 +156,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "seed with SnapshotUpsert.upsertBatchSnapshot (its commit pins " +
         "the bucket layout and merge contract SQL DDL cannot state)")
 
+  /** `ALTER TABLE t SET TBLPROPERTIES (...)` — a metadata-only commit
+    * through [[SnapshotUpsert.setProps]] (same atomic version step and
+    * race rules as a data commit; this is how clustering/value-set/
+    * bloom declarations are turned on from SQL text). Anything else —
+    * schema or layout changes — goes through the engine's writers
+    * (additive evolution rides a merge; bucket changes are
+    * `rebucket`) and is refused with that pointer. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: use SnapshotUpsert.setProps / the writers")
+      changes: TableChange*): Table = {
+    val sets = changes.map {
+      case s: TableChange.SetProperty => s.property -> s.value
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: ALTER TABLE supports SET TBLPROPERTIES only " +
+          s"(got ${other.getClass.getSimpleName}) — schema evolves " +
+          "additively through merges; layout changes through rebucket")
+    }.toMap
+    SnapshotUpsert.setProps(SparkSession.active, dirOf(ident), sets)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

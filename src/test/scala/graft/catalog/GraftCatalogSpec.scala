@@ -63,6 +63,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got("graft.nFiles").toInt >= 1 && got("version") == "1")
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES commits a metadata-only version") {
+    val root = freshRoot()
+    install(root)
+    val dir = s"$root/ap"
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((1L, "a", 1L)).toDF("id", "status", "v"), dir, Seq("id"), "v",
+      nBuckets = 2, keepVersions = 10)
+    spark.sql("ALTER TABLE graft.ap SET TBLPROPERTIES " +
+      "('graft.cluster.cols' = 'v', 'team' = 'ops')")
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(1L, 2L))
+    val props = SnapshotUpsert.currentProps(spark, dir)
+    assert(props("graft.cluster.cols") == "v" && props("team") == "ops")
+    // data untouched; schema changes are refused with a pointer
+    assert(spark.sql("SELECT status FROM graft.ap").head.getString(0) == "a")
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ap ADD COLUMN extra INT")
+    }
+    assert(err.getMessage.contains("SET TBLPROPERTIES"), err.getMessage)
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF pin committed versions") {
     val root = freshRoot()
     install(root)
