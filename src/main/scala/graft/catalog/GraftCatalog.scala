@@ -172,7 +172,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"(got ${other.getClass.getSimpleName}) — schema evolves " +
           "additively through merges; layout changes through rebucket")
     }.toMap
-    SnapshotUpsert.setProps(SparkSession.active, dirOf(ident), sets)
+    val spark = SparkSession.active
+    val dir = dirOf(ident)
+    // a metadata-only statement must never shrink the retention a
+    // higher-keepVersions operator was preserving: keep every version
+    // currently retained (SQL offers nowhere to state retention here;
+    // GC stays the data writers' and the vacuum procedure's job)
+    val keep = math.max(2,
+      SnapshotUpsert.versions(spark, dir).size + 1)
+    SnapshotUpsert.setProps(spark, dir, sets, keepVersions = keep)
     loadTable(ident)
   }
 

@@ -47,9 +47,22 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "history", "maintain", "restore", "vacuum")
 
-  private def str(r: InternalRow, i: Int): String = {
-    require(!r.isNullAt(i), "procedure argument must not be NULL")
+  // non-nullable argument decoders: InternalRow.getLong/getInt on a
+  // null slot silently yield 0 — for a vacuum horizon that is the most
+  // destructive value, for keep_versions it would GC every manifest
+  private def str(r: InternalRow, i: Int, name: String): String = {
+    require(!r.isNullAt(i), s"procedure argument '$name' must not be NULL")
     r.getUTF8String(i).toString
+  }
+
+  private def reqLong(r: InternalRow, i: Int, name: String): Long = {
+    require(!r.isNullAt(i), s"procedure argument '$name' must not be NULL")
+    r.getLong(i)
+  }
+
+  private def reqInt(r: InternalRow, i: Int, name: String): Int = {
+    require(!r.isNullAt(i), s"procedure argument '$name' must not be NULL")
+    r.getInt(i)
   }
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
@@ -69,7 +82,7 @@ private[catalog] object GraftProcedures {
     override def name(): String = procName
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
-    protected def dir(r: InternalRow): String = dirOf(str(r, 0))
+    protected def dir(r: InternalRow): String = dirOf(str(r, 0, "table"))
     protected def spark: SparkSession = SparkSession.active
     protected val tableParam: ProcedureParameter =
       ProcedureParameter.in("table", StringType)
@@ -104,12 +117,12 @@ private[catalog] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val rep = SnapshotUpsert.maintain(spark, dir(input),
         SnapshotUpsert.MaintenancePolicy(
-          compactMinLayers = input.getInt(1),
+          compactMinLayers = reqInt(input, 1, "compact_min_layers"),
           maxBucketBytes =
             if (input.isNullAt(2)) None else Some(input.getLong(2)),
           vacuumOlderThanMs =
             if (input.isNullAt(3)) None else Some(input.getLong(3)),
-          keepVersions = input.getInt(4)))
+          keepVersions = reqInt(input, 4, "keep_versions")))
       result(out, utf8(rep.compacted.mkString(",")),
         utf8(rep.split.mkString(",")), utf8(rep.vacuumed.mkString(",")))
     }
@@ -132,8 +145,8 @@ private[catalog] object GraftProcedures {
       StructField("new_head_version", LongType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val d = dir(input)
-      SnapshotUpsert.restore(spark, d, input.getLong(1),
-        keepVersions = input.getInt(2))
+      SnapshotUpsert.restore(spark, d, reqLong(input, 1, "version"),
+        keepVersions = reqInt(input, 2, "keep_versions"))
       result(out, input.getLong(1),
         SnapshotUpsert.versions(spark, d).last)
     }
@@ -153,7 +166,8 @@ private[catalog] object GraftProcedures {
       StructField("compacted_buckets", StringType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val ids = SnapshotUpsert.compactDeltas(spark, dir(input),
-        minLayers = input.getInt(1), keepVersions = input.getInt(2))
+        minLayers = reqInt(input, 1, "min_layers"),
+        keepVersions = reqInt(input, 2, "keep_versions"))
       result(out, utf8(ids.mkString(",")))
     }
   }
@@ -205,7 +219,7 @@ private[catalog] object GraftProcedures {
       StructField("deleted_paths", StringType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val deleted = SnapshotUpsert.vacuum(spark, dir(input),
-        input.getLong(1))
+        reqLong(input, 1, "older_than_ms"))
       result(out, utf8(deleted.mkString(",")))
     }
   }

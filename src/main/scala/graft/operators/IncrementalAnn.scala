@@ -304,6 +304,20 @@ object IncrementalAnn {
     * rows) and repairs the idmap instead of re-splitting; the PQ
     * codes ride along unchanged (they encode the raw vector, not the
     * cell). */
+  /** The delete half of an atomic move/retire commit: `keyRows`
+    * (exactly the (cell, idCol) key pair) null-filled to `dataCols`'s
+    * shape with `_deleted` = true. ONE definition for splitCell /
+    * reassign / retire — the three copies had already drifted in
+    * where they sourced column types from. */
+  private def nullTombstones(keyRows: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      dataCols: Seq[String], idCol: String): DataFrame =
+    dataCols.filterNot(c => c == idCol || c == "cell")
+      .foldLeft(keyRows)((d, c) =>
+        d.withColumn(c, lit(null).cast(schema(c).dataType)))
+      .select(dataCols.map(col): _*)
+      .withColumn("_deleted", lit(true))
+
   def splitCell(spark: SparkSession, indexDir: String,
       centroids: DataFrame, cell: Long, idCol: String, vecCol: String,
       newCellId: Option[Long] = None, keepVersions: Int = 2,
@@ -391,11 +405,8 @@ object IncrementalAnn {
         .withColumn("cell", lit(newId).cast(cellType))
         .select(dataCols.map(col): _*)
         .withColumn("_deleted", lit(false))
-      val tombs = dataCols.filterNot(c => c == idCol || c == "cell")
-        .foldLeft(movers.select(col(idCol), col("cell")))((d, c) =>
-          d.withColumn(c, lit(null).cast(rows.schema(c).dataType)))
-        .select(dataCols.map(col): _*)
-        .withColumn("_deleted", lit(true))
+      val tombs = nullTombstones(movers.select(col(idCol), col("cell")),
+        rows.schema, dataCols, idCol)
       // one atomic commit: movers appear in the child cell and vanish
       // from the parent in the same version — readers never see a
       // vector twice or not at all
@@ -468,7 +479,15 @@ object IncrementalAnn {
     *
     * Cost: the listed cells' rows (bucket-pruned [[SnapshotUpsert
     * .readKeys]]) x the broadcast centroid table — scan-local compute,
-    * slice-sized I/O; never the index. */
+    * slice-sized I/O; never the index.
+    *
+    * Crash contract: the index commits BEFORE the idmap (retire's
+    * ordering), so a crash between the two leaves idmap entries
+    * pointing at movers' OLD cells. RE-RUNNING reassign repairs that
+    * window: the no-movers path point-reads the idmap for the listed
+    * cells' ids and re-commits any entry that disagrees with the
+    * committed index (same converge-by-replay contract as
+    * [[splitCell]]'s landed-rows resume). */
   def reassign(spark: SparkSession, indexDir: String,
       centroids: DataFrame, cells: Seq[Long], idCol: String,
       vecCol: String, keepVersions: Int = 2): Long = {
@@ -487,15 +506,16 @@ object IncrementalAnn {
       .localCheckpoint(true)
     try {
       val n = movers.count()
-      if (n == 0) return 0L
+      if (n == 0) {
+        repairIdMap(spark, indexDir,
+          rows.select(col(idCol), col("cell")), idCol, keepVersions)
+        return 0L
+      }
       val inserts = movers.select(dataCols.map(col): _*)
         .withColumn("_deleted", lit(false))
-      val tombs = dataCols.filterNot(c => c == idCol || c == "cell")
-        .foldLeft(movers.select(col(idCol), col("__home").as("cell")))(
-          (d, c) => d.withColumn(c,
-            lit(null).cast(movers.schema(c).dataType)))
-        .select(dataCols.map(col): _*)
-        .withColumn("_deleted", lit(true))
+      val tombs = nullTombstones(
+        movers.select(col(idCol), col("__home").as("cell")),
+        movers.schema, dataCols, idCol)
       SnapshotUpsert.upsertBatchSnapshot(inserts.unionByName(tombs),
         indexDir, keys = Seq("cell", idCol), orderCol = "",
         nBuckets = SnapshotUpsert.currentBuckets(spark, indexDir).get,
@@ -506,6 +526,23 @@ object IncrementalAnn {
           idCol, keepVersions)
       n
     } finally movers.unpersist(false)
+  }
+
+  /** [[reassign]]'s crash repair: point-read the idmap for `actual`'s
+    * ids (the listed cells' committed rows) and re-commit any entry
+    * whose recorded cell disagrees — a no-op commit-free pass when the
+    * idmap already agrees. */
+  private def repairIdMap(spark: SparkSession, indexDir: String,
+      actual: DataFrame, idCol: String, keepVersions: Int): Unit = {
+    if (SnapshotUpsert.versions(spark, idMapDir(indexDir)).isEmpty) return
+    val mapped = SnapshotUpsert.readKeys(spark, idMapDir(indexDir),
+      actual.select(col(idCol)), Seq(idCol))
+      .select(col(idCol), col("cell").as("__mapped"))
+    val stale = actual.join(mapped, Seq(idCol))
+      .where(col("__mapped") =!= col("cell"))
+      .select(col(idCol), col("cell"))
+    if (!stale.isEmpty)
+      commitIdMap(stale, indexDir, idCol, keepVersions)
   }
 
   /** Post-split neighborhood rebalance: [[reassign]] over the freshly
@@ -590,10 +627,8 @@ object IncrementalAnn {
       else
         index.join(ids.select(col(idCol)), Seq(idCol), "left_semi")
           .select(col("cell"), col(idCol))
-    val tombs = fields.filterNot(f => f.name == idCol || f.name == "cell")
-      .foldLeft(keyRows)((d, f) =>
-        d.withColumn(f.name, lit(null).cast(f.dataType)))
-      .withColumn("_deleted", lit(true))
+    val tombs = nullTombstones(keyRows, index.schema,
+      fields.map(_.name).toSeq, idCol)
     SnapshotUpsert.upsertBatchSnapshot(tombs, indexDir,
       keys = Seq("cell", idCol), orderCol = "",
       nBuckets = SnapshotUpsert.currentBuckets(spark, indexDir).get,

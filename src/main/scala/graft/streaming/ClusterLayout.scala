@@ -78,15 +78,28 @@ object ClusterLayout {
     * (measured 40x the linear build before this materialization;
     * ~2x after, the honest price of the boundary sample pass). */
   def sorted(df: DataFrame, cluster: Seq[String],
-      props: Map[String, String]): DataFrame =
+      props: Map[String, String]): DataFrame = {
+    // loud validation, not silent degradation: a typo'd layout value
+    // ('ZOrder', 'z-order') or a zorder declaration with fewer than
+    // two clustering columns would otherwise fall back to the linear
+    // sort while the user believes multi-dimension pruning applies
+    props.get(LayoutProp).foreach { l =>
+      require(l == "linear" || l == "zorder",
+        s"$LayoutProp must be 'linear' or 'zorder', got '$l'")
+      require(l != "zorder" || cluster.size >= 2,
+        s"$LayoutProp=zorder needs >= 2 clustering columns " +
+          s"(${SnapshotUpsert.ClusterColsProp} has ${cluster.size}) — " +
+          "a one-column interleave IS the linear sort; declare that")
+    }
     if (cluster.isEmpty) df
-    else if (cluster.size >= 2 && props.get(LayoutProp).contains("zorder")) {
+    else if (props.get(LayoutProp).contains("zorder")) {
       val zCol = "__graft_z"
       require(!df.columns.contains(zCol), s"column name $zCol is reserved")
       df.withColumn(zCol, zValue(df, cluster))
         .sortWithinPartitions(col("kb"), col(zCol))
         .drop(zCol)
     } else df.sortWithinPartitions(("kb" +: cluster).map(col): _*)
+  }
 
   /** Writer options for a clustered staging write (file-size cap). */
   def writerOptions(props: Map[String, String]): Map[String, String] =

@@ -2018,6 +2018,7 @@ object SnapshotUpsert {
       nowMs: Long = System.currentTimeMillis(),
       commit: CommitPrimitive = CreateExclusive,
       maxCommitAttempts: Int = 5): Unit = {
+    require(keepVersions >= 2, "keepVersions must be >= 2")
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -2040,16 +2041,29 @@ object SnapshotUpsert {
           }
         // retention races: the manifest can outlive some of its files
         // only transiently (a parked partial delete), and a restore
-        // must never publish a head with holes
-        val missing = target.allRefs
-          .filterNot(rel => fs.exists(new Path(root, rel))).take(3).toSeq
+        // must never publish a head with holes. One listStatus per
+        // PARENT DIRECTORY, not one exists() per file — the refs of a
+        // version concentrate in a few bucket/version directories and
+        // a per-file HEAD would be O(files) serial RPCs per attempt
+        val missing = target.allRefs.toSeq
+          .groupBy(rel => new Path(root, rel).getParent)
+          .iterator.flatMap { case (dir, rels) =>
+            val present: Set[String] =
+              try fs.listStatus(dir).iterator
+                .map(_.getPath.getName).toSet
+              catch { case _: java.io.FileNotFoundException => Set.empty }
+            rels.filterNot(r => present(new Path(root, r).getName))
+          }.take(3).toSeq
         require(missing.isEmpty,
           s"restore: version $version references files GC already " +
             s"removed (e.g. ${missing.mkString(", ")}); the version is " +
             "outside the effective retention window")
         val newV = cur.version + 1
+        // commit-timestamp monotonicity clamp, like every writer:
+        // readAsOf/TIMESTAMP AS OF and age-based GC order by #ts
         commitManifest(fs, root, newV, target.nBuckets, target.schema,
-          target.files, nowMs, target.bucketCols, commit, target.depths,
+          target.files, math.max(nowMs, cur.commitTsMs),
+          target.bucketCols, commit, target.depths,
           target.props, target.deltas, target.mergeKeys, target.orderCol,
           target.stats, target.lens, target.valueSets, target.blooms)
         gc(fs, root, newV, target.allRefs.toSet, Some(cur),
@@ -2772,7 +2786,8 @@ object SnapshotUpsert {
     checkExpectProps(Some(cur), root, expectProps)
     val version = cur.version + 1
     commitManifest(fs, root, version, cur.nBuckets, cur.schema, cur.files,
-      nowMs, cur.bucketCols, commit, cur.depths, cur.props ++ props,
+      math.max(nowMs, cur.commitTsMs), cur.bucketCols, commit, cur.depths,
+      cur.props ++ props,
       cur.deltas, cur.mergeKeys, cur.orderCol, cur.stats, cur.lens,
       cur.valueSets, cur.blooms)
     gc(fs, root, version, cur.allRefs.toSet, Some(cur), keepVersions,

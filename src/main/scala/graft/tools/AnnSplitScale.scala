@@ -112,18 +112,24 @@ object AnnSplitScale {
       var splits = 0
       var moved = 0L
       var rebS = 0.0
+      // split and rebalance timed SEPARATELY (nesting the rebalance
+      // block inside the split timer double-counted reb_s in split_s
+      // — caught in review after the r12 decade run; that run's
+      // recorded split_s therefore includes reb_s)
+      var splitIds: Seq[Long] = Seq.empty
       val splitS = timed {
         val before = centroids.count()
-        val (cents, splitIds) = IncrementalAnn.splitOversizedWithIds(
+        val (cents, ids) = IncrementalAnn.splitOversizedWithIds(
           spark, split, centroids, cellBudget((n / steps) * step),
           "vec_id", "embedding", maxCells = 256, keepVersions = 2)
         centroids = cents.localCheckpoint(true)
         splits = (centroids.count() - before).toInt
-        if (doRebalance) rebS = timed {
-          moved = IncrementalAnn.rebalance(spark, split, centroids,
-            splitIds, "vec_id", "embedding", neighbors = 3,
-            keepVersions = 2)
-        }
+        splitIds = ids
+      }
+      if (doRebalance) rebS = timed {
+        moved = IncrementalAnn.rebalance(spark, split, centroids,
+          splitIds, "vec_id", "embedding", neighbors = 3,
+          keepVersions = 2)
       }
       val cellsNow = centroids.count().toInt
       // the control: full rebuild at the SAME cell count — fresh

@@ -83,6 +83,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("SET TBLPROPERTIES"), err.getMessage)
   }
 
+  test("ALTER TABLE never shrinks the retained history (a metadata " +
+      "statement must not GC what a keepVersions=10 writer preserved)") {
+    val root = freshRoot()
+    install(root)
+    val dir = s"$root/keep"
+    for (i <- 1 to 4)
+      SnapshotUpsert.upsertBatchSnapshot(
+        Seq((1L, s"v$i", i.toLong)).toDF("id", "status", "v"), dir,
+        Seq("id"), "v", nBuckets = 2, keepVersions = 10)
+    spark.sql("ALTER TABLE graft.keep SET TBLPROPERTIES ('team' = 'x')")
+    // all four data versions still retained (plus the metadata commit)
+    assert(SnapshotUpsert.versions(spark, dir) == (1L to 5L))
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF pin committed versions") {
     val root = freshRoot()
     install(root)

@@ -93,6 +93,21 @@ class GraftProceduresSpec extends SparkSpec {
       .forall(listed.contains), listed)
   }
 
+  test("an explicit NULL for a destructive knob is refused, never " +
+      "decoded as 0 (the most destructive horizon)") {
+    val root = install()
+    val dir = s"$root/nv"
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir,
+      Seq("id"), "v", nBuckets = 1, keepVersions = 10)
+    val err = intercept[Exception] {
+      spark.sql("CALL graft.system.vacuum(table => 'nv', " +
+        "older_than_ms => NULL)").collect()
+    }
+    val chain = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+    assert(chain.contains("older_than_ms"), chain)
+  }
+
   test("CALL graft.system.history returns the retained versions " +
       "newest first — the restore picker") {
     val root = install()

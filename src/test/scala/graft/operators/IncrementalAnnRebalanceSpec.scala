@@ -78,6 +78,25 @@ class IncrementalAnnRebalanceSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.forall(i => i >= 20L && i < 40L), hits)
   }
 
+  test("re-running reassign repairs an idmap left stale by a crash " +
+      "between the index and idmap commits") {
+    val dir = tmp()
+    IncrementalAnn.ingest(corpus(), dir, newCents(), "vec_id",
+      "embedding", nBuckets = 8, keepVersions = 10, withIdMap = true)
+    // simulate the crash window: the index is correct, but id 25's
+    // idmap entry still points at a pre-move cell
+    SnapshotUpsert.upsertBatchSnapshot(
+      Seq((25L, 0L)).toDF("vec_id", "cell"), s"$dir/_idmap",
+      keys = Seq("vec_id"), orderCol = "", nBuckets = 64,
+      keepVersions = 10)
+    assert(IncrementalAnn.reassign(spark, dir, newCents(),
+      Seq(0L, 1L, 2L), "vec_id", "embedding", keepVersions = 10) == 0L)
+    // the repair re-pointed the entry: retiring 25 now really works
+    IncrementalAnn.retire(spark, dir, Seq(25L).toDF("vec_id"),
+      "vec_id", keepVersions = 10)
+    assert(!byCell(dir).values.exists(_.contains(25L)))
+  }
+
   test("a drift-free reassign moves nothing and commits nothing") {
     val dir = tmp()
     IncrementalAnn.ingest(corpus(), dir, newCents(), "vec_id",

@@ -67,6 +67,23 @@ class RestoreSpec extends SparkSpec {
     assert(err.getMessage.contains("restore"), err.getMessage)
   }
 
+  test("restore clamps its commit timestamp monotone like every " +
+      "writer (TIMESTAMP AS OF orders by #ts)") {
+    val dir = Files.createTempDirectory("graft-restore4").toString
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "a", 1L)), dir,
+      Seq("id"), "v", nBuckets = 1, keepVersions = 10, nowMs = 5000L)
+    SnapshotUpsert.upsertBatchSnapshot(df((1L, "b", 2L)), dir,
+      Seq("id"), "v", nBuckets = 1, keepVersions = 10, nowMs = 9000L)
+    // a stepped-back clock must not publish a head that predates its
+    // predecessor
+    SnapshotUpsert.restore(spark, dir, 1L, keepVersions = 10,
+      nowMs = 1000L)
+    val ts = SnapshotUpsert.history(spark, dir)
+      .orderBy("version").collect().map(_.getLong(1))
+    assert(ts.sameElements(ts.sorted), ts.mkString(","))
+    assert(ts.last >= 9000L)
+  }
+
   test("restore carries pending delta layers and their merge contract") {
     val dir = Files.createTempDirectory("graft-restore3").toString
     SnapshotUpsert.upsertBatchSnapshot(

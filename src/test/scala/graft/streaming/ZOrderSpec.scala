@@ -121,6 +121,23 @@ class ZOrderSpec extends SparkSpec {
     // and the correctness of every boxed result was asserted in kept()
   }
 
+  test("a typo'd layout value or a one-column zorder fails loudly " +
+      "instead of silently writing linear") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L)).toDF("id", "x", "y").withColumn("kb",
+      org.apache.spark.sql.functions.lit(0))
+    val e1 = intercept[IllegalArgumentException] {
+      ClusterLayout.sorted(df, Seq("x", "y"),
+        Map(ClusterLayout.LayoutProp -> "ZOrder"))
+    }
+    assert(e1.getMessage.contains("zorder"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      ClusterLayout.sorted(df, Seq("x"),
+        Map(ClusterLayout.LayoutProp -> "zorder"))
+    }
+    assert(e2.getMessage.contains("2 clustering columns"), e2.getMessage)
+  }
+
   test("zValue orders nulls first, survives constant and skewed " +
       "columns, and works for non-numeric types") {
     import spark.implicits._
