@@ -145,7 +145,17 @@ object Dedup {
     val buckets = bandedBuckets(df, textCol, idCol, k, bands, n)
     val l = buckets.as("l")
     val r = buckets.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+    // No join-strategy hint, DELIBERATELY (r12, measured): at toy
+    // scale the planner broadcasts one side and the streamed side
+    // re-runs the signature subtree — but forcing sort-merge (tried)
+    // traded that cheap recompute for 3 extra AQE stage barriers and
+    // measured 1.4x SLOWER at sf0.1 (k=8). At real scale the size
+    // estimate exceeds the broadcast threshold and the planner picks
+    // the SMJ-with-reused-Exchange shape on its own (verified: the
+    // hinted final plan showed ReusedExchange under both sides), so
+    // the estimate-driven choice is already right at BOTH scales.
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
@@ -193,9 +203,18 @@ object Dedup {
       idCol: String, n: Int): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, n)
       .select(col("id"), col("s"), size(col("s")).as("sz"))
+    // MERGE hints: the planner otherwise BROADCASTS the per-doc shingle
+    // sets (the whole corpus's shingle arrays — the 8 GB-cap hazard at
+    // scale) and re-computes them for each of the two attach joins.
+    // Sort-merge puts hashpartitioning(id) Exchanges under both `sets`
+    // sides; they canonicalize identically, so exchange reuse computes
+    // the shingle sets ONCE. Only the candidate pairs (plus one side's
+    // attached set per hop) shuffle — candidates ≪ corpus.
     pairs
-      .join(sets.select(col("id").as("id1"), col("s").as("s1"), col("sz").as("sz1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("s").as("s2"), col("sz").as("sz2")), "id2")
+      .join(sets.select(col("id").as("id1"), col("s").as("s1"),
+        col("sz").as("sz1")).hint("merge"), "id1")
+      .join(sets.select(col("id").as("id2"), col("s").as("s2"),
+        col("sz").as("sz2")).hint("merge"), "id2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
   }
 
@@ -253,7 +272,12 @@ object Dedup {
         col(vecCol).cast("array<double>").as("v"), col("bucket"))
     val l = b.as("l")
     val r = b.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+    // No join-strategy hint (see minHashCandidates): with the fused
+    // LshBucketExpr the recomputed bucket column is one codegen loop,
+    // cheaper at toy scale than the AQE stage barriers a forced
+    // sort-merge adds; at scale the planner picks SMJ+reuse itself.
+    l.join(r,
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         Similarity.cosine(col("l.v"), col("r.v")).as("cos"))
       .filter(col("cos") >= threshold)
@@ -775,7 +799,10 @@ object Dedup {
         col("bk.band").as("band"), col("bk.key").as("key"))
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+    // No join-strategy hint (see minHashCandidates): estimate-driven
+    // broadcast wins at toy scale, SMJ+reused-Exchange at corpus scale
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         bit_count(expr("l.simhash ^ r.simhash")).as("hamming"))

@@ -137,13 +137,15 @@ object IncrementalText {
       b: Double = 0.75): DataFrame = {
     val qterms = TextAnalysis.bm25QueryTerms(queries, qIdCol, qTextCol)
     // the inverted-index fetch: ONLY the probed terms' buckets are read
+    // (doc_freq comes from bm25Rank's restricted aggregate over these
+    // rows — co-bucketed non-query terms are semi-joined away before
+    // the count instead of inflating a full-bucket groupBy)
     val postings = SnapshotUpsert.readKeys(spark, postingsDir(indexDir),
       qterms.select(col("term")).distinct(), Seq("term"))
-    val docFreq = postings.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val (nDocs, sumDl) = corpusStats(spark, indexDir)
     import spark.implicits._
     val stats = Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
-    TextAnalysis.bm25Rank(postings, docFreq, stats, qterms, k, k1, b)
+    TextAnalysis.bm25Rank(postings, stats, qterms, k, k1, b)
   }
 
   /** Maintain the standing index from a STREAM of docs: each

@@ -102,7 +102,20 @@ object Similarity {
     * selects an independent hyperplane family (planes are indexed
     * `table * bits + j`, so table 0 reproduces the historical single-
     * table buckets bit-for-bit). */
-  def lshBucket(vec: Column, bits: Int = 8, table: Int = 0): Column = {
+  def lshBucket(vec: Column, bits: Int = 8, table: Int = 0): Column =
+    // fused codegen kernel ([[graft.functions.LshBucketExpr]]): one
+    // loop accumulates all `bits` projections with the identical
+    // per-plane left-to-right addition order and sign formula as the
+    // HOF form below — bit-identical bucket ids, minus `bits`
+    // interpreted zip_with+aggregate dispatches (and their
+    // intermediate arrays) per row. The HOF reference implementation
+    // is kept as [[lshBucketHof]] and parity-pinned in ExtensionsSpec.
+    graft.functions.VectorExpressions.lshBucketNative(vec, bits, table)
+
+  /** The portable HOF reference form of [[lshBucket]] — the original
+    * definition, kept verbatim so the fused kernel has an in-repo
+    * reference to be verified bit-identical against. */
+  private[graft] def lshBucketHof(vec: Column, bits: Int = 8, table: Int = 0): Column = {
     val v = asDouble(vec)
     val projections = (0 until bits).map { j =>
       // projection_j = sum_i sign(table*bits + j, i) * v[i]
@@ -325,12 +338,16 @@ object Similarity {
     s"slice($v, $sub * ($w) + 1, $w)"
   }
 
-  /** Squared L2 between equal-length double arrays — sequential fold,
-    * so the accumulation order is fixed and a SQL oracle spelling the
-    * same left-associated sum produces bit-identical doubles. */
+  /** Squared L2 between equal-length double arrays — fixed sequential
+    * accumulation order, so a SQL oracle spelling the same
+    * left-associated sum produces bit-identical doubles. Runs as the
+    * fused codegen kernel [[graft.functions.L2SqExpr]] (one loop, no
+    * intermediate array) — bit-identical to the HOF fold
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)` it
+    * replaced, which dispatched two interpreted lambdas per element on
+    * the |corpus| x m x k PQ-encode hot path. */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.l2sqNative(a, b)
 
   /** Deterministic product-quantization codebook: `k` seed vectors
     * chosen by md5-hash order of the id (a seeded uniform sample —
@@ -425,9 +442,10 @@ object Similarity {
     * collapse to 8 bytes, the memory story that lets a billion-vector
     * index live in RAM. Distances against the broadcast codebook are
     * scan-local (n*m*k fused-loop evaluations, no shuffle); the
-    * argmin runs as a partial-aggregable min(struct(dist, code)), so
-    * only (id, sub, code) triples cross the wire, and the reassembly
-    * groupBy carries m tiny rows per vector. */
+    * per-subspace argmin runs as m partial-aggregable conditional
+    * min(struct(dist, code)) aggregates in ONE groupBy(id), so a
+    * single exchange carries one m-slot partial row per vector and
+    * the codes array assembles in the same aggregation. */
   def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
       vecCol: String, m: Int = 8, carry: Seq[String] = Nil): DataFrame = {
     val cs = carry.map(col)
@@ -437,13 +455,25 @@ object Similarity {
         explode(expr(s"sequence(0, ${m - 1})")).as("sub") :+ col("__v"): _*)
       .select(col(idCol) +: cs :+ col("sub") :+
         expr(subSliceSql("__v", "sub", m)).as("__sv"): _*)
+    // ONE aggregation (r12): m is a plan-time constant, so the
+    // per-subspace argmin runs as m conditional min(struct) aggregates
+    // in a single groupBy(id) — the previous groupBy(id, sub) argmin +
+    // groupBy(id) collect_list paid a second full exchange just to
+    // reassemble codes the first aggregation had already decided.
+    // Identical values: each (id, sub) group has >= 1 row (the explode
+    // is unconditional), min(struct(d, code)) is the same tie-break,
+    // and the array is assembled in sub order exactly as the
+    // array_sort(collect_list(struct(sub, code))) form did.
+    val perSub = (0 until m).map { j =>
+      min(when(col("sub") === j, struct(col("__d"), col("code"))))
+        .getField("code").as(s"__c$j")
+    }
     subs.join(broadcast(codebook), Seq("sub"))
       .withColumn("__d", l2sq(col("__sv"), col("centroid")))
-      .groupBy(col(idCol) +: cs :+ col("sub"): _*)
-      .agg(min(struct(col("__d"), col("code"))).getField("code").as("code"))
       .groupBy(col(idCol) +: cs: _*)
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code")).as("codes"))
+      .agg(perSub.head, perSub.tail: _*)
+      .select(col(idCol) +: cs :+
+        array((0 until m).map(j => col(s"__c$j")): _*).as("codes"): _*)
   }
 
   /** Per-query ADC lookup table (query_id, sub, code, __dq): the
@@ -541,14 +571,25 @@ object Similarity {
     * the same shape). Original vectors are fetched only for the exact
     * rerank of the `rerank`-deep shortlist. At scale the encoded
     * (id, cell, codes) index is written once and probed many times. */
+  /** @param rerankCorpus optional override for the frame the exact
+    *   rerank fetches original vectors from (joined by `idCol` only —
+    *   `cell` is never read). Default = `assigned`, which is correct
+    *   but RE-RUNS the whole argmax-cosine assignment aggregation just
+    *   to fetch vectors when `assigned` is a derived plan rather than a
+    *   materialized index; pass the raw corpus frame to skip that pass.
+    *   Result-identical for any superset of `assigned`'s rows carrying
+    *   the same (id, vector) pairs: the rerank join is driven by the
+    *   shortlist ids, which all lie in `assigned`. */
   def ivfPqTopK(assigned: DataFrame, centroids: DataFrame, codebook: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
-      m: Int = 8, nProbe: Int = 4, rerank: Int = 32): DataFrame =
+      m: Int = 8, nProbe: Int = 4, rerank: Int = 32,
+      rerankCorpus: DataFrame = null): DataFrame =
     ivfPqRankEncoded(
       pqEncode(assigned, codebook, idCol, vecCol, m, carry = Seq("cell")),
       probeSet(centroids, queries, idCol, vecCol, nProbe)
         .select(col("query_id"), col("cell")),
-      assigned, codebook, queries, idCol, vecCol, k, m, rerank)
+      Option(rerankCorpus).getOrElse(assigned),
+      codebook, queries, idCol, vecCol, k, m, rerank)
 
   /** The ADC-score + shortlist + exact-rerank tail of [[ivfPqTopK]]
     * from an ALREADY-ENCODED candidate frame (`withCodes`: idCol,
@@ -613,10 +654,18 @@ object Similarity {
     * structure is where a trained codebook's win comes from.
     * AnnRecallSpec pins the floor and the does-not-lose-to-raw
     * ordering. */
+  /** @param rerankCorpus optional vector source for the exact rerank —
+    *   see [[ivfPqTopK]]'s doc; default = `assigned` (correct, but
+    *   recomputes the assignment aggregation when `assigned` is a
+    *   derived plan). STRICTER contract than [[ivfPqTopK]]'s: when
+    *   `trainIters == 0` this frame also supplies the codebook SEED
+    *   ids, so it must carry exactly `assigned`'s id set (the raw
+    *   corpus the registered queries pass), not a superset. */
   def ivfPqResidualTopK(assigned: DataFrame, centroids: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int = 5,
       m: Int = 8, kCodes: Int = 16, nProbe: Int = 4, rerank: Int = 32,
-      salt: String = "pqres", trainIters: Int = 0): DataFrame = {
+      salt: String = "pqres", trainIters: Int = 0,
+      rerankCorpus: DataFrame = null): DataFrame = {
     val resid = assigned
       .join(broadcast(centroids), Seq("cell"))
       .withColumn("__rv",
@@ -629,7 +678,39 @@ object Similarity {
     val cb =
       if (trainIters > 0)
         pqCodebookTrained(resid, idCol, "__rv", m, kCodes, trainIters, salt)
-      else pqCodebook(resid, idCol, "__rv", m, kCodes, salt)
+      else Option(rerankCorpus).map { rc =>
+        // The seeded codebook's seed PICK depends only on ids
+        // (md5(salt:id) order), not on the residual values — so when
+        // the raw corpus frame is available, select the kCodes seed
+        // ids from IT, then assign + residual-encode ONLY those rows
+        // (kCodes x nCells cosines) and hand pqCodebook the tiny
+        // frame. The default path feeds pqCodebook the full residual
+        // frame, whose TakeOrdered seed scan re-runs the whole
+        // argmax-cosine assignment — a full corpus pass per search
+        // call for 16 rows of output (and pqCodebookTrained keeps
+        // that full pass: Lloyd genuinely iterates over every
+        // residual). Identical codebook: the top-kCodes by
+        // (md5 hash, id-string) over the same id set, and the
+        // restricted frame preserves that order among its kCodes
+        // rows. Requires rerankCorpus to carry EXACTLY the assigned
+        // id set (true for the raw corpus the registered queries
+        // pass; a strict superset would change the seed pick).
+        val ids = rc
+          .select(col(idCol), col(idCol).cast("string").as("__sid"))
+          .withColumn("__h",
+            Dedup.md5Hash32(concat(lit(s"$salt:"), col("__sid"))))
+          .orderBy(col("__h").asc, col("__sid").asc)
+          .limit(kCodes)
+          .select(col(idCol))
+        val seedResid =
+          assignCells(rc.join(broadcast(ids), Seq(idCol), "left_semi"),
+            centroids, idCol, vecCol)
+          .join(broadcast(centroids), Seq("cell"))
+          .withColumn("__rv",
+            zip_with(asDouble(col(vecCol)), col("centroid"), (x, c) => x - c))
+          .select(col(idCol), col("__rv"))
+        pqCodebook(seedResid, idCol, "__rv", m, kCodes, salt)
+      }.getOrElse(pqCodebook(resid, idCol, "__rv", m, kCodes, salt))
     val cand = pqEncode(resid, cb, idCol, "__rv", m, carry = Seq("cell"))
       .select(col(idCol).as("neighbor_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "code")))
@@ -664,7 +745,8 @@ object Similarity {
         // the nano sum), then one exact division — a double round(x, 6)
         // diverges between engines when the nano sum ends in ...500
         (expr("(__ds + 500) div 1000") / 1e6).as("pq_dist"))
-    pqRerank(shortlist, assigned, queries, idCol, vecCol, k)
+    pqRerank(shortlist, Option(rerankCorpus).getOrElse(assigned),
+      queries, idCol, vecCol, k)
   }
 
   /** Per-group embedding centroids in LONG form (group, dimension,

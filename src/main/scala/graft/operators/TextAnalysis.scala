@@ -50,13 +50,24 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "une"),
   )
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = languageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+  /** Per-language marker-hit counts from a token-array column, in
+    * deterministic (alphabetical) language order. Pass a MATERIALIZED
+    * attribute when scoring several languages over the same text: an
+    * inline `tokens(text)` argument is re-evaluated by every
+    * language's `filter` (one split per language per row), while an
+    * attribute tokenizes once. */
+  def languageHits(toks: Column): Seq[(String, Column)] =
+    languageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       lang -> size(filter(toks, w => w.isin(markers.map(_.asInstanceOf[Any]): _*)))
     }
-    // argmax via fold: strictly-greater keeps the alphabetically-first
-    // language on ties (deterministic).
+
+  /** The argmax fold of [[langId]] over already-computed per-language
+    * hit counts: strictly-greater keeps the alphabetically-first
+    * language on ties (deterministic); zero hits everywhere = 'und'.
+    * Feed it ATTRIBUTE columns (see [[languageHits]]) so the fold's
+    * repeated references re-read a computed value instead of
+    * re-evaluating a filter expression. */
+  def langIdFromHits(scores: Seq[(String, Column)]): Column = {
     val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bestLang, bestScore), (lang, score)) =>
         (when(score > bestScore, lit(lang)).otherwise(bestLang),
@@ -64,6 +75,8 @@ object TextAnalysis {
     }
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
+
+  def langId(text: Column): Column = langIdFromHits(languageHits(tokens(text)))
 
   /** Document fingerprint: md5 of case-folded, whitespace-collapsed
     * text. Rolling/shingled hashing lives in [[Dedup.shingles]]. */
@@ -289,7 +302,11 @@ object TextAnalysis {
             element_at(col("__ws"), i + 2).as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val pairCounts = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-    val ctxCounts = bigrams.groupBy("a").agg(count(lit(1)).as("ctx"))
+    // ctx(a) = rows with first word a = SUM of cab over b — derived
+    // from the (vocab²-sized, already aggregated) pair counts instead
+    // of re-running the whole tokenize+explode subtree a third time
+    // for a second corpus-wide count. Exact integer identity.
+    val ctxCounts = pairCounts.groupBy("a").agg(sum(col("cab")).as("ctx"))
     bigrams.join(broadcast(pairCounts), Seq("a", "b"))
       .join(broadcast(ctxCounts), Seq("a"))
       .crossJoin(broadcast(vocab))
@@ -412,14 +429,22 @@ object TextAnalysis {
       idCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val tf = bm25Postings(docs, textCol, idCol)
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val qterms = bm25QueryTerms(queries, qIdCol, qTextCol)
+    // Postings restricted to query terms AT THE SCAN (broadcast
+    // semi-join between the distinct-term explode and the tf count):
+    // only matching rows pay the O(words) tf filter-count, and —
+    // because doc_freq is now a window count over these rows
+    // ([[bm25Rank]]) — the corpus is tokenized ONCE instead of twice
+    // (the old plan re-ran the whole scan+explode+tf subtree to feed a
+    // full-vocabulary doc_freq aggregate of which only the query
+    // terms' rows survived the score join).
+    val tf = bm25Postings(docs, textCol, idCol,
+      restrictTerms = Some(qterms.select(col("term"))))
     // Exact integer corpus totals; avgdl is ONE double division.
     val stats = docs
       .select(size(Dedup.words(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    bm25Rank(tf, docFreq, stats, bm25QueryTerms(queries, qIdCol, qTextCol),
-      k, k1, b, excludeSelf)
+    bm25Rank(tf, stats, qterms, k, k1, b, excludeSelf)
   }
 
   /** One row per (term, doc): `(term, doc_id, tf_cnt, n_toks)` — the
@@ -429,15 +454,28 @@ object TextAnalysis {
     * [[IncrementalText]], whose standing index stores exactly these
     * rows — one definition is what keeps the incremental scores
     * bit-identical to the batch operator. */
+  /** @param restrictTerms when set, a broadcast LEFT SEMI join on
+    *   `term` drops non-matching rows BETWEEN the distinct-term
+    *   explode and the tf filter-count, so only postings a downstream
+    *   query-term join would keep anyway pay the O(words) tf count
+    *   (and the NULL-term row of a token-less doc, which no real term
+    *   can join, goes with them). Index builds pass None — the
+    *   standing index stores every term. */
   private[operators] def bm25Postings(docs: org.apache.spark.sql.DataFrame,
-      textCol: String, idCol: String): org.apache.spark.sql.DataFrame =
-    docs
+      textCol: String, idCol: String,
+      restrictTerms: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val exploded = docs
       .select(col(idCol).as("doc_id"), Dedup.words(col(textCol)).as("__ws"))
       .select(col("doc_id"), col("__ws"), size(col("__ws")).as("n_toks"),
         explode_outer(array_distinct(col("__ws"))).as("term"))
+    restrictTerms
+      .fold(exploded)(t => exploded.join(
+        broadcast(t.select(col("term")).distinct()), Seq("term"), "left_semi"))
       .withColumn("tf_cnt",
         size(filter(col("__ws"), w => w === col("term"))).cast("long"))
       .select(col("term"), col("doc_id"), col("tf_cnt"), col("n_toks"))
+  }
 
   /** Distinct (query_id, term) rows under the corpus tokenizer. */
   private[operators] def bm25QueryTerms(
@@ -448,12 +486,27 @@ object TextAnalysis {
 
   /** The scoring+ranking half of [[bm25TopK]], from postings-shaped
     * inputs: `postings` as produced by [[bm25Postings]] (or read back
-    * from [[IncrementalText]]'s index), `docFreq` = (term, doc_freq),
-    * `stats` = one row (n_docs, sum_dl), `qterms` as produced by
-    * [[bm25QueryTerms]]. Exact integer micro-unit contribution sums;
-    * deterministic tie-break (score desc, doc_id asc). */
+    * from [[IncrementalText]]'s index), `stats` = one row
+    * (n_docs, sum_dl), `qterms` as produced by [[bm25QueryTerms]].
+    * Exact integer micro-unit contribution sums; deterministic
+    * tie-break (score desc, doc_id asc).
+    *
+    * doc_freq is computed HERE, from the postings AFTER a broadcast
+    * semi-join restriction to the query terms — identical per-term
+    * counts to a whole-vocabulary `groupBy(term)` (a term's postings
+    * rows are exactly its containing docs) at a fraction of the work:
+    * the old shape aggregated doc_freq for every term in the corpus,
+    * then joined away all but the query terms'. It stays a partial-
+    * aggregated groupBy + tiny broadcast (NOT a window count: a
+    * per-term window must SORT the restricted postings, and for
+    * doc-as-query workloads whose query terms cover much of the
+    * corpus — the hybrid-retrieval shape — that sort measured SLOWER
+    * than the whole-vocab aggregate it replaced). Callers pass
+    * postings UNAGGREGATED; any superset of the query terms' postings
+    * rows (e.g. the bucket over-fetch of [[IncrementalText]]'s
+    * readKeys) gives the same result — the semi-join drops the rest
+    * before counting. */
   private[operators] def bm25Rank(postings: org.apache.spark.sql.DataFrame,
-      docFreq: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame,
       qterms: org.apache.spark.sql.DataFrame, k: Int, k1: Double,
       b: Double, excludeSelf: Boolean = false)
@@ -463,8 +516,13 @@ object TextAnalysis {
       (col("n_docs") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5)))
     val w = col("tf_cnt").cast("double") * (k1 + 1) /
       (col("tf_cnt") + lit(k1) * (lit(1.0 - b) + lit(b) * col("n_toks") / avgdl))
-    val contrib = postings.join(broadcast(qterms), "term")
-      .join(docFreq, "term")
+    val restricted = postings.join(
+      broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val docFreq = restricted.groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"))
+    val contrib = restricted
+      .join(broadcast(qterms), "term")
+      .join(broadcast(docFreq), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         round(idf * w * 1e6).cast("long").as("c_micro"))

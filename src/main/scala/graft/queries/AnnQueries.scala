@@ -768,7 +768,10 @@ object AnnQueries {
         val cb = Similarity.pqCodebook(e, "vec_id", "embedding", m = 16, k = 16)
         Similarity.ivfPqTopK(assigned, centroids, cb,
           e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, m = 16, nProbe = 8, rerank = 128)
+          k = 5, m = 16, nProbe = 8, rerank = 128,
+          // rerank fetches (id, vector) only — the raw scan avoids
+          // re-running the argmax-cosine assignment just for vectors
+          rerankCorpus = e)
       },
       Some(ivfPqOracle),
     ),
@@ -787,7 +790,8 @@ object AnnQueries {
         val assigned = Similarity.assignCells(e, centroids, "vec_id", "embedding")
         Similarity.ivfPqResidualTopK(assigned, centroids,
           e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, m = 16, kCodes = 16, nProbe = 8, rerank = 128)
+          k = 5, m = 16, kCodes = 16, nProbe = 8, rerank = 128,
+          rerankCorpus = e)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |cent AS (SELECT vec_id AS cell, v AS centroid FROM e WHERE vec_id < 16),
@@ -878,7 +882,7 @@ object AnnQueries {
         Similarity.ivfPqResidualTopK(assigned, centroids,
           e.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, m = 16, kCodes = 16, nProbe = nProbe, rerank = 128,
-          trainIters = 2)
+          trainIters = 2, rerankCorpus = e)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |par AS (SELECT GREATEST(16, CAST(round(sqrt(count(*))) AS BIGINT)) AS ncells FROM e),

@@ -270,8 +270,21 @@ object DataOpsQueries {
 
     QueryDef(
       "q_text_langid",
-      (s, d) => QueryDef.load(s, d, "documents").select(
-        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess")),
+      // staged: tokenize ONCE as an attribute, count each language's
+      // marker hits ONCE as attributes, then run the argmax fold over
+      // those — the single-Column langId(text) re-splits the text per
+      // language and re-evaluates each filter at every fold reference
+      // (HOFs are outside codegen subexpression elimination)
+      (s, d) => {
+        val hits = TextAnalysis.languageHits(col("__t"))
+        QueryDef.load(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+          .select(col("doc_id") +:
+            hits.map { case (lang, c) => c.as(s"__h_$lang") }: _*)
+          .select(col("doc_id"), TextAnalysis.langIdFromHits(
+            hits.map { case (lang, _) => lang -> col(s"__h_$lang") })
+            .as("lang_guess"))
+      },
       Some {
         val hits = TextAnalysis.languageMarkers.toSeq.sortBy(_._1)
           .map { case (lang, markers) =>

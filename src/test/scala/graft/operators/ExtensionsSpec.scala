@@ -22,6 +22,70 @@ class ExtensionsSpec extends SparkSpec {
     assert(both.length > 100)
   }
 
+  test("native squared-L2 matches the higher-order-function fold exactly") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = e.as("a")
+    val b = e.as("b")
+    // the HOF fold Similarity.l2sq replaced (kept inline here as the
+    // portable reference): left-associated sum of (x-y)^2
+    val hof = aggregate(zip_with(col("a.v"), col("b.v"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val both = a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+      .select(hof.as("hof"),
+        VectorExpressions.l2sqNative(col("a.v"), col("b.v")).as("native"))
+      .collect()
+    // identical left-to-right double accumulation -> bit-exact equality
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(both.length > 100)
+  }
+
+  test("l2_sq null semantics match the HOF form (length mismatch, null slot)") {
+    val df = spark.range(1).select(
+      expr("array(1.0d, 2.0d, 3.0d, 4.0d)").as("v"))
+    val got = df.select(
+      VectorExpressions.l2sqNative(col("v"), expr("slice(v, 1, 3)")).as("mm"),
+      VectorExpressions.l2sqNative(col("v"),
+        expr("array(1.0d, cast(null as double), 3.0d, 4.0d)")).as("ns"),
+      VectorExpressions.l2sqNative(col("v"), col("v")).as("self")).head()
+    assert(got.isNullAt(0), "length mismatch must be NULL")
+    assert(got.isNullAt(1), "null slot must be NULL")
+    assert(got.getDouble(2) == 0.0)
+  }
+
+  test("native LSH bucket matches the per-plane HOF composition exactly") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    for (bits <- Seq(4, 8); table <- Seq(0, 1, 3)) {
+      val both = e.select(
+          Similarity.lshBucketHof($"embedding", bits, table).as("hof"),
+          graft.functions.VectorExpressions
+            .lshBucketNative($"embedding", bits, table).as("native"))
+        .collect()
+      both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"bits=$bits table=$table: ${r.getLong(0)} != ${r.getLong(1)}"))
+      assert(both.length > 100)
+    }
+  }
+
+  test("native LSH bucket degenerate inputs match the HOF quirks (0, never NULL)") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (cast(null as array<double>)),
+        | (array()),
+        | (array(1.0d, cast(null as double), 3.0d)),
+        | (array(cast('NaN' as double), 1.0d)),
+        | (array(0.5d)) AS t(v)""".stripMargin)
+    val got = df.select(
+        Similarity.lshBucketHof(col("v"), 8, 0).as("hof"),
+        graft.functions.VectorExpressions
+          .lshBucketNative(col("v"), 8, 0).as("native"))
+      .collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), "bucket is never NULL")
+      assert(r.getLong(0) == r.getLong(1), s"${r.getLong(0)} != ${r.getLong(1)}")
+    }
+  }
+
   test("FuseDotProduct rewrites the HOF aggregate(zip_with) into the native loop") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
